@@ -1,0 +1,158 @@
+"""Blocking: candidate generation as a salted groupby shuffle (SURVEY.md §2.4 J1).
+
+The reference is a brute-force cartesian product (matcher.py:381-396:
+every query row × all 46k base rows).  Per the north rule, candidates are
+instead generated **within blocks**: the first token of ``nosuffix`` (primary
+pass) and the last token (secondary recall pass).  Decision parity with the
+reference is scoped to co-blocked pairs (BASELINE.json:2).
+
+Skew (SURVEY.md §4): normalized names pile onto hot first tokens ("first",
+"american", "inc"-heavy tails).  Hot keys — found via a distributed
+``groupby().count()`` whose *hot subset only* comes back to the driver — are
+salted into ``s = ceil(count / cap)`` shards; a row with salt ``u`` is
+replicated into every shard-pair block ``(i, j), i <= j`` with ``u ∈ {i, j}``
+(the triangle scheme), so all within-block pairs still meet exactly once
+while no single group exceeds ~``cap²`` pair candidates.
+
+Pair emission dedup: a pair co-blocked by BOTH its first and last tokens is
+emitted only by the primary pass (the secondary pass skips pairs whose
+``block_key`` — first token — already matches), with zero extra shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _stable_salt(doc_id: str, shards: int) -> int:
+    h = hashlib.blake2b(doc_id.encode(), digest_size=4).digest()
+    return int.from_bytes(h, "big") % shards
+
+
+def compute_hot_keys(names_ds, key: str, cap: int) -> dict[str, int]:
+    """Distributed histogram; only keys with count > cap return to the driver."""
+    counts = names_ds.groupby(key).count()
+    hot = counts.filter(lambda row: row["count()"] > cap).take_all()
+    return {r[key]: int(math.ceil(r["count()"] / cap)) for r in hot}
+
+
+class ExplodeToPairBlocks:
+    """map_batches: one row per (name, pair-block replica).
+
+    Emits group key ``pair_block = "<pass>|<key>|<i>|<j>"`` and a ``side``
+    column: 0 = left shard member, 1 = right, 2 = both (unsalted / i == j).
+    """
+
+    def __init__(self, hot_first: dict[str, int], hot_last: dict[str, int],
+                 max_shards: int = 16):
+        self.hot = {"f": hot_first, "l": hot_last}
+        self.max_shards = max_shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        pre = batch.column("pre_proc").to_pylist()
+        nos = batch.column("nosuffix").to_pylist()
+        first = batch.column("block_key").to_pylist()
+        last = batch.column("block_key_last").to_pylist()
+
+        out_block, out_side, out_idx = [], [], []
+        for i in range(len(doc_ids)):
+            for pass_tag, key in (("f", first[i]), ("l", last[i])):
+                if pass_tag == "l" and key == first[i]:
+                    continue  # identical key would duplicate the primary pass
+                shards = min(self.hot[pass_tag].get(key, 1), self.max_shards)
+                if shards <= 1:
+                    out_block.append(f"{pass_tag}|{key}|0|0")
+                    out_side.append(2)
+                    out_idx.append(i)
+                else:
+                    u = _stable_salt(doc_ids[i], shards)
+                    for v in range(shards):
+                        lo, hi = (u, v) if u <= v else (v, u)
+                        out_block.append(f"{pass_tag}|{key}|{lo}|{hi}")
+                        out_side.append(2 if lo == hi else (0 if u == lo else 1))
+                        out_idx.append(i)
+        take = pa.array(out_idx, pa.int64())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_block, pa.string()),
+                pa.array(out_side, pa.int8()),
+                batch.column("doc_id").take(take),
+                batch.column("pre_proc").take(take),
+                batch.column("nosuffix").take(take),
+                batch.column("block_key").take(take),
+                batch.column("block_key_last").take(take),
+            ],
+            names=["pair_block", "side", "doc_id", "pre_proc", "nosuffix",
+                   "block_key", "block_key_last"],
+        )
+
+
+def _emit_pairs_for_group(g: pd.DataFrame) -> pd.DataFrame:
+    """All unordered candidate pairs within one pair-block (pandas group).
+
+    Orientation is canonical: the lexicographically smaller doc_id is the
+    query ("a") side of the asymmetric cascade.  Secondary-pass groups skip
+    pairs already co-blocked by first token (see module docstring).
+    """
+    block = g["pair_block"].iat[0]
+    pass_tag, key, i_shard, j_shard = block.split("|")
+    if i_shard == j_shard:
+        # triangle block: all-pairs within the group, each exactly once
+        cross = g.merge(g, how="cross", suffixes=("_a", "_b"))
+        cross = cross[cross["doc_id_a"] < cross["doc_id_b"]]
+    else:
+        # cross-shard block: left shard × right shard, then canonicalize
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        cross = left.merge(right, how="cross", suffixes=("_a", "_b"))
+        flip = cross["doc_id_a"] > cross["doc_id_b"]
+        if flip.any():
+            a_cols = [c for c in cross.columns if c.endswith("_a")]
+            b_cols = [c[:-2] + "_b" for c in a_cols]
+            tmp = cross.loc[flip, a_cols].to_numpy()
+            cross.loc[flip, a_cols] = cross.loc[flip, b_cols].to_numpy()
+            cross.loc[flip, b_cols] = tmp
+    if pass_tag == "l":
+        cross = cross[cross["block_key_a"] != cross["block_key_b"]]
+    if cross.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in
+             ("left_doc_id", "right_doc_id", "block_key",
+              "pre_a", "pre_b", "nosuffix_a", "nosuffix_b")}
+        )
+    return pd.DataFrame(
+        {
+            "left_doc_id": cross["doc_id_a"].to_numpy(),
+            "right_doc_id": cross["doc_id_b"].to_numpy(),
+            "block_key": key,
+            "pre_a": cross["pre_proc_a"].to_numpy(),
+            "pre_b": cross["pre_proc_b"].to_numpy(),
+            "nosuffix_a": cross["nosuffix_a"].to_numpy(),
+            "nosuffix_b": cross["nosuffix_b"].to_numpy(),
+        }
+    )
+
+
+def candidate_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
+                    hot_first: dict | None = None, hot_last: dict | None = None):
+    """names Dataset -> candidate pair Dataset (the one blocking shuffle)."""
+    if hot_first is None:
+        hot_first = compute_hot_keys(names_ds, "block_key", cap)
+    if hot_last is None:
+        hot_last = compute_hot_keys(names_ds, "block_key_last", cap)
+    exploded = names_ds.map_batches(
+        ExplodeToPairBlocks,
+        fn_constructor_kwargs={
+            "hot_first": hot_first, "hot_last": hot_last, "max_shards": max_shards
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return exploded.groupby("pair_block").map_groups(
+        _emit_pairs_for_group, batch_format="pandas"
+    )

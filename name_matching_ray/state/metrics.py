@@ -1,0 +1,33 @@
+"""Pipeline metrics as a named Ray counter actor.
+
+A streaming pipeline cannot re-execute just to count intermediate rows, so
+stages increment a shared counter actor per batch (one tiny RPC per batch,
+amortized over thousands of rows).  The driver drains the counters into the
+checkpoint manifest (match-count metrics per partition, BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class MetricsActor:
+    def __init__(self):
+        self.counters = defaultdict(int)
+
+    def add(self, key: str, value: int = 1):
+        self.counters[key] += value
+
+    def get_all(self) -> dict:
+        return dict(self.counters)
+
+    def reset(self):
+        self.counters.clear()
+
+
+def get_metrics_actor(name: str = "nm_ray_metrics"):
+    """Get-or-create the session-wide metrics actor."""
+    return MetricsActor.options(name=name, get_if_exists=True).remote()
