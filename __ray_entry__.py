@@ -1,16 +1,12 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per operator, oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in name_matching_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name contract: every computed column is named identically in the Ray
+pipeline and the SQL (the driver sorts columns by name before value-hashing).
+Money/metric aggregates are integer *cents* (floor(x*100+0.5)) on both sides
+so float summation order never breaks the hash.
 """
 
 from __future__ import annotations
@@ -18,27 +14,272 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from name_matching_ray.pipelines import analytics
+from name_matching_ray.pipelines.linkage import (
+    matched_pairs,
+    build_names,
+    score_prepaired,
+    self_link_docs,
+)
+from name_matching_ray.sources.docs_source import documents_as_interleaved
+from name_matching_ray.stages import annsearch, dedup, textstats
+from name_matching_ray.stages.multimodal import media_features
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved docs (from sf0.001 documents) → extract →
+    normalize → block → score → cluster; returns the cluster table."""
+    docs = documents_as_interleaved("/root/testdata/sf0.001")
+    _names, _pairs, clusters = self_link_docs(docs, cap=200, concurrency=(1, 4),
+                                              max_name_tokens=8)
+    return clusters
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _read_docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def _read_emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def _linkage_pairs(sf_dir: str):
+    names = build_names(documents_as_interleaved(sf_dir), max_name_tokens=8)
+    return matched_pairs(names, cap=200)
+
+
+def _linkage_clusters(sf_dir: str):
+    docs = documents_as_interleaved(sf_dir)
+    _n, _p, clusters = self_link_docs(docs, cap=200, max_name_tokens=8)
+    return clusters
+
+
+def _pair_scoring(sf_dir: str):
+    """match_pair.py semantics: pre-paired names (adjacent doc texts)."""
+    import pyarrow as pa
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        return pa.table({
+            "name_a": pa.array(texts[:-1], pa.string()),
+            "name_b": pa.array(texts[1:], pa.string()),
+        })
+
+    pairs = _read_docs(sf_dir).map_batches(to_pairs, batch_format="pyarrow")
+    return score_prepaired(pairs)
+
+
+def _lang_id(sf_dir: str):
+    return textstats.lang_id(_read_docs(sf_dir))
+
+
+def _winnow(sf_dir: str):
+    ds = _read_docs(sf_dir)
+    return ds.map_batches(textstats.RollingFingerprint, batch_format="pyarrow",
+                          concurrency=(1, 4)).select_columns(["doc_id", "fp_len"])
+
+
+def _minhash(sf_dir: str):
+    return dedup.minhash_lsh_pairs(_read_docs(sf_dir), tau=0.5)
+
+
+def _simhash(sf_dir: str):
+    return dedup.simhash_pairs(_read_docs(sf_dir), max_hamming=3)
+
+
+def _media(sf_dir: str):
+    feats = media_features(documents_as_interleaved(sf_dir), fake=True)
+    return feats.select_columns(
+        ["doc_id", "span_idx", "kind", "media_ref", "width", "height", "n_frames"]
+    )
+
+
+def _ivf_topk(sf_dir: str):
+    emb = _read_emb(sf_dir)
+    cent = annsearch.kmeans_centroids(emb, n_clusters=8)
+    return annsearch.ivf_topk(emb, cent, _ANN_QUERY_IDS, k=10, nprobe=4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # relational core (SQL-oracled)
+        "pricing_summary": analytics.pricing_summary,
+        "segment_revenue": analytics.segment_revenue,
+        "region_balance": analytics.region_balance,
+        "topk_orders": analytics.topk_orders,
+        "high_quantity_counts": analytics.high_quantity_counts,
+        "events_daily": analytics.events_daily,
+        "sessionize": analytics.sessionize,
+        # text analysis (SQL-oracled)
+        "text_stats": lambda sf: textstats.text_stats(_read_docs(sf)),
+        "fingerprints": lambda sf: textstats.fingerprints(_read_docs(sf)),
+        # dedup
+        "exact_dedup": lambda sf: dedup.exact_dedup(_read_docs(sf)),
+        "ngram_jaccard_dedup": lambda sf: dedup.ngram_jaccard_pairs(
+            _read_docs(sf), n=3, tau100=10, max_df=100),
+        "minhash_dedup": _minhash,
+        "simhash_dedup": _simhash,
+        # embeddings / similarity search
+        "embedding_dups": lambda sf: annsearch.embedding_cosine_dups(
+            _read_emb(sf), threshold=0.35),
+        "ann_threshold": lambda sf: annsearch.cosine_threshold_pairs(
+            _read_emb(sf), _ANN_QUERY_IDS, threshold=0.25),
+        "ann_topk": lambda sf: annsearch.ann_topk(_read_emb(sf),
+                                                  _ANN_QUERY_IDS, k=10),
+        "ivf_topk": _ivf_topk,
+        # record linkage (non-SQL: regex normalizer + 50-rule cascade)
+        "linkage_pairs": _linkage_pairs,
+        "linkage_clusters": _linkage_clusters,
+        "pair_scoring": _pair_scoring,
+        # heuristics / stubs (non-SQL)
+        "lang_id": _lang_id,
+        "winnow_fingerprint": _winnow,
+        "media_features": _media,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB, same parquet tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_STOP_ALT = "|".join(textstats.STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "region_balance": """
+            SELECT r.r_name,
+                   CAST(SUM(CAST(FLOOR(c.c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_c,
+                   COUNT(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "topk_orders": """
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_c
+            FROM orders
+            ORDER BY totalprice_c DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "high_quantity_counts": """
+            SELECT l_returnflag, COUNT(*) AS n_items
+            FROM lineitem WHERE l_quantity > 45.0
+            GROUP BY l_returnflag
+        """,
+        "events_daily": """
+            SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id, day
+        """,
+        "sessionize": """
+            WITH d AS (
+                SELECT user_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events)
+            SELECT user_id,
+                   CAST(1 + SUM(brk) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM d GROUP BY user_id
+        """,
+        "text_stats": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars_m,
+                       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_re,
+                       CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+                       CAST(length(regexp_extract_all(lower(text), '\\b(?:{_STOP_ALT})\\b')) AS BIGINT) AS n_stop
+                FROM documents)
+            SELECT *, CAST(CASE WHEN n_tokens >= 5 AND n_stop*100 >= n_tokens*2
+                                THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
+            FROM t
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+                   MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY fingerprint
+        """,
+        "ngram_jaccard_dedup": """
+            WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            pairs AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT p.left_id, p.right_id, p.inter,
+                   sa.n_sh AS n_left, sb.n_sh AS n_right
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.left_id
+            JOIN sizes sb ON sb.doc_id = p.right_id
+            WHERE p.inter*100 >= (sa.n_sh + sb.n_sh - p.inter)*10
+        """,
+        "embedding_dups": """
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "ann_threshold": """
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id
+            FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
+            WHERE q.vec_id IN (0,1,2,3,4)
+              AND list_cosine_similarity(q.embedding, d.embedding) >= 0.25
+        """,
+        "ann_topk": """
+            WITH s AS (
+                SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, d.embedding) AS sim
+                FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
+                WHERE q.vec_id IN (0,1,2,3,4))
+            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+                  FROM s)
+            WHERE rn <= 10
+        """,
+    }

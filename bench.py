@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "pairs_scored": ..., "pairs_per_sec": ...}
+
+--scaling: runs the headline linkage pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both throughputs
+plus scaling efficiency (BASELINE.json:2,14 — the sandbox stand-in for the
+N-vs-4N-node cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _consume(ds) -> int:
+    """Stream-consume a Dataset; returns row count without materializing."""
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n += b.num_rows
+    return n
+
+
+def run_linkage(sf_dir: str, keep_all_stats: bool = True):
+    """Headline: interleaved docs -> extract/normalize/block/score.
+
+    Returns (wall_sec, pairs_scored, pairs_matched).
+    """
+    from name_matching_ray.pipelines.linkage import build_names
+    from name_matching_ray.sources.docs_source import documents_as_interleaved
+    from name_matching_ray.stages.blocking import candidate_pairs
+    from name_matching_ray.stages.scoring import score_pairs
+
+    t0 = time.time()
+    docs = documents_as_interleaved(sf_dir)
+    names = build_names(docs, concurrency=(2, 12), max_name_tokens=8)
+    cands = candidate_pairs(names, cap=200)
+    pairs = score_pairs(cands, keep_all=True, concurrency=(2, 12))
+    matched = 0
+    scored = 0
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=8192):
+        scored += b.num_rows
+        import pyarrow.compute as pc
+
+        matched += pc.sum(
+            pc.cast(pc.greater(b.column("rule_code"), 0), "int64")
+        ).as_py() or 0
+    return time.time() - t0, scored, matched
+
+
+BENCH_QUERIES = [
+    "pricing_summary", "segment_revenue", "topk_orders", "events_daily",
+    "text_stats", "exact_dedup", "ngram_jaccard_dedup", "minhash_dedup",
+    "simhash_dedup", "embedding_dups", "ann_topk",
+]
+
+
+def main():
+    _init_ray(NUM_CPUS)
+    import __ray_entry__ as ent
+
+    qtimes: dict[str, float] = {}
+    t_all = time.time()
+
+    # headline linkage (candidate-pairs-scored/sec is THE baseline metric)
+    t_link, scored, matched = run_linkage(SF_DIR)
+    qtimes["linkage_score"] = round(t_link, 3)
+
+    qs = ent.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    out = {
+        "metric": "end-to-end pipeline suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pairs_scored": scored,
+        "pairs_matched": matched,
+        "pairs_per_sec": round(scored / t_link, 1) if t_link else None,
+    }
+    print(json.dumps(out))
+
+
+def scaling_child(num_cpus: int):
+    _init_ray(num_cpus)
+    t, scored, matched = run_linkage(SF_DIR)
+    print(json.dumps({"num_cpus": num_cpus, "sec": round(t, 3),
+                      "pairs_scored": scored,
+                      "pairs_per_sec": round(scored / t, 1)}))
+
+
+def scaling():
+    """Same job at 8 and 32 CPUs in fresh processes; efficiency >= 0.8 target."""
+    results = {}
+    for n in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(n)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    tp8, tp32 = results[8]["pairs_per_sec"], results[32]["pairs_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling efficiency (8 -> 32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput_8cpu_pairs_per_sec": tp8,
+        "throughput_32cpu_pairs_per_sec": tp32,
+        "sec_8cpu": results[8]["sec"],
+        "sec_32cpu": results[32]["sec"],
+        "pairs_scored": results[32]["pairs_scored"],
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
+    import ray
+
+    ray.shutdown()

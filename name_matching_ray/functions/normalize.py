@@ -111,9 +111,19 @@ class Normalizer:
         suf = sorted(self.assets.suffix, key=lambda s: (-len(s), s))
         self._suffix_re = re.compile(r"\b" + r"\b|\b".join(suf) + r"\b")
 
-        # matcher.py:84 — location alternation (29k branches; compiled once)
+        # matcher.py:84 — location alternation.  The reference compiles the
+        # 29k-branch pattern  locs[0]\b|\bloc\b|...|\blocs[-1]  and re.searches
+        # it per call (~20 ms).  Inputs at match() time are pre_proc strings
+        # (single-spaced [\w\d]+ tokens), so for phrases made only of
+        # alnum+space the \b-delimited search is EXACTLY a token-window
+        # equality test — done here with hash-set lookups (~µs).  Phrases with
+        # regex metachars ('.', '(..)', char classes, …) go to a small
+        # fallback regex, memoized per distinct name.  Boundary quirks of the
+        # first/last alternative (no leading/trailing \b) are kept: first
+        # phrase matches as token-suffix, last as token-prefix.
         locs = [x.strip() for x in self.assets.locations if x.strip()]
-        self._location_re = re.compile(r"\b|\b".join(locs)) if locs else None
+        self._loc_index = _LocationIndex(locs) if locs else None
+        self._loc_memo: dict[str, bool] = {}
 
         # _name_pre.py compiled pieces
         self._w = re.compile(r"\w+")
@@ -195,6 +205,65 @@ class Normalizer:
 
     # -- location detection (matcher.py:87-92) -----------------------------
     def has_location(self, name: str) -> bool:
-        if self._location_re is None:
+        if self._loc_index is None:
             return False
-        return self._location_re.search(name) is not None
+        memo = self._loc_memo
+        hit = memo.get(name)
+        if hit is None:
+            hit = self._loc_index.search(name)
+            if len(memo) < 1_000_000:
+                memo[name] = hit
+        return hit
+
+
+class _LocationIndex:
+    """Fast equivalent of the reference's location alternation regex for
+    clean (pre_proc) inputs; see Normalizer.__init__ comment."""
+
+    def __init__(self, locs: list[str]):
+        def clean(p: str) -> bool:
+            return "  " not in p and all(c.isalnum() or c == " " for c in p)
+
+        self.ngram: set[tuple[str, ...]] = set()
+        self.max_n = 1
+        fallback: list[str] = []
+        # first alternative: no leading \b → first word may be a token suffix
+        self.first = tuple(locs[0].split()) if clean(locs[0]) else None
+        # last alternative: no trailing \b → last word may be a token prefix
+        self.last = tuple(locs[-1].split()) if clean(locs[-1]) else None
+        if self.first is None:
+            fallback.append(locs[0] + r"\b")
+        if self.last is None:
+            fallback.append(r"\b" + locs[-1])
+        for p in locs[1:-1]:
+            if clean(p):
+                w = tuple(p.split())
+                self.ngram.add(w)
+                self.max_n = max(self.max_n, len(w))
+            else:
+                fallback.append(r"\b" + p + r"\b")
+        self._fallback_re = re.compile("|".join(fallback)) if fallback else None
+
+    def search(self, name: str) -> bool:
+        toks = name.split()
+        nt = len(toks)
+        ngram = self.ngram
+        for n in range(1, min(self.max_n, nt) + 1):
+            for i in range(nt - n + 1):
+                if tuple(toks[i:i + n]) in ngram:
+                    return True
+        f = self.first
+        if f is not None and nt >= len(f):
+            k = len(f)
+            for i in range(nt - k + 1):
+                if toks[i].endswith(f[0]) and tuple(toks[i + 1:i + k]) == f[1:]:
+                    return True
+        l = self.last
+        if l is not None and nt >= len(l):
+            k = len(l)
+            for i in range(nt - k + 1):
+                if toks[i + k - 1].startswith(l[-1]) and tuple(toks[i:i + k - 1]) == l[:-1]:
+                    return True
+        if self._fallback_re is not None and self._fallback_re.search(name):
+            return True
+        return False

@@ -1,0 +1,225 @@
+"""Relational pipelines over the TPC-H-ish test tables — Ray-Data-first.
+
+Patterns demonstrated (and relied on at scale):
+
+* **partial aggregation**: every groupby here is preceded by a per-batch
+  combiner inside ``map_batches`` so the all-to-all shuffle moves one row per
+  (batch × key), not per input row;
+* **broadcast joins**: dimension tables (customer/nation/region) are
+  collected once, ``ray.put`` into the object store, and probed inside
+  ``map_batches`` — no shuffle join for small sides;
+* **top-k without global sort**: per-batch local top-k, then a single-group
+  merge — ``sort().limit()`` would shuffle everything;
+* **integer money**: all money aggregates are computed in *cents* with
+  ``floor(x*100 + 0.5)`` so the DuckDB oracle matches value-hashes exactly
+  (float64 summation order never leaks into results).
+
+Column prune happens at the read (``read_parquet(columns=[...])``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    # identical IEEE op order to SQL: FLOOR(x*100 + 0.5)
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _grouped_sum(ds, keys: list[str], partial_fn):
+    """map_batches partial combiner -> global groupby Sum (2-level agg)."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(partial_fn, batch_format="pandas")
+    value_cols = [c for c in partial.schema().names if c not in keys]
+    return partial.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in value_cols]
+    )
+
+
+# ---------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(
+            sum_qty_c=_cents(df["l_quantity"].to_numpy()),
+            sum_base_c=_cents(df["l_extendedprice"].to_numpy()),
+            sum_disc_c=_cents(
+                (df["l_extendedprice"] * (1.0 - df["l_discount"])).to_numpy()
+            ),
+            count_order=np.int64(1),
+        )
+        g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+               [["sum_qty_c", "sum_base_c", "sum_disc_c", "count_order"]].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _grouped_sum(ds, ["l_returnflag", "l_linestatus"], partial)
+
+
+# ---------------------------------------------------------------------------
+# broadcast-join: revenue per market segment / per region
+# ---------------------------------------------------------------------------
+
+def segment_revenue(sf_dir: str):
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    class Partial:
+        def __init__(self):
+            self.seg = ray.get(seg_of)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            df = df.assign(
+                c_mktsegment=df["o_custkey"].map(self.seg),
+                revenue_c=_cents(df["o_totalprice"].to_numpy()),
+                n_orders=np.int64(1),
+            )
+            g = (df.groupby("c_mktsegment", as_index=False)
+                   [["revenue_c", "n_orders"]].sum())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partial = orders.map_batches(Partial, batch_format="pandas",
+                                 concurrency=(1, 8))
+    return partial.groupby("c_mktsegment").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"),
+        Sum("n_orders", alias_name="n_orders"),
+    )
+
+
+def region_balance(sf_dir: str):
+    """customer ⋈ nation ⋈ region (two chained broadcast lookups)."""
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup = ray.put({n: r2name[r] for n, r in n2r.items()})
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    class Partial:
+        def __init__(self):
+            self.region_of = ray.get(lookup)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            df = df.assign(
+                r_name=df["c_nationkey"].map(self.region_of),
+                acctbal_c=_cents(df["c_acctbal"].to_numpy()),
+                n_customers=np.int64(1),
+            )
+            g = (df.groupby("r_name", as_index=False)
+                   [["acctbal_c", "n_customers"]].sum())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partial = cust.map_batches(Partial, batch_format="pandas",
+                               concurrency=(1, 8))
+    return partial.groupby("r_name").aggregate(
+        Sum("acctbal_c", alias_name="acctbal_c"),
+        Sum("n_customers", alias_name="n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k without a global sort
+# ---------------------------------------------------------------------------
+
+def topk_orders(sf_dir: str, k: int = 10):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(totalprice_c=_cents(df["o_totalprice"].to_numpy()))
+        top = df.sort_values(["totalprice_c", "o_orderkey"],
+                             ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(top[["o_orderkey", "totalprice_c"]],
+                                    preserve_index=False)
+
+    local = orders.map_batches(local_topk, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        top = df.sort_values(["totalprice_c", "o_orderkey"],
+                             ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(top.reset_index(drop=True),
+                                    preserve_index=False)
+
+    # single-group merge: ~k rows per input block reach this point
+    return local.map_batches(lambda d: d.assign(_g=0), batch_format="pandas") \
+                .groupby("_g").map_groups(
+                    lambda d: merge(d.drop(columns="_g")), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# filters / projections
+# ---------------------------------------------------------------------------
+
+def high_quantity_counts(sf_dir: str, min_qty: float = 45.0):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    filt = ds.filter(expr=f"l_quantity > {min_qty}")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = (df.assign(n_items=np.int64(1))
+               .groupby("l_returnflag", as_index=False)[["n_items"]].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _grouped_sum(filt, ["l_returnflag"], partial)
+
+
+# ---------------------------------------------------------------------------
+# events: windowed daily aggregate + gap sessionization
+# ---------------------------------------------------------------------------
+
+def events_daily(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(
+            day=df["ts"].dt.strftime("%Y-%m-%d"),
+            value_c=_cents(df["value"].to_numpy()),
+            n_events=np.int64(1),
+        )
+        g = (df.groupby(["user_id", "day"], as_index=False)
+               [["value_c", "n_events"]].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _grouped_sum(ds, ["user_id", "day"], partial)
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session counts (session = ts gap > gap_minutes) — the
+    windowed/stateful op Ray Data lacks natively; partitioning assumption:
+    all events of one user fit one group (holds for per-user event counts)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        ts = np.sort(g["ts"].to_numpy())
+        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"].iat[0])], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -1,0 +1,315 @@
+"""End-to-end linkage pipelines (SURVEY.md §3.4).
+
+Two flows:
+
+* :func:`self_link_docs` — the flagship: interleaved docs → extract →
+  normalize (actor pool) → block (salted groupby shuffle) → score (actor
+  pool) → cluster (iterative min-label propagation).  Wave-partitioned and
+  resumable via :mod:`..state.checkpoint`.
+* :func:`link_query_base` — the reference CLI semantics (matcher.py:399-409):
+  an arbitrary query table vs a small base table; the base side is normalized
+  once, block-indexed, broadcast through the object store (``ray.put``), and
+  probed inside an actor-pool ``map_batches`` — no shuffle at all (the Ray
+  translation of the reference's fork-shared global ``base_``).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ..stages.blocking import ExplodeToPairBlocks, _emit_pairs_for_group, compute_hot_keys
+from ..stages.cluster import connected_components
+from ..stages.extract import extract_names
+from ..stages.normalize_stage import normalize_names
+from ..stages.scoring import ScorePairs, score_pairs
+from ..state.checkpoint import Manifest, atomic_dir_write
+
+
+def _wave_of(key: str, n_waves: int) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(key.encode(), digest_size=4).digest(), "big"
+    ) % n_waves
+
+
+def build_names(docs_ds, *, remove_people: bool = False, concurrency=(2, 8),
+                max_name_tokens: int | None = None):
+    """docs -> normalized name records (spans carried verbatim)."""
+    return normalize_names(
+        extract_names(docs_ds, max_name_tokens=max_name_tokens),
+        remove_people=remove_people, concurrency=concurrency,
+    )
+
+
+def matched_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
+                  concurrency=(2, 8)):
+    """names -> matched pairs (one blocking shuffle + scoring actor pool)."""
+    from ..stages.blocking import candidate_pairs
+
+    cands = candidate_pairs(names_ds, cap=cap, max_shards=max_shards)
+    return score_pairs(cands, concurrency=concurrency)
+
+
+def self_link_docs(docs_ds, *, cap: int = 200, concurrency=(2, 8),
+                   max_iters: int = 25, max_name_tokens: int | None = None):
+    """Full in-memory flagship flow; returns (names_ds, pairs_ds, clusters_ds)."""
+    names = build_names(docs_ds, concurrency=concurrency,
+                        max_name_tokens=max_name_tokens)
+    pairs = matched_pairs(names, cap=cap, concurrency=concurrency)
+    clusters = connected_components(
+        pairs, names.select_columns(["doc_id"]), max_iters=max_iters
+    )
+    return names, pairs, clusters
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed, wave-partitioned variant (resume mid-shuffle)
+# ---------------------------------------------------------------------------
+
+def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
+                             cap: int = 200, max_shards: int = 16,
+                             concurrency=(2, 8)) -> dict:
+    """Resumable flagship run: skips waves already recorded in the manifest.
+
+    Layout under ``out_dir``:
+      names/              normalized name records (stage checkpoint)
+      pairs/wave-{w}/     matched pairs of blocks with hash(key) % n_waves == w
+      clusters/           final (doc_id, cluster_id)
+      manifest.json       per-partition lineage + metrics
+    """
+    import ray
+    import ray.data
+
+    man = Manifest(out_dir)
+    t0 = time.time()
+
+    # stage checkpoint: normalize once, reuse across waves/resumes
+    names_dir = f"{out_dir}/names"
+    if not man.is_complete("names"):
+        docs = ray.data.read_parquet(docs_path)
+        names = build_names(docs, concurrency=concurrency)
+        atomic_dir_write(names_dir, lambda p: names.write_parquet(p))
+        n_names = ray.data.read_parquet(names_dir).count()
+        man.mark_complete(
+            "names",
+            lineage={"input": docs_path},
+            metrics={"rows": n_names, "wall_sec": round(time.time() - t0, 3)},
+        )
+
+    names = ray.data.read_parquet(names_dir)
+    hot_first = compute_hot_keys(names, "block_key", cap)
+    hot_last = compute_hot_keys(names, "block_key_last", cap)
+
+    for w in range(n_waves):
+        pid = f"pairs/wave-{w}"
+        if man.is_complete(pid):
+            continue
+        tw = time.time()
+        wave_names = ray.data.read_parquet(names_dir)
+        exploded = wave_names.map_batches(
+            ExplodeToPairBlocks,
+            fn_constructor_kwargs={
+                "hot_first": hot_first,
+                "hot_last": hot_last,
+                "max_shards": max_shards,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        in_wave = exploded.map_batches(_WaveFilter(w, n_waves), batch_format="pyarrow")
+        cands = in_wave.groupby("pair_block").map_groups(
+            _emit_pairs_for_group, batch_format="pandas"
+        )
+        pairs = score_pairs(cands, concurrency=concurrency)
+        atomic_dir_write(f"{out_dir}/{pid}", lambda p: pairs.write_parquet(p))
+        n_pairs = ray.data.read_parquet(f"{out_dir}/{pid}").count()
+        man.mark_complete(
+            pid,
+            lineage={"input": names_dir, "wave": w, "n_waves": n_waves,
+                     "cap": cap, "max_shards": max_shards},
+            metrics={"pairs_matched": n_pairs,
+                     "wall_sec": round(time.time() - tw, 3)},
+        )
+
+    # clustering over all waves
+    if not man.is_complete("clusters"):
+        tc = time.time()
+        # parent dir (recursive): a list of directories is not a valid
+        # read_parquet input (pyarrow dataset requires file paths in list form)
+        pairs_all = ray.data.read_parquet(f"{out_dir}/pairs")
+        nodes = ray.data.read_parquet(names_dir, columns=["doc_id"])
+        clusters = connected_components(pairs_all, nodes)
+        atomic_dir_write(f"{out_dir}/clusters", lambda p: clusters.write_parquet(p))
+        n_rows = ray.data.read_parquet(f"{out_dir}/clusters").count()
+        man.mark_complete(
+            "clusters",
+            lineage={"input": [f"pairs/wave-{w}" for w in range(n_waves)]},
+            metrics={"rows": n_rows, "wall_sec": round(time.time() - tc, 3)},
+        )
+    return {p: man.data["partitions"][p]["metrics"] for p in man.completed_partitions()}
+
+
+class _WaveFilter:
+    """Keep exploded rows whose block key falls in this wave."""
+
+    def __init__(self, wave: int, n_waves: int):
+        self.wave = wave
+        self.n_waves = n_waves
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("pair_block").to_pylist()
+        mask = [
+            _wave_of(k.split("|", 2)[1], self.n_waves) == self.wave for k in keys
+        ]
+        return batch.filter(pa.array(mask))
+
+
+# ---------------------------------------------------------------------------
+# Pre-paired candidate scoring (match_pair.py semantics — no shuffle at all)
+# ---------------------------------------------------------------------------
+
+class _ScorePrepaired:
+    """Actor: normalize + gate + cascade for already-paired raw names
+    (match_pair.py:19-37: preprocess both sides, ``match() > 0`` emits)."""
+
+    def __init__(self):
+        from ..functions.normalize import Normalizer
+        from ..functions.rules import Matcher
+
+        self.norm = Normalizer()
+        self.matcher = Matcher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names_a = batch.column("name_a").to_pylist()
+        names_b = batch.column("name_b").to_pylist()
+        cache: dict[str, str | None] = {}  # chunk-local dedup (match_pair.py:28-30)
+
+        def pre(raw):
+            if raw not in cache:
+                cache[raw] = self.norm.preprocess(raw, remove_people=True)
+            return cache[raw]
+
+        keep, codes = [], []
+        for i in range(len(names_a)):
+            a, b = pre(names_a[i]), pre(names_b[i])
+            if not a or not b:
+                continue
+            if self.matcher.gate(self.norm.remove_suffix(a),
+                                 self.norm.remove_suffix(b)):
+                code = self.matcher.match(a, b)
+                if code > 0:
+                    keep.append(i)
+                    codes.append(int(code))
+        take = pa.array(keep, pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("name_a").take(take),
+             batch.column("name_b").take(take),
+             pa.array(codes, pa.int32())],
+            names=["name_a", "name_b", "rule_code"],
+        )
+
+
+def score_prepaired(pairs_ds, *, concurrency=(1, 8), batch_size: int = 4096):
+    """pairs(name_a, name_b) -> matched subset with rule codes."""
+    return pairs_ds.map_batches(
+        _ScorePrepaired,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query-vs-base linkage (reference CLI semantics, broadcast small side)
+# ---------------------------------------------------------------------------
+
+class _ProbeBase:
+    """Actor: probes the broadcast base block-index per query batch."""
+
+    def __init__(self, index_ref):
+        import ray
+
+        self.index = ray.get(index_ref)  # dict key -> list of base rows
+        from ..functions.rules import Matcher
+
+        self.matcher = Matcher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.similarity import token_sort_ratio
+
+        out = {k: [] for k in ("query_id", "query_name", "base_id", "base_name", "rule_code", "score")}
+        qids = batch.column("doc_id").to_pylist()
+        qnames = batch.column("name").to_pylist()
+        pres = batch.column("pre_proc").to_pylist()
+        noss = batch.column("nosuffix").to_pylist()
+        firsts = batch.column("block_key").to_pylist()
+        lasts = batch.column("block_key_last").to_pylist()
+        for i in range(len(qids)):
+            seen = set()
+            cands = self.index.get(firsts[i], ())
+            extra = self.index.get(lasts[i], ()) if lasts[i] != firsts[i] else ()
+            for bid, bname, bpre, bnos in list(cands) + list(extra):
+                if bid in seen:
+                    continue
+                seen.add(bid)
+                if self.matcher.gate(noss[i], bnos):
+                    code = self.matcher.match(pres[i], bpre)
+                    if code > 0:
+                        out["query_id"].append(qids[i])
+                        out["query_name"].append(qnames[i])
+                        out["base_id"].append(bid)
+                        out["base_name"].append(bname)
+                        out["rule_code"].append(int(code))
+                        out["score"].append(float(token_sort_ratio(noss[i], bnos)))
+        return pa.Table.from_pydict(
+            out,
+            schema=pa.schema(
+                [
+                    ("query_id", pa.string()),
+                    ("query_name", pa.string()),
+                    ("base_id", pa.string()),
+                    ("base_name", pa.string()),
+                    ("rule_code", pa.int32()),
+                    ("score", pa.float32()),
+                ]
+            ),
+        )
+
+
+def link_query_base(query_ds, base_ds, *, concurrency=(2, 8), batch_size=1024):
+    """Reference CLI flow: query table vs (small) base table, no shuffle.
+
+    Both inputs need columns (doc_id, name).  The base table is normalized,
+    indexed by first AND last nosuffix token, and broadcast via ``ray.put``.
+    """
+    import ray
+
+    base_names = normalize_names(base_ds, remove_people=True, concurrency=(1, 4))
+    index: dict[str, list] = {}
+    for b in base_names.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids = b.column("doc_id").to_pylist()
+        nms = b.column("name").to_pylist()
+        prs = b.column("pre_proc").to_pylist()
+        nss = b.column("nosuffix").to_pylist()
+        fks = b.column("block_key").to_pylist()
+        lks = b.column("block_key_last").to_pylist()
+        for i in range(len(ids)):
+            row = (ids[i], nms[i], prs[i], nss[i])
+            index.setdefault(fks[i], []).append(row)
+            if lks[i] != fks[i]:
+                index.setdefault(lks[i], []).append(row)
+    index_ref = ray.put(index)
+
+    query_names = normalize_names(query_ds, remove_people=True, concurrency=concurrency)
+    return query_names.map_batches(
+        _ProbeBase,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

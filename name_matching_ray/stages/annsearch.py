@@ -1,0 +1,253 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`cosine_threshold_pairs` / :func:`ann_topk` — brute-force baseline:
+  the (small) query matrix is normalized once, broadcast via ``ray.put``, and
+  every data batch does ONE float64 numpy matmul against it.  Set-shaped
+  outputs (ids only) so the DuckDB ``list_cosine_similarity`` oracle matches
+  value-hashes without float summation-order hazards.
+* :func:`embedding_cosine_dups` — all-pairs near-dup at threshold: the full
+  normalized matrix is broadcast (N×d floats; fine up to ~1e6×64 ≈ 256 MB —
+  beyond that switch to :func:`ivf_partition` bucketing, same output
+  contract), each batch multiplies against it and keeps ``i < j`` pairs.
+* :func:`ivf_partition` + :func:`ivf_topk` — the scale path: driver-side
+  k-means on a sample → broadcast centroids → partition assignment per row;
+  queries probe only the ``nprobe`` nearest partitions.
+
+The reference repo has no vector ops; these are graft additions for
+training-data pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _mat(batch_col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (vectorized flatten)."""
+    arr = batch_col.combine_chunks() if isinstance(batch_col, pa.ChunkedArray) \
+        else batch_col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+def _in_expr(col: str, values) -> str:
+    return f"{col} in [{', '.join(str(int(v)) for v in values)}]"
+
+
+def load_query_matrix(ds, query_ids: list[int], *, id_col: str = "vec_id",
+                      vec_col: str = "embedding"):
+    """Collect the (tiny) query rows to the driver, normalized."""
+    tbl = pa.concat_tables(
+        ds.filter(expr=_in_expr(id_col, query_ids))
+        .iter_batches(batch_format="pyarrow")
+    )
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    mat = _unit(_mat(tbl.column(vec_col)))
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+class _SimsVsQueries:
+    """Actor: one matmul per batch against the broadcast query matrix."""
+
+    def __init__(self, qids_ref, qmat_ref, threshold: float | None,
+                 local_k: int | None, id_col: str, vec_col: str):
+        import ray
+
+        self.qids = ray.get(qids_ref)
+        self.qmat = ray.get(qmat_ref)  # (q, d) unit rows
+        self.threshold, self.local_k = threshold, local_k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _unit(_mat(batch.column(self.vec_col)))
+        sims = m @ self.qmat.T  # (n, q)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            col = sims[:, qi]
+            mask = ids != self.qids[qi]
+            if self.threshold is not None:
+                mask &= col >= self.threshold
+            idx = np.nonzero(mask)[0]
+            if self.local_k is not None and len(idx) > self.local_k:
+                # local top-k (ties broken by id for determinism)
+                sub = idx[np.lexsort((ids[idx], -col[idx]))[: self.local_k]]
+                idx = sub
+            out_q.extend([self.qids[qi]] * len(idx))
+            out_n.extend(ids[idx])
+            out_s.extend(col[idx])
+        return pa.table({
+            "query_id": pa.array(np.asarray(out_q, np.int64), pa.int64()),
+            "neighbor_id": pa.array(np.asarray(out_n, np.int64), pa.int64()),
+            "sim": pa.array(np.asarray(out_s, np.float64), pa.float64()),
+        })
+
+
+def cosine_threshold_pairs(ds, query_ids: list[int], *, threshold: float,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           concurrency=(1, 8)):
+    """All (query_id, neighbor_id) with cosine >= threshold — set-shaped."""
+    import ray
+
+    qids, qmat = load_query_matrix(ds, query_ids, id_col=id_col, vec_col=vec_col)
+    hits = ds.map_batches(
+        _SimsVsQueries,
+        fn_constructor_kwargs={
+            "qids_ref": ray.put(qids), "qmat_ref": ray.put(qmat),
+            "threshold": threshold, "local_k": None,
+            "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return hits.select_columns(["query_id", "neighbor_id"])
+
+
+def ann_topk(ds, query_ids: list[int], k: int, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", concurrency=(1, 8), _queries=None):
+    """Exact top-k (brute force): per-batch local top-k, then one groupby
+    over ~q·k·num_blocks rows merges to the global top-k per query."""
+    import ray
+
+    qids, qmat = _queries if _queries is not None else load_query_matrix(
+        ds, query_ids, id_col=id_col, vec_col=vec_col
+    )
+    local = ds.map_batches(
+        _SimsVsQueries,
+        fn_constructor_kwargs={
+            "qids_ref": ray.put(qids), "qmat_ref": ray.put(qmat),
+            "threshold": None, "local_k": k,
+            "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def merge_topk(g):
+        order = np.lexsort((g["neighbor_id"].to_numpy(), -g["sim"].to_numpy()))
+        top = g.iloc[order[:k]]
+        return pa.table({
+            "query_id": pa.array(top["query_id"].to_numpy(), pa.int64()),
+            "neighbor_id": pa.array(top["neighbor_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+        })
+
+    return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+class _SelfSims:
+    """Actor: batch × full-matrix matmul for all-pairs near-dup."""
+
+    def __init__(self, ids_ref, mat_ref, threshold: float, id_col: str,
+                 vec_col: str):
+        import ray
+
+        self.all_ids = ray.get(ids_ref)
+        self.all_mat = ray.get(mat_ref)
+        self.threshold = threshold
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _unit(_mat(batch.column(self.vec_col)))
+        sims = m @ self.all_mat.T  # (n, N)
+        rows, cols = np.nonzero(sims >= self.threshold)
+        li = ids[rows]
+        ri = self.all_ids[cols]
+        keep = li < ri  # canonical orientation, no self/dup pairs
+        return pa.table({
+            "left_id": pa.array(li[keep].astype(np.int64), pa.int64()),
+            "right_id": pa.array(ri[keep].astype(np.int64), pa.int64()),
+        })
+
+
+def embedding_cosine_dups(ds, *, threshold: float = 0.35,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          concurrency=(1, 8)):
+    """All i<j pairs with cosine >= threshold (broadcast-matrix baseline)."""
+    import ray
+
+    tbl = pa.concat_tables(
+        ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow")
+    )
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    mat = _unit(_mat(tbl.column(vec_col)))
+    return ds.map_batches(
+        _SelfSims,
+        fn_constructor_kwargs={
+            "ids_ref": ray.put(ids), "mat_ref": ray.put(mat),
+            "threshold": threshold, "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (k-means bucketed) scale path
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(ds, n_clusters: int, *, vec_col: str = "embedding",
+                     sample: int = 4096, iters: int = 10, seed: int = 0):
+    """Driver-side mini k-means on a sample; returns (n_clusters, d) unit rows."""
+    tbl = pa.concat_tables(
+        ds.select_columns([vec_col]).limit(sample).iter_batches(batch_format="pyarrow")
+    )
+    x = _unit(_mat(tbl.column(vec_col)))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def ivf_partition(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """Adds a ``partition`` column = nearest-centroid id (the IVF list)."""
+    import ray
+
+    cref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _unit(_mat(batch.column(vec_col)))
+            part = (m @ self.cent.T).argmax(axis=1).astype(np.int64) \
+                if len(m) else np.empty(0, np.int64)
+            return batch.append_column("partition", pa.array(part, pa.int64()))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def ivf_topk(ds, centroids: np.ndarray, query_ids: list[int], k: int, *,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """Approximate top-k: search only the ``nprobe`` nearest IVF lists.
+
+    At scale the partitioned dataset is written once (resumable Parquet,
+    partitioned by ``partition``) and reused across queries; here the
+    assignment is fused inline.
+    """
+    parted = ivf_partition(ds, centroids, id_col=id_col, vec_col=vec_col)
+    qids, qmat = load_query_matrix(ds, query_ids, id_col=id_col, vec_col=vec_col)
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(p) for row in probes for p in row})
+    sub = parted.filter(expr=_in_expr("partition", wanted))
+    return ann_topk(sub, query_ids, k, id_col=id_col, vec_col=vec_col,
+                    _queries=(qids, qmat))

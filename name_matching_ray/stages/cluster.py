@@ -28,19 +28,80 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _driver_union_find(edges_ds, nodes_ds):
+    """Small-edge-set path: collect edges, union-find, broadcast labels back
+    onto the (possibly large) node set via a map_batches lookup."""
+    import ray
+    import ray.data
+
+    batches = list(edges_ds.iter_batches(batch_format="pyarrow"))
+    edges = pa.concat_tables(batches) if batches else None
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    if edges is not None:
+        for l, r in zip(edges.column("left_doc_id").to_pylist(),
+                        edges.column("right_doc_id").to_pylist()):
+            rl, rr = find(l), find(r)
+            if rl != rr:
+                # union by lexicographic min so labels are deterministic
+                lo, hi = (rl, rr) if rl < rr else (rr, rl)
+                parent[hi] = lo
+
+    labels = {x: find(x) for x in list(parent)}
+    lbl_ref = ray.put(labels)
+
+    class Attach:
+        def __init__(self):
+            self.labels = ray.get(lbl_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            lbl = self.labels
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "cluster_id": pa.array([lbl.get(i, i) for i in ids], pa.string()),
+            })
+
+    return nodes_ds.map_batches(Attach, batch_format="pyarrow",
+                                concurrency=(1, 8))
+
+
 def _hash64(node: pd.Series, label: pd.Series) -> np.ndarray:
     h = pd.util.hash_pandas_object(node.astype(str) + "\x00" + label.astype(str),
                                    index=False).to_numpy()
     return h.view(np.int64)
 
 
-def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25):
+def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
+                         driver_threshold: int = 2_000_000):
     """edges(left_doc_id, right_doc_id) + nodes(doc_id) -> (doc_id, cluster_id).
 
     ``cluster_id`` is the lexicographic min doc_id of the component.
+
+    Hybrid execution: when the edge set is small (< ``driver_threshold``
+    rows — matched pairs are a tiny fraction of candidates), the transitive
+    closure runs as driver-side union-find in one pass (the shuffle-per-round
+    loop is pure overhead at that size).  Above the threshold it falls back to
+    the distributed iterative min-label propagation below — the 10^12-doc
+    path, whose per-round cost is 2 shuffles and whose round count is the
+    cluster diameter.  Both paths produce identical labels (pytest-checked).
     """
     import ray.data
     from ray.data.aggregate import Min, Sum
+
+    # one execution of the (upstream scoring) lineage; both paths reuse it
+    edges_ds = edges_ds.select_columns(["left_doc_id", "right_doc_id"]).materialize()
+    if edges_ds.count() < driver_threshold:
+        return _driver_union_find(edges_ds, nodes_ds)
 
     def to_adj(batch: pa.Table) -> pa.Table:
         l = batch.column("left_doc_id")
@@ -61,8 +122,8 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25):
     ).materialize()
 
     def checksum(lbl_ds) -> int:
-        def h(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"h": _hash64(batch["node"], batch["label"])})
+        def h(batch: pd.DataFrame) -> pa.Table:
+            return pa.table({"h": _hash64(batch["node"], batch["label"])})
 
         out = lbl_ds.map_batches(h, batch_format="pandas").aggregate(Sum("h"))
         return int(out["sum(h)"])
@@ -80,14 +141,21 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25):
             batch_format="pyarrow",
         )
 
-        def emit_msgs(g: pd.DataFrame) -> pd.DataFrame:
+        def emit_msgs(g: pd.DataFrame) -> pa.Table:
+            # return Arrow even from the pandas group view: downstream
+            # union()/groupby() require homogeneous block types
             lab = g["label"].dropna()
             nbrs = g["nbr"].dropna()
             if lab.empty or nbrs.empty:
-                return pd.DataFrame({"node": pd.Series(dtype="object"),
-                                     "label": pd.Series(dtype="object")})
+                return pa.table(
+                    {"node": pa.array([], pa.string()),
+                     "label": pa.array([], pa.string())}
+                )
             m = lab.min()
-            return pd.DataFrame({"node": nbrs.to_numpy(), "label": m})
+            return pa.table(
+                {"node": pa.array(nbrs, pa.string()),
+                 "label": pa.array([m] * len(nbrs), pa.string())}
+            )
 
         msgs = (
             tagged_adj.union(tagged_lbl)

@@ -1,0 +1,398 @@
+"""Deduplication operators over the ``documents`` table — exact,
+n-gram-Jaccard, MinHash+LSH, SimHash (training-data-pipeline ops).
+
+Scale design notes
+------------------
+* **exact_dedup** — one hash-partitioned ``groupby(fingerprint)`` with
+  Min/Count aggregates; the md5 keys are uniform, no skew handling needed.
+* **ngram_jaccard_pairs** — inverted-index join: explode distinct word
+  shingles, drop *stop shingles* with document frequency > ``max_df`` (the
+  skew guard: a shingle in k docs emits O(k²) pairs), pair within shingle
+  groups, then one ``groupby([left,right])`` to count intersections.  The
+  Jaccard filter is integer cross-multiplied so the DuckDB oracle matches
+  bit-for-bit.
+* **minhash_lsh_pairs** — signatures are 128 universal-hash min-hashes
+  (numpy-vectorized); banding emits (band, band_hash) bucket keys; one
+  groupby on the bucket key; pair similarity is estimated from signature
+  agreement (no second pass over text).  Probabilistic → no SQL oracle;
+  parity vs brute-force Jaccard is pytest-checked.
+* **simhash_pairs** — 64-bit simhash; the 4×16-bit band pigeonhole
+  guarantees recall for hamming distance ≤ 3.
+
+The reference repo has no dedup (its base table is pre-clustered by permno,
+stocknames.csv:2-4); these are the graft's large-scale additions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import fingerprints
+
+_MERSENNE = (1 << 61) - 1
+_MAXU64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """-> (fingerprint, keep_id = min doc_id, n_dups) one row per distinct text."""
+    from ray.data.aggregate import Count, Min
+
+    fp = fingerprints(docs_ds, text_col=text_col, id_col=id_col)
+    out = fp.groupby("fingerprint").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# word-shingle helpers
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(text: str, n: int) -> list[str]:
+    toks = (text or "").lower().split()
+    if len(toks) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i:i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+class ExplodeShingles:
+    """map_batches: one row per (doc, distinct word n-gram shingle)."""
+
+    def __init__(self, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+        self.n, self.text_col, self.id_col = n, text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_sh, out_sz = [], [], []
+        for i, t in zip(ids, texts):
+            sh = _doc_shingles(t, self.n)
+            out_id.extend([i] * len(sh))
+            out_sh.extend(sh)
+            out_sz.extend([len(sh)] * len(sh))
+        return pa.table({
+            self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
+            "shingle": pa.array(out_sh, pa.string()),
+            "n_sh": pa.array(out_sz, pa.int64()),
+        })
+
+
+def ngram_jaccard_pairs(docs_ds, *, n: int = 3, tau100: int = 50,
+                        max_df: int = 100, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Exact n-gram-Jaccard near-dup pairs.
+
+    Returns (left_id, right_id, inter, n_left, n_right) for pairs with
+    ``inter / (n_left + n_right - inter) >= tau100/100``, considering only
+    shingles with document frequency <= ``max_df`` for pairing (stop-shingle
+    skew guard — identical filter in the SQL oracle).  NOTE: `inter` counts
+    co-occurrences over the surviving shingles only.
+    """
+    from ray.data.aggregate import Count, Max
+
+    ex = docs_ds.map_batches(
+        ExplodeShingles,
+        fn_constructor_kwargs={"n": n, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def emit_pairs(g):
+        # pandas group: all docs sharing one shingle (df <= max_df enforced here)
+        if len(g) < 2 or len(g) > max_df:
+            return pa.table({
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "n_left": pa.array([], pa.int64()),
+                "n_right": pa.array([], pa.int64()),
+            })
+        ids = g[id_col].to_numpy()
+        szs = g["n_sh"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, szs = ids[order], szs[order]
+        iu = np.triu_indices(len(ids), k=1)
+        return pa.table({
+            "left_id": pa.array(ids[iu[0]], pa.int64()),
+            "right_id": pa.array(ids[iu[1]], pa.int64()),
+            "n_left": pa.array(szs[iu[0]], pa.int64()),
+            "n_right": pa.array(szs[iu[1]], pa.int64()),
+        })
+
+    pairs = ex.groupby("shingle").map_groups(emit_pairs, batch_format="pandas")
+    counted = pairs.groupby(["left_id", "right_id"]).aggregate(
+        Count(alias_name="inter"),
+        Max("n_left", alias_name="n_l"),
+        Max("n_right", alias_name="n_r"),
+    )
+
+    def jaccard_filter(b: pa.Table) -> pa.Table:
+        inter = b.column("inter")
+        union = pc.subtract(pc.add(b.column("n_l"), b.column("n_r")), inter)
+        keep = pc.greater_equal(pc.multiply(inter, 100),
+                                pc.multiply(union, tau100))
+        out = b.filter(keep)
+        return pa.Table.from_arrays(
+            [out.column("left_id"), out.column("right_id"),
+             pc.cast(out.column("inter"), pa.int64()),
+             out.column("n_l"), out.column("n_r")],
+            names=["left_id", "right_id", "inter", "n_left", "n_right"],
+        )
+
+    return counted.map_batches(jaccard_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _hash_shingles_u64(shingles: list[str]) -> np.ndarray:
+    import hashlib
+
+    out = np.empty(len(shingles), np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+        )
+    return out
+
+
+class MinHashSignatures:
+    """map_batches: doc -> (doc_id, n_sh, sig list<uint64>, band rows).
+
+    ``num_perm`` universal hashes h_i(x) = (a_i * x + b_i) mod p, vectorized
+    per doc: one (n_shingles × num_perm) broadcast product min-reduced.
+    """
+
+    def __init__(self, n: int = 3, num_perm: int = 128, seed: int = 7,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.n, self.num_perm = n, num_perm
+        self.text_col, self.id_col = text_col, id_col
+
+    def signature(self, text: str) -> np.ndarray | None:
+        sh = _doc_shingles(text, self.n)
+        if not sh:
+            return None
+        x = _hash_shingles_u64(sh)
+        # (n_sh, num_perm) — wraparound mul/add is a valid universal family here
+        prod = x[:, None] * self.a[None, :] + self.b[None, :]
+        return prod.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_sig = [], []
+        for i, t in zip(ids, texts):
+            sig = self.signature(t or "")
+            if sig is None:
+                continue
+            out_id.append(i)
+            out_sig.append(sig)
+        sigs = (np.stack(out_sig).view(np.int64) if out_sig
+                else np.empty((0, self.num_perm), np.int64))
+        return pa.table({
+            self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
+            "sig": pa.array(list(sigs), pa.list_(pa.int64(), self.num_perm)),
+        })
+
+
+class ExplodeBands:
+    """signature rows -> one row per (band_key, doc_id, sig)."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 32,
+                 id_col: str = "doc_id"):
+        assert num_perm % bands == 0
+        self.rows = num_perm // bands
+        self.bands = bands
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column(self.id_col).to_pylist()
+        sigs = batch.column("sig").to_pylist()
+        out_key, out_id, out_sig = [], [], []
+        for i, sig in zip(ids, sigs):
+            for b in range(self.bands):
+                chunk = sig[b * self.rows:(b + 1) * self.rows]
+                h = hashlib.blake2b(
+                    np.asarray(chunk, np.int64).tobytes() + bytes([b]),
+                    digest_size=8,
+                ).hexdigest()
+                out_key.append(f"{b}:{h}")
+                out_id.append(i)
+                out_sig.append(sig)
+        return pa.table({
+            "band_key": pa.array(out_key, pa.string()),
+            self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
+            "sig": pa.array(out_sig, batch.column("sig").type),
+        })
+
+
+def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
+                      bands: int = 32, tau: float = 0.5, max_bucket: int = 200,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """MinHash-LSH candidate pairs with signature-estimated Jaccard >= tau.
+
+    Returns (left_id, right_id, est_sim_pct int).  ``max_bucket`` caps the
+    per-bucket pair blowup (hot buckets dropped — logged into the row count).
+    """
+    from ray.data.aggregate import Max
+
+    sigs = docs_ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"n": n, "num_perm": num_perm,
+                               "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    bands_ds = sigs.map_batches(
+        ExplodeBands,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                               "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    min_agree = int(np.ceil(tau * num_perm))
+
+    def pairs_in_bucket(g):
+        empty = pa.table({
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "est_sim_pct": pa.array([], pa.int64()),
+        })
+        if len(g) < 2 or len(g) > max_bucket:
+            return empty
+        ids = g[id_col].to_numpy()
+        sig = np.stack(g["sig"].to_numpy())  # (k, num_perm)
+        order = np.argsort(ids, kind="stable")
+        ids, sig = ids[order], sig[order]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        agree = (sig[iu] == sig[ju]).sum(axis=1)
+        keep = agree >= min_agree
+        return pa.table({
+            "left_id": pa.array(ids[iu[keep]], pa.int64()),
+            "right_id": pa.array(ids[ju[keep]], pa.int64()),
+            "est_sim_pct": pa.array(
+                (agree[keep] * 100 // num_perm).astype(np.int64), pa.int64()
+            ),
+        })
+
+    cand = bands_ds.groupby("band_key").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    # a pair can surface from several bands — dedup with one groupby
+    return cand.groupby(["left_id", "right_id"]).aggregate(
+        Max("est_sim_pct", alias_name="est_sim_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHashes:
+    """64-bit simhash over whitespace tokens (weight = term frequency)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.bit_cols = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        toks = (text or "").lower().split()
+        if not toks:
+            return 0
+        hashes = _hash_shingles_u64(toks)
+        bits = ((hashes[:, None] >> self.bit_cols[None, :]) & 1).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int(((v > 0).astype(np.uint64) << self.bit_cols).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        hs = [self.simhash(t) for t in texts]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "simhash": pa.array(np.array(hs, np.uint64).view(np.int64),
+                                pa.int64()),
+        })
+
+
+def simhash_pairs(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Near-dup pairs with simhash hamming distance <= max_hamming (<= 15).
+
+    Pigeonhole banding: split 64 bits into ``max_hamming + 1`` bands; any pair
+    within distance max_hamming agrees exactly on >= 1 band → full recall.
+    """
+    from ray.data.aggregate import Min
+
+    nbands = max_hamming + 1
+    width = 64 // nbands
+
+    sh = docs_ds.map_batches(
+        SimHashes,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        hs = np.asarray(b.column("simhash").to_pylist(), np.int64).view(np.uint64)
+        out_key, out_id, out_h = [], [], []
+        for i, h in zip(ids, hs):
+            for band in range(nbands):
+                chunk = (int(h) >> (band * width)) & ((1 << width) - 1)
+                out_key.append(f"{band}:{chunk:x}")
+                out_id.append(i)
+                out_h.append(np.int64(np.uint64(h).view(np.int64)))
+        return pa.table({
+            "band_key": pa.array(out_key, pa.string()),
+            id_col: pa.array(out_id, b.schema.field(id_col).type),
+            "simhash": pa.array(out_h, pa.int64()),
+        })
+
+    def pairs_in_bucket(g):
+        empty = pa.table({
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        })
+        if len(g) < 2:
+            return empty
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, hs = ids[order], hs[order]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        x = hs[iu] ^ hs[ju]
+        ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
+        keep = ham <= max_hamming
+        return pa.table({
+            "left_id": pa.array(ids[iu[keep]], pa.int64()),
+            "right_id": pa.array(ids[ju[keep]], pa.int64()),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        })
+
+    cand = sh.map_batches(explode, batch_format="pyarrow") \
+             .groupby("band_key").map_groups(pairs_in_bucket,
+                                             batch_format="pandas")
+    return cand.groupby(["left_id", "right_id"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

@@ -13,8 +13,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def extract_names_batch(batch: pa.Table) -> pa.Table:
-    """docs(doc_id, spans) -> (doc_id, name, spans); pure Arrow kernels."""
+def extract_names_batch(batch: pa.Table, max_name_tokens: int | None = None) -> pa.Table:
+    """docs(doc_id, spans) -> (doc_id, name, spans); pure Arrow kernels.
+
+    ``max_name_tokens`` truncates the extracted name to its first k
+    whitespace tokens (name extraction from running text — the cascade's
+    cost is O(tokens²) per pair, so unbounded names are pathological).  The
+    ``spans`` column is ALWAYS carried verbatim regardless of truncation.
+    """
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -26,6 +32,12 @@ def extract_names_batch(batch: pa.Table) -> pa.Table:
     # first text span per doc (parents are non-decreasing after flatten)
     uniq, first_idx = np.unique(text_parents, return_index=True)
     names = text_values.take(pa.array(first_idx))
+    if max_name_tokens is not None:
+        # vectorized: keep the first k whitespace-separated tokens
+        pat = rf"^\s*(?P<m>(?:\S+\s+){{0,{max_name_tokens - 1}}}\S+)"
+        names = pc.fill_null(
+            pc.struct_field(pc.extract_regex(names, pat), "m"), ""
+        )
     sel = pa.array(uniq)
     return pa.Table.from_arrays(
         [
@@ -37,9 +49,13 @@ def extract_names_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def extract_names(docs_ds, *, carry_spans: bool = True):
+def extract_names(docs_ds, *, carry_spans: bool = True,
+                  max_name_tokens: int | None = None):
     """Dataset[DOCS_SCHEMA] -> Dataset[(doc_id, name[, spans])]."""
-    ds = docs_ds.map_batches(extract_names_batch, batch_format="pyarrow")
+    ds = docs_ds.map_batches(
+        lambda b: extract_names_batch(b, max_name_tokens),
+        batch_format="pyarrow",
+    )
     if not carry_spans:
         ds = ds.select_columns(["doc_id", "name"])
     return ds
