@@ -90,14 +90,28 @@ def indel_distance(a: Sequence, b: Sequence) -> int:
     return len(a) + len(b) - 2 * lcs_length(a, b)
 
 
+_RATIO_CACHE: dict = {}
+_CACHE_CAP = 400_000  # ≈ tens of MB per actor; word-level calls repeat heavily
+
+
 def ratio(a: Sequence, b: Sequence) -> float:
     """Normalized InDel similarity * 100 (rapidfuzz ``fuzz.ratio`` semantics).
 
     ``(lensum - indel_distance) / lensum * 100``; two empty inputs -> 100.0.
+    Short string pairs are memoized (pure function; the cascade re-compares
+    the same word pairs across millions of candidate pairs).
     """
     lensum = len(a) + len(b)
     if lensum == 0:
         return 100.0
+    if type(a) is str and type(b) is str and lensum <= 48:
+        key = (a, b)
+        v = _RATIO_CACHE.get(key)
+        if v is None:
+            v = 100.0 * (lensum - indel_distance(a, b)) / lensum
+            if len(_RATIO_CACHE) < _CACHE_CAP:
+                _RATIO_CACHE[key] = v
+        return v
     return 100.0 * (lensum - indel_distance(a, b)) / lensum
 
 
@@ -205,8 +219,25 @@ def jaro_winkler(a: Sequence, b: Sequence, prefix_weight: float = 0.1) -> float:
 
     Matches ``Levenshtein.jaro_winkler`` defaults (the maintained Levenshtein
     package delegates to rapidfuzz's JaroWinkler, which applies the prefix
-    bonus only when the base Jaro similarity exceeds 0.7).
+    bonus only when the base Jaro similarity exceeds 0.7).  Short string
+    pairs are memoized (see ``ratio``).
     """
+    if (type(a) is str and type(b) is str and prefix_weight == 0.1
+            and len(a) + len(b) <= 48):
+        key = (a, b)
+        v = _JW_CACHE.get(key)
+        if v is None:
+            v = _jaro_winkler_raw(a, b, 0.1)
+            if len(_JW_CACHE) < _CACHE_CAP:
+                _JW_CACHE[key] = v
+        return v
+    return _jaro_winkler_raw(a, b, prefix_weight)
+
+
+_JW_CACHE: dict = {}
+
+
+def _jaro_winkler_raw(a: Sequence, b: Sequence, prefix_weight: float) -> float:
     sim = jaro(a, b)
     if sim > 0.7:
         prefix = 0

@@ -35,7 +35,7 @@ def _wave_of(key: str, n_waves: int) -> int:
     ) % n_waves
 
 
-def build_names(docs_ds, *, remove_people: bool = False, concurrency=(2, 8),
+def build_names(docs_ds, *, remove_people: bool = False, concurrency=(1, 8),
                 max_name_tokens: int | None = None):
     """docs -> normalized name records (spans carried verbatim)."""
     return normalize_names(
@@ -45,7 +45,7 @@ def build_names(docs_ds, *, remove_people: bool = False, concurrency=(2, 8),
 
 
 def matched_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
-                  concurrency=(2, 8)):
+                  concurrency=(1, 8)):
     """names -> matched pairs (one blocking shuffle + scoring actor pool)."""
     from ..stages.blocking import candidate_pairs
 
@@ -53,7 +53,7 @@ def matched_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
     return score_pairs(cands, concurrency=concurrency)
 
 
-def self_link_docs(docs_ds, *, cap: int = 200, concurrency=(2, 8),
+def self_link_docs(docs_ds, *, cap: int = 200, concurrency=(1, 8),
                    max_iters: int = 25, max_name_tokens: int | None = None):
     """Full in-memory flagship flow; returns (names_ds, pairs_ds, clusters_ds)."""
     names = build_names(docs_ds, concurrency=concurrency,
@@ -71,7 +71,7 @@ def self_link_docs(docs_ds, *, cap: int = 200, concurrency=(2, 8),
 
 def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
                              cap: int = 200, max_shards: int = 16,
-                             concurrency=(2, 8)) -> dict:
+                             concurrency=(1, 8)) -> dict:
     """Resumable flagship run: skips waves already recorded in the manifest.
 
     Layout under ``out_dir``:
@@ -122,7 +122,7 @@ def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
         in_wave = exploded.map_batches(_WaveFilter(w, n_waves), batch_format="pyarrow")
         cands = in_wave.groupby("pair_block").map_groups(
             _emit_pairs_for_group, batch_format="pandas"
-        )
+        ).repartition(32)  # don't let the reduce's block count cap scoring
         pairs = score_pairs(cands, concurrency=concurrency)
         atomic_dir_write(f"{out_dir}/{pid}", lambda p: pairs.write_parquet(p))
         n_pairs = ray.data.read_parquet(f"{out_dir}/{pid}").count()
@@ -165,6 +165,53 @@ class _WaveFilter:
             _wave_of(k.split("|", 2)[1], self.n_waves) == self.wave for k in keys
         ]
         return batch.filter(pa.array(mask))
+
+
+# ---------------------------------------------------------------------------
+# Person-match post-filter (postproc-ppl.py:3-26 semantics)
+# ---------------------------------------------------------------------------
+
+class _PersonMatchFilter:
+    """Actor: drop matched rows whose query name is person-shaped.
+
+    Faithful to postproc-ppl.py: (1) regex ``^\\w{4,} \\w\\. \\w{4,}$`` on the
+    RAW name drops 'First M. Last' shapes (postproc-ppl.py:4-5); (2) ``pp``:
+    if every ``[\\w\\d]+`` token lowercases into surname∪firstname, drop
+    (postproc-ppl.py:15-24).
+    """
+
+    def __init__(self, name_col: str = "query_name"):
+        import re
+
+        from ..functions.assets import load_assets
+
+        a = load_assets()
+        self.allname = a.person_names
+        self.shape = re.compile(r"^\w{4,} \w\. \w{4,}$")
+        self.tok = re.compile(r"[\w\d]+")
+        self.name_col = name_col
+
+    def _is_person(self, s: str) -> bool:
+        if self.shape.match(s or ""):
+            return True
+        toks = self.tok.findall(s or "")
+        return bool(toks) and all(t.lower() in self.allname for t in toks)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = batch.column(self.name_col).to_pylist()
+        return batch.filter(pa.array([not self._is_person(n) for n in names]))
+
+
+def filter_person_matches(pairs_ds, *, name_col: str = "query_name",
+                          concurrency=(1, 4)):
+    """Tail filter fused into the pipeline (no re-read of the output file,
+    unlike the reference's read→filter→overwrite of __coname__.csv)."""
+    return pairs_ds.map_batches(
+        _PersonMatchFilter,
+        fn_constructor_kwargs={"name_col": name_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +327,7 @@ class _ProbeBase:
         )
 
 
-def link_query_base(query_ds, base_ds, *, concurrency=(2, 8), batch_size=1024):
+def link_query_base(query_ds, base_ds, *, concurrency=(1, 8), batch_size=1024):
     """Reference CLI flow: query table vs (small) base table, no shuffle.
 
     Both inputs need columns (doc_id, name).  The base table is normalized,

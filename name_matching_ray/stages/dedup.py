@@ -68,24 +68,41 @@ def _doc_shingles(text: str, n: int) -> list[str]:
 
 
 class ExplodeShingles:
-    """map_batches: one row per (doc, distinct word n-gram shingle)."""
+    """map_batches: one row per (doc, distinct word n-gram shingle).
 
-    def __init__(self, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    Emits a ``bucket`` column (hash(shingle) % n_buckets): downstream groups
+    by this COARSE key — all rows of one shingle land in one bucket, so
+    per-shingle logic stays correct, while the shuffle produces ~n_buckets
+    groups instead of one Ray group per distinct shingle (the per-group
+    block-construction overhead dominated at 100k+ tiny groups).
+    """
+
+    def __init__(self, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 256):
         self.n, self.text_col, self.id_col = n, text_col, id_col
+        self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out_id, out_sh, out_sz = [], [], []
+        out_id, out_sh, out_sz, out_bk = [], [], [], []
         for i, t in zip(ids, texts):
             sh = _doc_shingles(t, self.n)
             out_id.extend([i] * len(sh))
             out_sh.extend(sh)
             out_sz.extend([len(sh)] * len(sh))
+            out_bk.extend(
+                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(),
+                               "big") % self.n_buckets
+                for s in sh
+            )
         return pa.table({
             self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
             "shingle": pa.array(out_sh, pa.string()),
             "n_sh": pa.array(out_sz, pa.int64()),
+            "bucket": pa.array(out_bk, pa.int64()),
         })
 
 
@@ -110,27 +127,27 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, tau100: int = 50,
     )
 
     def emit_pairs(g):
-        # pandas group: all docs sharing one shingle (df <= max_df enforced here)
-        if len(g) < 2 or len(g) > max_df:
+        # one coarse bucket: many whole shingle-groups; vectorized self-merge
+        vc = g["shingle"].value_counts()
+        ok = vc[(vc >= 2) & (vc <= max_df)].index
+        g = g[g["shingle"].isin(ok)][[id_col, "shingle", "n_sh"]]
+        if g.empty:
             return pa.table({
                 "left_id": pa.array([], pa.int64()),
                 "right_id": pa.array([], pa.int64()),
                 "n_left": pa.array([], pa.int64()),
                 "n_right": pa.array([], pa.int64()),
             })
-        ids = g[id_col].to_numpy()
-        szs = g["n_sh"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids, szs = ids[order], szs[order]
-        iu = np.triu_indices(len(ids), k=1)
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         return pa.table({
-            "left_id": pa.array(ids[iu[0]], pa.int64()),
-            "right_id": pa.array(ids[iu[1]], pa.int64()),
-            "n_left": pa.array(szs[iu[0]], pa.int64()),
-            "n_right": pa.array(szs[iu[1]], pa.int64()),
+            "left_id": pa.array(m[f"{id_col}_a"].to_numpy(), pa.int64()),
+            "right_id": pa.array(m[f"{id_col}_b"].to_numpy(), pa.int64()),
+            "n_left": pa.array(m["n_sh_a"].to_numpy(), pa.int64()),
+            "n_right": pa.array(m["n_sh_b"].to_numpy(), pa.int64()),
         })
 
-    pairs = ex.groupby("shingle").map_groups(emit_pairs, batch_format="pandas")
+    pairs = ex.groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
     counted = pairs.groupby(["left_id", "right_id"]).aggregate(
         Count(alias_name="inter"),
         Max("n_left", alias_name="n_l"),
@@ -211,35 +228,39 @@ class MinHashSignatures:
 
 
 class ExplodeBands:
-    """signature rows -> one row per (band_key, doc_id, sig)."""
+    """signature rows -> one row per (band_key, doc_id, sig), plus a coarse
+    ``bucket`` (hash(band_key) % n_buckets) to group by — see ExplodeShingles."""
 
     def __init__(self, num_perm: int = 128, bands: int = 32,
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", n_buckets: int = 256):
         assert num_perm % bands == 0
         self.rows = num_perm // bands
         self.bands = bands
         self.id_col = id_col
+        self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
         ids = batch.column(self.id_col).to_pylist()
         sigs = batch.column("sig").to_pylist()
-        out_key, out_id, out_sig = [], [], []
+        out_key, out_id, out_sig, out_bk = [], [], [], []
         for i, sig in zip(ids, sigs):
             for b in range(self.bands):
                 chunk = sig[b * self.rows:(b + 1) * self.rows]
-                h = hashlib.blake2b(
+                dig = hashlib.blake2b(
                     np.asarray(chunk, np.int64).tobytes() + bytes([b]),
                     digest_size=8,
-                ).hexdigest()
-                out_key.append(f"{b}:{h}")
+                ).digest()
+                out_key.append(f"{b}:{dig.hex()}")
                 out_id.append(i)
                 out_sig.append(sig)
+                out_bk.append(int.from_bytes(dig[:4], "big") % self.n_buckets)
         return pa.table({
             "band_key": pa.array(out_key, pa.string()),
             self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
             "sig": pa.array(out_sig, batch.column("sig").type),
+            "bucket": pa.array(out_bk, pa.int64()),
         })
 
 
@@ -271,29 +292,34 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
     min_agree = int(np.ceil(tau * num_perm))
 
     def pairs_in_bucket(g):
-        empty = pa.table({
-            "left_id": pa.array([], pa.int64()),
-            "right_id": pa.array([], pa.int64()),
-            "est_sim_pct": pa.array([], pa.int64()),
-        })
-        if len(g) < 2 or len(g) > max_bucket:
-            return empty
-        ids = g[id_col].to_numpy()
-        sig = np.stack(g["sig"].to_numpy())  # (k, num_perm)
-        order = np.argsort(ids, kind="stable")
-        ids, sig = ids[order], sig[order]
-        iu, ju = np.triu_indices(len(ids), k=1)
-        agree = (sig[iu] == sig[ju]).sum(axis=1)
-        keep = agree >= min_agree
+        # coarse bucket: iterate the whole band-key groups it contains
+        l_out, r_out, s_out = [], [], []
+        for _, grp in g.groupby("band_key", sort=False):
+            if len(grp) < 2 or len(grp) > max_bucket:
+                continue
+            ids = grp[id_col].to_numpy()
+            sig = np.stack(grp["sig"].to_numpy())  # (k, num_perm)
+            order = np.argsort(ids, kind="stable")
+            ids, sig = ids[order], sig[order]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            agree = (sig[iu] == sig[ju]).sum(axis=1)
+            keep = agree >= min_agree
+            l_out.append(ids[iu[keep]])
+            r_out.append(ids[ju[keep]])
+            s_out.append((agree[keep] * 100 // num_perm).astype(np.int64))
+        if not l_out:
+            return pa.table({
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "est_sim_pct": pa.array([], pa.int64()),
+            })
         return pa.table({
-            "left_id": pa.array(ids[iu[keep]], pa.int64()),
-            "right_id": pa.array(ids[ju[keep]], pa.int64()),
-            "est_sim_pct": pa.array(
-                (agree[keep] * 100 // num_perm).astype(np.int64), pa.int64()
-            ),
+            "left_id": pa.array(np.concatenate(l_out), pa.int64()),
+            "right_id": pa.array(np.concatenate(r_out), pa.int64()),
+            "est_sim_pct": pa.array(np.concatenate(s_out), pa.int64()),
         })
 
-    cand = bands_ds.groupby("band_key").map_groups(
+    cand = bands_ds.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
     # a pair can surface from several bands — dedup with one groupby
@@ -352,47 +378,64 @@ def simhash_pairs(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
         concurrency=(1, 8),
     )
 
+    n_buckets = 256
+
     def explode(b: pa.Table) -> pa.Table:
+        import hashlib
+
         ids = b.column(id_col).to_pylist()
         hs = np.asarray(b.column("simhash").to_pylist(), np.int64).view(np.uint64)
-        out_key, out_id, out_h = [], [], []
+        out_key, out_id, out_h, out_bk = [], [], [], []
         for i, h in zip(ids, hs):
             for band in range(nbands):
                 chunk = (int(h) >> (band * width)) & ((1 << width) - 1)
-                out_key.append(f"{band}:{chunk:x}")
+                key = f"{band}:{chunk:x}"
+                out_key.append(key)
                 out_id.append(i)
                 out_h.append(np.int64(np.uint64(h).view(np.int64)))
+                out_bk.append(
+                    int.from_bytes(hashlib.blake2b(key.encode(),
+                                                   digest_size=4).digest(),
+                                   "big") % n_buckets
+                )
         return pa.table({
             "band_key": pa.array(out_key, pa.string()),
             id_col: pa.array(out_id, b.schema.field(id_col).type),
             "simhash": pa.array(out_h, pa.int64()),
+            "bucket": pa.array(out_bk, pa.int64()),
         })
 
     def pairs_in_bucket(g):
-        empty = pa.table({
-            "left_id": pa.array([], pa.int64()),
-            "right_id": pa.array([], pa.int64()),
-            "hamming": pa.array([], pa.int64()),
-        })
-        if len(g) < 2:
-            return empty
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, hs = ids[order], hs[order]
-        iu, ju = np.triu_indices(len(ids), k=1)
-        x = hs[iu] ^ hs[ju]
-        ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
-        keep = ham <= max_hamming
+        l_out, r_out, h_out = [], [], []
+        for _, grp in g.groupby("band_key", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            hs = grp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            order = np.argsort(ids, kind="stable")
+            ids, hs = ids[order], hs[order]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = hs[iu] ^ hs[ju]
+            ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
+            keep = ham <= max_hamming
+            l_out.append(ids[iu[keep]])
+            r_out.append(ids[ju[keep]])
+            h_out.append(ham[keep])
+        if not l_out:
+            return pa.table({
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            })
         return pa.table({
-            "left_id": pa.array(ids[iu[keep]], pa.int64()),
-            "right_id": pa.array(ids[ju[keep]], pa.int64()),
-            "hamming": pa.array(ham[keep], pa.int64()),
+            "left_id": pa.array(np.concatenate(l_out), pa.int64()),
+            "right_id": pa.array(np.concatenate(r_out), pa.int64()),
+            "hamming": pa.array(np.concatenate(h_out), pa.int64()),
         })
 
     cand = sh.map_batches(explode, batch_format="pyarrow") \
-             .groupby("band_key").map_groups(pairs_in_bucket,
-                                             batch_format="pandas")
+             .groupby("bucket").map_groups(pairs_in_bucket,
+                                           batch_format="pandas")
     return cand.groupby(["left_id", "right_id"]).aggregate(
         Min("hamming", alias_name="hamming")
     )

@@ -56,7 +56,7 @@ class ScorePairs:
         )
 
 
-def score_pairs(pairs_ds, *, keep_all: bool = False, concurrency=(2, 8),
+def score_pairs(pairs_ds, *, keep_all: bool = False, concurrency=(1, 8),
                 batch_size: int = 4096, num_cpus: float = 1):
     return pairs_ds.map_batches(
         ScorePairs,
