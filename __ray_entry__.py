@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (SQL-oracled)
         "text_stats": lambda sf: textstats.text_stats(_read_docs(sf)),
         "fingerprints": lambda sf: textstats.fingerprints(_read_docs(sf)),
+        "word_counts": lambda sf: textstats.word_counts(_read_docs(sf)),
         # dedup
         "exact_dedup": lambda sf: dedup.exact_dedup(_read_docs(sf)),
         "ngram_jaccard_dedup": lambda sf: dedup.ngram_jaccard_pairs(
@@ -224,6 +225,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(CASE WHEN n_tokens >= 5 AND n_stop*100 >= n_tokens*2
                                 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
             FROM t
+        """,
+        "word_counts": """
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS word
+                FROM documents) t
+            WHERE word <> '' GROUP BY word
         """,
         "fingerprints": """
             SELECT doc_id,

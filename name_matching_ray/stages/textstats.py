@@ -96,6 +96,30 @@ def fingerprints(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def word_counts(docs_ds, *, text_col: str = "text", min_count: int = 1):
+    """Corpus word frequencies (the reference's unique-word corpus stats,
+    coname.py:221-244, generalized): explode lowercase whitespace tokens with
+    per-batch partial counts, then one small groupby-Sum shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch.column(text_col)), r"\s+")
+        flat = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) \
+            else toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({
+            "word": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    out = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    if min_count > 1:
+        out = out.filter(expr=f"n >= {min_count}")
+    return out
+
+
 class RollingFingerprint:
     """Winnowing-style document fingerprint: k-gram rolling hashes, keep the
     minimum hash in each sliding window of ``w`` — robust to local edits.
