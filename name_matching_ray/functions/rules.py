@@ -42,6 +42,23 @@ CUTOFF = 50  # candidate gate constant, matcher.py:33
 _ALPHA_RUN = re.compile("[a-z]+")  # matcher.py:122
 
 
+_PROCESS_MATCHER = None
+
+
+def get_matcher() -> "Matcher":
+    """Lazy per-process Matcher singleton.
+
+    Ray reuses worker processes across tasks of a job, so task-pool stages
+    (e.g. fused ``map_groups`` emit+score) get the compiled state once per
+    process instead of once per task — the task-pool equivalent of actor
+    ``__init__`` state.
+    """
+    global _PROCESS_MATCHER
+    if _PROCESS_MATCHER is None:
+        _PROCESS_MATCHER = Matcher()
+    return _PROCESS_MATCHER
+
+
 class Matcher:
     """Compiled matcher state: one instance per process / Ray actor.
 

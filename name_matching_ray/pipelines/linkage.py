@@ -23,7 +23,7 @@ from ..stages.blocking import ExplodeToPairBlocks, _emit_pairs_for_group, comput
 from ..stages.cluster import connected_components
 from ..stages.extract import extract_names
 from ..stages.normalize_stage import normalize_names
-from ..stages.scoring import ScorePairs, score_pairs
+from ..stages.scoring import score_pairs
 from ..state.checkpoint import Manifest, atomic_dir_write
 
 
@@ -45,10 +45,20 @@ def build_names(docs_ds, *, remove_people: bool = False, concurrency=(1, 8),
 
 
 def matched_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
-                  concurrency=(1, 8)):
-    """names -> matched pairs (one blocking shuffle + scoring actor pool)."""
-    from ..stages.blocking import candidate_pairs
+                  concurrency=(1, 8), fused: bool = True):
+    """names -> matched pairs.
 
+    ``fused=True`` (default): candidate emission + cascade scoring run
+    inside the blocking groupby's reduce tasks — one shuffle, and the wide
+    candidate table never enters the object store.  ``fused=False`` keeps
+    the two-stage variant (emit → shuffle → actor-pool scoring), useful when
+    the candidate table itself must be checkpointed.  Outputs are identical
+    (pytest-checked).
+    """
+    from ..stages.blocking import candidate_pairs, fused_match_pairs
+
+    if fused:
+        return fused_match_pairs(names_ds, cap=cap, max_shards=max_shards)
     cands = candidate_pairs(names_ds, cap=cap, max_shards=max_shards)
     return score_pairs(cands, concurrency=concurrency)
 
@@ -115,22 +125,31 @@ def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
                 "hot_first": hot_first,
                 "hot_last": hot_last,
                 "max_shards": max_shards,
+                "n_buckets": 1024,
             },
             batch_format="pyarrow",
             concurrency=(1, 4),
         )
         in_wave = exploded.map_batches(_WaveFilter(w, n_waves), batch_format="pyarrow")
-        cands = in_wave.groupby("pair_block").map_groups(
-            _emit_pairs_for_group, batch_format="pandas"
-        ).repartition(32)  # don't let the reduce's block count cap scoring
-        pairs = score_pairs(cands, concurrency=concurrency)
+        from ..stages.blocking import _score_bucket_groups
+        from ..state.metrics import get_metrics_actor
+
+        metrics_actor = get_metrics_actor()
+        ray.get(metrics_actor.reset.remote())
+        # fused emit+score in the reduce (see blocking.fused_match_pairs)
+        pairs = in_wave.repartition(32).groupby("bucket").map_groups(
+            lambda g: _score_bucket_groups(g, False, True),
+            batch_format="pandas",
+        )
         atomic_dir_write(f"{out_dir}/{pid}", lambda p: pairs.write_parquet(p))
         n_pairs = ray.data.read_parquet(f"{out_dir}/{pid}").count()
+        counters = ray.get(metrics_actor.get_all.remote())
         man.mark_complete(
             pid,
             lineage={"input": names_dir, "wave": w, "n_waves": n_waves,
                      "cap": cap, "max_shards": max_shards},
             metrics={"pairs_matched": n_pairs,
+                     "pairs_scored": int(counters.get("pairs_scored", 0)),
                      "wall_sec": round(time.time() - tw, 3)},
         )
 

@@ -74,9 +74,10 @@ class ExplodeToPairBlocks:
     """
 
     def __init__(self, hot_first: dict[str, int], hot_last: dict[str, int],
-                 max_shards: int = 16):
+                 max_shards: int = 16, n_buckets: int | None = None):
         self.hot = {"f": hot_first, "l": hot_last}
         self.max_shards = max_shards
+        self.n_buckets = n_buckets  # also emit bucket = hash(pair_block) % n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -103,23 +104,28 @@ class ExplodeToPairBlocks:
                         out_side.append(2 if lo == hi else (0 if u == lo else 1))
                         out_idx.append(i)
         take = pa.array(out_idx, pa.int64())
-        return pa.Table.from_arrays(
-            [
-                pa.array(out_block, pa.string()),
-                pa.array(out_side, pa.int8()),
-                batch.column("doc_id").take(take),
-                batch.column("pre_proc").take(take),
-                batch.column("nosuffix").take(take),
-                batch.column("block_key").take(take),
-                batch.column("block_key_last").take(take),
-            ],
-            names=["pair_block", "side", "doc_id", "pre_proc", "nosuffix",
-                   "block_key", "block_key_last"],
-        )
+        arrays = [
+            pa.array(out_block, pa.string()),
+            pa.array(out_side, pa.int8()),
+            batch.column("doc_id").take(take),
+            batch.column("pre_proc").take(take),
+            batch.column("nosuffix").take(take),
+            batch.column("block_key").take(take),
+            batch.column("block_key_last").take(take),
+        ]
+        names = ["pair_block", "side", "doc_id", "pre_proc", "nosuffix",
+                 "block_key", "block_key_last"]
+        if self.n_buckets:
+            arrays.append(pa.array(
+                [_stable_salt(b, self.n_buckets) for b in out_block],
+                pa.int64(),
+            ))
+            names.append("bucket")
+        return pa.Table.from_arrays(arrays, names=names)
 
 
-def _emit_pairs_for_group(g: pd.DataFrame) -> pd.DataFrame:
-    """All unordered candidate pairs within one pair-block (pandas group).
+def _cross_for_block(g: pd.DataFrame) -> tuple[pd.DataFrame, str]:
+    """Candidate cross-product for ONE pair-block group -> (cross, key).
 
     Orientation is canonical: the lexicographically smaller doc_id is the
     query ("a") side of the asymmetric cascade.  Secondary-pass groups skip
@@ -138,13 +144,22 @@ def _emit_pairs_for_group(g: pd.DataFrame) -> pd.DataFrame:
         cross = left.merge(right, how="cross", suffixes=("_a", "_b"))
         flip = cross["doc_id_a"] > cross["doc_id_b"]
         if flip.any():
-            a_cols = [c for c in cross.columns if c.endswith("_a")]
-            b_cols = [c[:-2] + "_b" for c in a_cols]
+            # swap only the emitted string columns (swapping the int8 'side'
+            # columns triggers pandas incompatible-dtype warnings)
+            swap = ["doc_id", "pre_proc", "nosuffix", "block_key"]
+            a_cols = [c + "_a" for c in swap]
+            b_cols = [c + "_b" for c in swap]
             tmp = cross.loc[flip, a_cols].to_numpy()
             cross.loc[flip, a_cols] = cross.loc[flip, b_cols].to_numpy()
             cross.loc[flip, b_cols] = tmp
     if pass_tag == "l":
         cross = cross[cross["block_key_a"] != cross["block_key_b"]]
+    return cross, key
+
+
+def _emit_pairs_for_group(g: pd.DataFrame) -> pd.DataFrame:
+    """All unordered candidate pairs within one pair-block (pandas group)."""
+    cross, key = _cross_for_block(g)
     if cross.empty:
         return pd.DataFrame(
             {c: pd.Series(dtype="object") for c in
@@ -164,9 +179,123 @@ def _emit_pairs_for_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool) -> pa.Table:
+    """Fused emit+score for one coarse bucket of pair-blocks.
+
+    Candidate pairs are enumerated as INDEX pairs and scored inline inside
+    the groupby's reduce task — neither the wide pair table nor even a
+    per-block cross-product frame is materialized (the pandas cross-merge
+    was memory-bandwidth-bound and throttled 32-core runs).  The compiled
+    Matcher comes from the per-process singleton.
+    """
+    from ..functions.rules import get_matcher
+    from ..functions.similarity import token_set_ratio, token_sort_ratio
+
+    matcher = get_matcher()
+    match = matcher.match
+    out = {k: [] for k in ("left_doc_id", "right_doc_id", "block_key",
+                           "rule_code", "score")}
+    n_scored = 0
+
+    def score_one(ida, idb, pre_a, pre_b, nos_a, nos_b, key):
+        if token_set_ratio(nos_a, nos_b) > 50:
+            code = int(match(pre_a, pre_b))
+        else:
+            code = -100
+        matched = code > 0
+        if matched or keep_all:
+            out["left_doc_id"].append(ida)
+            out["right_doc_id"].append(idb)
+            out["block_key"].append(key)
+            out["rule_code"].append(code)
+            out["score"].append(
+                float(token_sort_ratio(nos_a, nos_b)) if matched else 0.0
+            )
+
+    for block, grp in g.groupby("pair_block", sort=False):
+        pass_tag, key, i_shard, j_shard = block.split("|")
+        secondary = pass_tag == "l"
+        # canonical orientation: rows sorted by doc_id; i < j ⇒ i is "a"
+        grp = grp.sort_values("doc_id", kind="stable")
+        ids = grp["doc_id"].tolist()
+        pre = grp["pre_proc"].tolist()
+        nos = grp["nosuffix"].tolist()
+        bk = grp["block_key"].tolist()
+        n = len(ids)
+        if i_shard == j_shard:
+            # triangle block: all i < j pairs, each exactly once
+            for i in range(n - 1):
+                for j in range(i + 1, n):
+                    if secondary and bk[i] == bk[j]:
+                        continue
+                    n_scored += 1
+                    score_one(ids[i], ids[j], pre[i], pre[j],
+                              nos[i], nos[j], key)
+        else:
+            # cross-shard block: left(side=0) × right(side=1); rows sorted,
+            # so i < j already gives canonical doc_id order
+            side = grp["side"].tolist()
+            for i in range(n - 1):
+                for j in range(i + 1, n):
+                    if side[i] == side[j]:
+                        continue
+                    if secondary and bk[i] == bk[j]:
+                        continue
+                    n_scored += 1
+                    score_one(ids[i], ids[j], pre[i], pre[j],
+                              nos[i], nos[j], key)
+    if metrics:
+        from ..state.metrics import get_metrics_actor
+
+        m = get_metrics_actor()
+        m.add.remote("pairs_scored", n_scored)
+        m.add.remote("pairs_matched",
+                     sum(1 for c in out["rule_code"] if c > 0))
+    return pa.table({
+        "left_doc_id": pa.array(out["left_doc_id"], pa.string()),
+        "right_doc_id": pa.array(out["right_doc_id"], pa.string()),
+        "block_key": pa.array(out["block_key"], pa.string()),
+        "rule_code": pa.array(out["rule_code"], pa.int32()),
+        "score": pa.array(out["score"], pa.float32()),
+    })
+
+
+def fused_match_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
+                      hot_first: dict | None = None, hot_last: dict | None = None,
+                      n_buckets: int = 1024, out_blocks: int | None = 256,
+                      keep_all: bool = False, metrics: bool = False):
+    """names -> matched pairs with emission and scoring fused in the reduce.
+
+    One shuffle total: explode → repartition → groupby(coarse bucket) where
+    each reduce task generates and scores its blocks' pairs immediately.
+    ``n_buckets`` controls scheduling granularity (hash of pair_block, so a
+    block never straddles buckets; salting already caps per-block size).
+    """
+    if hot_first is None or hot_last is None:
+        names_ds = names_ds.materialize()
+        hot_first, hot_last = compute_hot_keys_multi(
+            names_ds, ["block_key", "block_key_last"], cap
+        )
+    exploded = names_ds.map_batches(
+        ExplodeToPairBlocks,
+        fn_constructor_kwargs={
+            "hot_first": hot_first, "hot_last": hot_last,
+            "max_shards": max_shards, "n_buckets": n_buckets,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    if out_blocks:
+        exploded = exploded.repartition(out_blocks)
+    return exploded.groupby("bucket").map_groups(
+        lambda g: _score_bucket_groups(g, keep_all, metrics),
+        batch_format="pandas",
+    )
+
+
 def candidate_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
                     hot_first: dict | None = None, hot_last: dict | None = None,
-                    out_blocks: int | None = 128):
+                    out_blocks: int | None = 256):
     """names Dataset -> candidate pair Dataset (the one blocking shuffle).
 
     ``out_blocks``: the groupby's reduce stage emits as few blocks as the

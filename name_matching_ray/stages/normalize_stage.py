@@ -55,7 +55,7 @@ class NormalizeNames:
 
 
 def normalize_names(ds, *, remove_people: bool = True, concurrency=(1, 8),
-                    batch_size: int = 4096, num_cpus: float = 1):
+                    batch_size: int | None = None, num_cpus: float = 1):
     """Attach normalized columns via an autoscaling actor pool."""
     return ds.map_batches(
         NormalizeNames,

@@ -18,11 +18,17 @@ CUTOFF = 50
 
 
 class ScorePairs:
-    def __init__(self, keep_all: bool = False, asset_dir: str | None = None):
+    def __init__(self, keep_all: bool = False, asset_dir: str | None = None,
+                 metrics: bool = False):
         from ..functions.assets import load_assets
 
         self.matcher = Matcher(load_assets(asset_dir))
         self.keep_all = keep_all
+        self.metrics = None
+        if metrics:
+            from ..state.metrics import get_metrics_actor
+
+            self.metrics = get_metrics_actor()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pre_a = batch.column("pre_a").to_pylist()
@@ -43,6 +49,11 @@ class ScorePairs:
                 codes.append(code)
                 # emitted score = token_sort_ratio on nosuffix (matcher.py:393)
                 scores.append(token_sort_ratio(nos_a[i], nos_b[i]) if matched else 0.0)
+        if self.metrics is not None:
+            # fire-and-forget: one tiny RPC per batch
+            self.metrics.add.remote("pairs_scored", len(pre_a))
+            self.metrics.add.remote("pairs_matched",
+                                    sum(1 for c in codes if c > 0))
         take = pa.array(keep, pa.int64())
         return pa.Table.from_arrays(
             [
@@ -57,10 +68,11 @@ class ScorePairs:
 
 
 def score_pairs(pairs_ds, *, keep_all: bool = False, concurrency=(1, 8),
-                batch_size: int = 4096, num_cpus: float = 1):
+                batch_size: int = 4096, num_cpus: float = 1,
+                metrics: bool = False):
     return pairs_ds.map_batches(
         ScorePairs,
-        fn_constructor_kwargs={"keep_all": keep_all},
+        fn_constructor_kwargs={"keep_all": keep_all, "metrics": metrics},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

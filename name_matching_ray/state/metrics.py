@@ -29,5 +29,13 @@ class MetricsActor:
 
 
 def get_metrics_actor(name: str = "nm_ray_metrics"):
-    """Get-or-create the session-wide metrics actor."""
-    return MetricsActor.options(name=name, get_if_exists=True).remote()
+    """Get-or-create the session-wide metrics actor.
+
+    Detached lifetime: a reference-counted named actor dies the moment its
+    last handle is dropped, racing the next ``get_if_exists`` (observed as
+    ActorDiedError between two checkpointed runs in one session).  The actor
+    is tiny (a Counter, num_cpus=0) and dies with the Ray session.
+    """
+    return MetricsActor.options(
+        name=name, get_if_exists=True, lifetime="detached"
+    ).remote()

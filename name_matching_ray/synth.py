@@ -136,7 +136,7 @@ def synth_docs_dataset(n_docs: int, seed: int = 42, variants_per_entity: int = 4
     def gen(batch):
         return generate_docs_batch(batch["id"], seed, variants_per_entity)
 
-    return ds.map_batches(gen, batch_format="numpy", batch_size=8192)
+    return ds.map_batches(gen, batch_format="numpy", batch_size=None)
 
 
 def write_synth_docs(path: str, n_docs: int, seed: int = 42,

@@ -1,0 +1,65 @@
+"""Blocking-stage properties: salted-triangle completeness, histogram
+equivalence, secondary-pass dedup."""
+
+import pyarrow as pa
+import pytest
+
+
+def _names_table(n=300, hot_frac=0.6):
+    """Synthetic normalized-name rows with one very hot first token."""
+    rows = {"doc_id": [], "pre_proc": [], "nosuffix": [],
+            "block_key": [], "block_key_last": []}
+    for i in range(n):
+        first = "acme" if i % 10 < int(hot_frac * 10) else f"t{i % 7}"
+        last = f"l{i % 5}"
+        nos = f"{first} mid{i % 13} {last}"
+        rows["doc_id"].append(f"d{i:05d}")
+        rows["pre_proc"].append(nos + " inc")
+        rows["nosuffix"].append(nos)
+        rows["block_key"].append(first)
+        rows["block_key_last"].append(last)
+    return pa.table(rows)
+
+
+def _pair_set(ds):
+    import pandas as pd
+
+    df = ds.to_pandas()
+    assert (df.left_doc_id < df.right_doc_id).all()
+    pairs = list(zip(df.left_doc_id, df.right_doc_id))
+    assert len(pairs) == len(set(pairs)), "duplicate candidate pairs emitted"
+    return set(pairs)
+
+
+def test_salting_preserves_pair_set(ray_session):
+    """Salted hot keys (tiny cap) produce EXACTLY the unsalted pair set."""
+    import ray.data
+
+    from name_matching_ray.stages.blocking import candidate_pairs
+
+    names = ray.data.from_arrow(_names_table())
+    unsalted = _pair_set(candidate_pairs(names, cap=10**9, out_blocks=8))
+    salted = _pair_set(candidate_pairs(names, cap=20, max_shards=16,
+                                       out_blocks=8))
+    assert salted == unsalted
+    # sanity: the hot key really was salted (many docs share 'acme')
+    from name_matching_ray.stages.blocking import compute_hot_keys_multi
+
+    hot_first, _ = compute_hot_keys_multi(
+        ray.data.from_arrow(_names_table()),
+        ["block_key", "block_key_last"], 20)
+    assert hot_first.get("acme", 0) > 1
+
+
+def test_histogram_multi_matches_groupby(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.blocking import (
+        compute_hot_keys, compute_hot_keys_multi,
+    )
+
+    names = ray.data.from_arrow(_names_table())
+    a1 = compute_hot_keys(names, "block_key", 20)
+    a2 = compute_hot_keys(names, "block_key_last", 20)
+    b1, b2 = compute_hot_keys_multi(names, ["block_key", "block_key_last"], 20)
+    assert a1 == b1 and a2 == b2
