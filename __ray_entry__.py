@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_quantity_counts": analytics.high_quantity_counts,
         "events_daily": analytics.events_daily,
         "sessionize": analytics.sessionize,
+        "asof_prior_event": analytics.asof_prior_event,
+        "topk_per_customer": analytics.topk_orders_per_customer,
         # text analysis (SQL-oracled)
         "text_stats": lambda sf: textstats.text_stats(_read_docs(sf)),
         "fingerprints": lambda sf: textstats.fingerprints(_read_docs(sf)),
@@ -212,6 +214,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + SUM(brk) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM d GROUP BY user_id
+        """,
+        "asof_prior_event": """
+            SELECT p.event_id, v.event_id AS prior_id,
+                   date_diff('microsecond', v.ts, p.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts > v.ts
+        """,
+        "topk_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_c,
+                   CAST(rn AS BIGINT) AS rnk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY FLOOR(o_totalprice*100 + 0.5) DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3
         """,
         "text_stats": f"""
             WITH t AS (

@@ -36,11 +36,15 @@ def _csv_as_dataset(path: str, id_name: tuple[str, str]):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="fuzzy name matcher (Ray Data)")
-    p.add_argument("namefile", help="CSV with (index, name) columns")
+    p.add_argument("namefile", help="CSV with (index, name) columns — or, with "
+                   "--pairs, a CSV of (name_a, name_b) pre-paired candidates")
     p.add_argument("-b", dest="basefile",
                    default="/root/reference/stocknames.csv",
                    help="base CSV (permno, comnam); same specs as stocknames")
     p.add_argument("-o", dest="outfile", default="__match__.csv")
+    p.add_argument("--pairs", action="store_true",
+                   help="match_pair.py mode: score pre-paired names "
+                        "(match_pair.py:19-58 semantics, streaming)")
     p.add_argument("--dont_rm_ppl", action="store_true",
                    help="disable person-name removal in preprocessing")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -53,6 +57,9 @@ def main(argv=None):
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR", **kw)
     try:
+        if args.pairs:
+            _run_pairs(args)
+            return
         from .pipelines.linkage import link_query_base
 
         query = _csv_as_dataset(args.namefile, ("index", "name"))
@@ -68,6 +75,30 @@ def main(argv=None):
         print(f"{len(df)} matches -> {args.outfile}")
     finally:
         ray.shutdown()
+
+
+def _run_pairs(args):
+    """match_pair.py flow: stream a 2-column pairs CSV through the scorer;
+    Ray's streaming executor replaces the reference's manual 10M-row
+    chunking (match_pair.py:50-58)."""
+    import pyarrow as pa
+    import ray.data
+
+    from .pipelines.linkage import score_prepaired
+
+    ds = ray.data.read_csv(args.namefile)
+    cols = ds.schema().names
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "name_a": t.column(cols[0]).cast(pa.string()),
+            "name_b": t.column(cols[1]).cast(pa.string()),
+        })
+
+    pairs = ds.map_batches(rename, batch_format="pyarrow")
+    out = score_prepaired(pairs).to_pandas()
+    out[["name_a", "name_b"]].to_csv(args.outfile, index=False, header=False)
+    print(f"{len(out)} matched pairs -> {args.outfile}")
 
 
 if __name__ == "__main__":

@@ -223,3 +223,62 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         })
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operator Ray Data lacks natively)
+# ---------------------------------------------------------------------------
+
+def asof_prior_event(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "view"):
+    """For each ``left_type`` event, the most recent strictly-earlier
+    ``right_type`` event of the same user (inner as-of join).
+
+    Partitioning assumption: one user's events fit one group (true for
+    per-user activity streams; salt by time-range for pathological users).
+    Implemented as groupby(user) + per-group sorted merge — the classic
+    as-of decomposition when the engine has no native interval join.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    filt = ds.filter(expr=f"event_type in ['{left_type}', '{right_type}']")
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("ts", kind="stable")
+        lefts, priors, gaps = [], [], []
+        last_right_id, last_right_ts = None, None
+        for eid, ts, et in zip(g["event_id"], g["ts"], g["event_type"]):
+            if et == right_type:
+                last_right_id, last_right_ts = eid, ts
+            elif last_right_id is not None:
+                lefts.append(int(eid))
+                priors.append(int(last_right_id))
+                gaps.append(int((ts - last_right_ts).value // 1000))  # us
+        return pa.table({
+            "event_id": pa.array(lefts, pa.int64()),
+            "prior_id": pa.array(priors, pa.int64()),
+            "gap_us": pa.array(gaps, pa.int64()),
+        })
+
+    return filt.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k (windowed ranking without a global sort)
+# ---------------------------------------------------------------------------
+
+def topk_orders_per_customer(sf_dir: str, k: int = 3):
+    """Top-k orders per customer by (totalprice desc, orderkey asc)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def per_cust(g: pd.DataFrame) -> pa.Table:
+        g = g.assign(totalprice_c=_cents(g["o_totalprice"].to_numpy()))
+        top = g.sort_values(["totalprice_c", "o_orderkey"],
+                            ascending=[False, True]).head(k)
+        return pa.table({
+            "o_custkey": pa.array(top["o_custkey"].to_numpy(), pa.int64()),
+            "o_orderkey": pa.array(top["o_orderkey"].to_numpy(), pa.int64()),
+            "totalprice_c": pa.array(top["totalprice_c"].to_numpy(), pa.int64()),
+            "rnk": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+        })
+
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
