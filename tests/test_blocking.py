@@ -63,3 +63,25 @@ def test_histogram_multi_matches_groupby(ray_session):
     a2 = compute_hot_keys(names, "block_key_last", 20)
     b1, b2 = compute_hot_keys_multi(names, ["block_key", "block_key_last"], 20)
     assert a1 == b1 and a2 == b2
+
+
+def test_fused_equals_two_stage(ray_session):
+    """fused emit+score output == emit → shuffle → actor-pool scoring."""
+    import ray.data
+
+    from name_matching_ray.pipelines.linkage import build_names
+    from name_matching_ray.stages.blocking import candidate_pairs, fused_match_pairs
+    from name_matching_ray.stages.scoring import score_pairs
+    from name_matching_ray.synth import synth_docs_dataset
+
+    names = build_names(synth_docs_dataset(600, seed=7), max_name_tokens=8,
+                        concurrency=(1, 2)).materialize()
+    two_stage = score_pairs(candidate_pairs(names, cap=50, out_blocks=8),
+                            concurrency=(1, 2)).to_pandas()
+    fused = fused_match_pairs(names, cap=50, out_blocks=8).to_pandas()
+    k = ["left_doc_id", "right_doc_id", "block_key", "rule_code"]
+    a = two_stage.sort_values(k).reset_index(drop=True)
+    b = fused.sort_values(k).reset_index(drop=True)
+    assert a[k].equals(b[k])
+    assert (abs(a.score - b.score) < 1e-4).all()
+    assert len(a) > 0

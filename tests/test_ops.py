@@ -258,3 +258,47 @@ def test_sessionize_gap_semantics(ray_session, tmp_path):
     out = sessionize(str(d)).to_pandas().set_index("user_id")
     assert out.loc[1, "n_sessions"] == 2 and out.loc[1, "n_events"] == 3
     assert out.loc[2, "n_sessions"] == 1 and out.loc[2, "n_events"] == 1
+
+
+def test_asof_prior_event_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import asof_prior_event
+
+    got = asof_prior_event(SF).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    expect = []
+    for uid, g in ev[ev.event_type.isin(["purchase", "view"])] \
+            .sort_values("ts").groupby("user_id"):
+        last = None
+        for _, r in g.iterrows():
+            if r.event_type == "view":
+                last = r
+            elif last is not None:
+                expect.append((int(r.event_id), int(last.event_id),
+                               int((r.ts - last.ts).value // 1000)))
+    expect = sorted(expect)
+    mine = list(zip(got.event_id, got.prior_id, got.gap_us))
+    assert mine == expect and len(mine) > 0
+
+
+def test_topk_per_customer_ranks(ray_session):
+    from name_matching_ray.pipelines.analytics import topk_orders_per_customer
+
+    got = topk_orders_per_customer(SF, k=3).to_pandas()
+    per = got.groupby("o_custkey")
+    assert (per.size() <= 3).all()
+    for _, g in per:
+        g = g.sort_values("rnk")
+        assert list(g.rnk) == list(range(1, len(g) + 1))
+        assert (g.totalprice_c.diff().dropna() <= 0).all()
+
+
+def test_word_counts_sum(docs_df, docs_ds, ray_session):
+    from name_matching_ray.stages.textstats import word_counts
+
+    got = word_counts(docs_ds).to_pandas()
+    total_tokens = sum(len(t.lower().split()) for t in docs_df.text)
+    assert got.n.sum() == total_tokens
+    assert got.word.is_unique
