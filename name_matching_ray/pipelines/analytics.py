@@ -35,15 +35,31 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _grouped_sum(ds, keys: list[str], partial_fn):
-    """map_batches partial combiner -> global groupby Sum (2-level agg)."""
-    from ray.data.aggregate import Sum
+def _grouped_sum(ds, keys: list[str], partial_fn, value_cols: list[str],
+                 n_buckets: int = 64):
+    """map_batches partial combiner -> coarse-bucket pandas combine.
 
-    partial = ds.map_batches(partial_fn, batch_format="pandas")
-    value_cols = [c for c in partial.schema().names if c not in keys]
-    return partial.groupby(keys).aggregate(
-        *[Sum(c, alias_name=c) for c in value_cols]
-    )
+    ``value_cols`` is explicit: deriving it from ``.schema()`` would trigger
+    an extra sample execution of the partial stage per query.  The global
+    combine groups by ``hash(keys) % n_buckets`` and sums with a vectorized
+    pandas groupby inside each bucket — Ray's sort-aggregate pays per-group
+    overhead that dominates at 10k+ distinct keys.
+    """
+    def partial_with_bucket(df: pd.DataFrame) -> pa.Table:
+        t = partial_fn(df)
+        pdf = t.to_pandas()
+        h = pd.util.hash_pandas_object(
+            pdf[keys].astype(str).agg("|".join, axis=1), index=False
+        ).to_numpy()
+        pdf["_pb"] = (h % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(keys, as_index=False)[value_cols].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partial = ds.map_batches(partial_with_bucket, batch_format="pandas")
+    return partial.groupby("_pb").map_groups(combine, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -68,7 +84,8 @@ def pricing_summary(sf_dir: str):
                [["sum_qty_c", "sum_base_c", "sum_disc_c", "count_order"]].sum())
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return _grouped_sum(ds, ["l_returnflag", "l_linestatus"], partial)
+    return _grouped_sum(ds, ["l_returnflag", "l_linestatus"], partial,
+                        ["sum_qty_c", "sum_base_c", "sum_disc_c", "count_order"])
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +200,7 @@ def high_quantity_counts(sf_dir: str, min_qty: float = 45.0):
                .groupby("l_returnflag", as_index=False)[["n_items"]].sum())
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return _grouped_sum(filt, ["l_returnflag"], partial)
+    return _grouped_sum(filt, ["l_returnflag"], partial, ["n_items"])
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +212,9 @@ def events_daily(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pa.Table:
         df = df.assign(
-            day=df["ts"].dt.strftime("%Y-%m-%d"),
+            # numpy datetime64[D]→str is 'YYYY-MM-DD' (same as strftime) and
+            # ~20x faster than pandas dt.strftime on large batches
+            day=df["ts"].to_numpy().astype("datetime64[D]").astype(str),
             value_c=_cents(df["value"].to_numpy()),
             n_events=np.int64(1),
         )
@@ -203,7 +222,8 @@ def events_daily(sf_dir: str):
                [["value_c", "n_events"]].sum())
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return _grouped_sum(ds, ["user_id", "day"], partial)
+    return _grouped_sum(ds, ["user_id", "day"], partial,
+                        ["value_c", "n_events"])
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):

@@ -126,33 +126,63 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, tau100: int = 50,
         concurrency=(1, 8),
     )
 
+    n_pair_buckets = 256
+
     def emit_pairs(g):
-        # one coarse bucket: many whole shingle-groups; vectorized self-merge
+        # one coarse bucket: many whole shingle-groups; vectorized self-merge.
+        # Pre-combine (left,right) co-occurrence counts within the bucket and
+        # emit a coarse pair-bucket key so the global combine below is 256
+        # pandas groupbys, not one Ray sort-aggregate over millions of tiny
+        # (left,right) groups (that aggregate was 17.8s of the 19.3s total).
         vc = g["shingle"].value_counts()
         ok = vc[(vc >= 2) & (vc <= max_df)].index
         g = g[g["shingle"].isin(ok)][[id_col, "shingle", "n_sh"]]
+        empty = pa.table({
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "n_left": pa.array([], pa.int64()),
+            "n_right": pa.array([], pa.int64()),
+            "pbucket": pa.array([], pa.int64()),
+        })
         if g.empty:
-            return pa.table({
-                "left_id": pa.array([], pa.int64()),
-                "right_id": pa.array([], pa.int64()),
-                "n_left": pa.array([], pa.int64()),
-                "n_right": pa.array([], pa.int64()),
-            })
+            return empty
         m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        agg = (m.groupby([f"{id_col}_a", f"{id_col}_b"], as_index=False)
+                .agg(inter=("shingle", "size"),
+                     n_left=("n_sh_a", "first"),
+                     n_right=("n_sh_b", "first")))
+        l = agg[f"{id_col}_a"].to_numpy(np.int64)
+        r = agg[f"{id_col}_b"].to_numpy(np.int64)
+        pb = ((l * np.int64(1_000_003) + r) % n_pair_buckets).astype(np.int64)
         return pa.table({
-            "left_id": pa.array(m[f"{id_col}_a"].to_numpy(), pa.int64()),
-            "right_id": pa.array(m[f"{id_col}_b"].to_numpy(), pa.int64()),
-            "n_left": pa.array(m["n_sh_a"].to_numpy(), pa.int64()),
-            "n_right": pa.array(m["n_sh_b"].to_numpy(), pa.int64()),
+            "left_id": pa.array(l, pa.int64()),
+            "right_id": pa.array(r, pa.int64()),
+            "inter": pa.array(agg["inter"].to_numpy(np.int64), pa.int64()),
+            "n_left": pa.array(agg["n_left"].to_numpy(np.int64), pa.int64()),
+            "n_right": pa.array(agg["n_right"].to_numpy(np.int64), pa.int64()),
+            "pbucket": pa.array(pb, pa.int64()),
         })
 
     pairs = ex.groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
-    counted = pairs.groupby(["left_id", "right_id"]).aggregate(
-        Count(alias_name="inter"),
-        Max("n_left", alias_name="n_l"),
-        Max("n_right", alias_name="n_r"),
-    )
+
+    def combine(g):
+        agg = (g.groupby(["left_id", "right_id"], as_index=False)
+                .agg(inter=("inter", "sum"),
+                     n_l=("n_left", "max"),
+                     n_r=("n_right", "max")))
+        return pa.table({
+            "left_id": pa.array(agg["left_id"].to_numpy(np.int64), pa.int64()),
+            "right_id": pa.array(agg["right_id"].to_numpy(np.int64), pa.int64()),
+            "inter": pa.array(agg["inter"].to_numpy(np.int64), pa.int64()),
+            "n_l": pa.array(agg["n_l"].to_numpy(np.int64), pa.int64()),
+            "n_r": pa.array(agg["n_r"].to_numpy(np.int64), pa.int64()),
+        })
+
+    counted = pairs.groupby("pbucket").map_groups(combine, batch_format="pandas")
 
     def jaccard_filter(b: pa.Table) -> pa.Table:
         inter = b.column("inter")

@@ -53,9 +53,18 @@ _MEDIA_KINDS = ["image", "audio"]
 
 
 def _entity_name(rng: np.random.Generator) -> str:
+    # two distinct middle nouns: a 30×30×29×15 ≈ 390k name space, so tens of
+    # thousands of entities draw distinct names (at 30×30×15 = 13.5k names,
+    # 10k entities collided massively and identical-name entities correctly
+    # merged into one cluster, wrecking purity-vs-synthetic-id metrics)
+    n1 = int(rng.integers(len(_NOUN)))
+    n2 = int(rng.integers(len(_NOUN) - 1))
+    if n2 >= n1:
+        n2 += 1
     parts = [
         _ADJ[rng.integers(len(_ADJ))],
-        _NOUN[rng.integers(len(_NOUN))],
+        _NOUN[n1],
+        _NOUN[n2],
         _TAIL[rng.integers(len(_TAIL))],
     ]
     return " ".join(parts)
