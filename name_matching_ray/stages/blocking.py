@@ -74,10 +74,17 @@ class ExplodeToPairBlocks:
     """
 
     def __init__(self, hot_first: dict[str, int], hot_last: dict[str, int],
-                 max_shards: int = 16, n_buckets: int | None = None):
+                 max_shards: int = 16, n_buckets: int | None = None,
+                 drop_stop_keys: bool = True):
         self.hot = {"f": hot_first, "l": hot_last}
         self.max_shards = max_shards
         self.n_buckets = n_buckets  # also emit bucket = hash(pair_block) % n
+        # stop keys: a key needing > max_shards salt shards (> cap*max_shards
+        # rows) is quadratic-blowup territory ('inc'-style generic tokens at
+        # 10^12-doc scale) — drop it from this pass and count the skips (no
+        # silent caps).  drop_stop_keys=False restores clamp-and-keep-all.
+        self.drop_stop_keys = drop_stop_keys
+        self.skipped_rows = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -91,7 +98,22 @@ class ExplodeToPairBlocks:
             for pass_tag, key in (("f", first[i]), ("l", last[i])):
                 if pass_tag == "l" and key == first[i]:
                     continue  # identical key would duplicate the primary pass
-                shards = min(self.hot[pass_tag].get(key, 1), self.max_shards)
+                shards = self.hot[pass_tag].get(key, 1)
+                if shards > self.max_shards:
+                    if self.drop_stop_keys:
+                        self.skipped_rows += 1
+                        if self.skipped_rows in (1, 1000, 1_000_000):
+                            import logging
+
+                            logging.getLogger(__name__).warning(
+                                "blocking: stop key %r (pass %s) needs %d > "
+                                "max_shards=%d shards; dropping its pairs "
+                                "(%d rows skipped so far in this actor)",
+                                key, pass_tag, shards, self.max_shards,
+                                self.skipped_rows,
+                            )
+                        continue
+                    shards = self.max_shards
                 if shards <= 1:
                     out_block.append(f"{pass_tag}|{key}|0|0")
                     out_side.append(2)

@@ -44,6 +44,19 @@ _TAIL = [
     "international", "manufacturing", "partners", "dynamics", "works",
 ]
 _SUFFIX = ["INC", "CORP", "CO", "LTD", "LLC", "CORPORATION", "COMPANY", "INCORPORATED"]
+
+# Distinctive pseudo proper-noun leads (syllable products, 22*23=506 words):
+# the reference's cascade treats a shared distinctive first word as strong
+# entity evidence (rule 4, matcher.py:295-300), which is true of REAL company
+# names — so the generator must give entities mostly-unique lead words, or
+# the cascade (faithfully!) merges thousands of same-prefix entities.
+_ONSET = ["zor", "quen", "tal", "vir", "mek", "lor", "san", "bel", "dur",
+          "fen", "gar", "hax", "jol", "kam", "nor", "pel", "rud", "tev",
+          "wim", "yar", "cob", "maz"]
+_CODA = ["van", "tar", "dex", "lin", "mor", "bek", "sol", "tis", "run",
+         "fal", "gon", "her", "ix", "jat", "kul", "lum", "nar", "pos",
+         "quil", "rem", "sut", "tam", "vex"]
+_LEAD = [a + b for a in _ONSET for b in _CODA]
 _ABBREV = {
     "industries": "INDS", "international": "INTL", "technologies": "TECH",
     "laboratories": "LABS", "manufacturing": "MFG", "systems": "SYS",
@@ -53,18 +66,21 @@ _MEDIA_KINDS = ["image", "audio"]
 
 
 def _entity_name(rng: np.random.Generator) -> str:
-    # two distinct middle nouns: a 30×30×29×15 ≈ 390k name space, so tens of
-    # thousands of entities draw distinct names (at 30×30×15 = 13.5k names,
-    # 10k entities collided massively and identical-name entities correctly
-    # merged into one cluster, wrecking purity-vs-synthetic-id metrics)
-    n1 = int(rng.integers(len(_NOUN)))
-    n2 = int(rng.integers(len(_NOUN) - 1))
-    if n2 >= n1:
-        n2 += 1
+    # two distinct pseudo lead words: 506*505 ≈ 255k 2-token prefixes, so
+    # prefixes are mostly entity-unique — mirroring real company-name
+    # distinctiveness.  The cascade's rule 4 (matcher.py:295-300) treats a
+    # shared distinctive 2-word prefix as entity identity, so a generator
+    # with colliding prefixes makes the (faithful) cascade merge distinct
+    # synthetic entities.  noun/tail stay real words to keep the
+    # eng-dictionary rules exercised.
+    l1 = int(rng.integers(len(_LEAD)))
+    l2 = int(rng.integers(len(_LEAD) - 1))
+    if l2 >= l1:
+        l2 += 1
     parts = [
-        _ADJ[rng.integers(len(_ADJ))],
-        _NOUN[n1],
-        _NOUN[n2],
+        _LEAD[l1],
+        _LEAD[l2],
+        _NOUN[rng.integers(len(_NOUN))],
         _TAIL[rng.integers(len(_TAIL))],
     ]
     return " ".join(parts)

@@ -85,3 +85,26 @@ def test_fused_equals_two_stage(ray_session):
     assert a[k].equals(b[k])
     assert (abs(a.score - b.score) < 1e-4).all()
     assert len(a) > 0
+
+
+def test_stop_keys_dropped_with_logging(ray_session):
+    """A key needing > max_shards salt shards is dropped from pairing; all
+    other keys' pair sets are untouched (no silent caps elsewhere)."""
+    import ray.data
+
+    from name_matching_ray.stages.blocking import candidate_pairs
+
+    t = _names_table(n=300, hot_frac=0.6)  # 'acme' has 180 rows
+    names = ray.data.from_arrow(t)
+    # cap=20, max_shards=3 -> 'acme' needs ceil(180/20)=9 > 3 shards -> stop
+    pairs = _pair_set(candidate_pairs(names, cap=20, max_shards=3,
+                                      out_blocks=8))
+    full = _pair_set(candidate_pairs(names, cap=10**9, out_blocks=8))
+    assert pairs < full  # strictly fewer: the hot first-token key is dropped
+    # pairs co-blocked only by 'acme' must be gone; others preserved
+    df = t.to_pandas()
+    acme = set(df[df.block_key == "acme"].doc_id)
+    import itertools
+
+    for l, r in full - pairs:
+        assert l in acme and r in acme  # only stop-key pairs were dropped
