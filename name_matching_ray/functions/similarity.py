@@ -140,7 +140,12 @@ def token_set_ratio(a, b) -> float:
     the intersection-prefixed variants; returns the max similarity * 100.
     Derivation follows rapidfuzz's published pure-Python fallback.
     """
-    ta, tb = set(_tokens(a)), set(_tokens(b))
+    return token_set_ratio_pre(set(_tokens(a)), set(_tokens(b)))
+
+
+def token_set_ratio_pre(ta: set, tb: set) -> float:
+    """``token_set_ratio`` on pre-tokenized sets (identical math) — callers
+    scoring many pairs cache each name's token set once."""
     if not ta and not tb:
         return 100.0
     if not ta or not tb:

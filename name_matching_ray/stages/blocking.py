@@ -211,7 +211,7 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool) -> pa.T
     Matcher comes from the per-process singleton.
     """
     from ..functions.rules import get_matcher
-    from ..functions.similarity import token_set_ratio, token_sort_ratio
+    from ..functions.similarity import token_set_ratio_pre, token_sort_ratio
 
     matcher = get_matcher()
     match = matcher.match
@@ -219,8 +219,8 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool) -> pa.T
                            "rule_code", "score")}
     n_scored = 0
 
-    def score_one(ida, idb, pre_a, pre_b, nos_a, nos_b, key):
-        if token_set_ratio(nos_a, nos_b) > 50:
+    def score_one(ida, idb, pre_a, pre_b, nos_a, nos_b, ts_a, ts_b, key):
+        if token_set_ratio_pre(ts_a, ts_b) > 50:
             code = int(match(pre_a, pre_b))
         else:
             code = -100
@@ -243,6 +243,7 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool) -> pa.T
         pre = grp["pre_proc"].tolist()
         nos = grp["nosuffix"].tolist()
         bk = grp["block_key"].tolist()
+        tss = [set(s.split()) for s in nos]  # gate token sets, once per row
         n = len(ids)
         if i_shard == j_shard:
             # triangle block: all i < j pairs, each exactly once
@@ -252,7 +253,7 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool) -> pa.T
                         continue
                     n_scored += 1
                     score_one(ids[i], ids[j], pre[i], pre[j],
-                              nos[i], nos[j], key)
+                              nos[i], nos[j], tss[i], tss[j], key)
         else:
             # cross-shard block: left(side=0) × right(side=1); rows sorted,
             # so i < j already gives canonical doc_id order
@@ -265,7 +266,7 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool) -> pa.T
                         continue
                     n_scored += 1
                     score_one(ids[i], ids[j], pre[i], pre[j],
-                              nos[i], nos[j], key)
+                              nos[i], nos[j], tss[i], tss[j], key)
     if metrics:
         from ..state.metrics import get_metrics_actor
 
