@@ -210,63 +210,73 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool) -> pa.T
     was memory-bandwidth-bound and throttled 32-core runs).  The compiled
     Matcher comes from the per-process singleton.
     """
+    import numpy as np
+
     from ..functions.rules import get_matcher
     from ..functions.similarity import token_set_ratio_pre, token_sort_ratio
 
     matcher = get_matcher()
     match = matcher.match
-    out = {k: [] for k in ("left_doc_id", "right_doc_id", "block_key",
-                           "rule_code", "score")}
+    out_l, out_r, out_k, out_c, out_s = [], [], [], [], []
     n_scored = 0
 
-    def score_one(ida, idb, pre_a, pre_b, nos_a, nos_b, ts_a, ts_b, key):
-        if token_set_ratio_pre(ts_a, ts_b) > 50:
-            code = int(match(pre_a, pre_b))
-        else:
-            code = -100
-        matched = code > 0
-        if matched or keep_all:
-            out["left_doc_id"].append(ida)
-            out["right_doc_id"].append(idb)
-            out["block_key"].append(key)
-            out["rule_code"].append(code)
-            out["score"].append(
-                float(token_sort_ratio(nos_a, nos_b)) if matched else 0.0
-            )
+    # ONE sort for the whole bucket: groups become contiguous row ranges with
+    # rows already in canonical doc_id order (i < j ⇒ i is the query side) —
+    # the per-group sort_values/tolist churn was ~2x the actual scoring cost
+    g = g.sort_values(["pair_block", "doc_id"], kind="stable")
+    blocks_np = g["pair_block"].to_numpy()
+    ids = g["doc_id"].tolist()
+    pre = g["pre_proc"].tolist()
+    nos = g["nosuffix"].tolist()
+    bk = g["block_key"].tolist()
+    side = g["side"].tolist()
+    # gate token sets once per distinct name in the bucket (a name appears
+    # in several groups via salting + the secondary pass)
+    ts_of: dict[str, set] = {}
+    tss = []
+    for s_ in nos:
+        t = ts_of.get(s_)
+        if t is None:
+            t = set(s_.split())
+            ts_of[s_] = t
+        tss.append(t)
 
-    for block, grp in g.groupby("pair_block", sort=False):
-        pass_tag, key, i_shard, j_shard = block.split("|")
+    nrows = len(ids)
+    change = (np.nonzero(blocks_np[1:] != blocks_np[:-1])[0] + 1
+              if nrows else np.empty(0, np.int64))
+    starts = [0] + change.tolist() if nrows else []
+    ends = change.tolist() + [nrows] if nrows else []
+
+    for s0, e0 in zip(starts, ends):
+        pass_tag, key, i_shard, j_shard = blocks_np[s0].split("|")
         secondary = pass_tag == "l"
-        # canonical orientation: rows sorted by doc_id; i < j ⇒ i is "a"
-        grp = grp.sort_values("doc_id", kind="stable")
-        ids = grp["doc_id"].tolist()
-        pre = grp["pre_proc"].tolist()
-        nos = grp["nosuffix"].tolist()
-        bk = grp["block_key"].tolist()
-        tss = [set(s.split()) for s in nos]  # gate token sets, once per row
-        n = len(ids)
-        if i_shard == j_shard:
-            # triangle block: all i < j pairs, each exactly once
-            for i in range(n - 1):
-                for j in range(i + 1, n):
-                    if secondary and bk[i] == bk[j]:
-                        continue
-                    n_scored += 1
-                    score_one(ids[i], ids[j], pre[i], pre[j],
-                              nos[i], nos[j], tss[i], tss[j], key)
-        else:
-            # cross-shard block: left(side=0) × right(side=1); rows sorted,
-            # so i < j already gives canonical doc_id order
-            side = grp["side"].tolist()
-            for i in range(n - 1):
-                for j in range(i + 1, n):
-                    if side[i] == side[j]:
-                        continue
-                    if secondary and bk[i] == bk[j]:
-                        continue
-                    n_scored += 1
-                    score_one(ids[i], ids[j], pre[i], pre[j],
-                              nos[i], nos[j], tss[i], tss[j], key)
+        triangle = i_shard == j_shard
+        for i in range(s0, e0 - 1):
+            bki, sidei, tsi, prei, idi = bk[i], side[i], tss[i], pre[i], ids[i]
+            for j in range(i + 1, e0):
+                if not triangle and sidei == side[j]:
+                    continue
+                if secondary and bki == bk[j]:
+                    continue
+                n_scored += 1
+                if token_set_ratio_pre(tsi, tss[j]) > 50:
+                    code = int(match(prei, pre[j]))
+                else:
+                    code = -100
+                if code > 0:
+                    out_l.append(idi)
+                    out_r.append(ids[j])
+                    out_k.append(key)
+                    out_c.append(code)
+                    out_s.append(float(token_sort_ratio(nos[i], nos[j])))
+                elif keep_all:
+                    out_l.append(idi)
+                    out_r.append(ids[j])
+                    out_k.append(key)
+                    out_c.append(code)
+                    out_s.append(0.0)
+    out = {"left_doc_id": out_l, "right_doc_id": out_r, "block_key": out_k,
+           "rule_code": out_c, "score": out_s}
     if metrics:
         from ..state.metrics import get_metrics_actor
 
