@@ -354,7 +354,11 @@ def link_query_base(query_ds, base_ds, *, concurrency=(1, 8), batch_size=1024):
     """
     import ray
 
-    base_names = normalize_names(base_ds, remove_people=True, concurrency=(1, 4))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # CSV reads land in 1-2 blocks; without splitting, both the base
+    # normalization and the probe stage run as single tasks
+    base_names = normalize_names(base_ds.repartition(max(8, ncpu)),
+                                 remove_people=True, concurrency=(1, ncpu))
     index: dict[str, list] = {}
     for b in base_names.iter_batches(batch_format="pyarrow", batch_size=8192):
         ids = b.column("doc_id").to_pylist()
@@ -370,12 +374,13 @@ def link_query_base(query_ds, base_ds, *, concurrency=(1, 8), batch_size=1024):
                 index.setdefault(lks[i], []).append(row)
     index_ref = ray.put(index)
 
-    query_names = normalize_names(query_ds, remove_people=True, concurrency=concurrency)
+    query_names = normalize_names(query_ds.repartition(max(8, ncpu * 2)),
+                                  remove_people=True, concurrency=concurrency)
     return query_names.map_batches(
         _ProbeBase,
         fn_constructor_kwargs={"index_ref": index_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(max(2, ncpu - 2), ncpu),
         num_cpus=1,
     )
