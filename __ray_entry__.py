@@ -285,6 +285,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = p.right_id
             WHERE p.inter*100 >= (sa.n_sh + sb.n_sh - p.inter)*10
         """,
+        "simhash_dedup": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+            th AS (SELECT doc_id, md5_number_lower(tk) AS h FROM tok),
+            bits AS (
+                SELECT doc_id, b.b AS bit,
+                       SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+                GROUP BY doc_id, b.b),
+            sb AS (SELECT doc_id, bit,
+                          CASE WHEN v > 0 THEN 1 ELSE 0 END AS s FROM bits),
+            ham AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS hamming
+                FROM sb a JOIN sb b ON a.bit = b.bit AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT left_id, right_id, CAST(hamming AS BIGINT) AS hamming
+            FROM ham WHERE hamming <= 3
+        """,
+        "winnow_fingerprint": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            h AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 5 THEN CAST([] AS BIGINT[])
+                       ELSE [CAST(md5_number_lower(
+                                      array_to_string(toks[i:i+4], ' '))
+                                  % 9223372036854775808 AS BIGINT)
+                             FOR i IN range(1, len(toks) - 3)] END AS hs
+                FROM t),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                       ELSE [list_min(hs[i:i+3])
+                             FOR i IN range(1, greatest(1, len(hs) - 3) + 1)]
+                       END AS mins
+                FROM h)
+            SELECT doc_id,
+                   CAST(CASE WHEN len(mins) = 0 THEN 0
+                        ELSE len([i FOR i IN range(1, len(mins) + 1)
+                                  IF i = 1 OR mins[i] <> mins[i-1]])
+                        END AS BIGINT) AS fp_len
+            FROM m
+        """,
         "embedding_dups": """
             SELECT a.vec_id AS left_id, b.vec_id AS right_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -214,7 +214,9 @@ class _PersonMatchFilter:
         if self.shape.match(s or ""):
             return True
         toks = self.tok.findall(s or "")
-        return bool(toks) and all(t.lower() in self.allname for t in toks)
+        # zero-token names: pp() returns 1 (drop) — postproc-ppl.py:16-24's
+        # all() over an empty token list is vacuously True
+        return all(t.lower() in self.allname for t in toks)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = batch.column(self.name_col).to_pylist()
@@ -263,12 +265,15 @@ class _ScorePrepaired:
             a, b = pre(names_a[i]), pre(names_b[i])
             if not a or not b:
                 continue
-            if self.matcher.gate(self.norm.remove_suffix(a),
-                                 self.norm.remove_suffix(b)):
-                code = self.matcher.match(a, b)
-                if code > 0:
-                    keep.append(i)
-                    codes.append(int(code))
+            # no token-set gate here: match_pair.py:31-35's do() calls
+            # match() directly with no cutoff (the >50 gate exists only in
+            # the matcher.py unpacking path) — a low-overlap pair the
+            # cascade accepts (rule 16 matchit, rule 21 location) must
+            # still be emitted
+            code = self.matcher.match(a, b)
+            if code > 0:
+                keep.append(i)
+                codes.append(int(code))
         take = pa.array(keep, pa.int64())
         return pa.Table.from_arrays(
             [batch.column("name_a").take(take),

@@ -32,6 +32,10 @@ def _mat(batch_col) -> np.ndarray:
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 
+def _mat_from_rows(rows: list) -> np.ndarray:
+    return np.stack(rows) if rows else np.empty((0, 0), np.float64)
+
+
 def _unit(m: np.ndarray) -> np.ndarray:
     nrm = np.linalg.norm(m, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
@@ -198,11 +202,50 @@ def embedding_cosine_dups(ds, *, threshold: float = 0.35,
 
 def kmeans_centroids(ds, n_clusters: int, *, vec_col: str = "embedding",
                      sample: int = 4096, iters: int = 10, seed: int = 0):
-    """Driver-side mini k-means on a sample; returns (n_clusters, d) unit rows."""
-    tbl = pa.concat_tables(
-        ds.select_columns([vec_col]).limit(sample).iter_batches(batch_format="pyarrow")
+    """Driver-side mini k-means on a deterministic UNIFORM sample.
+
+    Sampling is order-independent: each row's rank is blake2b over its vector
+    bytes, each batch pre-truncates to its ``sample`` smallest ranks inside
+    ``map_batches``, and the driver merges to the global ``sample`` smallest
+    (a ``limit(sample)`` took the first rows — biased centroids whenever the
+    input is sorted or clustered; pytest-checked on cluster-sorted input).
+    Driver memory is bounded by the heap of ``sample`` vectors.
+    """
+    import hashlib
+    import heapq
+
+    def rank_and_truncate(b: pa.Table) -> pa.Table:
+        m = _mat(b.column(vec_col))
+        if not len(m):
+            return pa.table({"rank": pa.array([], pa.uint64()),
+                             vec_col: b.column(vec_col)})
+        ranks = np.fromiter(
+            (int.from_bytes(
+                hashlib.blake2b(v.tobytes(), digest_size=8).digest(), "big")
+             for v in m),
+            np.uint64, count=len(m),
+        )
+        keep = np.argsort(ranks, kind="stable")[:sample]
+        return pa.table({
+            "rank": pa.array(ranks[keep], pa.uint64()),
+            vec_col: b.column(vec_col).take(pa.array(keep, pa.int64())),
+        })
+
+    ranked = ds.select_columns([vec_col]).map_batches(
+        rank_and_truncate, batch_format="pyarrow"
     )
-    x = _unit(_mat(tbl.column(vec_col)))
+    heap: list = []  # max-heap via negated rank; (neg_rank, tiebreak, vector)
+    n_seen = 0
+    for b in ranked.iter_batches(batch_format="pyarrow"):
+        m = _mat(b.column(vec_col))
+        for r, v in zip(b.column("rank").to_pylist(), m):
+            n_seen += 1
+            if len(heap) < sample:
+                heapq.heappush(heap, (-r, n_seen, v))
+            elif -heap[0][0] > r:
+                heapq.heapreplace(heap, (-r, n_seen, v))
+    heap.sort(key=lambda t: -t[0])  # ascending rank → deterministic order
+    x = _unit(_mat_from_rows([v for _, _, v in heap]))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
     for _ in range(iters):

@@ -362,18 +362,35 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _hash_tokens_md5_u64(tokens: list[str]) -> np.ndarray:
+    """Low 64 bits of md5 per token (== DuckDB ``md5_number_lower``) — the
+    simhash token hash is md5-based so the SQL oracle reproduces the exact
+    pair set (blake2 stays for minhash, where no oracle is possible)."""
+    import hashlib
+
+    out = np.empty(len(tokens), np.uint64)
+    for i, s in enumerate(tokens):
+        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+    return out
+
+
 class SimHashes:
-    """64-bit simhash over whitespace tokens (weight = term frequency)."""
+    """64-bit simhash over whitespace tokens (weight = term frequency).
+
+    Token-less docs emit no signature row (no meaningful simhash; mirrors
+    MinHash's shingle-less skip, and keeps the SQL oracle's natural
+    exclusion of empty docs).
+    """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
         self.bit_cols = np.arange(64, dtype=np.uint64)
 
-    def simhash(self, text: str) -> int:
+    def simhash(self, text: str) -> int | None:
         toks = (text or "").lower().split()
         if not toks:
-            return 0
-        hashes = _hash_shingles_u64(toks)
+            return None
+        hashes = _hash_tokens_md5_u64(toks)
         bits = ((hashes[:, None] >> self.bit_cols[None, :]) & 1).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
         return int(((v > 0).astype(np.uint64) << self.bit_cols).sum())
@@ -381,11 +398,17 @@ class SimHashes:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        hs = [self.simhash(t) for t in texts]
+        out_id, out_h = [], []
+        for i, t in zip(ids, texts):
+            h = self.simhash(t)
+            if h is None:
+                continue
+            out_id.append(i)
+            out_h.append(h)
         return pa.table({
-            self.id_col: batch.column(self.id_col),
-            "simhash": pa.array(np.array(hs, np.uint64).view(np.int64),
-                                pa.int64()),
+            self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
+            "simhash": pa.array(np.array(out_h, np.uint64).view(np.int64)
+                                if out_h else np.empty(0, np.int64), pa.int64()),
         })
 
 

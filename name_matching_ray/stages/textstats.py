@@ -121,11 +121,15 @@ def word_counts(docs_ds, *, text_col: str = "text", min_count: int = 1):
 
 
 class RollingFingerprint:
-    """Winnowing-style document fingerprint: k-gram rolling hashes, keep the
+    """Winnowing-style document fingerprint: k-gram hashes, keep the
     minimum hash in each sliding window of ``w`` — robust to local edits.
 
     Stateless math, but expressed as a callable class so the compiled regex
-    and parameters live once per actor.  No SQL oracle (rows-only check).
+    and parameters live once per actor.  The k-gram hash is the low 64 bits
+    of md5 over the space-joined k-gram (== DuckDB ``md5_number_lower``, so
+    the SQL oracle reproduces ``fp_len`` exactly) — a process-stable digest;
+    the previous Python ``hash(tuple(...))`` was PYTHONHASHSEED-randomized,
+    so fingerprints from different Ray workers were not comparable.
     """
 
     def __init__(self, k: int = 5, w: int = 4, text_col: str = "text",
@@ -133,15 +137,19 @@ class RollingFingerprint:
         self.k, self.w = k, w
         self.text_col, self.id_col = text_col, id_col
         self.token_re = re.compile(r"\S+")
-        self.base = 1_000_003
-        self.mod = (1 << 61) - 1
 
     def _doc_fp(self, text: str) -> list[int]:
         toks = self.token_re.findall(text.lower())
         if len(toks) < self.k:
             return []
-        hs = [hash(tuple(toks[i:i + self.k])) & 0x7FFFFFFFFFFFFFFF
-              for i in range(len(toks) - self.k + 1)]
+        md5 = hashlib.md5
+        hs = [
+            int.from_bytes(
+                md5(" ".join(toks[i:i + self.k]).encode()).digest()[8:16],
+                "little",
+            ) & 0x7FFFFFFFFFFFFFFF
+            for i in range(len(toks) - self.k + 1)
+        ]
         out, prev = [], None
         for i in range(max(1, len(hs) - self.w + 1)):
             m = min(hs[i:i + self.w])

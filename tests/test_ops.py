@@ -137,6 +137,58 @@ def test_ivf_topk_recall(ray_session):
     assert len(a & e) / len(e) >= 0.5
 
 
+def test_winnow_fingerprint_process_stable():
+    """fp values must be identical across fresh interpreters regardless of
+    PYTHONHASHSEED (the old hash(tuple) was seed-randomized per process)."""
+    import os
+    import subprocess
+    import sys
+
+    code = ("from name_matching_ray.stages.textstats import RollingFingerprint;"
+            "print(RollingFingerprint()._doc_fp("
+            "'the quick brown fox jumps over the lazy dog the quick brown fox'))")
+    outs = set()
+    for seed in ("1", "31337"):
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            env={**os.environ, "PYTHONHASHSEED": seed},
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert p.returncode == 0, p.stderr
+        outs.add(p.stdout.strip())
+    assert len(outs) == 1 and outs != {"[]"}
+
+
+def test_kmeans_sample_order_independent(ray_session):
+    """Centroids from cluster-sorted input == centroids from shuffled input
+    (the old limit(sample) took the first rows — biased on sorted data)."""
+    import ray.data
+
+    from name_matching_ray.stages.annsearch import kmeans_centroids
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(loc=+2.0, size=(600, 8))
+    b = rng.normal(loc=-2.0, size=(600, 8))
+    vecs = np.concatenate([a, b])
+    ids = np.arange(len(vecs))
+
+    def as_ds(order):
+        t = pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "embedding": pa.array(list(vecs[order]), pa.list_(pa.float64())),
+        })
+        return ray.data.from_arrow(t)
+
+    sorted_order = np.arange(len(vecs))          # all of cluster a first
+    shuffled = rng.permutation(len(vecs))
+    c1 = kmeans_centroids(as_ds(sorted_order), n_clusters=4, sample=256)
+    c2 = kmeans_centroids(as_ds(shuffled), n_clusters=4, sample=256)
+    assert np.allclose(c1, c2)
+    # and the sample actually covers both clusters: some centroid near each
+    assert (c1 @ (a.mean(axis=0) / np.linalg.norm(a.mean(axis=0)))).max() > 0.5
+    assert (c1 @ (b.mean(axis=0) / np.linalg.norm(b.mean(axis=0)))).max() > 0.5
+
+
 def test_text_stats_quality_flag(ray_session):
     import ray.data
 
