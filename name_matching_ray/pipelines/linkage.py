@@ -19,7 +19,7 @@ import time
 
 import pyarrow as pa
 
-from ..stages.blocking import ExplodeToPairBlocks, _emit_pairs_for_group, compute_hot_keys
+from ..stages.blocking import ExplodeToPairBlocks, compute_hot_keys_multi
 from ..stages.cluster import connected_components
 from ..stages.extract import extract_names
 from ..stages.normalize_stage import normalize_names
@@ -27,12 +27,13 @@ from ..stages.scoring import score_pairs
 from ..state.checkpoint import Manifest, atomic_dir_write
 
 
-def _wave_of(key: str, n_waves: int) -> int:
-    import hashlib
-
-    return int.from_bytes(
-        hashlib.blake2b(key.encode(), digest_size=4).digest(), "big"
-    ) % n_waves
+_EMPTY_PAIRS = pa.table({
+    "left_doc_id": pa.array([], pa.string()),
+    "right_doc_id": pa.array([], pa.string()),
+    "block_key": pa.array([], pa.string()),
+    "rule_code": pa.array([], pa.int32()),
+    "score": pa.array([], pa.float32()),
+})
 
 
 def build_names(docs_ds, *, remove_people: bool = False, concurrency=(1, 8),
@@ -86,7 +87,11 @@ def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
 
     Layout under ``out_dir``:
       names/              normalized name records (stage checkpoint)
-      pairs/wave-{w}/     matched pairs of blocks with hash(key) % n_waves == w
+      exploded/wave={w}/  pair-block replicas, written ONCE partitioned by
+                          wave = hash(block key) % n_waves (the old loop
+                          re-ran explode+filter over all names per wave —
+                          n_waves× redundant work)
+      pairs/wave-{w}/     matched pairs of wave w
       clusters/           final (doc_id, cluster_id)
       manifest.json       per-partition lineage + metrics
     """
@@ -110,44 +115,74 @@ def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
         )
 
     names = ray.data.read_parquet(names_dir)
-    hot_first = compute_hot_keys(names, "block_key", cap)
-    hot_last = compute_hot_keys(names, "block_key_last", cap)
+    hot_first, hot_last = compute_hot_keys_multi(
+        names, ["block_key", "block_key_last"], cap
+    )
 
-    for w in range(n_waves):
-        pid = f"pairs/wave-{w}"
-        if man.is_complete(pid):
-            continue
-        tw = time.time()
-        wave_names = ray.data.read_parquet(names_dir)
-        exploded = wave_names.map_batches(
+    dropped_first = frozenset(k for k, s in hot_first.items() if s > max_shards)
+
+    from ..stages.blocking import _score_bucket_groups
+    from ..state.metrics import get_metrics_actor
+
+    # explode ONCE, wave-partitioned parquet (stage checkpoint)
+    exploded_dir = f"{out_dir}/exploded"
+    if not man.is_complete("exploded"):
+        te = time.time()
+        metrics_actor = get_metrics_actor()
+        ray.get(metrics_actor.reset.remote())
+        exploded = names.map_batches(
             ExplodeToPairBlocks,
             fn_constructor_kwargs={
                 "hot_first": hot_first,
                 "hot_last": hot_last,
                 "max_shards": max_shards,
                 "n_buckets": 1024,
+                "n_waves": n_waves,
+                "metrics": True,
             },
             batch_format="pyarrow",
             concurrency=(1, 4),
         )
-        in_wave = exploded.map_batches(_WaveFilter(w, n_waves), batch_format="pyarrow")
-        from ..stages.blocking import _score_bucket_groups
-        from ..state.metrics import get_metrics_actor
+        atomic_dir_write(
+            exploded_dir,
+            lambda p: exploded.write_parquet(p, partition_cols=["wave"]),
+        )
+        counters = ray.get(metrics_actor.get_all.remote())
+        man.mark_complete(
+            "exploded",
+            lineage={"input": names_dir, "n_waves": n_waves, "cap": cap,
+                     "max_shards": max_shards},
+            metrics={"wall_sec": round(time.time() - te, 3),
+                     "rows_dropped_stop_keys":
+                         int(counters.get("rows_dropped_stop_keys", 0))},
+        )
+
+    for w in range(n_waves):
+        pid = f"pairs/wave-{w}"
+        if man.is_complete(pid):
+            continue
+        tw = time.time()
+        wave_dir = f"{exploded_dir}/wave={w}"
+        import os
 
         metrics_actor = get_metrics_actor()
         ray.get(metrics_actor.reset.remote())
-        # fused emit+score in the reduce (see blocking.fused_match_pairs)
-        pairs = in_wave.repartition(32).groupby("bucket").map_groups(
-            lambda g: _score_bucket_groups(g, False, True),
-            batch_format="pandas",
-        )
+        if os.path.isdir(wave_dir):
+            in_wave = ray.data.read_parquet(wave_dir)
+            # fused emit+score in the reduce (see blocking.fused_match_pairs)
+            pairs = in_wave.repartition(32).groupby("bucket").map_groups(
+                lambda g: _score_bucket_groups(g, False, True, dropped_first),
+                batch_format="pandas",
+            )
+        else:  # no block key hashed into this wave
+            pairs = ray.data.from_arrow(_EMPTY_PAIRS)
         atomic_dir_write(f"{out_dir}/{pid}", lambda p: pairs.write_parquet(p))
         n_pairs = ray.data.read_parquet(f"{out_dir}/{pid}").count()
         counters = ray.get(metrics_actor.get_all.remote())
         man.mark_complete(
             pid,
-            lineage={"input": names_dir, "wave": w, "n_waves": n_waves,
-                     "cap": cap, "max_shards": max_shards},
+            lineage={"input": f"exploded/wave={w}", "wave": w,
+                     "n_waves": n_waves, "cap": cap, "max_shards": max_shards},
             metrics={"pairs_matched": n_pairs,
                      "pairs_scored": int(counters.get("pairs_scored", 0)),
                      "wall_sec": round(time.time() - tw, 3)},
@@ -169,21 +204,6 @@ def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
             metrics={"rows": n_rows, "wall_sec": round(time.time() - tc, 3)},
         )
     return {p: man.data["partitions"][p]["metrics"] for p in man.completed_partitions()}
-
-
-class _WaveFilter:
-    """Keep exploded rows whose block key falls in this wave."""
-
-    def __init__(self, wave: int, n_waves: int):
-        self.wave = wave
-        self.n_waves = n_waves
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column("pair_block").to_pylist()
-        mask = [
-            _wave_of(k.split("|", 2)[1], self.n_waves) == self.wave for k in keys
-        ]
-        return batch.filter(pa.array(mask))
 
 
 # ---------------------------------------------------------------------------

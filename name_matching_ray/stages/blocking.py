@@ -24,8 +24,10 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _stable_salt(doc_id: str, shards: int) -> int:
@@ -41,29 +43,50 @@ def compute_hot_keys(names_ds, key: str, cap: int) -> dict[str, int]:
 
 
 def compute_hot_keys_multi(names_ds, keys: list[str], cap: int) -> list[dict[str, int]]:
-    """Histograms for several key columns in ONE pass over the dataset.
+    """Histograms for several key columns in ONE distributed pass.
 
-    Per-batch ``pyarrow.compute.value_counts`` partials are merged on the
-    driver — no sort shuffle, no extra lineage execution per key (the
-    two-groupby variant re-executed the whole upstream pipeline per key).
-    At extreme cardinality, swap the driver merge for one groupby over
-    per-batch partial counts; the caller contract is unchanged.
+    Each batch emits ``(col_idx, key, partial_count)`` rows from
+    ``value_counts`` (a combiner: one row per distinct key per batch, not per
+    input row), one small ``groupby.sum`` shuffle totals them, and ONLY keys
+    with total > cap come back to the driver — at 10^12 docs the driver never
+    holds the full distinct-key histogram, just the hot tail.  One lineage
+    execution covers all key columns (a groupby per column re-executed the
+    upstream pipeline each time).
     """
-    from collections import Counter
+    from ray.data.aggregate import Sum
 
-    counters = [Counter() for _ in keys]
-    for b in names_ds.select_columns(keys).iter_batches(batch_format="pyarrow"):
-        for c, k in zip(counters, keys):
-            vc = b.column(k).value_counts()
+    def partial(batch: pa.Table) -> pa.Table:
+        cols, vals, cnts = [], [], []
+        for ci, k in enumerate(keys):
+            vc = batch.column(k).value_counts()
             flat = vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc
-            vals = flat.field("values").to_pylist()
-            cnts = flat.field("counts").to_pylist()
-            for v, n in zip(vals, cnts):
-                c[v] += n
-    return [
-        {k: int(math.ceil(n / cap)) for k, n in c.items() if n > cap}
-        for c in counters
-    ]
+            n = len(flat)
+            cols.append(np.full(n, ci, np.int8))
+            vals.append(flat.field("values"))
+            cnts.append(pc.cast(flat.field("counts"), pa.int64()))
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(cols), pa.int8()),
+             pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                               else v for v in vals]),
+             pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                               else c for c in cnts])],
+            names=["col", "key", "n"],
+        )
+
+    hot = (
+        names_ds.select_columns(keys)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["col", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n > {int(cap)}")
+    )
+    out: list[dict[str, int]] = [{} for _ in keys]
+    for b in hot.iter_batches(batch_format="pyarrow"):
+        for ci, k, n in zip(b.column("col").to_pylist(),
+                            b.column("key").to_pylist(),
+                            b.column("n").to_pylist()):
+            out[ci][k] = int(math.ceil(n / cap))
+    return out
 
 
 class ExplodeToPairBlocks:
@@ -75,10 +98,14 @@ class ExplodeToPairBlocks:
 
     def __init__(self, hot_first: dict[str, int], hot_last: dict[str, int],
                  max_shards: int = 16, n_buckets: int | None = None,
-                 drop_stop_keys: bool = True):
+                 drop_stop_keys: bool = True, n_waves: int | None = None,
+                 metrics: bool = False):
         self.hot = {"f": hot_first, "l": hot_last}
         self.max_shards = max_shards
         self.n_buckets = n_buckets  # also emit bucket = hash(pair_block) % n
+        self.n_waves = n_waves  # also emit wave = hash(key) % n_waves
+        self._wave_cache: dict[str, int] = {}
+        self.metrics = metrics  # push skip counts to the metrics actor
         # stop keys: a key needing > max_shards salt shards (> cap*max_shards
         # rows) is quadratic-blowup territory ('inc'-style generic tokens at
         # 10^12-doc scale) — drop it from this pass and count the skips (no
@@ -93,7 +120,8 @@ class ExplodeToPairBlocks:
         first = batch.column("block_key").to_pylist()
         last = batch.column("block_key_last").to_pylist()
 
-        out_block, out_side, out_idx = [], [], []
+        out_block, out_side, out_idx, out_key = [], [], [], []
+        batch_skips = 0
         for i in range(len(doc_ids)):
             for pass_tag, key in (("f", first[i]), ("l", last[i])):
                 if pass_tag == "l" and key == first[i]:
@@ -102,6 +130,7 @@ class ExplodeToPairBlocks:
                 if shards > self.max_shards:
                     if self.drop_stop_keys:
                         self.skipped_rows += 1
+                        batch_skips += 1
                         if self.skipped_rows in (1, 1000, 1_000_000):
                             import logging
 
@@ -118,6 +147,7 @@ class ExplodeToPairBlocks:
                     out_block.append(f"{pass_tag}|{key}|0|0")
                     out_side.append(2)
                     out_idx.append(i)
+                    out_key.append(key)
                 else:
                     u = _stable_salt(doc_ids[i], shards)
                     for v in range(shards):
@@ -125,6 +155,7 @@ class ExplodeToPairBlocks:
                         out_block.append(f"{pass_tag}|{key}|{lo}|{hi}")
                         out_side.append(2 if lo == hi else (0 if u == lo else 1))
                         out_idx.append(i)
+                        out_key.append(key)
         take = pa.array(out_idx, pa.int64())
         arrays = [
             pa.array(out_block, pa.string()),
@@ -143,15 +174,33 @@ class ExplodeToPairBlocks:
                 pa.int64(),
             ))
             names.append("bucket")
+        if self.n_waves:
+            cache = self._wave_cache
+            waves = []
+            for k in out_key:
+                w = cache.get(k)
+                if w is None:
+                    w = _stable_salt(k, self.n_waves)
+                    cache[k] = w
+                waves.append(w)
+            arrays.append(pa.array(waves, pa.int64()))
+            names.append("wave")
+        if self.metrics and batch_skips:
+            from ..state.metrics import get_metrics_actor
+
+            get_metrics_actor().add.remote("rows_dropped_stop_keys", batch_skips)
         return pa.Table.from_arrays(arrays, names=names)
 
 
-def _cross_for_block(g: pd.DataFrame) -> tuple[pd.DataFrame, str]:
+def _cross_for_block(g: pd.DataFrame,
+                     dropped_first: frozenset = frozenset()) -> tuple[pd.DataFrame, str]:
     """Candidate cross-product for ONE pair-block group -> (cross, key).
 
     Orientation is canonical: the lexicographically smaller doc_id is the
     query ("a") side of the asymmetric cascade.  Secondary-pass groups skip
-    pairs already co-blocked by first token (see module docstring).
+    pairs already co-blocked by first token (see module docstring) — UNLESS
+    that first token was a dropped stop key, in which case the primary pass
+    never emitted the pair and the secondary pass must keep it.
     """
     block = g["pair_block"].iat[0]
     pass_tag, key, i_shard, j_shard = block.split("|")
@@ -175,13 +224,17 @@ def _cross_for_block(g: pd.DataFrame) -> tuple[pd.DataFrame, str]:
             cross.loc[flip, a_cols] = cross.loc[flip, b_cols].to_numpy()
             cross.loc[flip, b_cols] = tmp
     if pass_tag == "l":
-        cross = cross[cross["block_key_a"] != cross["block_key_b"]]
+        same_first = cross["block_key_a"] == cross["block_key_b"]
+        if dropped_first:
+            same_first &= ~cross["block_key_a"].isin(dropped_first)
+        cross = cross[~same_first]
     return cross, key
 
 
-def _emit_pairs_for_group(g: pd.DataFrame) -> pd.DataFrame:
+def _emit_pairs_for_group(g: pd.DataFrame,
+                          dropped_first: frozenset = frozenset()) -> pd.DataFrame:
     """All unordered candidate pairs within one pair-block (pandas group)."""
-    cross, key = _cross_for_block(g)
+    cross, key = _cross_for_block(g, dropped_first)
     if cross.empty:
         return pd.DataFrame(
             {c: pd.Series(dtype="object") for c in
@@ -201,7 +254,8 @@ def _emit_pairs_for_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool) -> pa.Table:
+def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
+                         dropped_first: frozenset = frozenset()) -> pa.Table:
     """Fused emit+score for one coarse bucket of pair-blocks.
 
     Candidate pairs are enumerated as INDEX pairs and scored inline inside
@@ -256,7 +310,10 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool) -> pa.T
             for j in range(i + 1, e0):
                 if not triangle and sidei == side[j]:
                     continue
-                if secondary and bki == bk[j]:
+                if secondary and bki == bk[j] and bki not in dropped_first:
+                    # co-blocked by first token too → the primary pass
+                    # emitted this pair (unless that first key was a dropped
+                    # stop key, in which case it never did — keep it here)
                     continue
                 n_scored += 1
                 if token_set_ratio_pre(tsi, tss[j]) > 50:
@@ -320,8 +377,9 @@ def fused_match_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
     )
     if out_blocks:
         exploded = exploded.repartition(out_blocks)
+    dropped_first = frozenset(k for k, s in hot_first.items() if s > max_shards)
     return exploded.groupby("bucket").map_groups(
-        lambda g: _score_bucket_groups(g, keep_all, metrics),
+        lambda g: _score_bucket_groups(g, keep_all, metrics, dropped_first),
         batch_format="pandas",
     )
 
@@ -357,8 +415,9 @@ def candidate_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
         # follows the input block count; a single-file read yields ~2 blocks,
         # which would serialize the O(pairs) cross-products in 2 tasks
         exploded = exploded.repartition(out_blocks)
+    dropped_first = frozenset(k for k, s in hot_first.items() if s > max_shards)
     pairs = exploded.groupby("pair_block").map_groups(
-        _emit_pairs_for_group, batch_format="pandas"
+        lambda g: _emit_pairs_for_group(g, dropped_first), batch_format="pandas"
     )
     if out_blocks:
         # rebalance: emit blocks are skewed (hot blocks emit quadratically

@@ -296,11 +296,14 @@ class ExplodeBands:
 
 def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
                       bands: int = 32, tau: float = 0.5, max_bucket: int = 200,
-                      text_col: str = "text", id_col: str = "doc_id"):
+                      text_col: str = "text", id_col: str = "doc_id",
+                      metrics: bool = False):
     """MinHash-LSH candidate pairs with signature-estimated Jaccard >= tau.
 
     Returns (left_id, right_id, est_sim_pct int).  ``max_bucket`` caps the
-    per-bucket pair blowup (hot buckets dropped — logged into the row count).
+    per-bucket pair blowup; with ``metrics=True`` every hot-bucket skip adds
+    its n·(n−1)/2 candidate pairs to the ``pairs_dropped_hot_buckets``
+    counter on the metrics actor (no silent caps).
     """
     from ray.data.aggregate import Max
 
@@ -324,8 +327,12 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
     def pairs_in_bucket(g):
         # coarse bucket: iterate the whole band-key groups it contains
         l_out, r_out, s_out = [], [], []
+        n_dropped = 0
         for _, grp in g.groupby("band_key", sort=False):
-            if len(grp) < 2 or len(grp) > max_bucket:
+            if len(grp) < 2:
+                continue
+            if len(grp) > max_bucket:
+                n_dropped += len(grp) * (len(grp) - 1) // 2
                 continue
             ids = grp[id_col].to_numpy()
             sig = np.stack(grp["sig"].to_numpy())  # (k, num_perm)
@@ -337,6 +344,10 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
             l_out.append(ids[iu[keep]])
             r_out.append(ids[ju[keep]])
             s_out.append((agree[keep] * 100 // num_perm).astype(np.int64))
+        if metrics and n_dropped:
+            from ..state.metrics import get_metrics_actor
+
+            get_metrics_actor().add.remote("pairs_dropped_hot_buckets", n_dropped)
         if not l_out:
             return pa.table({
                 "left_id": pa.array([], pa.int64()),

@@ -108,3 +108,29 @@ def test_stop_keys_dropped_with_logging(ray_session):
 
     for l, r in full - pairs:
         assert l in acme and r in acme  # only stop-key pairs were dropped
+
+
+def test_secondary_pass_recovers_dropped_first_key_pairs(ray_session):
+    """Pairs sharing a DROPPED first-token stop key AND a healthy last token
+    must still be emitted by the secondary pass (the old skip assumed the
+    primary pass had emitted every equal-first-token pair)."""
+    import ray.data
+
+    from name_matching_ray.stages.blocking import candidate_pairs
+
+    t = _names_table(n=300, hot_frac=0.6)  # 'acme' first token on 180 rows
+    names = ray.data.from_arrow(t)
+    pairs = _pair_set(candidate_pairs(names, cap=20, max_shards=3,
+                                      out_blocks=8))
+    df = t.to_pandas()
+    # every acme pair that shares a last token is recoverable via pass 'l'
+    by_last = df[df.block_key == "acme"].groupby("block_key_last")["doc_id"]
+    expected = set()
+    for _, ids in by_last:
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected.add((ids[i], ids[j]))
+    assert expected, "fixture must produce recoverable pairs"
+    missing = expected - pairs
+    assert not missing, f"{len(missing)} recoverable pairs lost"
