@@ -67,17 +67,19 @@ def _linkage_clusters(sf_dir: str):
 
 
 def _pair_scoring(sf_dir: str):
-    """match_pair.py semantics: pre-paired names (adjacent doc texts)."""
-    import pyarrow as pa
+    """match_pair.py semantics over planted entity-variant pairs.
 
-    def to_pairs(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        return pa.table({
-            "name_a": pa.array(texts[:-1], pa.string()),
-            "name_b": pa.array(texts[1:], pa.string()),
-        })
+    The pair table is synthesized deterministically at the sf's document
+    scale (one positive same-entity pair + one negative cross-entity pair
+    per entity) so the expected match set is non-empty — pairing adjacent
+    document texts matched 0 rows, a vacuous correctness signal.
+    """
+    import ray.data
 
-    pairs = _read_docs(sf_dir).map_batches(to_pairs, batch_format="pyarrow")
+    from name_matching_ray.synth import synth_name_pairs
+
+    n_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+    pairs = ray.data.from_arrow(synth_name_pairs(max(50, n_docs // 2)))
     return score_prepaired(pairs)
 
 

@@ -7,8 +7,10 @@ groupby + min-label propagation until fixpoint".
 
 Algorithm (per iteration, 2 shuffles):
   1. attach each node's current label to its adjacency rows — a hash-bucket
-     join done as ``union + groupby(node).map_groups`` (Ray Data's portable
-     partitioned-join pattern);
+     join done as ``union + groupby(hash(node) % 256).map_groups`` with the
+     per-node min/label-mapping vectorized in pandas INSIDE each coarse
+     bucket (grouping by raw node built one tiny pandas group per node —
+     the per-group block-construction overhead dominates at 100k+ nodes);
   2. every node takes the min of (own label, neighbours' labels) via
      ``groupby(node).aggregate(min)``.
 
@@ -82,7 +84,8 @@ def _hash64(node: pd.Series, label: pd.Series) -> np.ndarray:
 
 
 def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
-                         driver_threshold: int = 2_000_000):
+                         driver_threshold: int = 2_000_000,
+                         label_blocks: int = 64):
     """edges(left_doc_id, right_doc_id) + nodes(doc_id) -> (doc_id, cluster_id).
 
     ``cluster_id`` is the lexicographic min doc_id of the component.
@@ -103,16 +106,27 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
     if edges_ds.count() < driver_threshold:
         return _driver_union_find(edges_ds, nodes_ds)
 
-    def to_adj(batch: pa.Table) -> pa.Table:
-        l = batch.column("left_doc_id")
-        r = batch.column("right_doc_id")
-        return pa.Table.from_arrays(
-            [pa.concat_arrays([l.combine_chunks(), r.combine_chunks()]),
-             pa.concat_arrays([r.combine_chunks(), l.combine_chunks()])],
-            names=["node", "nbr"],
-        )
+    n_buckets = 256  # coarse shuffle key: hash(node) % n_buckets — one Ray
+    # group per BUCKET, with the per-node logic vectorized in pandas inside
+    # (a groupby("node") built one tiny pandas group per node per iteration,
+    # the exact 100k+-tiny-groups pathology this repo hit elsewhere)
 
-    adj = edges_ds.map_batches(to_adj, batch_format="pyarrow").materialize()
+    def _bucket_of(s: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        return (h % n_buckets).astype(np.int64)
+
+    def to_adj(batch: pd.DataFrame) -> pa.Table:
+        node = pd.concat([batch["left_doc_id"], batch["right_doc_id"]],
+                         ignore_index=True)
+        nbr = pd.concat([batch["right_doc_id"], batch["left_doc_id"]],
+                        ignore_index=True)
+        return pa.table({
+            "node": pa.array(node, pa.string()),
+            "nbr": pa.array(nbr, pa.string()),
+            "bucket": pa.array(_bucket_of(node), pa.int64()),
+        })
+
+    adj = edges_ds.map_batches(to_adj, batch_format="pandas").materialize()
 
     labels = nodes_ds.map_batches(
         lambda t: pa.Table.from_arrays(
@@ -130,41 +144,53 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
 
     prev = checksum(labels)
     for it in range(max_iters):
-        # 1) join: label of node -> messages (nbr, label)
+        # 1) hash-bucket join: node's current min label -> messages (nbr, label)
         tagged_adj = adj.map_batches(
             lambda t: t.append_column("label", pa.nulls(t.num_rows, pa.string())),
             batch_format="pyarrow",
         )
         tagged_lbl = labels.map_batches(
-            lambda t: t.append_column("nbr", pa.nulls(t.num_rows, pa.string()))
-                       .select(["node", "nbr", "label"]),
-            batch_format="pyarrow",
+            lambda g: pa.table({
+                "node": pa.array(g["node"], pa.string()),
+                "nbr": pa.nulls(len(g), pa.string()),
+                "label": pa.array(g["label"], pa.string()),
+                "bucket": pa.array(_bucket_of(g["node"]), pa.int64()),
+            }),
+            batch_format="pandas",
         )
 
         def emit_msgs(g: pd.DataFrame) -> pa.Table:
-            # return Arrow even from the pandas group view: downstream
-            # union()/groupby() require homogeneous block types
-            lab = g["label"].dropna()
-            nbrs = g["nbr"].dropna()
-            if lab.empty or nbrs.empty:
+            # one coarse bucket = many whole node-groups; all vectorized:
+            # min label per node via a pandas groupby, then mapped onto the
+            # bucket's adjacency rows.  Arrow out (homogeneous block types).
+            lab = g.loc[g["label"].notna(), ["node", "label"]]
+            adj_rows = g.loc[g["nbr"].notna(), ["node", "nbr"]]
+            if lab.empty or adj_rows.empty:
                 return pa.table(
                     {"node": pa.array([], pa.string()),
                      "label": pa.array([], pa.string())}
                 )
-            m = lab.min()
+            min_lbl = lab.groupby("node", sort=False)["label"].min()
+            m = adj_rows["node"].map(min_lbl)
+            ok = m.notna()
             return pa.table(
-                {"node": pa.array(nbrs, pa.string()),
-                 "label": pa.array([m] * len(nbrs), pa.string())}
+                {"node": pa.array(adj_rows["nbr"][ok], pa.string()),
+                 "label": pa.array(m[ok], pa.string())}
             )
 
         msgs = (
             tagged_adj.union(tagged_lbl)
-            .groupby("node")
+            .groupby("bucket")
             .map_groups(emit_msgs, batch_format="pandas")
         )
-        # 2) min over (own label ∪ incoming labels)
+        # 2) min over (own label ∪ incoming labels).  The union SUMS the two
+        # inputs' block counts and groupby preserves it, so without the
+        # repartition the label block count doubles every iteration
+        # (exponential task explosion — measured: iter 7 already at 511
+        # blocks / 31 s on a 2k-node graph).
         labels = (
             msgs.union(labels)
+            .repartition(label_blocks)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()

@@ -168,3 +168,30 @@ def write_synth_docs(path: str, n_docs: int, seed: int = 42,
                      variants_per_entity: int = 4) -> str:
     synth_docs_dataset(n_docs, seed, variants_per_entity).write_parquet(path)
     return path
+
+
+def synth_name_pairs(n_entities: int, seed: int = 42) -> pa.Table:
+    """Deterministic pre-paired raw names (the match_pair.py input shape).
+
+    Two rows per entity: a POSITIVE pair (two surface variants of the same
+    planted entity — same rng derivation as ``generate_docs_batch``, doc
+    index = entity*4 + variant) and a NEGATIVE pair (a variant of the next
+    entity, whose lead words are almost surely distinct).  Gives the
+    pre-paired scoring path a non-vacuous expected-match set.
+    """
+    a_out, b_out = [], []
+    for e in range(n_entities):
+        base = _entity_name(_doc_rng(seed, e * 1_000_003))
+        v_pos = 1 + (e % 3)
+        a = _variant(base, 0, _doc_rng(seed, e * 4))
+        b = _variant(base, v_pos, _doc_rng(seed, e * 4 + v_pos))
+        a_out.append(a)
+        b_out.append(b)
+        e2 = (e + 1) % n_entities
+        base2 = _entity_name(_doc_rng(seed, e2 * 1_000_003))
+        a_out.append(a)
+        b_out.append(_variant(base2, 0, _doc_rng(seed, e2 * 4)))
+    return pa.table({
+        "name_a": pa.array(a_out, pa.string()),
+        "name_b": pa.array(b_out, pa.string()),
+    })

@@ -189,6 +189,53 @@ def test_kmeans_sample_order_independent(ray_session):
     assert (c1 @ (b.mean(axis=0) / np.linalg.norm(b.mean(axis=0)))).max() > 0.5
 
 
+def _planted_dup_ds(n_base=300, n_dup=40, d=16, seed=5):
+    """Base vectors + planted near-duplicates (tiny perturbations)."""
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, d))
+    dup_src = rng.choice(n_base, size=n_dup, replace=False)
+    dups = base[dup_src] + rng.normal(scale=0.01, size=(n_dup, d))
+    vecs = np.concatenate([base, dups])
+    ids = np.arange(len(vecs))
+    truth = {(int(s), int(n_base + k)) for k, s in enumerate(dup_src)}
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+    })
+    return ray.data.from_arrow(t), truth
+
+
+def test_embedding_dups_chunked_exact(ray_session):
+    """Block-pair join over FORCED multiple chunks == single-chunk result
+    (exactness does not depend on chunking), and finds all planted dups."""
+    from name_matching_ray.stages.annsearch import embedding_cosine_dups
+
+    ds, truth = _planted_dup_ds()
+    one = embedding_cosine_dups(ds, threshold=0.95).to_pandas()
+    many = embedding_cosine_dups(ds, threshold=0.95, chunk_rows=64).to_pandas()
+    k = ["left_id", "right_id"]
+    assert one.sort_values(k).reset_index(drop=True).equals(
+        many.sort_values(k).reset_index(drop=True))
+    got = set(zip(many.left_id, many.right_id))
+    assert truth <= got  # every planted dup found (cos ~ 1 > 0.95)
+
+
+def test_ivf_cosine_dups_recall_on_planted(ray_session):
+    """Bucketed (within-partition) near-dup recovers planted duplicates."""
+    from name_matching_ray.stages.annsearch import (
+        ivf_cosine_dups, kmeans_centroids,
+    )
+
+    ds, truth = _planted_dup_ds()
+    cent = kmeans_centroids(ds, n_clusters=6, sample=256)
+    got = ivf_cosine_dups(ds, cent, threshold=0.95).to_pandas()
+    got_pairs = set(zip(got.left_id, got.right_id))
+    recall = len(got_pairs & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
 def test_text_stats_quality_flag(ray_session):
     import ray.data
 
@@ -266,6 +313,46 @@ def test_cluster_hybrid_paths_agree(ray_session):
     assert lbl["a"] == lbl["b"] == lbl["c"] == lbl["x"] == "a"
     assert lbl["p"] == lbl["q"] == lbl["r"] == "p"
     assert lbl["lone"] == "lone"
+
+
+def test_cluster_distributed_path_at_size(ray_session):
+    """Forced distributed min-label propagation (driver_threshold=0) on a
+    6k-node chain-heavy graph matches the ground-truth components."""
+    import time
+
+    import ray.data
+
+    from name_matching_ray.stages.cluster import connected_components
+
+    rng = np.random.default_rng(11)
+    n = 6_000
+    comp_of = rng.integers(0, 1500, size=n)  # ground-truth component per node
+    order = np.argsort(comp_of, kind="stable")
+    nodes = [f"n{i:06d}" for i in range(n)]
+    lefts, rights = [], []
+    members: dict = {}
+    for idx in order:
+        c = comp_of[idx]
+        ms = members.setdefault(c, [])
+        if ms:  # binary-tree edges: log-diameter, still multi-round
+            lefts.append(nodes[ms[(len(ms) - 1) // 2]])
+            rights.append(nodes[idx])
+        ms.append(idx)
+    e_ds = ray.data.from_arrow(pa.table({
+        "left_doc_id": pa.array(lefts, pa.string()),
+        "right_doc_id": pa.array(rights, pa.string()),
+    }))
+    n_ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.string())}))
+    t0 = time.time()
+    got = connected_components(e_ds, n_ds, driver_threshold=0,
+                               max_iters=60).to_pandas()
+    wall = time.time() - t0
+    assert len(got) == n
+    lbl = got.set_index("doc_id")["cluster_id"].to_dict()
+    for c in np.unique(comp_of):
+        members = [nodes[i] for i in np.nonzero(comp_of == c)[0]]
+        expect = min(members)
+        assert all(lbl[m] == expect for m in members), (c, wall)
 
 
 def test_location_fast_path_equals_reference_regex():

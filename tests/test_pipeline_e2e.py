@@ -76,6 +76,28 @@ def test_self_link_recovers_entities(docs_path, ray_session):
     assert completeness >= 0.80, completeness
 
 
+def test_pair_scoring_planted_variants(ray_session):
+    """Pre-paired scoring must accept most same-entity variant pairs and
+    reject cross-entity pairs (non-vacuous expected-match set)."""
+    import ray.data
+
+    from name_matching_ray.pipelines.linkage import score_prepaired
+    from name_matching_ray.synth import synth_name_pairs
+
+    t = synth_name_pairs(60)
+    positives = {(t.column("name_a")[2 * i].as_py(),
+                  t.column("name_b")[2 * i].as_py()) for i in range(60)}
+    negatives = {(t.column("name_a")[2 * i + 1].as_py(),
+                  t.column("name_b")[2 * i + 1].as_py()) for i in range(60)}
+    got = score_prepaired(ray.data.from_arrow(t), concurrency=(1, 2)).to_pandas()
+    matched = set(zip(got.name_a, got.name_b))
+    assert (got.rule_code > 0).all()
+    recall = len(matched & positives) / len(positives)
+    false_pos = len(matched & negatives)
+    assert recall >= 0.8, recall
+    assert false_pos <= 3, matched & negatives
+
+
 def test_checkpoint_resume(docs_path, tmp_path, ray_session):
     """Kill-and-rerun: completed waves are skipped; outputs identical."""
     import ray.data
