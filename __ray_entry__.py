@@ -84,7 +84,10 @@ def _pair_scoring(sf_dir: str):
 
 
 def _lang_id(sf_dir: str):
-    return textstats.lang_id(_read_docs(sf_dir))
+    # lang_conf is a float ratio (hash-hazardous) — the oracle-compared
+    # surface is the prediction itself
+    return textstats.lang_id(_read_docs(sf_dir)).select_columns(
+        ["doc_id", "lang_pred"])
 
 
 def _winnow(sf_dir: str):
@@ -286,6 +289,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = p.left_id
             JOIN sizes sb ON sb.doc_id = p.right_id
             WHERE p.inter*100 >= (sa.n_sh + sb.n_sh - p.inter)*10
+        """,
+        "media_features": """
+            SELECT printf('d%09d', doc_id) AS doc_id,
+                   CAST(1 AS INTEGER) AS span_idx,
+                   'image' AS kind,
+                   'media://' || source || '/' || printf('d%09d', doc_id) AS media_ref,
+                   CAST(64 AS INTEGER) AS width,
+                   CAST(64 AS INTEGER) AS height,
+                   CAST(1 AS INTEGER) AS n_frames
+            FROM documents
+        """,
+        "lang_id": r"""
+            WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+            w AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(t, '[a-zà-ÿ]+')) AS words,
+                       CASE WHEN length(t) = 0 THEN 0.0
+                            ELSE CAST(length(regexp_replace(
+                                     t, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+                                 AS DOUBLE) / length(t) END AS cjk
+                FROM t),
+            s AS (
+                SELECT doc_id, cjk,
+                       len(list_intersect(words, ['the','and','of','is','with','for'])) AS s_en,
+                       len(list_intersect(words, ['der','die','und','das','nicht','ist'])) AS s_de,
+                       len(list_intersect(words, ['le','la','les','et','est','une'])) AS s_fr,
+                       len(list_intersect(words, ['el','los','las','es','una','que'])) AS s_es
+                FROM w)
+            SELECT doc_id,
+                   CASE WHEN cjk > 0.2 THEN 'zh'
+                        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                        WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                        WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                        WHEN s_en >= s_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM s
         """,
         "simhash_dedup": r"""
             WITH t AS (

@@ -44,16 +44,40 @@ __all__ = [
 ]
 
 
+_MASK_CACHE: dict = {}  # short string -> (char->bitmask dict, full mask)
+_MASK_CACHE_CAP = 200_000
+
+
+def _char_masks(short: str) -> tuple[dict, int]:
+    got = _MASK_CACHE.get(short)
+    if got is None:
+        match_mask: dict = {}
+        for i, ch in enumerate(short):
+            match_mask[ch] = match_mask.get(ch, 0) | (1 << i)
+        got = (match_mask, (1 << len(short)) - 1)
+        if len(_MASK_CACHE) < _MASK_CACHE_CAP:
+            _MASK_CACHE[short] = got
+    return got
+
+
 def _lcs_len_bitparallel(short: Sequence, long: Sequence) -> int:
-    """Length of the longest common subsequence, |short| <= 64 (Hyyro 2004)."""
+    """Length of the longest common subsequence, |short| <= 64 (Hyyro 2004).
+
+    The per-string char-mask table is memoized for strings (one side of a
+    ratio call recurs across millions of word-pair comparisons in the
+    cascade) — list/tuple inputs build it inline."""
     m = len(short)
-    match_mask: dict = {}
-    for i, ch in enumerate(short):
-        match_mask[ch] = match_mask.get(ch, 0) | (1 << i)
-    full = (1 << m) - 1
+    if type(short) is str:
+        match_mask, full = _char_masks(short)
+    else:
+        match_mask = {}
+        for i, ch in enumerate(short):
+            match_mask[ch] = match_mask.get(ch, 0) | (1 << i)
+        full = (1 << m) - 1
     v = full
+    get = match_mask.get
     for ch in long:
-        mm = match_mask.get(ch, 0)
+        mm = get(ch, 0)
         u = v & mm
         v = ((v + u) | (v - u)) & full
     # zeros in v (within m bits) == LCS length

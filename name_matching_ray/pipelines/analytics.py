@@ -92,12 +92,25 @@ def pricing_summary(sf_dir: str):
 # broadcast-join: revenue per market segment / per region
 # ---------------------------------------------------------------------------
 
-def segment_revenue(sf_dir: str):
+def segment_revenue(sf_dir: str, *, broadcast_threshold: int = 5_000_000):
+    """Revenue per market segment (orders ⋈ customer).
+
+    ``customer`` is NOT a fixed-size dim table — it scales with sf — so the
+    driver-collect + ``ray.put`` broadcast map is used only while customer
+    stays under ``broadcast_threshold`` rows; beyond that the join switches
+    to :func:`_segment_revenue_partitioned` (hash-bucket partitioned join,
+    nothing ever collected to the driver).  Both paths produce identical
+    output (pytest-checked).
+    """
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_of = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    if cust_ds.count() > broadcast_threshold:
+        return _segment_revenue_partitioned(cust_ds, orders)
+
+    cust = cust_ds.to_pandas()
+    seg_of = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     class Partial:
         def __init__(self):
@@ -121,6 +134,68 @@ def segment_revenue(sf_dir: str):
         Sum("revenue_c", alias_name="revenue_c"),
         Sum("n_orders", alias_name="n_orders"),
     )
+
+
+def _segment_revenue_partitioned(cust_ds, orders, *, n_buckets: int = 128):
+    """Hash-bucket partitioned join: both sides tagged with
+    ``hash(custkey) % n_buckets``, unioned, joined inside each coarse bucket
+    (orders pre-aggregated per custkey in the map side first), then one tiny
+    segment-level groupby.  The scale path — no driver-side customer map."""
+    from ray.data.aggregate import Sum
+
+    def _bucket(keys: np.ndarray) -> np.ndarray:
+        return ((keys.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def cust_tag(df: pd.DataFrame) -> pa.Table:
+        keys = df["c_custkey"].to_numpy(np.int64)
+        return pa.table({
+            "bucket": pa.array(_bucket(keys), pa.int64()),
+            "key": pa.array(keys, pa.int64()),
+            "seg": pa.array(df["c_mktsegment"], pa.string()),
+            "revenue_c": pa.nulls(len(df), pa.int64()),
+            "n_orders": pa.nulls(len(df), pa.int64()),
+        })
+
+    def order_partial(df: pd.DataFrame) -> pa.Table:
+        g = (df.assign(revenue_c=_cents(df["o_totalprice"].to_numpy()),
+                       n_orders=np.int64(1))
+               .groupby("o_custkey", as_index=False)
+               [["revenue_c", "n_orders"]].sum())
+        keys = g["o_custkey"].to_numpy(np.int64)
+        return pa.table({
+            "bucket": pa.array(_bucket(keys), pa.int64()),
+            "key": pa.array(keys, pa.int64()),
+            "seg": pa.nulls(len(g), pa.string()),
+            "revenue_c": pa.array(g["revenue_c"].to_numpy(np.int64), pa.int64()),
+            "n_orders": pa.array(g["n_orders"].to_numpy(np.int64), pa.int64()),
+        })
+
+    both = cust_ds.map_batches(cust_tag, batch_format="pandas").union(
+        orders.map_batches(order_partial, batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        seg_map = g.loc[g["seg"].notna()].set_index("key")["seg"]
+        fact = g.loc[g["seg"].isna()]
+        if fact.empty or seg_map.empty:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "revenue_c": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        out = (fact.assign(c_mktsegment=fact["key"].map(seg_map))
+                   .dropna(subset=["c_mktsegment"])
+                   .groupby("c_mktsegment", as_index=False)
+                   [["revenue_c", "n_orders"]].sum())
+        return pa.table({
+            "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
+            "revenue_c": pa.array(out["revenue_c"].to_numpy(np.int64), pa.int64()),
+            "n_orders": pa.array(out["n_orders"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return (both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+                .groupby("c_mktsegment")
+                .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                           Sum("n_orders", alias_name="n_orders")))
 
 
 def region_balance(sf_dir: str):

@@ -254,18 +254,57 @@ def _emit_pairs_for_group(g: pd.DataFrame,
     )
 
 
+_NAME_ENC: dict = {}  # nosuffix -> (sorted distinct token-id array, tw, token set)
+_TOKEN_IDS: dict = {}  # token -> global int id
+_TOKEN_W = np.empty(1024, np.int64)  # id -> len(token) + 1 (join weight)
+_NAME_ENC_CAP = 500_000
+
+
+def _encode_name(s: str):
+    """Per-process encoding of a nosuffix name: distinct token ids (sorted),
+    total join weight Σ(len+1), and the Python set for exact fallbacks."""
+    got = _NAME_ENC.get(s)
+    if got is not None:
+        return got
+    global _TOKEN_W
+    toks = set(s.split())
+    ids = np.empty(len(toks), np.int64)
+    tw = 0
+    for k, t in enumerate(toks):
+        tid = _TOKEN_IDS.get(t)
+        if tid is None:
+            tid = len(_TOKEN_IDS)
+            _TOKEN_IDS[t] = tid
+            if tid >= len(_TOKEN_W):
+                _TOKEN_W = np.resize(_TOKEN_W, len(_TOKEN_W) * 2)
+            _TOKEN_W[tid] = len(t) + 1
+        ids[k] = tid
+        tw += len(t) + 1
+    ids.sort()
+    got = (ids, tw, toks)
+    if len(_NAME_ENC) < _NAME_ENC_CAP:
+        _NAME_ENC[s] = got
+    return got
+
+
 def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
                          dropped_first: frozenset = frozenset()) -> pa.Table:
     """Fused emit+score for one coarse bucket of pair-blocks.
 
     Candidate pairs are enumerated as INDEX pairs and scored inline inside
     the groupby's reduce task — neither the wide pair table nor even a
-    per-block cross-product frame is materialized (the pandas cross-merge
-    was memory-bandwidth-bound and throttled 32-core runs).  The compiled
-    Matcher comes from the per-process singleton.
+    per-block cross-product frame is materialized.  The ``token_set_ratio
+    > 50`` candidate gate is decided VECTORIZED per block: two n×V matmuls
+    over the block's binary token matrix give every pair's intersection
+    count and joined-char weight, from which exact integer bounds settle
+    almost all pairs (``2·sect_len > bool(sect) + min(diff)`` ⟺ the
+    sect-vs-sect+diff terms exceed 50; ``4·min(diff) ≤ diff_a + diff_b`` ⟹
+    the remaining diff-vs-diff term cannot).  Only bound-ambiguous pairs
+    fall back to the exact Python kernel, and only gate-passing pairs enter
+    the rule cascade — the per-pair Python loop that capped scaling
+    efficiency at 0.76 is gone.  The compiled Matcher comes from the
+    per-process singleton.
     """
-    import numpy as np
-
     from ..functions.rules import get_matcher
     from ..functions.similarity import token_set_ratio_pre, token_sort_ratio
 
@@ -275,63 +314,109 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
     n_scored = 0
 
     # ONE sort for the whole bucket: groups become contiguous row ranges with
-    # rows already in canonical doc_id order (i < j ⇒ i is the query side) —
-    # the per-group sort_values/tolist churn was ~2x the actual scoring cost
+    # rows already in canonical doc_id order (i < j ⇒ i is the query side)
     g = g.sort_values(["pair_block", "doc_id"], kind="stable")
     blocks_np = g["pair_block"].to_numpy()
     ids = g["doc_id"].tolist()
     pre = g["pre_proc"].tolist()
     nos = g["nosuffix"].tolist()
     bk = g["block_key"].tolist()
-    side = g["side"].tolist()
-    # gate token sets once per distinct name in the bucket (a name appears
-    # in several groups via salting + the secondary pass)
-    ts_of: dict[str, set] = {}
-    tss = []
-    for s_ in nos:
-        t = ts_of.get(s_)
-        if t is None:
-            t = set(s_.split())
-            ts_of[s_] = t
-        tss.append(t)
-
+    side_np = g["side"].to_numpy(np.int8)
     nrows = len(ids)
+
+    enc = [_encode_name(s_) for s_ in nos]
+    tok_ids = [e[0] for e in enc]
+    tw_np = np.fromiter((e[1] for e in enc), np.int64, nrows)
+    cnt_np = np.fromiter((len(e[0]) for e in enc), np.int64, nrows)
+    tss = [e[2] for e in enc]
+    bk_dropped = (np.fromiter((b in dropped_first for b in bk), bool, nrows)
+                  if dropped_first else np.zeros(nrows, bool))
+
     change = (np.nonzero(blocks_np[1:] != blocks_np[:-1])[0] + 1
               if nrows else np.empty(0, np.int64))
     starts = [0] + change.tolist() if nrows else []
     ends = change.tolist() + [nrows] if nrows else []
 
     for s0, e0 in zip(starts, ends):
+        n = e0 - s0
+        if n < 2:
+            continue
         pass_tag, key, i_shard, j_shard = blocks_np[s0].split("|")
         secondary = pass_tag == "l"
         triangle = i_shard == j_shard
-        for i in range(s0, e0 - 1):
-            bki, sidei, tsi, prei, idi = bk[i], side[i], tss[i], pre[i], ids[i]
-            for j in range(i + 1, e0):
-                if not triangle and sidei == side[j]:
-                    continue
-                if secondary and bki == bk[j] and bki not in dropped_first:
-                    # co-blocked by first token too → the primary pass
-                    # emitted this pair (unless that first key was a dropped
-                    # stop key, in which case it never did — keep it here)
-                    continue
-                n_scored += 1
-                if token_set_ratio_pre(tsi, tss[j]) > 50:
-                    code = int(match(prei, pre[j]))
-                else:
-                    code = -100
-                if code > 0:
-                    out_l.append(idi)
-                    out_r.append(ids[j])
-                    out_k.append(key)
-                    out_c.append(code)
-                    out_s.append(float(token_sort_ratio(nos[i], nos[j])))
-                elif keep_all:
-                    out_l.append(idi)
-                    out_r.append(ids[j])
-                    out_k.append(key)
-                    out_c.append(code)
-                    out_s.append(0.0)
+
+        iu, ju = np.triu_indices(n, 1)
+        iu += s0
+        ju += s0
+        if not triangle:
+            keep = side_np[iu] != side_np[ju]
+            iu, ju = iu[keep], ju[keep]
+        if secondary and len(iu):
+            bk_codes = pd.factorize(np.asarray(bk[s0:e0], object))[0]
+            same_first = bk_codes[iu - s0] == bk_codes[ju - s0]
+            if dropped_first:
+                same_first &= ~bk_dropped[iu]
+            iu, ju = iu[~same_first], ju[~same_first]
+        np_pairs = len(iu)
+        if not np_pairs:
+            continue
+        n_scored += np_pairs
+
+        # --- vectorized gate over the block's binary token matrix ---
+        block_toks = [tok_ids[r] for r in range(s0, e0)]
+        lens = np.fromiter((len(a) for a in block_toks), np.int64, n)
+        total = int(lens.sum())
+        if total:
+            allids = np.concatenate(block_toks)
+            uniq, inv = np.unique(allids, return_inverse=True)
+            A = np.zeros((n, len(uniq)), np.float32)
+            A[np.repeat(np.arange(n), lens), inv] = 1.0
+            IC = A @ A.T
+            IW = A @ (A * _TOKEN_W[uniq].astype(np.float32)).T
+            li, lj = iu - s0, ju - s0
+            ic = np.rint(IC[li, lj]).astype(np.int64)
+            iw = np.rint(IW[li, lj]).astype(np.int64)
+        else:
+            ic = np.zeros(np_pairs, np.int64)
+            iw = np.zeros(np_pairs, np.int64)
+        ca, cb = cnt_np[iu], cnt_np[ju]
+        sl = iw - (ic > 0)
+        al = (tw_np[iu] - iw) - (ca > ic)
+        bl = (tw_np[ju] - iw) - (cb > ic)
+        mn = np.minimum(al, bl)
+        both_empty = (ca == 0) & (cb == 0)
+        gate_pass = both_empty | ((ic > 0) & ((al == 0) | (bl == 0))) \
+            | (2 * sl > (sl > 0).astype(np.int64) + mn)
+        undecided = ~gate_pass & ~((ca == 0) ^ (cb == 0)) \
+            & (4 * mn > al + bl) & ~both_empty
+        for t in np.nonzero(undecided)[0]:
+            if token_set_ratio_pre(tss[iu[t]], tss[ju[t]]) > 50:
+                gate_pass[t] = True
+
+        # --- cascade only for gate-passing pairs ---
+        for t in np.nonzero(gate_pass)[0]:
+            i, j = int(iu[t]), int(ju[t])
+            code = int(match(pre[i], pre[j]))
+            if code > 0:
+                out_l.append(ids[i])
+                out_r.append(ids[j])
+                out_k.append(key)
+                out_c.append(code)
+                out_s.append(float(token_sort_ratio(nos[i], nos[j])))
+            elif keep_all:
+                out_l.append(ids[i])
+                out_r.append(ids[j])
+                out_k.append(key)
+                out_c.append(code)
+                out_s.append(0.0)
+        if keep_all:
+            for t in np.nonzero(~gate_pass)[0]:
+                i, j = int(iu[t]), int(ju[t])
+                out_l.append(ids[i])
+                out_r.append(ids[j])
+                out_k.append(key)
+                out_c.append(-100)
+                out_s.append(0.0)
     out = {"left_doc_id": out_l, "right_doc_id": out_r, "block_key": out_k,
            "rule_code": out_c, "score": out_s}
     if metrics:

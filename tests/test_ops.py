@@ -434,6 +434,18 @@ def test_topk_per_customer_ranks(ray_session):
         assert (g.totalprice_c.diff().dropna() <= 0).all()
 
 
+def test_segment_revenue_partitioned_equals_broadcast(ray_session):
+    """The partitioned-join scale path == the broadcast path exactly."""
+    from name_matching_ray.pipelines.analytics import segment_revenue
+
+    bcast = segment_revenue(SF).to_pandas()
+    parted = segment_revenue(SF, broadcast_threshold=0).to_pandas()
+    k = "c_mktsegment"
+    assert bcast.sort_values(k).reset_index(drop=True).equals(
+        parted.sort_values(k).reset_index(drop=True))
+    assert len(bcast) > 0
+
+
 def test_word_counts_sum(docs_df, docs_ds, ray_session):
     from name_matching_ray.stages.textstats import word_counts
 
