@@ -96,6 +96,14 @@ def _winnow(sf_dir: str):
                           concurrency=(1, 4)).select_columns(["doc_id", "fp_len"])
 
 
+def _quality_filter(sf_dir: str):
+    """Training-data quality gate as a composed pipeline: stats → filter →
+    surviving docs (the keep-list a downstream trainer would consume)."""
+    stats = textstats.text_stats(_read_docs(sf_dir))
+    return stats.filter(expr="quality_ok == 1").select_columns(
+        ["doc_id", "n_tokens", "n_stop"])
+
+
 def _minhash(sf_dir: str):
     return dedup.minhash_lsh_pairs(_read_docs(sf_dir), tau=0.5)
 
@@ -131,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_customer": analytics.topk_orders_per_customer,
         # text analysis (SQL-oracled)
         "text_stats": lambda sf: textstats.text_stats(_read_docs(sf)),
+        "quality_filter": _quality_filter,
         "fingerprints": lambda sf: textstats.fingerprints(_read_docs(sf)),
         "word_counts": lambda sf: textstats.word_counts(_read_docs(sf)),
         # dedup
@@ -249,6 +258,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(CASE WHEN n_tokens >= 5 AND n_stop*100 >= n_tokens*2
                                 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
             FROM t
+        """,
+        "quality_filter": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                       CAST(length(regexp_extract_all(lower(text), '\\b(?:{_STOP_ALT})\\b')) AS BIGINT) AS n_stop
+                FROM documents)
+            SELECT doc_id, n_tokens, n_stop
+            FROM t WHERE n_tokens >= 5 AND n_stop*100 >= n_tokens*2
         """,
         "word_counts": """
             SELECT word, COUNT(*) AS n FROM (

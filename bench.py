@@ -43,7 +43,7 @@ def _consume(ds) -> int:
     return n
 
 
-def run_linkage(sf_dir: str, docs=None):
+def run_linkage(sf_dir: str, docs=None, cap: int | None = None):
     """Headline: interleaved docs -> extract/normalize/block/score.
 
     Returns (wall_sec, pairs_scored, pairs_matched).
@@ -68,7 +68,7 @@ def run_linkage(sf_dir: str, docs=None):
                         max_name_tokens=8).materialize()
     metrics_actor = get_metrics_actor()
     ray.get(metrics_actor.reset.remote())
-    pairs = fused_match_pairs(names, cap=200, metrics=True)
+    pairs = fused_match_pairs(names, cap=cap or 200, metrics=True)
     matched = pairs.count()
     counters = ray.get(metrics_actor.get_all.remote())
     return (time.time() - t0, int(counters.get("pairs_scored", 0)), matched)
@@ -115,6 +115,10 @@ def main():
 
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "26000"))
+# salt cap for the scaling workload: scale with docs so hot last-token
+# keys need the same shard count (shards > max_shards would DROP them,
+# silently changing the workload between doc counts)
+SCALING_CAP = int(os.environ.get("GRAFT_SCALING_CAP", "200"))
 
 
 def scaling_child(num_cpus: int):
@@ -126,7 +130,7 @@ def scaling_child(num_cpus: int):
     from name_matching_ray.synth import synth_docs_dataset
 
     docs = synth_docs_dataset(SCALING_DOCS, seed=42)
-    t, scored, matched = run_linkage(SF_DIR, docs=docs)
+    t, scored, matched = run_linkage(SF_DIR, docs=docs, cap=SCALING_CAP)
     print(json.dumps({"num_cpus": num_cpus, "sec": round(t, 3),
                       "pairs_scored": scored,
                       "pairs_per_sec": round(scored / t, 1)}))
@@ -135,14 +139,15 @@ def scaling_child(num_cpus: int):
 def scaling():
     """Same job at N and 4N CPUs in fresh processes; efficiency >= 0.8 target.
 
-    Legs come from $GRAFT_SCALING_CPUS (default "4,16").  On this single
-    shared-memory VM the per-core throughput of the string-heavy cascade
-    drops ~35% beyond ~16 busy cores (memory bandwidth, not the engine: CPU
-    traces show the scoring phase at 99% utilization, and raw
-    multiprocessing of the same kernel scales at 0.93 to 30 procs) — a real
-    N-node -> 4N-node cluster adds bandwidth with every node, so the
-    4 -> 16 measurement is the faithful stand-in.  Both pairs are recorded
-    in BASELINE.md.
+    Legs come from $GRAFT_SCALING_CPUS (default "4,16").  With the candidate
+    gate vectorized (round 2) 4 -> 16 measures 1.036 — above 1 because the
+    4-CPU leg still carries fixed normalize/explode/shuffle overhead.  The
+    8 -> 32 leg sags (0.674): the remaining per-pair Python (the 50-rule
+    cascade on gate-passing pairs) loses ~25% per-core throughput beyond
+    ~16 busy cores on this single shared-memory VM (bandwidth, not a serial
+    bottleneck: raw multiprocessing of the same kernel scales at 0.93 to 30
+    procs; CPU traces show 99% utilization).  A real N -> 4N-node cluster
+    adds bandwidth with every node.  Both pairs are recorded in BASELINE.md.
     """
     lo, hi = (int(x) for x in
               os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
@@ -166,6 +171,7 @@ def scaling():
         f"sec_{hi}cpu": results[hi]["sec"],
         "pairs_scored": results[hi]["pairs_scored"],
         "scaling_docs": SCALING_DOCS,
+        "scaling_cap": SCALING_CAP,
         "sf": SF_DIR,
     }))
 

@@ -169,8 +169,11 @@ def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
         ray.get(metrics_actor.reset.remote())
         if os.path.isdir(wave_dir):
             in_wave = ray.data.read_parquet(wave_dir)
-            # fused emit+score in the reduce (see blocking.fused_match_pairs)
-            pairs = in_wave.repartition(32).groupby("bucket").map_groups(
+            # fused emit+score in the reduce (see blocking.fused_match_pairs).
+            # Reduce-task parallelism follows the input block count; 128
+            # blocks smooths the per-bucket pair skew inside a wave (one
+            # hot bucket otherwise strands the wave on a few reduce tasks)
+            pairs = in_wave.repartition(128).groupby("bucket").map_groups(
                 lambda g: _score_bucket_groups(g, False, True, dropped_first),
                 batch_format="pandas",
             )
