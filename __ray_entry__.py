@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": analytics.events_daily,
         "sessionize": analytics.sessionize,
         "asof_prior_event": analytics.asof_prior_event,
+        "rolling_user_value": analytics.rolling_user_value,
         "topk_per_customer": analytics.topk_orders_per_customer,
         # text analysis (SQL-oracled)
         "text_stats": lambda sf: textstats.text_stats(_read_docs(sf)),
@@ -228,6 +229,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + SUM(brk) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM d GROUP BY user_id
+        """,
+        "rolling_user_value": """
+            SELECT event_id,
+                   CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS roll_c
+            FROM events
         """,
         "asof_prior_event": """
             SELECT p.event_id, v.event_id AS prior_id,

@@ -320,6 +320,53 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def rolling_user_value(sf_dir: str, window_minutes: int = 30,
+                       n_buckets: int = 256):
+    """Per-event TRAILING-WINDOW aggregate: for each event, the sum of the
+    same user's value-cents over [ts − window, ts], peers included — exact
+    SQL ``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW`` semantics.
+
+    The sliding-window op Ray Data lacks natively: users are hash-bucketed
+    into coarse groups (one Ray group per bucket, not per user), and inside
+    each bucket every user's window sums come from one sorted cumsum + two
+    vectorized ``searchsorted`` calls (no per-row Python).  Partitioning
+    assumption: one user's events fit one group — salt by time range for
+    pathological users.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    win = np.timedelta64(window_minutes * 60, "s")
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
+        return pa.Table.from_pandas(
+            df.assign(_ub=(h % n_buckets).astype(np.int64)),
+            preserve_index=False,
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        out_id, out_roll = [], []
+        for _, u in g.groupby("user_id", sort=False):
+            u = u.sort_values("ts", kind="stable")
+            ts = u["ts"].to_numpy()
+            cents = _cents(u["value"].to_numpy())
+            cs = np.concatenate([[0], np.cumsum(cents)])
+            start = np.searchsorted(ts, ts - win, side="left")
+            end = np.searchsorted(ts, ts, side="right")  # include ts peers
+            out_id.append(u["event_id"].to_numpy(np.int64))
+            out_roll.append(cs[end] - cs[start])
+        if not out_id:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "roll_c": pa.array([], pa.int64())})
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "roll_c": pa.array(np.concatenate(out_roll).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pandas")
+              .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # as-of join (operator Ray Data lacks natively)
 # ---------------------------------------------------------------------------

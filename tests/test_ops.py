@@ -399,6 +399,31 @@ def test_sessionize_gap_semantics(ray_session, tmp_path):
     assert out.loc[2, "n_sessions"] == 1 and out.loc[2, "n_events"] == 1
 
 
+def test_rolling_window_peers_and_bounds(ray_session, tmp_path):
+    """Trailing RANGE window: ts peers are included, window edge inclusive."""
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import rolling_user_value
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:10",  # peers
+        "2024-01-01 00:45",
+        "2024-01-01 00:00",                                          # user 2
+    ])
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 9.0], pa.float64()),
+    })
+    d = tmp_path / "ev2"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = rolling_user_value(str(d), window_minutes=30).to_pandas() \
+        .set_index("event_id")["roll_c"].to_dict()
+    assert out == {0: 100, 1: 600, 2: 600, 3: 400, 4: 900}
+
+
 def test_asof_prior_event_matches_pandas(ray_session):
     import pyarrow.parquet as pq
 
