@@ -48,10 +48,19 @@ def main(argv=None):
     p.add_argument("--dont_rm_ppl", action="store_true",
                    help="disable person-name removal in preprocessing")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("-c", dest="cpu", type=float, default=None,
+                   help="fraction of machine CPUs to use, (0, 1] — the "
+                        "reference's -c flag (matcher.py:416-422; its own "
+                        "handler reads args.cpu before parsing, a latent "
+                        "AttributeError — here it simply works)")
     args = p.parse_args(argv)
 
     import ray
 
+    if args.cpu and args.num_cpus is None:
+        import os
+
+        args.num_cpus = max(1, int((os.cpu_count() or 1) * min(args.cpu, 1.0)))
     if not ray.is_initialized():
         kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
         ray.init(address="local", include_dashboard=False,
