@@ -258,16 +258,23 @@ class MinHashSignatures:
 
 
 class ExplodeBands:
-    """signature rows -> one row per (band_key, doc_id, sig), plus a coarse
-    ``bucket`` (hash(band_key) % n_buckets) to group by — see ExplodeShingles."""
+    """signature rows -> one row per (band_key, doc_id[, sig]), plus a coarse
+    ``bucket`` (hash(band_key) % n_buckets) to group by — see ExplodeShingles.
+
+    ``carry_sig=False`` omits the 128-hash signature from the band rows —
+    each doc then ships ~24 bytes × bands through the LSH shuffle instead of
+    ~1 KB × bands (the full signature travels ONCE, in the separate
+    verification join of :func:`minhash_lsh_pairs` ``lean=True`` mode)."""
 
     def __init__(self, num_perm: int = 128, bands: int = 32,
-                 id_col: str = "doc_id", n_buckets: int = 256):
+                 id_col: str = "doc_id", n_buckets: int = 256,
+                 carry_sig: bool = True):
         assert num_perm % bands == 0
         self.rows = num_perm // bands
         self.bands = bands
         self.id_col = id_col
         self.n_buckets = n_buckets
+        self.carry_sig = carry_sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -284,26 +291,37 @@ class ExplodeBands:
                 ).digest()
                 out_key.append(f"{b}:{dig.hex()}")
                 out_id.append(i)
-                out_sig.append(sig)
+                if self.carry_sig:
+                    out_sig.append(sig)
                 out_bk.append(int.from_bytes(dig[:4], "big") % self.n_buckets)
-        return pa.table({
+        cols = {
             "band_key": pa.array(out_key, pa.string()),
             self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
-            "sig": pa.array(out_sig, batch.column("sig").type),
-            "bucket": pa.array(out_bk, pa.int64()),
-        })
+        }
+        if self.carry_sig:
+            cols["sig"] = pa.array(out_sig, batch.column("sig").type)
+        cols["bucket"] = pa.array(out_bk, pa.int64())
+        return pa.table(cols)
 
 
 def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
                       bands: int = 32, tau: float = 0.5, max_bucket: int = 200,
                       text_col: str = "text", id_col: str = "doc_id",
-                      metrics: bool = False):
+                      metrics: bool = False, lean: bool = False):
     """MinHash-LSH candidate pairs with signature-estimated Jaccard >= tau.
 
     Returns (left_id, right_id, est_sim_pct int).  ``max_bucket`` caps the
     per-bucket pair blowup; with ``metrics=True`` every hot-bucket skip adds
     its n·(n−1)/2 candidate pairs to the ``pairs_dropped_hot_buckets``
     counter on the metrics actor (no silent caps).
+
+    ``lean`` trades shuffles for shuffle VOLUME (the 100 TB knob): the
+    default ships the full ``num_perm``-hash signature with every band row
+    (~1 KB × bands per doc through the LSH shuffle, one shuffle total);
+    ``lean=True`` ships only (band_key, doc_id) through the LSH shuffle and
+    attaches each side's signature afterwards via two hash-bucket joins, so
+    every signature crosses the wire once per join instead of ``bands``
+    times.  Outputs are identical (pytest-checked).
     """
     from ray.data.aggregate import Max
 
@@ -314,6 +332,11 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    min_agree = int(np.ceil(tau * num_perm))
+    if lean:
+        return _minhash_lean(sigs, num_perm=num_perm, bands=bands,
+                             min_agree=min_agree, max_bucket=max_bucket,
+                             id_col=id_col, metrics=metrics)
     bands_ds = sigs.map_batches(
         ExplodeBands,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
@@ -321,8 +344,6 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-
-    min_agree = int(np.ceil(tau * num_perm))
 
     def pairs_in_bucket(g):
         # coarse bucket: iterate the whole band-key groups it contains
@@ -367,6 +388,124 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
     return cand.groupby(["left_id", "right_id"]).aggregate(
         Max("est_sim_pct", alias_name="est_sim_pct")
     )
+
+
+def _minhash_lean(sigs, *, num_perm: int, bands: int, min_agree: int,
+                  max_bucket: int, id_col: str, metrics: bool,
+                  n_buckets: int = 256):
+    """Lean LSH: bands carry ids only; signatures attach via 2 bucket joins."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    sigs = sigs.materialize()  # consumed by the LSH pass AND both joins
+    bands_ds = sigs.map_batches(
+        ExplodeBands,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                               "id_col": id_col, "carry_sig": False},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def ids_in_bucket(g: pd.DataFrame) -> pa.Table:
+        l_out, r_out = [], []
+        n_dropped = 0
+        for _, grp in g.groupby("band_key", sort=False):
+            if len(grp) < 2:
+                continue
+            if len(grp) > max_bucket:
+                n_dropped += len(grp) * (len(grp) - 1) // 2
+                continue
+            ids = np.sort(grp[id_col].to_numpy())
+            iu, ju = np.triu_indices(len(ids), k=1)
+            l_out.append(ids[iu])
+            r_out.append(ids[ju])
+        if metrics and n_dropped:
+            from ..state.metrics import get_metrics_actor
+
+            get_metrics_actor().add.remote("pairs_dropped_hot_buckets", n_dropped)
+        l = np.concatenate(l_out) if l_out else np.empty(0, np.int64)
+        r = np.concatenate(r_out) if r_out else np.empty(0, np.int64)
+        return pa.table({
+            "left_id": pa.array(l.astype(np.int64), pa.int64()),
+            "right_id": pa.array(r.astype(np.int64), pa.int64()),
+        })
+
+    cand = bands_ds.groupby("bucket").map_groups(ids_in_bucket,
+                                                 batch_format="pandas")
+    # a pair surfaces once per agreeing band — dedupe BEFORE the sig joins
+    cand = cand.groupby(["left_id", "right_id"]).aggregate(
+        Max("left_id", alias_name="_k")).drop_columns(["_k"])
+
+    def _jbucket(s: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        return (h % n_buckets).astype(np.int64)
+
+    sig_type = pa.list_(pa.int64(), num_perm)
+
+    def attach(join_key: str, out_col: str):
+        def tag_pairs(df: pd.DataFrame) -> pa.Table:
+            cols = {c: pa.array(df[c], pa.int64())
+                    for c in ("left_id", "right_id")}
+            if "sig_l" in df.columns:
+                cols["sig_l"] = pa.array(df["sig_l"], sig_type)
+            cols["_key"] = pa.array(df[join_key], pa.int64())
+            cols["_sig"] = pa.nulls(len(df), sig_type)
+            cols["_jb"] = pa.array(_jbucket(df[join_key]), pa.int64())
+            return pa.table(cols)
+
+        def tag_sigs(df: pd.DataFrame) -> pa.Table:
+            cols = {"left_id": pa.nulls(len(df), pa.int64()),
+                    "right_id": pa.nulls(len(df), pa.int64())}
+            if out_col == "sig_r":
+                cols["sig_l"] = pa.nulls(len(df), sig_type)
+            cols["_key"] = pa.array(df[id_col], pa.int64())
+            cols["_sig"] = pa.array(df["sig"], sig_type)
+            cols["_jb"] = pa.array(_jbucket(df[id_col]), pa.int64())
+            return pa.table(cols)
+
+        return tag_pairs, tag_sigs
+
+    def join_once(pairs_ds, join_key: str, out_col: str, final: bool):
+        tag_pairs, tag_sigs = attach(join_key, out_col)
+        both = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
+            sigs.map_batches(tag_sigs, batch_format="pandas"))
+
+        def in_bucket(g: pd.DataFrame) -> pa.Table:
+            sig_rows = g.loc[g["left_id"].isna(), ["_key", "_sig"]] \
+                        .drop_duplicates("_key").set_index("_key")["_sig"]
+            pr = g.loc[g["left_id"].notna()]
+            if pr.empty or sig_rows.empty:
+                if final:
+                    return pa.table({"left_id": pa.array([], pa.int64()),
+                                     "right_id": pa.array([], pa.int64()),
+                                     "est_sim_pct": pa.array([], pa.int64())})
+                return pa.table({"left_id": pa.array([], pa.int64()),
+                                 "right_id": pa.array([], pa.int64()),
+                                 "sig_l": pa.array([], sig_type)})
+            got = pr["_key"].map(sig_rows)
+            ok = got.notna()
+            pr = pr[ok]
+            if not final:
+                return pa.table({
+                    "left_id": pa.array(pr["left_id"].astype(np.int64), pa.int64()),
+                    "right_id": pa.array(pr["right_id"].astype(np.int64), pa.int64()),
+                    "sig_l": pa.array(got[ok], sig_type),
+                })
+            sl = np.stack(pr["sig_l"].to_numpy())
+            sr = np.stack(got[ok].to_numpy())
+            agree = (sl == sr).sum(axis=1)
+            keep = agree >= min_agree
+            return pa.table({
+                "left_id": pa.array(pr["left_id"].to_numpy(np.int64)[keep], pa.int64()),
+                "right_id": pa.array(pr["right_id"].to_numpy(np.int64)[keep], pa.int64()),
+                "est_sim_pct": pa.array(
+                    (agree[keep] * 100 // num_perm).astype(np.int64), pa.int64()),
+            })
+
+        return both.groupby("_jb").map_groups(in_bucket, batch_format="pandas")
+
+    with_l = join_once(cand, "left_id", "sig_l", final=False)
+    return join_once(with_l, "right_id", "sig_r", final=True)
 
 
 # ---------------------------------------------------------------------------

@@ -110,6 +110,54 @@ def test_stop_keys_dropped_with_logging(ray_session):
         assert l in acme and r in acme  # only stop-key pairs were dropped
 
 
+def test_vectorized_gate_equals_exact_gate():
+    """Property test: _score_bucket_groups' integer gate bounds + ambiguous
+    fallback must reproduce the exact per-pair Python gate + cascade on
+    adversarial name shapes (shared tokens, near-misses, empties, unicode,
+    repeated tokens)."""
+    import random
+
+    import pandas as pd
+
+    from name_matching_ray.functions.rules import get_matcher
+    from name_matching_ray.functions.similarity import token_set_ratio
+    from name_matching_ray.stages.blocking import _score_bucket_groups
+
+    rng = random.Random(17)
+    toks = ["industries", "zz", "a", "steel", "qx", "über", "mfg", "x1",
+            "pelram", "pelran", "quentar", "data", "co", "nine9"]
+    names = []
+    for _ in range(60):
+        k = rng.randint(0, 5)
+        names.append(" ".join(rng.choice(toks) for _ in range(k)))
+    names += ["", "industries", "industries industries", "a b c d e"]
+
+    rows = {"pair_block": [], "side": [], "doc_id": [], "pre_proc": [],
+            "nosuffix": [], "block_key": [], "block_key_last": []}
+    for i, n in enumerate(names):
+        rows["pair_block"].append("f|k|0|0")
+        rows["side"].append(2)
+        rows["doc_id"].append(f"d{i:04d}")
+        rows["pre_proc"].append(n)
+        rows["nosuffix"].append(n)
+        rows["block_key"].append("k")
+        rows["block_key_last"].append("k")
+    g = pd.DataFrame(rows)
+    got = _score_bucket_groups(g, keep_all=True, metrics=False).to_pandas()
+    got_codes = {(l, r): c for l, r, c in
+                 zip(got.left_doc_id, got.right_doc_id, got.rule_code)}
+
+    matcher = get_matcher()
+    expect = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            code = int(matcher.match(a, b)) \
+                if token_set_ratio(a, b) > 50 else -100
+            expect[(f"d{i:04d}", f"d{j:04d}")] = code
+    assert got_codes == expect
+
+
 def test_secondary_pass_recovers_dropped_first_key_pairs(ray_session):
     """Pairs sharing a DROPPED first-token stop key AND a healthy last token
     must still be emitted by the secondary pass (the old skip assumed the

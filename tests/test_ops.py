@@ -62,6 +62,19 @@ def test_minhash_lsh_recall_precision(docs_ds, docs_df, ray_session):
         assert l < r
 
 
+def test_minhash_lean_equals_default(docs_ds, ray_session):
+    """The shuffle-lean (sig-join) LSH plan == the sig-carrying plan."""
+    from name_matching_ray.stages.dedup import minhash_lsh_pairs
+
+    a = minhash_lsh_pairs(docs_ds, tau=0.10).to_pandas()
+    b = minhash_lsh_pairs(docs_ds, tau=0.10, lean=True).to_pandas()
+    k = ["left_id", "right_id"]
+    a = a.sort_values(k).reset_index(drop=True)
+    b = b.sort_values(k).reset_index(drop=True)
+    assert len(a) > 0
+    assert a[k + ["est_sim_pct"]].equals(b[k + ["est_sim_pct"]])
+
+
 def test_simhash_hamming_is_exact(docs_ds, docs_df, ray_session):
     """Every reported pair's hamming distance matches a direct recompute,
     and banding finds ALL pairs within max_hamming (pigeonhole recall)."""
