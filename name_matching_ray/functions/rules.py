@@ -136,8 +136,11 @@ class Matcher:
         if a.replace(" ", "") == b.replace(" ", ""):
             if len(a) > 8:
                 return 1
-        # rule 1b / -21: anagram-level equality (matcher.py:168-177)
-        if token_sort_ratio(a, b) == 100 or ratio(sorted(c), sorted(d)) == 100:
+        # rule 1b / -21: anagram-level equality (matcher.py:168-177).
+        # ``ratio(sorted(c), sorted(d)) == 100`` ⟺ indel distance 0 between
+        # the sorted char sequences ⟺ equal char multisets ⟺ the sorted
+        # lists compare equal — same predicate, no O(n·m/64) LCS per pair
+        if token_sort_ratio(a, b) == 100 or sorted(c) == sorted(d):
             if a[:3] == b[:3]:
                 if c in TOO_GENERAL and d in TOO_GENERAL:
                     return -21
