@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": analytics.sessionize,
         "asof_prior_event": analytics.asof_prior_event,
         "rolling_user_value": analytics.rolling_user_value,
+        "windowed_watermark": analytics.windowed_counts_watermark,
         "topk_per_customer": analytics.topk_orders_per_customer,
         # text analysis (SQL-oracled)
         "text_stats": lambda sf: textstats.text_stats(_read_docs(sf)),
@@ -229,6 +230,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + SUM(brk) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM d GROUP BY user_id
+        """,
+        "windowed_watermark": """
+            WITH t AS (
+                SELECT user_id, ts,
+                       MAX(ts) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts + to_microseconds(CAST(
+                               md5_number_lower(CAST(event_id AS VARCHAR))
+                               % 3600000000 AS BIGINT)), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS seen_max
+                FROM events)
+            SELECT user_id,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+                   CAST(SUM(CASE WHEN seen_max IS NOT NULL
+                                  AND seen_max - INTERVAL 10 MINUTE > ts
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
+                   CAST(SUM(CASE WHEN seen_max IS NOT NULL
+                                  AND seen_max - INTERVAL 10 MINUTE > ts
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM t GROUP BY user_id, window_start
         """,
         "rolling_user_value": """
             SELECT event_id,

@@ -76,7 +76,7 @@ def run_linkage(sf_dir: str, docs=None, cap: int | None = None):
 
 BENCH_QUERIES = [
     "pricing_summary", "segment_revenue", "topk_orders", "events_daily",
-    "sessionize", "asof_prior_event", "rolling_user_value",
+    "sessionize", "asof_prior_event", "rolling_user_value", "windowed_watermark",
     "topk_per_customer", "text_stats", "quality_filter", "word_counts",
     "exact_dedup", "ngram_jaccard_dedup", "minhash_dedup", "simhash_dedup",
     "embedding_dups", "ann_topk",

@@ -367,6 +367,73 @@ def rolling_user_value(sf_dir: str, window_minutes: int = 30,
               .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
 
 
+def windowed_counts_watermark(sf_dir: str, *, window_minutes: int = 60,
+                              watermark_minutes: int = 10,
+                              n_buckets: int = 256):
+    """Watermark-aware tumbling-window counts over an OUT-OF-ORDER stream —
+    the streaming-window op Ray Data lacks natively.
+
+    Arrival order is simulated deterministically (so the DuckDB oracle can
+    replay it): ``arrival = ts + md5(event_id) % 1h`` — bounded disorder.
+    An event is LATE under the standard streaming watermark rule: at its
+    arrival, the user's running-max event time minus the watermark has
+    already passed the event's own timestamp.  Late events are counted per
+    (user, tumbling window) in a separate column instead of being silently
+    merged — the batch replay of what a streaming engine would emit.
+
+    Users are hash-bucketed into coarse groups; per-user work is one
+    lexsort + running max (vectorized).  Partitioning assumption: one
+    user's events fit one group.
+    """
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    wm = np.timedelta64(watermark_minutes * 60, "s")
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
+        return pa.Table.from_pandas(
+            df.assign(_ub=(h % n_buckets).astype(np.int64)),
+            preserve_index=False,
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        out_u, out_w, out_on, out_late = [], [], [], []
+        for uid, u in g.groupby("user_id", sort=False):
+            eid = u["event_id"].to_numpy(np.int64)
+            ts = u["ts"].to_numpy()
+            jit = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(str(e).encode()).digest()[8:16], "little")
+                 % 3_600_000_000 for e in eid),
+                np.int64, len(eid),
+            )
+            arrival = ts + jit.astype("timedelta64[us]")
+            order = np.lexsort((eid, arrival))
+            ts_o = ts[order]
+            run = np.maximum.accumulate(ts_o)
+            late = np.zeros(len(ts_o), bool)
+            if len(ts_o) > 1:
+                late[1:] = (run[:-1] - wm) > ts_o[1:]
+            win = pd.Series(ts_o).dt.floor(f"{window_minutes}min") \
+                .dt.strftime("%Y-%m-%d %H:%M")
+            agg = pd.DataFrame({"w": win, "late": late}) \
+                .groupby("w")["late"].agg(["size", "sum"])
+            out_u.extend([int(uid)] * len(agg))
+            out_w.extend(agg.index)
+            out_on.extend((agg["size"] - agg["sum"]).astype(np.int64))
+            out_late.extend(agg["sum"].astype(np.int64))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "window_start": pa.array(out_w, pa.string()),
+            "n_on_time": pa.array(out_on, pa.int64()),
+            "n_late": pa.array(out_late, pa.int64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pandas")
+              .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # as-of join (operator Ray Data lacks natively)
 # ---------------------------------------------------------------------------

@@ -437,6 +437,45 @@ def test_rolling_window_peers_and_bounds(ray_session, tmp_path):
     assert out == {0: 100, 1: 600, 2: 600, 3: 400, 4: 900}
 
 
+def test_windowed_watermark_late_detection(ray_session, tmp_path):
+    """An event whose ts lags the user's running max beyond the watermark is
+    counted late; on-time events in the same window stay separate."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import windowed_counts_watermark
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 02:00", "2024-01-01 00:05",
+    ])
+    t = pa.table({
+        "event_id": pa.array([10, 11, 12], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    d = tmp_path / "ev3"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = windowed_counts_watermark(str(d), watermark_minutes=10).to_pandas()
+    # replay the deterministic arrival order to know the expected late flag
+    jit = [int.from_bytes(hashlib.md5(str(e).encode()).digest()[8:16],
+                          "little") % 3_600_000_000 for e in (10, 11, 12)]
+    arrival = {e: ts[i] + pd.Timedelta(microseconds=jit[i])
+               for i, e in enumerate((10, 11, 12))}
+    order = sorted((10, 11, 12), key=lambda e: (arrival[e], e))
+    # event 12 (ts 00:05) is late iff some earlier-arriving event's ts
+    # exceeds 00:15; that's event 11 (ts 02:00) arriving before it
+    e12_late = order.index(11) < order.index(12)
+    got = out.set_index("window_start")
+    assert int(got.loc["2024-01-01 02:00", "n_on_time"]) == 1
+    row0 = got.loc["2024-01-01 00:00"]
+    if e12_late:
+        assert int(row0.n_on_time) == 1 and int(row0.n_late) == 1
+    else:
+        assert int(row0.n_on_time) == 2 and int(row0.n_late) == 0
+
+
 def test_asof_prior_event_matches_pandas(ray_session):
     import pyarrow.parquet as pq
 
