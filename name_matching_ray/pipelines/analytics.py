@@ -35,6 +35,20 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _key_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Combined uint64 hash over key COLUMNS (FNV-style mix per column).
+
+    Hashing each column separately and mixing avoids the ambiguity of a
+    string join (keys containing the separator would collide group-wise).
+    """
+    h = np.zeros(len(df), np.uint64)
+    for k in keys:
+        hk = pd.util.hash_pandas_object(df[k], index=False).to_numpy()
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(1099511628211) + hk
+    return h
+
+
 def _grouped_sum(ds, keys: list[str], partial_fn, value_cols: list[str],
                  n_buckets: int = 64):
     """map_batches partial combiner -> coarse-bucket pandas combine.
@@ -48,10 +62,7 @@ def _grouped_sum(ds, keys: list[str], partial_fn, value_cols: list[str],
     def partial_with_bucket(df: pd.DataFrame) -> pa.Table:
         t = partial_fn(df)
         pdf = t.to_pandas()
-        h = pd.util.hash_pandas_object(
-            pdf[keys].astype(str).agg("|".join, axis=1), index=False
-        ).to_numpy()
-        pdf["_pb"] = (h % n_buckets).astype(np.int64)
+        pdf["_pb"] = (_key_hash(pdf, keys) % n_buckets).astype(np.int64)
         return pa.Table.from_pandas(pdf, preserve_index=False)
 
     def combine(g: pd.DataFrame) -> pa.Table:
@@ -301,27 +312,148 @@ def events_daily(sf_dir: str):
                         ["value_c", "n_events"])
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
+def _bucket_tag(ds, keys: list[str], n_buckets: int, out_col: str = "_ub"):
+    """Adds ``out_col = hash(keys) % n_buckets`` — the coarse-group key.
+
+    Groupby on this column produces ~n_buckets Ray groups instead of one
+    tiny group per distinct key (per-group block construction dominated at
+    100k+ keys — measured on rolling_user_value / dedup / cluster)."""
+    def tag(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            df.assign(**{out_col: (_key_hash(df, keys) % n_buckets)
+                         .astype(np.int64)}),
+            preserve_index=False,
+        )
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+def _segment_starts(*cols: np.ndarray) -> np.ndarray:
+    """Boolean mask: True where any key column changes (first row True)."""
+    n = len(cols[0])
+    new = np.zeros(n, bool)
+    if n:
+        new[0] = True
+        for c in cols:
+            new[1:] |= c[1:] != c[:-1]
+    return new
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30, n_buckets: int = 256,
+               salt_span_hours: int | None = None):
     """Per-user session counts (session = ts gap > gap_minutes) — the
-    windowed/stateful op Ray Data lacks natively; partitioning assumption:
-    all events of one user fit one group (holds for per-user event counts)."""
+    windowed/stateful op Ray Data lacks natively.
+
+    Users are hash-bucketed into ``n_buckets`` coarse groups; inside each
+    bucket the session breaks for EVERY user come from one sort + one
+    vectorized diff + ``reduceat`` (no per-user Python).  Partitioning
+    assumption: one user's events fit one group — ``salt_span_hours``
+    removes that assumption (the whale-key path): events are grouped by
+    (user, time-span) instead, per-span session counts are computed the
+    same way, and a tiny span-summary merge stitches sessions that cross
+    span boundaries.  Outputs are identical (pytest-checked).
+    """
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
+    if salt_span_hours is not None:
+        return _sessionize_salted(ds, gap, salt_span_hours, n_buckets)
 
-    def per_user(g: pd.DataFrame) -> pa.Table:
-        ts = np.sort(g["ts"].to_numpy())
-        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = len(g)
+        if not n:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        new_user = _segment_starts(uid)
+        brk = np.zeros(n, np.int64)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap
+        brk[new_user] = 0
+        starts = np.nonzero(new_user)[0]
         return pa.table({
-            "user_id": pa.array([int(g["user_id"].iat[0])], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-            "n_events": pa.array([len(ts)], pa.int64()),
+            "user_id": pa.array(uid[starts].astype(np.int64), pa.int64()),
+            "n_sessions": pa.array(1 + np.add.reduceat(brk, starts), pa.int64()),
+            "n_events": pa.array(np.diff(np.append(starts, n)).astype(np.int64),
+                                 pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _bucket_tag(ds, ["user_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+
+
+def _sessionize_salted(ds, gap: np.timedelta64, span_hours: int,
+                       n_buckets: int):
+    """Whale-safe sessionize: group by (user, time-span), merge span summaries."""
+    span_us = np.int64(span_hours) * 3_600_000_000
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        span = (df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                // span_us)
+        df = df.assign(_span=span)
+        return pa.Table.from_pandas(
+            df.assign(_ub=(_key_hash(df, ["user_id", "_span"]) % n_buckets)
+                      .astype(np.int64)),
+            preserve_index=False,
+        )
+
+    def per_span_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        span = g["_span"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = len(g)
+        new_seg = _segment_starts(uid, span)
+        brk = np.zeros(n, np.int64)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap
+        brk[new_seg] = 0
+        starts = np.nonzero(new_seg)[0]
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts].astype(np.int64), pa.int64()),
+            "first_ts": pa.array(ts[starts]),
+            "last_ts": pa.array(ts[ends]),
+            "n_sessions": pa.array(1 + np.add.reduceat(brk, starts), pa.int64()),
+            "n_events": pa.array(np.diff(np.append(starts, n)).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    span_sum = ds.map_batches(tag, batch_format="pandas") \
+        .groupby("_ub").map_groups(per_span_bucket, batch_format="pandas")
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "first_ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        first_ts = g["first_ts"].to_numpy()
+        last_ts = g["last_ts"].to_numpy()
+        ns = g["n_sessions"].to_numpy(np.int64)
+        ne = g["n_events"].to_numpy(np.int64)
+        n = len(g)
+        if not n:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        new_user = _segment_starts(uid)
+        # adjacent spans of one user whose boundary gap fits in a session
+        stitched = np.zeros(n, np.int64)
+        stitched[1:] = (first_ts[1:] - last_ts[:-1]) <= gap
+        stitched[new_user] = 0
+        starts = np.nonzero(new_user)[0]
+        return pa.table({
+            "user_id": pa.array(uid[starts].astype(np.int64), pa.int64()),
+            "n_sessions": pa.array(np.add.reduceat(ns - stitched, starts),
+                                   pa.int64()),
+            "n_events": pa.array(np.add.reduceat(ne, starts), pa.int64()),
+        })
+
+    return _bucket_tag(span_sum, ["user_id"], n_buckets, out_col="_mb") \
+        .groupby("_mb").map_groups(merge_bucket, batch_format="pandas")
 
 
 def rolling_user_value(sf_dir: str, window_minutes: int = 30,
-                       n_buckets: int = 256):
+                       n_buckets: int = 256,
+                       salt_span_minutes: int | None = None):
     """Per-event TRAILING-WINDOW aggregate: for each event, the sum of the
     same user's value-cents over [ts − window, ts], peers included — exact
     SQL ``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW`` semantics.
@@ -330,11 +462,18 @@ def rolling_user_value(sf_dir: str, window_minutes: int = 30,
     into coarse groups (one Ray group per bucket, not per user), and inside
     each bucket every user's window sums come from one sorted cumsum + two
     vectorized ``searchsorted`` calls (no per-row Python).  Partitioning
-    assumption: one user's events fit one group — salt by time range for
-    pathological users.
+    assumption: one user's events fit one group — ``salt_span_minutes``
+    (must be >= window) removes it (whale-key path): events are grouped by
+    (user, time-span) with boundary events REPLICATED into the next span so
+    every trailing window is complete; replicas contribute sums but emit no
+    rows.  Outputs are identical (pytest-checked).
     """
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     win = np.timedelta64(window_minutes * 60, "s")
+    if salt_span_minutes is not None:
+        if salt_span_minutes < window_minutes:
+            raise ValueError("salt span must cover the trailing window")
+        return _rolling_salted(ds, win, salt_span_minutes, n_buckets)
 
     def tag(df: pd.DataFrame) -> pa.Table:
         h = pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
@@ -353,6 +492,53 @@ def rolling_user_value(sf_dir: str, window_minutes: int = 30,
             start = np.searchsorted(ts, ts - win, side="left")
             end = np.searchsorted(ts, ts, side="right")  # include ts peers
             out_id.append(u["event_id"].to_numpy(np.int64))
+            out_roll.append(cs[end] - cs[start])
+        if not out_id:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "roll_c": pa.array([], pa.int64())})
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "roll_c": pa.array(np.concatenate(out_roll).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pandas")
+              .groupby("_ub").map_groups(per_bucket, batch_format="pandas"))
+
+
+def _rolling_salted(ds, win: np.timedelta64, span_minutes: int,
+                    n_buckets: int):
+    """Whale-safe trailing-window sums via span replication (see
+    :func:`rolling_user_value`)."""
+    span_us = np.int64(span_minutes) * 60_000_000
+    win_us = np.int64(win.astype("timedelta64[us]").astype(np.int64))
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        span = ts_us // span_us
+        # replicate boundary events into the NEXT span (they fall inside
+        # some next-span event's trailing window)
+        rep = ts_us >= (span + 1) * span_us - win_us
+        base = df.assign(_span=span, _rep=False)
+        reps = df.loc[rep].assign(_span=span[rep] + 1, _rep=True)
+        out = pd.concat([base, reps], ignore_index=True)
+        return pa.Table.from_pandas(
+            out.assign(_ub=(_key_hash(out, ["user_id", "_span"]) % n_buckets)
+                       .astype(np.int64)),
+            preserve_index=False,
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        out_id, out_roll = [], []
+        for _, u in g.groupby(["user_id", "_span"], sort=False):
+            u = u.sort_values("ts", kind="stable")
+            ts = u["ts"].to_numpy()
+            cents = _cents(u["value"].to_numpy())
+            cs = np.concatenate([[0], np.cumsum(cents)])
+            own = ~u["_rep"].to_numpy()
+            start = np.searchsorted(ts, ts[own] - win, side="left")
+            end = np.searchsorted(ts, ts[own], side="right")
+            out_id.append(u["event_id"].to_numpy(np.int64)[own])
             out_roll.append(cs[end] - cs[start])
         if not out_id:
             return pa.table({"event_id": pa.array([], pa.int64()),
@@ -438,56 +624,218 @@ def windowed_counts_watermark(sf_dir: str, *, window_minutes: int = 60,
 # as-of join (operator Ray Data lacks natively)
 # ---------------------------------------------------------------------------
 
-def asof_prior_event(sf_dir: str, left_type: str = "purchase",
-                     right_type: str = "view"):
-    """For each ``left_type`` event, the most recent strictly-earlier
-    ``right_type`` event of the same user (inner as-of join).
+def _ffill_last_pos(flag: np.ndarray, seg_id: np.ndarray) -> np.ndarray:
+    """Per-segment forward-filled position of the last True ``flag`` row.
 
-    Partitioning assumption: one user's events fit one group (true for
-    per-user activity streams; salt by time-range for pathological users).
-    Implemented as groupby(user) + per-group sorted merge — the classic
-    as-of decomposition when the engine has no native interval join.
+    Returns, for every row, the largest earlier-or-equal position p in the
+    same segment with flag[p]; −1 when none.  One pandas ``cummax`` per
+    call (cython), no per-segment Python.
+    """
+    n = len(flag)
+    pos = np.where(flag, np.arange(n), -1)
+    return pd.Series(pos).groupby(seg_id).cummax().to_numpy()
+
+
+_ASOF_EMPTY = pa.table({"event_id": pa.array([], pa.int64()),
+                        "prior_id": pa.array([], pa.int64()),
+                        "gap_us": pa.array([], pa.int64())})
+
+
+def asof_prior_event(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "view", n_buckets: int = 256,
+                     salt_span_hours: int | None = None):
+    """For each ``left_type`` event, the most recent earlier ``right_type``
+    event of the same user (inner as-of join) — the as-of operator Ray Data
+    lacks natively.
+
+    Users are hash-bucketed into coarse groups; inside a bucket EVERY
+    user's as-of priors come from one sort + one per-segment forward-fill
+    (vectorized) — no per-user Python.  Partitioning assumption: one user's
+    events fit one group.  ``salt_span_hours`` removes it (whale-key path):
+    pass 1 groups by (user, time-span) and resolves in-span priors; the
+    residue (purchases before their span's first view, plus each span's
+    last view) is a tiny per-span summary stream that pass 2 resolves with
+    the same forward-fill.  Outputs are identical (pytest-checked).
     """
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
     filt = ds.filter(expr=f"event_type in ['{left_type}', '{right_type}']")
+    if salt_span_hours is not None:
+        return _asof_salted(filt, left_type, right_type, salt_span_hours,
+                            n_buckets)
 
-    def per_user(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("ts", kind="stable")
-        lefts, priors, gaps = [], [], []
-        last_right_id, last_right_ts = None, None
-        for eid, ts, et in zip(g["event_id"], g["ts"], g["event_type"]):
-            if et == right_type:
-                last_right_id, last_right_ts = eid, ts
-            elif last_right_id is not None:
-                lefts.append(int(eid))
-                priors.append(int(last_right_id))
-                gaps.append(int((ts - last_right_ts).value // 1000))  # us
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        if not n:
+            return _ASOF_EMPTY
+        seg_id = np.cumsum(_segment_starts(uid))
+        last_r = _ffill_last_pos(et == right_type, seg_id)
+        sel = np.nonzero((et == left_type) & (last_r >= 0))[0]
+        prior = last_r[sel]
         return pa.table({
-            "event_id": pa.array(lefts, pa.int64()),
-            "prior_id": pa.array(priors, pa.int64()),
-            "gap_us": pa.array(gaps, pa.int64()),
+            "event_id": pa.array(eid[sel], pa.int64()),
+            "prior_id": pa.array(eid[prior], pa.int64()),
+            "gap_us": pa.array((ts[sel] - ts[prior])
+                               .astype("timedelta64[us]").astype(np.int64),
+                               pa.int64()),
         })
 
-    return filt.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _bucket_tag(filt, ["user_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+
+
+def _asof_salted(filt, left_type: str, right_type: str, span_hours: int,
+                 n_buckets: int):
+    """Two-pass whale-safe as-of join (see :func:`asof_prior_event`)."""
+    span_us = np.int64(span_hours) * 3_600_000_000
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        span = (df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                // span_us)
+        df = df.assign(_span=span)
+        return pa.Table.from_pandas(
+            df.assign(_ub=(_key_hash(df, ["user_id", "_span"]) % n_buckets)
+                      .astype(np.int64)),
+            preserve_index=False,
+        )
+
+    def pass1(g: pd.DataFrame) -> pa.Table:
+        # kind 0: resolved (event_id, prior_id, gap_us)
+        # kind 1: unresolved left event   (event_id, ts, user_id)
+        # kind 2: span's last right event (event_id, ts, user_id)
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        span = g["_span"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        seg_start = _segment_starts(uid, span)
+        seg_id = np.cumsum(seg_start)
+        is_r = et == right_type
+        last_r = _ffill_last_pos(is_r, seg_id)
+        is_l = et == left_type
+        res = np.nonzero(is_l & (last_r >= 0))[0]
+        unres = np.nonzero(is_l & (last_r < 0))[0]
+        # last right per segment: max position among right rows
+        starts = np.nonzero(seg_start)[0]
+        seg_last_r = (np.maximum.reduceat(np.where(is_r, np.arange(n), -1),
+                                          starts)
+                      if n else np.empty(0, np.int64))
+        lastv = seg_last_r[seg_last_r >= 0]
+        prior = last_r[res]
+        kind = np.concatenate([np.zeros(len(res), np.int8),
+                               np.ones(len(unres), np.int8),
+                               np.full(len(lastv), 2, np.int8)])
+        idx = np.concatenate([res, unres, lastv]).astype(np.int64)
+        gap = np.zeros(len(idx), np.int64)
+        gap[:len(res)] = (ts[res] - ts[prior]).astype("timedelta64[us]") \
+            .astype(np.int64)
+        pid = np.zeros(len(idx), np.int64)
+        pid[:len(res)] = eid[prior]
+        return pa.table({
+            "kind": pa.array(kind, pa.int8()),
+            "event_id": pa.array(eid[idx], pa.int64()),
+            "prior_id": pa.array(pid, pa.int64()),
+            "gap_us": pa.array(gap, pa.int64()),
+            "user_id": pa.array(uid[idx].astype(np.int64), pa.int64()),
+            "ts": pa.array(ts[idx]),
+        })
+
+    mid = filt.map_batches(tag, batch_format="pandas") \
+        .groupby("_ub").map_groups(pass1, batch_format="pandas")
+
+    def pass2(g: pd.DataFrame) -> pa.Table:
+        done = g.loc[g["kind"] == 0, ["event_id", "prior_id", "gap_us"]]
+        rest = g.loc[g["kind"] != 0]
+        out = [pa.table({
+            "event_id": pa.array(done["event_id"].to_numpy(np.int64), pa.int64()),
+            "prior_id": pa.array(done["prior_id"].to_numpy(np.int64), pa.int64()),
+            "gap_us": pa.array(done["gap_us"].to_numpy(np.int64), pa.int64()),
+        })]
+        if len(rest):
+            rest = rest.sort_values(["user_id", "ts"], kind="stable")
+            uid = rest["user_id"].to_numpy()
+            ts = rest["ts"].to_numpy()
+            eid = rest["event_id"].to_numpy(np.int64)
+            kind = rest["kind"].to_numpy()
+            seg_id = np.cumsum(_segment_starts(uid))
+            last_r = _ffill_last_pos(kind == 2, seg_id)
+            sel = np.nonzero((kind == 1) & (last_r >= 0))[0]
+            prior = last_r[sel]
+            out.append(pa.table({
+                "event_id": pa.array(eid[sel], pa.int64()),
+                "prior_id": pa.array(eid[prior], pa.int64()),
+                "gap_us": pa.array((ts[sel] - ts[prior])
+                                   .astype("timedelta64[us]").astype(np.int64),
+                                   pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    return _bucket_tag(mid, ["user_id"], n_buckets, out_col="_mb") \
+        .groupby("_mb").map_groups(pass2, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
 # per-group top-k (windowed ranking without a global sort)
 # ---------------------------------------------------------------------------
 
-def topk_orders_per_customer(sf_dir: str, k: int = 3):
-    """Top-k orders per customer by (totalprice desc, orderkey asc)."""
+def topk_orders_per_customer(sf_dir: str, k: int = 3, n_buckets: int = 256):
+    """Top-k orders per customer by (totalprice desc, orderkey asc).
+
+    Customers are hash-bucketed into coarse groups; inside each bucket the
+    rank for EVERY customer comes from one sort + a vectorized
+    position-minus-segment-start (no per-customer Python).  A per-batch
+    local top-k prefilter inside the tag stage drops rows that cannot rank
+    within their batch's own top-k before the shuffle.
+    """
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def per_cust(g: pd.DataFrame) -> pa.Table:
-        g = g.assign(totalprice_c=_cents(g["o_totalprice"].to_numpy()))
-        top = g.sort_values(["totalprice_c", "o_orderkey"],
-                            ascending=[False, True]).head(k)
+    def tag(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(totalprice_c=_cents(df["o_totalprice"].to_numpy()))
+        # local prefilter: a row beyond its customer's in-batch top-k can
+        # never make the global top-k — shrink the shuffle (combiner step)
+        df = df.sort_values(["o_custkey", "totalprice_c", "o_orderkey"],
+                            ascending=[True, False, True], kind="stable")
+        ck = df["o_custkey"].to_numpy()
+        pos = np.arange(len(df))
+        seg_start = np.maximum.accumulate(
+            np.where(_segment_starts(ck), pos, 0))
+        df = df.loc[(pos - seg_start) < k,
+                    ["o_custkey", "o_orderkey", "totalprice_c"]]
+        return pa.Table.from_pandas(
+            df.assign(_ub=(_key_hash(df, ["o_custkey"]) % n_buckets)
+                      .astype(np.int64)),
+            preserve_index=False,
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "totalprice_c", "o_orderkey"],
+                          ascending=[True, False, True], kind="stable")
+        ck = g["o_custkey"].to_numpy(np.int64)
+        n = len(g)
+        if not n:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "totalprice_c": pa.array([], pa.int64()),
+                             "rnk": pa.array([], pa.int64())})
+        pos = np.arange(n)
+        seg_start = np.maximum.accumulate(
+            np.where(_segment_starts(ck), pos, 0))
+        rnk = pos - seg_start + 1
+        keep = rnk <= k
         return pa.table({
-            "o_custkey": pa.array(top["o_custkey"].to_numpy(), pa.int64()),
-            "o_orderkey": pa.array(top["o_orderkey"].to_numpy(), pa.int64()),
-            "totalprice_c": pa.array(top["totalprice_c"].to_numpy(), pa.int64()),
-            "rnk": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+            "o_custkey": pa.array(ck[keep], pa.int64()),
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)[keep],
+                                   pa.int64()),
+            "totalprice_c": pa.array(g["totalprice_c"].to_numpy(np.int64)[keep],
+                                     pa.int64()),
+            "rnk": pa.array(rnk[keep], pa.int64()),
         })
 
-    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+    return ds.map_batches(tag, batch_format="pandas") \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")

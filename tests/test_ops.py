@@ -511,6 +511,37 @@ def test_topk_per_customer_ranks(ray_session):
         assert (g.totalprice_c.diff().dropna() <= 0).all()
 
 
+def test_salted_event_ops_equal_unsalted(ray_session):
+    """Whale-key path: grouping by (user, time-span) with cross-span
+    stitch/replication produces byte-identical output.  The sf0.001 events
+    table spans ~30 days per user, so a 24 h (sessionize/asof) or 2 h
+    (rolling) salt puts every user across dozens of salt spans."""
+    from name_matching_ray.pipelines.analytics import (
+        asof_prior_event,
+        rolling_user_value,
+        sessionize,
+    )
+
+    def norm(df, keys):
+        return df.sort_values(keys).reset_index(drop=True)
+
+    a = norm(sessionize(SF).to_pandas(), ["user_id"])
+    b = norm(sessionize(SF, salt_span_hours=24).to_pandas(), ["user_id"])
+    assert len(a) > 0 and a.equals(b)
+
+    a = norm(rolling_user_value(SF).to_pandas(), ["event_id"])
+    b = norm(rolling_user_value(SF, salt_span_minutes=120).to_pandas(),
+             ["event_id"])
+    assert len(a) > 0 and a.equals(b)
+    with pytest.raises(ValueError):
+        rolling_user_value(SF, window_minutes=30, salt_span_minutes=10)
+
+    a = norm(asof_prior_event(SF).to_pandas(), ["event_id"])
+    b = norm(asof_prior_event(SF, salt_span_hours=24).to_pandas(),
+             ["event_id"])
+    assert len(a) > 0 and a.equals(b)
+
+
 def test_segment_revenue_partitioned_equals_broadcast(ray_session):
     """The partitioned-join scale path == the broadcast path exactly."""
     from name_matching_ray.pipelines.analytics import segment_revenue
