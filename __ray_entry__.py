@@ -105,7 +105,9 @@ def _quality_filter(sf_dir: str):
 
 
 def _minhash(sf_dir: str):
-    return dedup.minhash_lsh_pairs(_read_docs(sf_dir), tau=0.5)
+    # lean (ids-only LSH shuffle) + hot-bucket drop counters: the 100-TB path
+    return dedup.minhash_lsh_pairs(_read_docs(sf_dir), tau=0.5, lean=True,
+                                   metrics=True)
 
 
 def _simhash(sf_dir: str):
@@ -120,8 +122,12 @@ def _media(sf_dir: str):
 
 
 def _ivf_topk(sf_dir: str):
+    """IVF top-k with the ORACLE-ABLE fixed (data-independent, seeded)
+    centroids — the same literals are inlined into the DuckDB oracle so the
+    whole IVF path (assign → probe → top-k) is hash-checked; data-dependent
+    k-means centroids stay pytest-verified (recall on planted clusters)."""
     emb = _read_emb(sf_dir)
-    cent = annsearch.kmeans_centroids(emb, n_clusters=8)
+    cent = annsearch.fixed_centroids(8, 64)
     return annsearch.ivf_topk(emb, cent, _ANN_QUERY_IDS, k=10, nprobe=4)
 
 
@@ -176,8 +182,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _STOP_ALT = "|".join(textstats.STOPWORDS)
 
 
+def _ivf_topk_oracle() -> str:
+    """DuckDB replica of :func:`_ivf_topk`: the SAME fixed centroids are
+    inlined as literals; assignment (argmax cosine), the nprobe probe
+    UNION over all queries, and the per-query top-k are plain SQL."""
+    cent = annsearch.fixed_centroids(8, 64)
+    rows = ",\n".join(
+        f"({ci}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for ci, c in enumerate(cent)
+    )
+    qids = ",".join(str(q) for q in _ANN_QUERY_IDS)
+    return f"""
+        WITH cent(cid, cvec) AS (VALUES {rows}),
+        asg AS (
+            SELECT vec_id, cid AS part FROM (
+                SELECT e.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                             c.cid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+            WHERE rn = 1),
+        probes AS (
+            SELECT c.cid
+            FROM embeddings q CROSS JOIN cent c
+            WHERE q.vec_id IN ({qids})
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC,
+                         c.cid) <= 4),
+        wanted AS (SELECT DISTINCT cid FROM probes),
+        s AS (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.embedding, d.embedding) AS sim
+            FROM embeddings q
+            JOIN asg a ON a.part IN (SELECT cid FROM wanted)
+            JOIN embeddings d ON d.vec_id = a.vec_id AND d.vec_id <> q.vec_id
+            WHERE q.vec_id IN ({qids}))
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM s)
+        WHERE rn <= 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ivf_topk": _ivf_topk_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -104,6 +104,13 @@ def main():
         qtimes[name] = round(time.time() - t0, 3)
 
     total = time.time() - t_all
+    # drop counters accumulated across the whole suite (linkage stop keys +
+    # minhash hot buckets) — "no silent caps" surfaces in every bench JSON
+    import ray
+
+    from name_matching_ray.state.metrics import get_metrics_actor
+
+    counters = ray.get(get_metrics_actor().get_all.remote())
     out = {
         "metric": "end-to-end pipeline suite wall time",
         "value": round(total, 3),
@@ -114,6 +121,9 @@ def main():
         "pairs_scored": scored,
         "pairs_matched": matched,
         "pairs_per_sec": round(scored / t_link, 1) if t_link else None,
+        "rows_dropped_stop_keys": int(counters.get("rows_dropped_stop_keys", 0)),
+        "pairs_dropped_hot_buckets":
+            int(counters.get("pairs_dropped_hot_buckets", 0)),
     }
     print(json.dumps(out))
 

@@ -126,7 +126,20 @@ def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
 
     # explode ONCE, wave-partitioned parquet (stage checkpoint)
     exploded_dir = f"{out_dir}/exploded"
-    if not man.is_complete("exploded"):
+    explode_config = {"n_waves": n_waves, "cap": cap, "max_shards": max_shards}
+    if man.is_complete("exploded"):
+        # a completed explode built under DIFFERENT salt/wave parameters
+        # would silently disagree with the hot-key decisions recomputed
+        # above (duplicated or lost pairs in the secondary pass)
+        lin = man.data["partitions"]["exploded"].get("lineage", {})
+        got = {k: lin.get(k) for k in explode_config}
+        if got != explode_config:
+            raise ValueError(
+                f"resume mismatch: exploded/ was built with {got} but this "
+                f"run wants {explode_config}; delete {exploded_dir} (and the "
+                "manifest entries) or rerun with the original parameters"
+            )
+    else:
         te = time.time()
         metrics_actor = get_metrics_actor()
         ray.get(metrics_actor.reset.remote())
@@ -150,13 +163,20 @@ def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
         counters = ray.get(metrics_actor.get_all.remote())
         man.mark_complete(
             "exploded",
-            lineage={"input": names_dir, "n_waves": n_waves, "cap": cap,
-                     "max_shards": max_shards},
+            lineage={"input": names_dir, **explode_config},
             metrics={"wall_sec": round(time.time() - te, 3),
                      "rows_dropped_stop_keys":
-                         int(counters.get("rows_dropped_stop_keys", 0))},
+                         int(counters.get("rows_dropped_stop_keys", 0)),
+                     # which waves hold rows — resume branches on this, not
+                     # on a local-filesystem probe (URI-style storage would
+                     # silently yield zero pairs for every wave)
+                     "wave_rows": {
+                         str(w): int(counters.get(f"wave_rows_{w}", 0))
+                         for w in range(n_waves)
+                     }},
         )
 
+    wave_rows = man.data["partitions"]["exploded"]["metrics"].get("wave_rows")
     for w in range(n_waves):
         pid = f"pairs/wave-{w}"
         if man.is_complete(pid):
@@ -167,7 +187,9 @@ def run_linkage_checkpointed(docs_path: str, out_dir: str, *, n_waves: int = 8,
 
         metrics_actor = get_metrics_actor()
         ray.get(metrics_actor.reset.remote())
-        if os.path.isdir(wave_dir):
+        wave_nonempty = (wave_rows[str(w)] > 0 if wave_rows is not None
+                         else os.path.isdir(wave_dir))  # legacy manifests
+        if wave_nonempty:
             in_wave = ray.data.read_parquet(wave_dir)
             # fused emit+score in the reduce (see blocking.fused_match_pairs).
             # Reduce-task parallelism follows the input block count; 128

@@ -230,11 +230,15 @@ def embedding_cosine_dups(ds, *, threshold: float = 0.35,
         norm = norm.repartition(n_chunks).materialize()
     refs = norm.to_arrow_refs()
     refs_ref = ray.put(refs)
-    items = [{"i": i, "j": j} for i in range(len(refs))
-             for j in range(i, len(refs))]
-    work = ray.data.from_items(items)
-    if len(items) > 1:
-        work = work.repartition(len(items))  # one chunk-pair per task round
+    c = len(refs)
+    n_items = c * (c + 1) // 2  # unordered chunk pairs incl. the diagonal
+    # the work-item set is a RANGE, not a driver-built list of dicts
+    # (O(chunks²) dicts on the driver was the last materialization here);
+    # each task decodes its flat indices into (i, j) chunk coordinates
+    work = ray.data.range(
+        n_items, override_num_blocks=min(n_items, max(64, 4 * int(
+            ray.cluster_resources().get("CPU", 8))))
+    ).map_batches(_decode_chunk_pairs(c), batch_format="pyarrow")
     return work.map_batches(
         _ChunkPairSims,
         fn_constructor_kwargs={
@@ -245,6 +249,30 @@ def embedding_cosine_dups(ds, *, threshold: float = 0.35,
         batch_size=1,
         concurrency=concurrency,
     )
+
+
+def _decode_chunk_pairs(c: int):
+    """Vectorized flat-index -> upper-triangle (i, j) decode, i <= j < c.
+
+    Row-major triangle: t(i, j) = i*c − i(i−1)/2 + (j − i).  The float sqrt
+    inverse is corrected by ±1 against the exact integer row offsets.
+    """
+    def decode(b: pa.Table) -> pa.Table:
+        t = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.floor((2 * c + 1 - np.sqrt((2 * c + 1.0) ** 2 - 8.0 * t)) / 2) \
+            .astype(np.int64)
+        i = np.clip(i, 0, c - 1)
+        off = i * c - i * (i - 1) // 2
+        i = np.where(t < off, i - 1, i)
+        off = i * c - i * (i - 1) // 2
+        nxt = (i + 1) * c - (i + 1) * i // 2
+        i = np.where(t >= nxt, i + 1, i)
+        off = i * c - i * (i - 1) // 2
+        j = t - off + i
+        return pa.table({"i": pa.array(i, pa.int64()),
+                         "j": pa.array(j, pa.int64())})
+
+    return decode
 
 
 def ivf_cosine_dups(ds, centroids: np.ndarray, *, threshold: float = 0.9,
@@ -280,6 +308,20 @@ def ivf_cosine_dups(ds, centroids: np.ndarray, *, threshold: float = 0.9,
 # ---------------------------------------------------------------------------
 # IVF (k-means bucketed) scale path
 # ---------------------------------------------------------------------------
+
+def fixed_centroids(n_clusters: int, dim: int, seed: int = 0) -> np.ndarray:
+    """Deterministic data-INDEPENDENT unit centroids (seeded Gaussian).
+
+    The oracle-able IVF configuration: the identical literals can be inlined
+    into a DuckDB oracle (nearest-centroid assignment, nprobe probing and
+    top-k are then plain SQL), which a data-dependent k-means — whose
+    centroids differ per scale factor — cannot.  Random unit directions are
+    a legitimate coarse quantizer (random-hyperplane partitioning); k-means
+    quality is exercised separately (pytest recall on planted clusters).
+    """
+    rng = np.random.default_rng(seed)
+    return _unit(rng.standard_normal((n_clusters, dim)))
+
 
 def kmeans_centroids(ds, n_clusters: int, *, vec_col: str = "embedding",
                      sample: int = 4096, iters: int = 10, seed: int = 0):

@@ -96,6 +96,8 @@ class ExplodeToPairBlocks:
     column: 0 = left shard member, 1 = right, 2 = both (unsalted / i == j).
     """
 
+    _WAVE_CACHE_CAP = 500_000  # long-lived actors over high-cardinality keys
+
     def __init__(self, hot_first: dict[str, int], hot_last: dict[str, int],
                  max_shards: int = 16, n_buckets: int | None = None,
                  drop_stop_keys: bool = True, n_waves: int | None = None,
@@ -174,6 +176,7 @@ class ExplodeToPairBlocks:
                 pa.int64(),
             ))
             names.append("bucket")
+        waves = None
         if self.n_waves:
             cache = self._wave_cache
             waves = []
@@ -181,14 +184,26 @@ class ExplodeToPairBlocks:
                 w = cache.get(k)
                 if w is None:
                     w = _stable_salt(k, self.n_waves)
-                    cache[k] = w
+                    if len(cache) < self._WAVE_CACHE_CAP:
+                        cache[k] = w
                 waves.append(w)
             arrays.append(pa.array(waves, pa.int64()))
             names.append("wave")
-        if self.metrics and batch_skips:
-            from ..state.metrics import get_metrics_actor
+        if self.metrics:
+            counters: dict[str, int] = {}
+            if batch_skips:
+                counters["rows_dropped_stop_keys"] = batch_skips
+            if waves:
+                # per-wave row tallies: the checkpoint manifest records which
+                # waves are non-empty so resume never probes the filesystem
+                u, c = np.unique(np.asarray(waves, np.int64),
+                                 return_counts=True)
+                for w, n_rows in zip(u, c):
+                    counters[f"wave_rows_{int(w)}"] = int(n_rows)
+            if counters:
+                from ..state.metrics import add_sync
 
-            get_metrics_actor().add.remote("rows_dropped_stop_keys", batch_skips)
+                add_sync(counters)
         return pa.Table.from_arrays(arrays, names=names)
 
 
@@ -420,12 +435,10 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
     out = {"left_doc_id": out_l, "right_doc_id": out_r, "block_key": out_k,
            "rule_code": out_c, "score": out_s}
     if metrics:
-        from ..state.metrics import get_metrics_actor
+        from ..state.metrics import add_sync
 
-        m = get_metrics_actor()
-        m.add.remote("pairs_scored", n_scored)
-        m.add.remote("pairs_matched",
-                     sum(1 for c in out["rule_code"] if c > 0))
+        add_sync({"pairs_scored": n_scored,
+                  "pairs_matched": sum(1 for c in out["rule_code"] if c > 0)})
     return pa.table({
         "left_doc_id": pa.array(out["left_doc_id"], pa.string()),
         "right_doc_id": pa.array(out["right_doc_id"], pa.string()),
@@ -456,6 +469,7 @@ def fused_match_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
         fn_constructor_kwargs={
             "hot_first": hot_first, "hot_last": hot_last,
             "max_shards": max_shards, "n_buckets": n_buckets,
+            "metrics": metrics,
         },
         batch_format="pyarrow",
         concurrency=(1, 8),

@@ -307,7 +307,7 @@ class ExplodeBands:
 def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
                       bands: int = 32, tau: float = 0.5, max_bucket: int = 200,
                       text_col: str = "text", id_col: str = "doc_id",
-                      metrics: bool = False, lean: bool = False):
+                      metrics: bool = False, lean: bool = True):
     """MinHash-LSH candidate pairs with signature-estimated Jaccard >= tau.
 
     Returns (left_id, right_id, est_sim_pct int).  ``max_bucket`` caps the
@@ -315,13 +315,13 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
     its n·(n−1)/2 candidate pairs to the ``pairs_dropped_hot_buckets``
     counter on the metrics actor (no silent caps).
 
-    ``lean`` trades shuffles for shuffle VOLUME (the 100 TB knob): the
-    default ships the full ``num_perm``-hash signature with every band row
-    (~1 KB × bands per doc through the LSH shuffle, one shuffle total);
-    ``lean=True`` ships only (band_key, doc_id) through the LSH shuffle and
-    attaches each side's signature afterwards via two hash-bucket joins, so
-    every signature crosses the wire once per join instead of ``bands``
-    times.  Outputs are identical (pytest-checked).
+    ``lean`` trades shuffles for shuffle VOLUME (the 100 TB knob):
+    ``lean=False`` ships the full ``num_perm``-hash signature with every
+    band row (~1 KB × bands per doc through the LSH shuffle, one shuffle
+    total); the ``lean=True`` DEFAULT ships only (band_key, doc_id) through
+    the LSH shuffle and attaches each side's signature afterwards via two
+    hash-bucket joins, so every signature crosses the wire once per join
+    instead of ``bands`` times.  Outputs are identical (pytest-checked).
     """
     from ray.data.aggregate import Max
 
@@ -366,9 +366,9 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
             r_out.append(ids[ju[keep]])
             s_out.append((agree[keep] * 100 // num_perm).astype(np.int64))
         if metrics and n_dropped:
-            from ..state.metrics import get_metrics_actor
+            from ..state.metrics import add_sync
 
-            get_metrics_actor().add.remote("pairs_dropped_hot_buckets", n_dropped)
+            add_sync({"pairs_dropped_hot_buckets": n_dropped})
         if not l_out:
             return pa.table({
                 "left_id": pa.array([], pa.int64()),
@@ -420,9 +420,9 @@ def _minhash_lean(sigs, *, num_perm: int, bands: int, min_agree: int,
             l_out.append(ids[iu])
             r_out.append(ids[ju])
         if metrics and n_dropped:
-            from ..state.metrics import get_metrics_actor
+            from ..state.metrics import add_sync
 
-            get_metrics_actor().add.remote("pairs_dropped_hot_buckets", n_dropped)
+            add_sync({"pairs_dropped_hot_buckets": n_dropped})
         l = np.concatenate(l_out) if l_out else np.empty(0, np.int64)
         r = np.concatenate(r_out) if r_out else np.empty(0, np.int64)
         return pa.table({

@@ -21,6 +21,10 @@ class MetricsActor:
     def add(self, key: str, value: int = 1):
         self.counters[key] += value
 
+    def add_many(self, counters: dict):
+        for k, v in counters.items():
+            self.counters[k] += v
+
     def get_all(self) -> dict:
         return dict(self.counters)
 
@@ -39,3 +43,15 @@ def get_metrics_actor(name: str = "nm_ray_metrics"):
     return MetricsActor.options(
         name=name, get_if_exists=True, lifetime="detached"
     ).remote()
+
+
+def add_sync(counters: dict, name: str = "nm_ray_metrics"):
+    """Add counters and BLOCK until the actor has applied them.
+
+    Fire-and-forget ``add.remote()`` from a map task races the driver's
+    post-execution ``get_all()``: the task can finish (and the pipeline with
+    it) while its add is still in the actor's mailbox, silently
+    under-reporting the very counters that exist to avoid silent caps.  One
+    extra RPC round-trip per task/group is noise next to the work done there.
+    """
+    ray.get(get_metrics_actor(name).add_many.remote(dict(counters)))

@@ -66,7 +66,7 @@ def test_minhash_lean_equals_default(docs_ds, ray_session):
     """The shuffle-lean (sig-join) LSH plan == the sig-carrying plan."""
     from name_matching_ray.stages.dedup import minhash_lsh_pairs
 
-    a = minhash_lsh_pairs(docs_ds, tau=0.10).to_pandas()
+    a = minhash_lsh_pairs(docs_ds, tau=0.10, lean=False).to_pandas()
     b = minhash_lsh_pairs(docs_ds, tau=0.10, lean=True).to_pandas()
     k = ["left_id", "right_id"]
     a = a.sort_values(k).reset_index(drop=True)
