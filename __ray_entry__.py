@@ -159,6 +159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings / similarity search
         "embedding_dups": lambda sf: annsearch.embedding_cosine_dups(
             _read_emb(sf), threshold=0.35),
+        # max_hamming=16 on the synthetic embeddings (their closest pairs
+        # sit near cosine 0.35): non-vacuous result set; tight-hamming
+        # configs are pytest-verified on planted near-duplicates
+        "srp_dedup": lambda sf: annsearch.srp_lsh_pairs(
+            _read_emb(sf), max_hamming=16),
         "ann_threshold": lambda sf: annsearch.cosine_threshold_pairs(
             _read_emb(sf), _ANN_QUERY_IDS, threshold=0.25),
         "ann_topk": lambda sf: annsearch.ann_topk(_read_emb(sf),
@@ -226,9 +231,37 @@ def _ivf_topk_oracle() -> str:
     """
 
 
+def _srp_oracle() -> str:
+    """DuckDB replica of ``srp_lsh_pairs``: the same 64 seeded hyperplanes
+    inlined as literals; sign bits, pairwise hamming and the <= max_hamming
+    filter are plain SQL.  (The SQL compares all pairs directly — banding
+    only prunes candidates, never changes the <= max_hamming result set.)"""
+    hp = annsearch.srp_hyperplanes()
+    rows = ",\n".join(
+        f"({bi}, [{', '.join(repr(float(v)) for v in h)}]::DOUBLE[])"
+        for bi, h in enumerate(hp)
+    )
+    return f"""
+        WITH hp(bit, hvec) AS (VALUES {rows}),
+        bits AS (
+            SELECT e.vec_id, h.bit,
+                   CASE WHEN list_dot_product(e.embedding, h.hvec) > 0
+                        THEN 1 ELSE 0 END AS s
+            FROM embeddings e CROSS JOIN hp h),
+        ham AS (
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                   SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS hamming
+            FROM bits a JOIN bits b ON a.bit = b.bit AND a.vec_id < b.vec_id
+            GROUP BY a.vec_id, b.vec_id)
+        SELECT left_id, right_id, CAST(hamming AS BIGINT) AS hamming
+        FROM ham WHERE hamming <= 16
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ivf_topk": _ivf_topk_oracle(),
+        "srp_dedup": _srp_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "sessionize", "asof_prior_event", "rolling_user_value", "windowed_watermark",
     "topk_per_customer", "text_stats", "quality_filter", "word_counts",
     "exact_dedup", "ngram_jaccard_dedup", "minhash_dedup", "simhash_dedup",
-    "embedding_dups", "ann_topk",
+    "embedding_dups", "srp_dedup", "ann_topk",
 ]
 
 

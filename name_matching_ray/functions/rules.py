@@ -59,6 +59,51 @@ def get_matcher() -> "Matcher":
     return _PROCESS_MATCHER
 
 
+class _NamePre:
+    """Per-NAME prework for the cascade, computed once per distinct
+    preprocessed name and reused across every pair that name appears in
+    (names recur heavily inside a blocking bucket).  Everything here is a
+    pure function of one name — the pair-dependent state (good_x/good_y,
+    score_x, has_bad_x) stays in :meth:`Matcher.match`.
+    """
+
+    __slots__ = ("words", "wset_ns", "na_empty", "c", "c_words", "sorted_c",
+                 "sj", "sj_c", "nospace", "has_loc", "ban", "pos_first",
+                 "pos_last", "dup_firsts", "remaining")
+
+    def __init__(self, s: str, norm: Normalizer, suffix: set,
+                 common_abbr: set):
+        words = s.split()
+        self.words = words
+        wset = set(words)
+        self.wset_ns = wset - suffix
+        self.na_empty = not (self.wset_ns - NA)
+        c = norm.remove_suffix(s)
+        self.c = c
+        self.c_words = set(c.split())
+        self.sorted_c = "".join(sorted(c))
+        self.sj = " ".join(sorted(words))
+        self.sj_c = " ".join(sorted(c.split()))
+        self.nospace = s.replace(" ", "")
+        self.has_loc = norm.has_location(s)
+        self.ban = any(w in s for w in BAN_LIST)
+        pos_first: dict = {}
+        pos_last: dict = {}
+        for i, w in enumerate(words, start=1):
+            if w not in pos_first:
+                pos_first[w] = i  # first occurrence wins (matcher.py:190-191)
+            pos_last[w] = i  # last occurrence wins (matcher.py:188)
+        self.pos_first = pos_first
+        self.pos_last = pos_last
+        # qualifying repeated-word bigrams for check_double (matcher.py:66-81):
+        # first elements of adjacent near-duplicate non-suffix word pairs
+        self.dup_firsts = [
+            w1 for w1, w2 in bigrams(words)
+            if ratio(w1, w2) > 89 and w1 not in suffix and w2 not in suffix
+        ]
+        self.remaining = wset - common_abbr - suffix
+
+
 class Matcher:
     """Compiled matcher state: one instance per process / Ray actor.
 
@@ -67,6 +112,8 @@ class Matcher:
     and shares it across fork workers (SURVEY.md §2.3).
     """
 
+    _PRE_CACHE_CAP = 300_000  # per-name prework entries (~a few hundred B each)
+
     def __init__(self, assets: Assets | None = None, normalizer: Normalizer | None = None):
         self.assets = assets if assets is not None else default_assets()
         self.norm = normalizer if normalizer is not None else Normalizer(self.assets)
@@ -74,6 +121,15 @@ class Matcher:
         self.eng = self.assets.eng
         self.common_abbr = self.assets.common_abbr
         self.common_abbr12 = self.assets.common_abbr12
+        self._pre_cache: dict[str, _NamePre] = {}
+
+    def _name_pre(self, s: str) -> _NamePre:
+        got = self._pre_cache.get(s)
+        if got is None:
+            got = _NamePre(s, self.norm, self.suffix, self.common_abbr)
+            if len(self._pre_cache) < self._PRE_CACHE_CAP:
+                self._pre_cache[s] = got
+        return got
 
     # -- check_double (matcher.py:66-81) -----------------------------------
     def _check_double(self, a_words, b_words):
@@ -100,6 +156,26 @@ class Matcher:
                     return False
         return None
 
+    @staticmethod
+    def _check_double_pre(pre_a: "_NamePre", pre_b: "_NamePre"):
+        """:meth:`_check_double` on memoized qualifying-bigram lists.
+
+        The reference's inner scan always lands on the FIRST qualifying
+        ``b`` bigram (it breaks there regardless of alignment), so only
+        ``pre_b.dup_firsts[0]`` matters; equivalence with the scan above is
+        differential-tested (test_check_double_pre_equivalence).
+        """
+        firsts = pre_a.dup_firsts
+        if not firsts:
+            return None
+        b_first = pre_b.dup_firsts[0] if pre_b.dup_firsts else None
+        for a1 in firsts:
+            if b_first is None:
+                return False
+            if ratio(a1, b_first) <= 89:
+                return False
+        return None
+
     # -- the cascade (matcher.py:139-366) ----------------------------------
     def match(self, a: str, b: str):
         suffix = self.suffix
@@ -114,33 +190,34 @@ class Matcher:
             except IndexError:
                 pass  # reference logs and falls through (bare except)
 
-        c, d = self.norm.remove_suffix(a), self.norm.remove_suffix(b)
-        x, y = b.split(), a.split()
+        # per-NAME prework is memoized across pairs (see _NamePre); every
+        # substitution below is exact: token_sort_ratio(a,b) == 100 ⟺ the
+        # sorted-join strings compare equal; ratio(sorted(c), sorted(d))
+        # == 100 ⟺ the sorted char strings compare equal; token_sort_ratio
+        # itself IS ratio over the sorted joins
+        pa_, pb_ = self._name_pre(a), self._name_pre(b)
+        c, d = pa_.c, pb_.c
+        x, y = pb_.words, pa_.words
 
         if len(y) - len(x) > 5:
             return -23
-        _a_words = set(a.split()) - suffix
-        _b_words = set(b.split()) - suffix
-        if not (_a_words - NA):
+        if pa_.na_empty:
             return -1
-        if not (_b_words - NA):
+        if pb_.na_empty:
             return -2
 
         # rule 21/-22: both names carry a location (matcher.py:160-164)
-        if self.norm.has_location(a) and self.norm.has_location(b):
-            if token_sort_ratio(a, b) > 95:
+        if pa_.has_loc and pb_.has_loc:
+            if ratio(pa_.sj, pb_.sj) > 95:
                 return 21
             return -22
 
         # rule 1a: space-stripped equality (matcher.py:165-167)
-        if a.replace(" ", "") == b.replace(" ", ""):
+        if pa_.nospace == pb_.nospace:
             if len(a) > 8:
                 return 1
-        # rule 1b / -21: anagram-level equality (matcher.py:168-177).
-        # ``ratio(sorted(c), sorted(d)) == 100`` ⟺ indel distance 0 between
-        # the sorted char sequences ⟺ equal char multisets ⟺ the sorted
-        # lists compare equal — same predicate, no O(n·m/64) LCS per pair
-        if token_sort_ratio(a, b) == 100 or sorted(c) == sorted(d):
+        # rule 1b / -21: anagram-level equality (matcher.py:168-177)
+        if pa_.sj == pb_.sj or pa_.sorted_c == pb_.sorted_c:
             if a[:3] == b[:3]:
                 if c in TOO_GENERAL and d in TOO_GENERAL:
                     return -21
@@ -151,34 +228,36 @@ class Matcher:
                     return 1
 
         # rule -3: banned institution words, substring test (matcher.py:179-181)
-        for w in BAN_LIST:
-            if w in a:
-                return -3
+        if pa_.ban:
+            return -3
 
-        # word-alignment state (matcher.py:183-223); x is the base/CRSP side
+        # word-alignment state (matcher.py:183-223); x is the base/CRSP side.
+        # pos_x (last occurrence of a base word) and pos_y (first occurrence
+        # of a query word) are pure per-name functions — taken from the memo;
+        # good_x / good_y / score_x are pair state, built exactly as the
+        # reference builds them
         good_x, good_y = set(), set()
         has_bad_x = False
-        pos_x, pos_y = {}, {}
+        pos_x, pos_y = pb_.pos_last, pa_.pos_first
         score_x = {}
+        thr_equal_len = (len(x) == len(y)) and (len(x) > 3)
         for m, wx in enumerate(x, start=1):
-            pos_x[wx] = m  # last occurrence wins
             scores = []
-            for n, wy in enumerate(y, start=1):
-                if wy not in pos_y:
-                    pos_y[wy] = n  # first occurrence wins
+            wx0 = wx[0]
+            for wy in y:
                 score = ratio(wx, wy)
                 scores.append(score)
                 if wy in suffix:
                     continue
                 # threshold resolution incl. the dead len==1 branch
                 # (matcher.py:197-205): net effect below
-                if (len(x) == len(y)) and (len(x) > 3):
+                if thr_equal_len:
                     threshold = 75
                 elif m == 1:
                     threshold = 92
                 else:
                     threshold = 89
-                if score > threshold and wx[0] == wy[0] and wy[-1] not in "1234567890":
+                if score > threshold and wx0 == wy[0] and wy[-1] not in "1234567890":
                     good_x.add(wx)
                 if jaro_winkler(wx, wy) > 0.92:
                     good_y.add(wy)
@@ -189,7 +268,7 @@ class Matcher:
             score_x[m] = max(scores) if scores else 0
 
         # rule 2: high token-sort similarity after suffix strip (226-231)
-        if token_sort_ratio(c, d) > 94:
+        if ratio(pa_.sj_c, pb_.sj_c) > 94:
             if has_bad_x is False:
                 if a[0] == b[0]:
                     return 2
@@ -207,16 +286,21 @@ class Matcher:
             if " ".join(x[:3]) in eng:
                 return -13
 
-        # part 2: low-similarity salvage (246-366)
-        if self._check_double(x, y) is False:
-            return False
-        if self._check_double(y, x) is False:
-            return False
+        # part 2: low-similarity salvage (246-366).  check_double is driven
+        # by each name's memoized qualifying-bigram list: names with no
+        # repeated near-duplicate words (the overwhelming majority) skip it
+        # outright; otherwise the reference's exact first-qualifying-bigram
+        # alignment logic runs (see _check_double_pre)
+        if (pb_.dup_firsts or pa_.dup_firsts):
+            if self._check_double_pre(pb_, pa_) is False:
+                return False
+            if self._check_double_pre(pa_, pb_) is False:
+                return False
 
         # abbreviation-coverage block (252-275)
         if (
-            len(set(c.split()) - common_abbr - good_y) == 0
-            or len(set(d.split()) - common_abbr - good_x) == 0
+            len(pa_.c_words - common_abbr - good_y) == 0
+            or len(pb_.c_words - common_abbr - good_x) == 0
         ):
             remain_good_y = set(good_y) - suffix
             if len(remain_good_y) == 1:
@@ -268,8 +352,8 @@ class Matcher:
                                     return 55
 
         # first-two-words block (309-332)
-        _x = set(x) - suffix
-        _y = set(y) - suffix
+        _x = pb_.wset_ns
+        _y = pa_.wset_ns
         if len(_x) > 1 and len(_y) > 1:
             if token_sort_ratio([x[0], x[1]], [y[0], y[1]]) > 84:
                 if x[0] == y[0] and has_bad_x is False:
@@ -315,7 +399,7 @@ class Matcher:
                     return -8
                 else:
                     return -18
-        remaining_x = set(x) - common_abbr - suffix
+        remaining_x = pb_.remaining
         if not remaining_x:
             return -10
         if len(remaining_x) == 1:

@@ -275,6 +275,69 @@ def _decode_chunk_pairs(c: int):
     return decode
 
 
+def srp_signatures(ds, hyperplanes: np.ndarray, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Signed-random-projection 64-bit signature per embedding row.
+
+    Bit b = 1 iff ``v · h_b > 0`` — the classic SRP-LSH sketch (Charikar
+    2002): the probability two vectors agree on a bit is 1 − θ/π, so small
+    hamming distance ⟺ high cosine.  One (n × d) @ (d × 64) matmul per
+    batch; the hyperplanes are broadcast once via ``ray.put``.
+    """
+    import ray
+
+    assert hyperplanes.shape[0] == 64
+    href = ray.put(hyperplanes.astype(np.float64))
+    bit_vals = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    class Sign:
+        def __init__(self):
+            self.h = ray.get(href)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _mat(batch.column(vec_col))
+            bits = (m @ self.h.T) > 0 if len(m) else np.empty((0, 64), bool)
+            sig = (bits.astype(np.uint64) * bit_vals[None, :]).sum(axis=1)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "srp": pa.array(sig.astype(np.uint64).view(np.int64),
+                                pa.int64()),
+            })
+
+    return ds.map_batches(Sign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def srp_lsh_pairs(ds, *, max_hamming: int = 6, seed: int = 0,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Embedding near-dup candidate pairs via SRP-LSH banding.
+
+    64-bit SRP signatures (fixed seeded hyperplanes → fully deterministic,
+    DuckDB-oracle-able) fed through the same pigeonhole hamming banding as
+    text simhash (:func:`..dedup.hamming_band_pairs`): full recall for
+    signature distance <= max_hamming, candidate volume bounded by band
+    agreement instead of O(N²).  The scale path for embedding near-dup
+    alongside :func:`ivf_cosine_dups`.
+
+    Pruning strength is ``64 // (max_hamming + 1)`` bits per band: at the
+    near-dup settings this is built for (max_hamming <= 6, >= 9-bit bands)
+    banding prunes aggressively; very loose thresholds (e.g. 16 → 3-bit
+    bands) degrade toward all-pairs and belong only on small inputs.
+    """
+    from .dedup import hamming_band_pairs
+
+    hp = srp_hyperplanes(seed)
+    sigs = srp_signatures(ds, hp, id_col=id_col, vec_col=vec_col)
+    return hamming_band_pairs(sigs, max_hamming=max_hamming, id_col=id_col,
+                              sig_col="srp")
+
+
+def srp_hyperplanes(seed: int = 0, dim: int = 64) -> np.ndarray:
+    """The fixed (64, dim) seeded Gaussian hyperplane set shared by the Ray
+    pipeline and the inlined-literal DuckDB oracle."""
+    rng = np.random.default_rng(1_000_003 + seed)
+    return rng.standard_normal((64, dim))
+
+
 def ivf_cosine_dups(ds, centroids: np.ndarray, *, threshold: float = 0.9,
                     id_col: str = "vec_id", vec_col: str = "embedding"):
     """APPROXIMATE near-dup pairs: all-pairs only WITHIN each IVF partition.

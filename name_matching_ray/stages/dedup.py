@@ -562,32 +562,26 @@ class SimHashes:
         })
 
 
-def simhash_pairs(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id"):
-    """Near-dup pairs with simhash hamming distance <= max_hamming (<= 15).
+def hamming_band_pairs(sig_ds, *, max_hamming: int = 3,
+                       id_col: str = "doc_id", sig_col: str = "simhash",
+                       n_buckets: int = 256):
+    """All pairs with 64-bit-signature hamming distance <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into ``max_hamming + 1`` bands; any pair
-    within distance max_hamming agrees exactly on >= 1 band → full recall.
+    Pigeonhole banding: split 64 bits into ``max_hamming + 1`` bands; any
+    pair within distance max_hamming agrees exactly on >= 1 band → full
+    recall.  Shared by text simhash and embedding SRP-LSH — any stage that
+    emits a 64-bit signature column gets banded near-dup pairing for free.
     """
     from ray.data.aggregate import Min
 
     nbands = max_hamming + 1
     width = 64 // nbands
 
-    sh = docs_ds.map_batches(
-        SimHashes,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
-
-    n_buckets = 256
-
     def explode(b: pa.Table) -> pa.Table:
         import hashlib
 
         ids = b.column(id_col).to_pylist()
-        hs = np.asarray(b.column("simhash").to_pylist(), np.int64).view(np.uint64)
+        hs = np.asarray(b.column(sig_col).to_pylist(), np.int64).view(np.uint64)
         out_key, out_id, out_h, out_bk = [], [], [], []
         for i, h in zip(ids, hs):
             for band in range(nbands):
@@ -604,7 +598,7 @@ def simhash_pairs(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
         return pa.table({
             "band_key": pa.array(out_key, pa.string()),
             id_col: pa.array(out_id, b.schema.field(id_col).type),
-            "simhash": pa.array(out_h, pa.int64()),
+            sig_col: pa.array(out_h, pa.int64()),
             "bucket": pa.array(out_bk, pa.int64()),
         })
 
@@ -614,7 +608,7 @@ def simhash_pairs(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
             if len(grp) < 2:
                 continue
             ids = grp[id_col].to_numpy()
-            hs = grp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            hs = grp[sig_col].to_numpy().astype(np.int64).view(np.uint64)
             order = np.argsort(ids, kind="stable")
             ids, hs = ids[order], hs[order]
             iu, ju = np.triu_indices(len(ids), k=1)
@@ -636,9 +630,25 @@ def simhash_pairs(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
             "hamming": pa.array(np.concatenate(h_out), pa.int64()),
         })
 
-    cand = sh.map_batches(explode, batch_format="pyarrow") \
-             .groupby("bucket").map_groups(pairs_in_bucket,
-                                           batch_format="pandas")
+    cand = sig_ds.map_batches(explode, batch_format="pyarrow") \
+                 .groupby("bucket").map_groups(pairs_in_bucket,
+                                               batch_format="pandas")
     return cand.groupby(["left_id", "right_id"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+def simhash_pairs(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Near-dup pairs with simhash hamming distance <= max_hamming (<= 15).
+
+    Banded via :func:`hamming_band_pairs` (pigeonhole full recall).
+    """
+    sh = docs_ds.map_batches(
+        SimHashes,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return hamming_band_pairs(sh, max_hamming=max_hamming, id_col=id_col,
+                              sig_col="simhash")

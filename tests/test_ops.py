@@ -561,3 +561,47 @@ def test_word_counts_sum(docs_df, docs_ds, ray_session):
     total_tokens = sum(len(t.lower().split()) for t in docs_df.text)
     assert got.n.sum() == total_tokens
     assert got.word.is_unique
+
+
+def test_srp_lsh_matches_bruteforce(ray_session):
+    """SRP-LSH banded pairs == brute-force signature hamming (exact set,
+    including distances) on the real embeddings; and at the tight near-dup
+    setting (max_hamming=6, 9-bit bands) planted near-duplicates are found."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from name_matching_ray.stages.annsearch import (
+        srp_hyperplanes,
+        srp_lsh_pairs,
+    )
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    got = srp_lsh_pairs(emb, max_hamming=16).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    m = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    bits = (m @ srp_hyperplanes().T) > 0
+    ids = t.vec_id.to_numpy()
+    ham = (bits[:, None, :] != bits[None, :, :]).sum(axis=2)
+    iu, ju = np.triu_indices(len(ids), 1)
+    keep = ham[iu, ju] <= 16
+    exp = set(zip(np.minimum(ids[iu[keep]], ids[ju[keep]]),
+                  np.maximum(ids[iu[keep]], ids[ju[keep]]),
+                  ham[iu, ju][keep]))
+    assert set(zip(got.left_id, got.right_id, got.hamming)) == exp
+    assert len(exp) > 0
+
+    # planted near-dups at the tight setting
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((50, 64))
+    dup = base[:10] + 0.02 * rng.standard_normal((10, 64))
+    vecs = np.concatenate([base, dup]).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(60), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32(), 64)),
+    }))
+    tight = srp_lsh_pairs(ds, max_hamming=6).to_pandas()
+    found = set(zip(tight.left_id, tight.right_id))
+    hits = sum((i, 50 + i) in found for i in range(10))
+    assert hits >= 8, (hits, found)

@@ -135,3 +135,21 @@ def test_label_f1_within_blocks(matcher, labeled):
     # parity-bounded floor: the curated lists contain pairs the current
     # reference itself mis-decides (e.g. WATERS/WALTER -> rule 2)
     assert f1 >= 0.80, (tp, fn, fp, tn, f1)
+
+
+def test_check_double_pre_equivalence(matcher):
+    """The memoized qualifying-bigram fast path == the reference-shaped
+    bigram scan, for both argument orders, over adversarial repeated-word
+    names (the fast path is what match() actually runs)."""
+    names = [
+        "ball ball carburetor", "ball inc", "acme corp",
+        "data data data sys", "balt ball co", "ball balls ball",
+        "inc inc",  # suffix-only repeats are skipped by both
+        "x y z", "", "solo", "meta metal metals",
+        "abc abc abc abc", "abd abc abd",
+    ]
+    for a in names:
+        for b in names:
+            pa_, pb_ = matcher._name_pre(a), matcher._name_pre(b)
+            assert matcher._check_double_pre(pa_, pb_) == \
+                matcher._check_double(a.split(), b.split()), (a, b)
