@@ -145,6 +145,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": analytics.rolling_user_value,
         "windowed_watermark": analytics.windowed_counts_watermark,
         "topk_per_customer": analytics.topk_orders_per_customer,
+        # whale-key variants: same semantics (same oracles), but grouped by
+        # (user, time-span) with cross-span stitch / replication — the plans
+        # that survive a single pathological user at 100 TB
+        "sessionize_salted": lambda sf: analytics.sessionize(
+            sf, salt_span_hours=24),
+        "asof_salted": lambda sf: analytics.asof_prior_event(
+            sf, salt_span_hours=24),
+        "rolling_salted": lambda sf: analytics.rolling_user_value(
+            sf, salt_span_minutes=120),
         # text analysis (SQL-oracled)
         "text_stats": lambda sf: textstats.text_stats(_read_docs(sf)),
         "quality_filter": _quality_filter,
@@ -259,6 +268,15 @@ def _srp_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_base()
+    # the salted whale-key plans compute the SAME results — reuse the oracles
+    sql["sessionize_salted"] = sql["sessionize"]
+    sql["asof_salted"] = sql["asof_prior_event"]
+    sql["rolling_salted"] = sql["rolling_user_value"]
+    return sql
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "ivf_topk": _ivf_topk_oracle(),
         "srp_dedup": _srp_oracle(),

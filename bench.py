@@ -64,7 +64,7 @@ def run_linkage(sf_dir: str, docs=None, cap: int | None = None):
     # blocking groupby's reduce tasks — the wide pair table never enters the
     # object store (matched rows only come out).  Scored/matched tallies
     # come from the zero-cpu metrics actor (one RPC per reduce task).
-    names = build_names(docs, concurrency=(2, max(4, ncpu // 2)),
+    names = build_names(docs, concurrency=(2, max(4, ncpu - 2)),
                         max_name_tokens=8).materialize()
     metrics_actor = get_metrics_actor()
     ray.get(metrics_actor.reset.remote())

@@ -583,37 +583,51 @@ def windowed_counts_watermark(sf_dir: str, *, window_minutes: int = 60,
             preserve_index=False,
         )
 
+    win_us = np.int64(window_minutes) * 60_000_000
+
     def per_bucket(g: pd.DataFrame) -> pa.Table:
-        out_u, out_w, out_on, out_late = [], [], [], []
-        for uid, u in g.groupby("user_id", sort=False):
-            eid = u["event_id"].to_numpy(np.int64)
-            ts = u["ts"].to_numpy()
-            jit = np.fromiter(
-                (int.from_bytes(
-                    hashlib.md5(str(e).encode()).digest()[8:16], "little")
-                 % 3_600_000_000 for e in eid),
-                np.int64, len(eid),
-            )
-            arrival = ts + jit.astype("timedelta64[us]")
-            order = np.lexsort((eid, arrival))
-            ts_o = ts[order]
-            run = np.maximum.accumulate(ts_o)
-            late = np.zeros(len(ts_o), bool)
-            if len(ts_o) > 1:
-                late[1:] = (run[:-1] - wm) > ts_o[1:]
-            win = pd.Series(ts_o).dt.floor(f"{window_minutes}min") \
-                .dt.strftime("%Y-%m-%d %H:%M")
-            agg = pd.DataFrame({"w": win, "late": late}) \
-                .groupby("w")["late"].agg(["size", "sum"])
-            out_u.extend([int(uid)] * len(agg))
-            out_w.extend(agg.index)
-            out_on.extend((agg["size"] - agg["sum"]).astype(np.int64))
-            out_late.extend(agg["sum"].astype(np.int64))
+        n = len(g)
+        if not n:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "window_start": pa.array([], pa.string()),
+                             "n_on_time": pa.array([], pa.int64()),
+                             "n_late": pa.array([], pa.int64())})
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        # the per-row md5 IS the deterministic arrival replay (the oracle
+        # recomputes it with md5_number_lower) — inherent scalar hash, same
+        # C-md5 budget as the fingerprint op
+        jit = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(e).encode()).digest()[8:16], "little")
+             % 3_600_000_000 for e in eid),
+            np.int64, n,
+        )
+        arrival = ts + jit.astype("timedelta64[us]")
+        order = np.lexsort((eid, arrival, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        new_user = _segment_starts(uid)
+        seg_id = np.cumsum(new_user)
+        # per-user running max of event time in arrival order (vectorized
+        # cython cummax), lagged one row: the watermark comparison base
+        run = pd.Series(ts).groupby(seg_id).cummax().to_numpy()
+        late = np.zeros(n, bool)
+        late[1:] = ~new_user[1:] & ((run[:-1] - wm) > ts[1:])
+        win_lbl = np.char.replace(
+            ((ts.astype("datetime64[us]").view(np.int64) // win_us * win_us)
+             .astype("datetime64[us]").astype("datetime64[m]").astype(str)),
+            "T", " ")
+        agg = (pd.DataFrame({"user_id": uid, "window_start": win_lbl,
+                             "late": late})
+               .groupby(["user_id", "window_start"])["late"]
+               .agg(["size", "sum"]).reset_index())
         return pa.table({
-            "user_id": pa.array(out_u, pa.int64()),
-            "window_start": pa.array(out_w, pa.string()),
-            "n_on_time": pa.array(out_on, pa.int64()),
-            "n_late": pa.array(out_late, pa.int64()),
+            "user_id": pa.array(agg["user_id"].to_numpy(np.int64), pa.int64()),
+            "window_start": pa.array(agg["window_start"], pa.string()),
+            "n_on_time": pa.array(
+                (agg["size"] - agg["sum"]).to_numpy(np.int64), pa.int64()),
+            "n_late": pa.array(agg["sum"].to_numpy(np.int64), pa.int64()),
         })
 
     return (ds.map_batches(tag, batch_format="pandas")
