@@ -320,13 +320,21 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
     efficiency at 0.76 is gone.  The compiled Matcher comes from the
     per-process singleton.
     """
+    import os
+    import time as _time
+
     from ..functions.rules import get_matcher
     from ..functions.similarity import token_set_ratio_pre, token_sort_ratio
+
+    profile = bool(os.environ.get("GRAFT_SCORE_PROFILE"))
+    t_prep = t_gate = t_casc = 0.0
+    n_gate_pass = n_ambig = 0
 
     matcher = get_matcher()
     match = matcher.match
     out_l, out_r, out_k, out_c, out_s = [], [], [], [], []
     n_scored = 0
+    _t0 = _time.perf_counter()
 
     # ONE sort for the whole bucket: groups become contiguous row ranges with
     # rows already in canonical doc_id order (i < j ⇒ i is the query side)
@@ -351,6 +359,8 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
               if nrows else np.empty(0, np.int64))
     starts = [0] + change.tolist() if nrows else []
     ends = change.tolist() + [nrows] if nrows else []
+    if profile:
+        t_prep += _time.perf_counter() - _t0
 
     for s0, e0 in zip(starts, ends):
         n = e0 - s0
@@ -376,6 +386,8 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
         if not np_pairs:
             continue
         n_scored += np_pairs
+        if profile:
+            _tg = _time.perf_counter()
 
         # --- vectorized gate over the block's binary token matrix ---
         block_toks = [tok_ids[r] for r in range(s0, e0)]
@@ -407,6 +419,11 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
         for t in np.nonzero(undecided)[0]:
             if token_set_ratio_pre(tss[iu[t]], tss[ju[t]]) > 50:
                 gate_pass[t] = True
+        if profile:
+            t_gate += _time.perf_counter() - _tg
+            n_ambig += int(undecided.sum())
+            n_gate_pass += int(gate_pass.sum())
+            _tc = _time.perf_counter()
 
         # --- cascade only for gate-passing pairs ---
         for t in np.nonzero(gate_pass)[0]:
@@ -432,13 +449,24 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
                 out_k.append(key)
                 out_c.append(-100)
                 out_s.append(0.0)
+        if profile:
+            t_casc += _time.perf_counter() - _tc
     out = {"left_doc_id": out_l, "right_doc_id": out_r, "block_key": out_k,
            "rule_code": out_c, "score": out_s}
-    if metrics:
+    if metrics or profile:
         from ..state.metrics import add_sync
 
-        add_sync({"pairs_scored": n_scored,
-                  "pairs_matched": sum(1 for c in out["rule_code"] if c > 0)})
+        counters = {"pairs_scored": n_scored,
+                    "pairs_matched": sum(1 for c in out["rule_code"] if c > 0)}
+        if profile:
+            counters.update({
+                "prof_prep_ms": int(t_prep * 1000),
+                "prof_gate_ms": int(t_gate * 1000),
+                "prof_cascade_ms": int(t_casc * 1000),
+                "prof_gate_pass": n_gate_pass,
+                "prof_gate_ambig": n_ambig,
+            })
+        add_sync(counters)
     return pa.table({
         "left_doc_id": pa.array(out["left_doc_id"], pa.string()),
         "right_doc_id": pa.array(out["right_doc_id"], pa.string()),
