@@ -267,6 +267,72 @@ def _srp_oracle() -> str:
     """
 
 
+def _minhash_oracle() -> str:
+    """DuckDB replica of :func:`dedup.minhash_lsh_pairs` — the pipeline is
+    fully deterministic, so the oracle recomputes it exactly: the shingle
+    hash is md5-low64 (== ``md5_number_lower``), the 128 seeded permutation
+    constants are inlined as literals, signatures are per-permutation minima
+    of ``(a*x + b) mod 2**64`` (the numpy uint64 wraparound family), LSH
+    candidates are doc pairs sharing any 4-row band CHUNK (the Ray side
+    buckets by a hash of the chunk; equality of chunks is the same relation
+    up to negligible hash collisions), the per-band-bucket ``max_bucket``
+    drop is the ``HAVING c <= max_bucket`` guard, and the emitted estimate
+    is ``agree*100 // 128`` for pairs agreeing on >= ceil(tau*128) = 64
+    components."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    mersenne = (1 << 61) - 1
+    a = rng.integers(1, mersenne, size=128, dtype=np.uint64)
+    b = rng.integers(0, mersenne, size=128, dtype=np.uint64)
+    perm_rows = ",".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(128)
+    )
+    return f"""
+        WITH perms(i, pa, pb) AS (VALUES {perm_rows}),
+        t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                       [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)])) AS s
+            FROM t WHERE len(toks) >= 3),
+        xs AS (SELECT doc_id, CAST(md5_number_lower(s) AS HUGEINT) AS x
+               FROM sh),
+        hm AS (
+            SELECT doc_id, p.i,
+                   MIN((x * p.pa + p.pb) % 18446744073709551616) AS h
+            FROM xs CROSS JOIN perms p GROUP BY doc_id, p.i),
+        sig AS (SELECT doc_id, list(h ORDER BY i) AS sig
+                FROM hm GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, b.b AS band,
+                   list_slice(sig, b.b*4 + 1, b.b*4 + 4) AS chunk
+            FROM sig CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b),
+        bsz AS (SELECT band, chunk, COUNT(*) AS c
+                FROM bands GROUP BY band, chunk),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS l, c.doc_id AS r
+            FROM bands a
+            JOIN bands c ON a.band = c.band AND a.chunk = c.chunk
+                        AND a.doc_id < c.doc_id
+            JOIN bsz z ON z.band = a.band AND z.chunk = a.chunk
+                      AND z.c <= 200),
+        ag AS (
+            SELECT cand.l, cand.r,
+                   len([i FOR i IN range(1, 129)
+                        IF sa.sig[i] = sb.sig[i]]) AS agree
+            FROM cand JOIN sig sa ON sa.doc_id = cand.l
+                      JOIN sig sb ON sb.doc_id = cand.r)
+        SELECT l AS left_id, r AS right_id,
+               CAST(agree * 100 // 128 AS BIGINT) AS est_sim_pct
+        FROM ag WHERE agree >= 64
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_base()
     # the salted whale-key plans compute the SAME results — reuse the oracles
@@ -280,6 +346,7 @@ def _oracle_sql_base() -> dict[str, str]:
     return {
         "ivf_topk": _ivf_topk_oracle(),
         "srp_dedup": _srp_oracle(),
+        "minhash_dedup": _minhash_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,

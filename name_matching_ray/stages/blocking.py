@@ -159,6 +159,9 @@ class ExplodeToPairBlocks:
                         out_idx.append(i)
                         out_key.append(key)
         take = pa.array(out_idx, pa.int64())
+        # block_key_last is consumed HERE (the secondary-pass key) and not
+        # re-emitted: nothing downstream reads it, and every dropped byte is
+        # paid once per replica row through the repartition + sort shuffle
         arrays = [
             pa.array(out_block, pa.string()),
             pa.array(out_side, pa.int8()),
@@ -166,10 +169,9 @@ class ExplodeToPairBlocks:
             batch.column("pre_proc").take(take),
             batch.column("nosuffix").take(take),
             batch.column("block_key").take(take),
-            batch.column("block_key_last").take(take),
         ]
         names = ["pair_block", "side", "doc_id", "pre_proc", "nosuffix",
-                 "block_key", "block_key_last"]
+                 "block_key"]
         if self.n_buckets:
             arrays.append(pa.array(
                 [_stable_salt(b, self.n_buckets) for b in out_block],
@@ -478,7 +480,7 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
 
 def fused_match_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
                       hot_first: dict | None = None, hot_last: dict | None = None,
-                      n_buckets: int = 1024, out_blocks: int | None = 256,
+                      n_buckets: int = 4096, out_blocks: int | None = 256,
                       keep_all: bool = False, metrics: bool = False):
     """names -> matched pairs with emission and scoring fused in the reduce.
 
@@ -486,6 +488,10 @@ def fused_match_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
     each reduce task generates and scores its blocks' pairs immediately.
     ``n_buckets`` controls scheduling granularity (hash of pair_block, so a
     block never straddles buckets; salting already caps per-block size).
+    4096 buckets over ``out_blocks`` reduce partitions give each reduce task
+    ~16 buckets: per-bucket pair counts are quadratic in block size, and
+    averaging more buckets per task shrinks the task-duration variance that
+    otherwise leaves a straggler tail at high parallelism.
     """
     import ray
 

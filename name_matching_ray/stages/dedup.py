@@ -205,13 +205,16 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, tau100: int = 50,
 # ---------------------------------------------------------------------------
 
 def _hash_shingles_u64(shingles: list[str]) -> np.ndarray:
+    """Low 64 bits of md5 per shingle (== DuckDB ``md5_number_lower``) so the
+    whole MinHash pipeline — signatures, banding, agree counts — is exactly
+    reproducible by the SQL oracle (the permutation constants are seeded and
+    inlined into the SQL, like the IVF centroids)."""
     import hashlib
 
     out = np.empty(len(shingles), np.uint64)
     for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-        )
+        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                                "little")
     return out
 
 

@@ -134,3 +134,28 @@ def test_checkpoint_resume(docs_path, tmp_path, ray_session):
     assert p1.sort_values(key).reset_index(drop=True).equals(
         p2.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_job_entrypoint_runs_and_resumes(docs_path, tmp_path, ray_session,
+                                         capsys):
+    """`python -m name_matching_ray.job` semantics: one summary JSON line;
+    a re-submit of the identical command is a no-op resume (all stages
+    skipped) with the same tallies; the wrapper never tears down a Ray
+    session it does not own."""
+    import json
+
+    import ray
+
+    from name_matching_ray.job import main
+
+    out = str(tmp_path / "jobrun")
+    argv = ["--docs", docs_path, "--out", out, "--waves", "2", "--cap", "100"]
+    assert main(argv) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ray.is_initialized()  # pytest owns the session; job must not stop it
+    assert "clusters" in s1["stages_complete"]
+    assert s1["pairs_scored"] > 0
+
+    assert main(argv) == 0  # resume: everything already complete
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2 == s1
