@@ -187,9 +187,9 @@ def scaling_child(num_cpus: int):
     t, scored, matched = run_linkage(SF_DIR, docs=docs, cap=SCALING_CAP,
                                      phases=phases)
     st_t1, st_s1 = _read_steal()
-    dropped = int(ray.get(get_metrics_actor().get_all.remote())
-                  .get("rows_dropped_stop_keys", 0))
-    print(json.dumps({
+    counters = ray.get(get_metrics_actor().get_all.remote())
+    dropped = int(counters.get("rows_dropped_stop_keys", 0))
+    out = {
         "num_cpus": num_cpus, "sec": round(t, 3),
         "pairs_scored": scored,
         "pairs_per_sec": round(scored / t, 1),
@@ -197,7 +197,11 @@ def scaling_child(num_cpus: int):
         "rows_dropped_stop_keys": dropped,
         "steal_pct": round(100.0 * (st_s1 - st_s0)
                            / max(1, st_t1 - st_t0), 2),
-    }))
+    }
+    if os.environ.get("GRAFT_SCORE_PROFILE"):
+        out["profile"] = {k: v for k, v in counters.items()
+                          if k.startswith("prof_")}
+    print(json.dumps(out))
 
 
 def scaling():

@@ -1,0 +1,346 @@
+"""Legacy coname pipeline (reference ``coname.py``) — Ray-Data-native.
+
+Reference shape (coname.py:186-249): a multiprocessing Pool maps every main
+row against EVERY base row (full cartesian) through ``permutation``; the
+corpus-derived ``unique_word`` / ``pair_word`` gates come from a driver-side
+loop over the base table.  Here:
+
+* corpus stats are a distributed bucketed groupby (hash(gvkey) % 256 coarse
+  groups — the house pattern for many tiny key groups) with only the
+  rare-item tail (count <= 2) collected;
+* the base side is preprocessed DISTRIBUTED once, then broadcast via
+  ``ray.put`` (S2 broadcast-small-side pattern; the legacy matcher is
+  defined against a base *catalog* — stocknames — which is the small side
+  by construction.  For a base too big to broadcast, the canonical
+  matcher.py path with salted blocking is the supported route);
+* the main side streams through an actor-pool ``map_batches``; the
+  reference's two scalar prefilters are decided VECTORIZED per batch
+  against base CHUNKS (bounded memory): the char-set gate
+  (``len(set(x) & set(y)) < 4`` when both names are > 7 chars,
+  coname.py:126-128) as a binary char-matrix matmul, and the
+  ``fuzz.token_set_ratio(x, y) < 55`` gate (coname.py:129) by exact
+  integer bounds over token-matmul intersections (the fused-scorer
+  technique), with only bound-ambiguous pairs falling back to the exact
+  fuzzywuzzy-semantics kernel.  Only pairs passing both gates enter the
+  Python ``legacy_match`` cascade.
+
+Output schema matches the reference's ``__coname__.csv`` rows:
+(main_index, main_name, base_index, base_name)  (coname.py:189-193).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.coname_legacy import (
+    _WS,
+    legacy_match,
+    name_preprocessing,
+    pairwise,
+    remove_punc,
+)
+from ..functions.fuzzy_legacy import full_process, fw_token_set_ratio
+
+
+# ---------------------------------------------------------------------------
+# corpus word stats (coname.py:214-240), distributed
+# ---------------------------------------------------------------------------
+
+def coname_corpus_words(base_ds, *, order_col: str = "row_order",
+                        gvkey_col: str = "gvkey", name_col: str = "name",
+                        n_buckets: int = 256) -> tuple[set, set]:
+    """Distributed (unique_word, pair_word) gates.
+
+    Per-gvkey semantics are ORDER-dependent for duplicate gvkeys (the first
+    row contributes word tokens of the abbreviated name; later rows
+    contribute the CHARS of the raw name — reference bug kept,
+    coname.py:227-230), so the input must carry ``order_col``.  Rows are
+    bucketed by hash(gvkey) and each bucket runs the exact per-gvkey loop
+    over its (complete) gvkeys; one small (item, gvkey-count) shuffle
+    later, only items with count <= 2 — the membership tail the cascade
+    actually consults — reach the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.coname_legacy import abbr_adj
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[order_col, gvkey_col, name_col]].copy()
+        out["_ub"] = pd.util.hash_pandas_object(
+            df[gvkey_col], index=False).to_numpy() % n_buckets
+        return out
+
+    def bucket_items(g: pd.DataFrame) -> pa.Table:
+        rows = g.sort_values(order_col)
+        items: dict[tuple[int, str], set] = {}
+        seen: set = set()
+        for gvkey, name in zip(rows[gvkey_col], rows[name_col]):
+            if gvkey in seen:
+                for ch in name:  # reference bug: chars of the raw name
+                    items.setdefault((0, ch), set()).add(gvkey)
+                    # pairwise of a 1-char string adds nothing (kept)
+            else:
+                seen.add(gvkey)
+                abbrev = abbr_adj(name)
+                toks = _WS.split(remove_punc(abbrev.lower()))
+                for t in set(toks):
+                    items.setdefault((0, t), set()).add(gvkey)
+                for p in set(pairwise(toks)):
+                    items.setdefault((1, " ".join(p)), set()).add(gvkey)
+        return pa.table({
+            "kind": pa.array([k for (k, _) in items], pa.int8()),
+            "item": pa.array([v for (_, v) in items], pa.string()),
+            "n": pa.array([len(s) for s in items.values()], pa.int64()),
+        })
+
+    tail = (
+        base_ds.map_batches(tag, batch_format="pandas")
+        .groupby("_ub").map_groups(bucket_items, batch_format="pandas")
+        .groupby(["kind", "item"]).aggregate(Sum("n", alias_name="n"))
+        .filter(expr="n <= 2")
+    )
+    unique_word: set = set()
+    pair_word: set = set()
+    for b in tail.iter_batches(batch_format="pyarrow"):
+        for k, item in zip(b.column("kind").to_pylist(),
+                           b.column("item").to_pylist()):
+            if k == 0:
+                unique_word.add(item)
+            else:
+                w1, w2 = item.split(" ", 1)
+                pair_word.add((w1, w2))
+    return unique_word, pair_word
+
+
+# ---------------------------------------------------------------------------
+# vectorized gate helpers
+# ---------------------------------------------------------------------------
+
+def _rows_to_matrix(item_sets: list, vocab: dict) -> np.ndarray:
+    """n × len(vocab) binary matrix; ``vocab`` is extended in place."""
+    for s in item_sets:
+        for it in s:
+            if it not in vocab:
+                vocab[it] = len(vocab)
+    m = np.zeros((len(item_sets), len(vocab)), np.float32)
+    for i, s in enumerate(item_sets):
+        for it in s:
+            m[i, vocab[it]] = 1.0
+    return m
+
+
+def _pad_cols(m: np.ndarray, width: int) -> np.ndarray:
+    if m.shape[1] < width:
+        return np.hstack(
+            [m, np.zeros((m.shape[0], width - m.shape[1]), np.float32)])
+    return m
+
+
+def _tsr_ge55(ic, iw, tw_a, tw_b, cnt_a, cnt_b):
+    """Decide ``fw_token_set_ratio >= 55`` by exact integer bounds.
+
+    Returns (definite_pass, definite_fail); pairs in neither band need the
+    exact kernel.  fuzzywuzzy int-rounds each candidate ratio with Python's
+    half-to-even ``round``, and 54.5 rounds DOWN to 54 — so a ratio passes
+    iff it is STRICTLY above 54.5 (``400·x > 109·lensum`` in integers) and
+    fails iff <= 54.5.  An EMPTY side returns 0 in fuzzywuzzy
+    (validate-then-0), hence definite fail.
+
+    With s = joined intersection length, gap_i = joined-diff length (+1
+    separator when nonempty): ratio(sect, combined_i) = 200s/(2s+gap_i)
+    exactly (sect is a prefix of combined_i); for ratio(c1, c2) the LCS is
+    bounded in [s, s + min(gap1, gap2)] — only that band is inexact.
+    """
+    s = iw - (ic > 0)
+    d1 = (tw_a - iw) - (cnt_a > ic)
+    d2 = (tw_b - iw) - (cnt_b > ic)
+    gap1 = np.where(d1 > 0, 1 + d1, 0)
+    gap2 = np.where(d2 > 0, 1 + d2, 0)
+    c1 = s + gap1
+    c2 = s + gap2
+    r1 = (s > 0) & (400 * s > 109 * (s + c1))
+    r2 = (s > 0) & (400 * s > 109 * (s + c2))
+    lcs_hi = s + np.minimum(gap1, gap2)
+    r3_hi = (c1 + c2 > 0) & (400 * lcs_hi > 109 * (c1 + c2))
+    r3_lo = (c1 + c2 > 0) & (400 * s > 109 * (c1 + c2))
+    empty = (cnt_a == 0) | (cnt_b == 0)
+    definite_pass = (r1 | r2 | r3_lo) & ~empty
+    definite_fail = (~(r1 | r2 | r3_hi)) | empty
+    return definite_pass, definite_fail
+
+
+# ---------------------------------------------------------------------------
+# the match stage
+# ---------------------------------------------------------------------------
+
+class _ConameScorer:
+    """Actor: broadcast-base legacy scorer (all setup once per actor)."""
+
+    BASE_CHUNK = 8192  # gate matrices are n_batch × BASE_CHUNK
+
+    def __init__(self, base_ref, unique_word: set, pair_word: set,
+                 index_col: str, name_col: str):
+        import ray
+
+        base = ray.get(base_ref)  # list of (index, name, 9-tuple)
+        self.base_idx = [b[0] for b in base]
+        self.base_name = [b[1] for b in base]
+        self.base_prep = [b[2] for b in base]
+        self.unique_word = unique_word
+        self.pair_word = pair_word
+        self.index_col = index_col
+        self.name_col = name_col
+
+        zs = [p[0] for p in self.base_prep]
+        self.base_z = zs
+        self.base_zlen = np.array([len(z) for z in zs], np.int64)
+        # vocabs are SHARED between base and batch matrices (built here,
+        # extended per batch) so column i always means the same char/token
+        self.char_vocab: dict = {}
+        self.base_cm = _rows_to_matrix([set(z) for z in zs], self.char_vocab)
+        self.tok_vocab: dict = {}
+        self.base_tsets = [set(full_process(z).split()) for z in zs]
+        self.base_tm = _rows_to_matrix(self.base_tsets, self.tok_vocab)
+        self.base_tw = np.array(
+            [sum(len(t) + 1 for t in ts) for ts in self.base_tsets], np.int64)
+        self.base_cnt = np.array([len(ts) for ts in self.base_tsets], np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m_idx = batch.column(self.index_col).to_pylist()
+        m_name = batch.column(self.name_col).to_pylist()
+        preps = [name_preprocessing(nm) for nm in m_name]
+        zs = [p[0] for p in preps]
+        zlen = np.array([len(z) for z in zs], np.int64)
+        n = len(zs)
+
+        out_mi, out_mn, out_bi, out_bn = [], [], [], []
+        if n and self.base_idx:
+            cm = _rows_to_matrix([set(z) for z in zs], self.char_vocab)
+            tsets = [set(full_process(z).split()) for z in zs]
+            tm = _rows_to_matrix(tsets, self.tok_vocab)
+            tw = np.array([sum(len(t) + 1 for t in ts) for ts in tsets],
+                          np.int64)
+            cnt = np.array([len(ts) for ts in tsets], np.int64)
+            self.base_cm = _pad_cols(self.base_cm, cm.shape[1])
+            self.base_tm = _pad_cols(self.base_tm, tm.shape[1])
+            wvec = np.zeros(len(self.tok_vocab), np.float32)
+            for t, i in self.tok_vocab.items():
+                wvec[i] = len(t) + 1
+            twm = tm * wvec[None, :tm.shape[1]]
+
+            for c0 in range(0, len(self.base_idx), self.BASE_CHUNK):
+                c1 = min(c0 + self.BASE_CHUNK, len(self.base_idx))
+                bcm = self.base_cm[c0:c1]
+                btm = self.base_tm[c0:c1]
+                common = cm @ bcm.T
+                both_long = (zlen[:, None] > 7) & \
+                    (self.base_zlen[None, c0:c1] > 7)
+                alive = ~(both_long & (common < 4))
+
+                ic = np.rint(tm @ btm.T).astype(np.int64)
+                iw = np.rint(twm @ btm.T).astype(np.int64)
+                d_pass, d_fail = _tsr_ge55(
+                    ic, iw, tw[:, None], self.base_tw[None, c0:c1],
+                    cnt[:, None], self.base_cnt[None, c0:c1])
+                alive &= ~d_fail
+                ambiguous = ~d_pass
+
+                for i, jc in zip(*np.nonzero(alive)):
+                    j = c0 + jc
+                    if ambiguous[i, jc] and \
+                            fw_token_set_ratio(zs[i], self.base_z[j]) < 55:
+                        continue
+                    if _cascade_after_gates(preps[i], self.base_prep[j],
+                                            self.unique_word, self.pair_word):
+                        out_mi.append(m_idx[i])
+                        out_mn.append(m_name[i])
+                        out_bi.append(self.base_idx[j])
+                        out_bn.append(self.base_name[j])
+        return pa.table({
+            "main_index": pa.array(out_mi, batch.column(self.index_col).type),
+            "main_name": pa.array(out_mn, pa.string()),
+            "base_index": pa.array(out_bi, pa.string()),
+            "base_name": pa.array(out_bn, pa.string()),
+        })
+
+
+def _cascade_after_gates(x_tuple, y_tuple, unique_word, pair_word):
+    """``legacy_permutation`` body AFTER its two prefilter gates
+    (coname.py:130-145; the guard asymmetry at :139-143 is kept)."""
+    (x, x_words, without_suffix_x, two_x, two_words_x, two_ws_x,
+     three_x, three_words_x, three_ws_x) = x_tuple
+    (y, y_words, without_suffix_y, two_y, two_words_y, two_ws_y,
+     three_y, three_words_y, three_ws_y) = y_tuple
+    if legacy_match(x, y, x_words, y_words, without_suffix_x,
+                    without_suffix_y, unique_word, pair_word):
+        return True
+    if two_x:
+        if legacy_match(two_x, y, two_words_x, y_words, two_ws_x,
+                        without_suffix_y, unique_word, pair_word):
+            return True
+        if three_x:
+            if legacy_match(three_x, y, three_words_x, y_words, three_ws_x,
+                            without_suffix_y, unique_word, pair_word):
+                return True
+    if two_y:
+        if legacy_match(x, two_y, x_words, two_words_y, without_suffix_x,
+                        two_ws_y, unique_word, pair_word):
+            return True
+        if three_x:  # reference guard bug kept (coname.py:139-143)
+            if legacy_match(x, three_y, x_words, three_words_y,
+                            without_suffix_x, three_ws_y,
+                            unique_word, pair_word):
+                return True
+    return False
+
+
+def coname_match(main_ds, base_ds, *,
+                 main_index: str = "index", main_name: str = "name",
+                 base_index: str = "gvkey", base_name: str = "name",
+                 order_col: str = "row_order",
+                 concurrency=(1, 8)):
+    """Legacy coname matcher: main × broadcast base, gates vectorized.
+
+    Returns a Dataset (main_index, main_name, base_index, base_name) — the
+    reference's ``__coname__.csv`` rows (coname.py:189-193; row order
+    aside).  Base indices are emitted as strings (the reference never
+    interprets them downstream).
+    """
+    import ray
+
+    unique_word, pair_word = coname_corpus_words(
+        base_ds, order_col=order_col, gvkey_col=base_index,
+        name_col=base_name)
+
+    # distribute the base preprocessing; the (small) tuple list crosses the
+    # object store pickled per row, is assembled once on the driver, and is
+    # broadcast via a single ray.put (each actor reads it once in __init__)
+    import pickle
+
+    def prep_base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "idx": df[base_index].astype(str),
+            "name": df[base_name],
+            "prep": [pickle.dumps(name_preprocessing(nm))
+                     for nm in df[base_name]],
+        })
+
+    base_rows = []
+    for b in (base_ds.map_batches(prep_base, batch_format="pandas")
+              .iter_batches(batch_format="pandas", batch_size=8192)):
+        base_rows.extend(zip(b["idx"], b["name"],
+                             (pickle.loads(p) for p in b["prep"])))
+    base_ref = ray.put(base_rows)
+
+    return main_ds.map_batches(
+        _ConameScorer,
+        fn_constructor_kwargs={
+            "base_ref": base_ref, "unique_word": unique_word,
+            "pair_word": pair_word, "index_col": main_index,
+            "name_col": main_name,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

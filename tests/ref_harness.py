@@ -77,6 +77,37 @@ def _stub_modules():
     sys.modules["tqdm.auto"] = tqdm_auto
 
 
+def build_reference_coname():
+    """Import the reference's legacy ``coname.py`` (unmodified, symlinked)
+    with our fuzzywuzzy-semantics wrappers injected as ``fuzzywuzzy.fuzz``
+    (the real fuzzywuzzy is absent here; the wrappers reimplement its
+    published behavior — int rounding, default full_process, list-repr
+    coercion — on this repo's kernels, so both sides share kernels exactly
+    like the matcher.py harness).  The module's ``__main__`` block does not
+    run; corpus gates (``unique_word`` / ``pair_word``) must be injected by
+    the caller before using ``permutation`` / ``match``."""
+    from name_matching_ray.functions import fuzzy_legacy as fl
+
+    fuzz = types.ModuleType("fuzzywuzzy.fuzz")
+    fuzz.ratio = fl.fw_ratio
+    fuzz.token_set_ratio = fl.fw_token_set_ratio
+    fuzz.token_sort_ratio = fl.fw_token_sort_ratio
+    fw = types.ModuleType("fuzzywuzzy")
+    fw.fuzz = fuzz
+    sys.modules["fuzzywuzzy"] = fw
+    sys.modules["fuzzywuzzy.fuzz"] = fuzz
+
+    HARNESS.mkdir(parents=True, exist_ok=True)
+    dst = HARNESS / "coname.py"
+    if not dst.exists():
+        dst.symlink_to(REF / "coname.py")
+    spec = importlib.util.spec_from_file_location("ref_coname", dst)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_coname"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def build_reference_module():
     """Symlink tree + generated blobs + import; returns the matcher module."""
     from name_matching_ray.functions.assets import _DATA_DIR, load_assets
