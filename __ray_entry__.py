@@ -121,6 +121,26 @@ def _media(sf_dir: str):
     )
 
 
+def _coname_legacy(sf_dir: str):
+    """Legacy coname matcher (reference coname.py) over planted synthetic
+    name tables at the sf's document scale: corpus-word gates from the base
+    side, char-set + token-set-ratio prefilters, glued-variant cascade.
+    Non-SQL (fuzzy cascade) — parity-verified against the executable
+    reference in tests/test_coname_legacy.py."""
+    import ray.data
+
+    from name_matching_ray.pipelines.coname import coname_match
+    from name_matching_ray.synth import synth_coname_tables
+
+    n_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+    main_t, base_t = synth_coname_tables(max(50, n_docs // 4))
+    return coname_match(
+        ray.data.from_arrow(main_t), ray.data.from_arrow(base_t),
+        main_index="index", main_name="name",
+        base_index="gvkey", base_name="name",
+    )
+
+
 def _ivf_topk(sf_dir: str):
     """IVF top-k with the ORACLE-ABLE fixed (data-independent, seeded)
     centroids — the same literals are inlined into the DuckDB oracle so the
@@ -182,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_pairs": _linkage_pairs,
         "linkage_clusters": _linkage_clusters,
         "pair_scoring": _pair_scoring,
+        "coname_legacy": _coname_legacy,
         # heuristics / stubs (non-SQL)
         "lang_id": _lang_id,
         "winnow_fingerprint": _winnow,

@@ -44,7 +44,7 @@ def _consume(ds) -> int:
 
 
 def run_linkage(sf_dir: str, docs=None, cap: int | None = None,
-                phases: dict | None = None):
+                phases: dict | None = None, max_shards: int = 16):
     """Headline: interleaved docs -> extract/normalize/block/score.
 
     Returns (wall_sec, pairs_scored, pairs_matched).  Pass ``phases={}`` to
@@ -80,6 +80,7 @@ def run_linkage(sf_dir: str, docs=None, cap: int | None = None,
     metrics_actor = get_metrics_actor()
     ray.get(metrics_actor.reset.remote())
     pairs = fused_match_pairs(names, cap=cap or 200, metrics=True,
+                              max_shards=max_shards,
                               hot_first=hot_first, hot_last=hot_last)
     matched = pairs.count()
     t3 = time.time()
@@ -96,7 +97,7 @@ BENCH_QUERIES = [
     "sessionize", "asof_prior_event", "rolling_user_value", "windowed_watermark",
     "topk_per_customer", "text_stats", "quality_filter", "word_counts",
     "exact_dedup", "ngram_jaccard_dedup", "minhash_dedup", "simhash_dedup",
-    "embedding_dups", "srp_dedup", "ann_topk",
+    "embedding_dups", "srp_dedup", "ann_topk", "coname_legacy",
 ]
 
 
@@ -151,6 +152,7 @@ SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "40000"))
 # silently changing the workload between doc counts; 40k synth docs need
 # cap >= ~168 at max_shards=16 — the child asserts zero drops)
 SCALING_CAP = int(os.environ.get("GRAFT_SCALING_CAP", "200"))
+SCALING_MAX_SHARDS = int(os.environ.get("GRAFT_SCALING_MAX_SHARDS", "16"))
 SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
 
 
@@ -185,7 +187,8 @@ def scaling_child(num_cpus: int):
     st_t0, st_s0 = _read_steal()
     phases: dict = {}
     t, scored, matched = run_linkage(SF_DIR, docs=docs, cap=SCALING_CAP,
-                                     phases=phases)
+                                     phases=phases,
+                                     max_shards=SCALING_MAX_SHARDS)
     st_t1, st_s1 = _read_steal()
     counters = ray.get(get_metrics_actor().get_all.remote())
     dropped = int(counters.get("rows_dropped_stop_keys", 0))

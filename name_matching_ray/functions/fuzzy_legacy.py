@@ -88,17 +88,37 @@ def fw_token_set_ratio(s1, s2, force_ascii: bool = True) -> int:
     p2 = full_process(s2, force_ascii=force_ascii)
     if not p1 or not p2:
         return 0
-    t1, t2 = set(p1.split()), set(p2.split())
-    sorted_sect = " ".join(sorted(t1 & t2))
-    sorted_1to2 = " ".join(sorted(t1 - t2))
-    sorted_2to1 = " ".join(sorted(t2 - t1))
-    combined_1to2 = (sorted_sect + " " + sorted_1to2).strip()
-    combined_2to1 = (sorted_sect + " " + sorted_2to1).strip()
-    return max(
-        _intr(_indel_ratio(sorted_sect, combined_1to2)),
-        _intr(_indel_ratio(sorted_sect, combined_2to1)),
-        _intr(_indel_ratio(combined_1to2, combined_2to1)),
-    )
+    return fw_token_set_ratio_pre(set(p1.split()), set(p2.split()))
+
+
+def fw_token_set_ratio_pre(t1: set, t2: set) -> int:
+    """``fw_token_set_ratio`` on PRE-TOKENIZED sets (``full_process(s).split()``
+    already applied by the caller, which also guarantees the raw strings were
+    non-empty iff the sets are non-empty).  Exact same result, computed with
+    at most ONE short LCS: ``sect`` is a prefix of both combined strings, so
+    ``ratio(sect, combined_i) = 200s/(s+c_i)`` closed-form and
+    ``LCS(c1, c2) = s (+1 sep) + LCS(diff1, diff2)`` (LCS common-prefix
+    lemma) — the diffs are short for similar names, empty for equal sets.
+    Differentially tested against the 3-ratio construction."""
+    if not t1 or not t2:
+        return 0
+    from .similarity import lcs_length
+
+    sect = t1 & t2
+    s = len(" ".join(sorted(sect))) if sect else 0
+    d1s = " ".join(sorted(t1 - t2))
+    d2s = " ".join(sorted(t2 - t1))
+    l1, l2 = len(d1s), len(d2s)
+    c1 = s + l1 + (1 if (s and l1) else 0)
+    c2 = s + l2 + (1 if (s and l2) else 0)
+    best = max(_intr(200.0 * s / (s + c1)), _intr(200.0 * s / (s + c2)))
+    if best < 100:
+        if l1 and l2:
+            lcs = s + (1 if s else 0) + lcs_length(d1s, d2s)
+        else:
+            lcs = s  # one combined IS sect (a prefix of the other)
+        best = max(best, _intr(200.0 * lcs / (c1 + c2)))
+    return best
 
 
 def fw_token_sort_ratio(s1, s2, force_ascii: bool = True) -> int:

@@ -41,7 +41,12 @@ from ..functions.coname_legacy import (
     pairwise,
     remove_punc,
 )
-from ..functions.fuzzy_legacy import full_process, fw_token_set_ratio
+from ..functions.fuzzy_legacy import (
+    full_process,
+    fw_ratio,
+    fw_token_set_ratio_pre,
+)
+from ..functions.similarity import lcs_length
 
 
 # ---------------------------------------------------------------------------
@@ -156,8 +161,10 @@ def _tsr_ge55(ic, iw, tw_a, tw_b, cnt_a, cnt_b):
     s = iw - (ic > 0)
     d1 = (tw_a - iw) - (cnt_a > ic)
     d2 = (tw_b - iw) - (cnt_b > ic)
-    gap1 = np.where(d1 > 0, 1 + d1, 0)
-    gap2 = np.where(d2 > 0, 1 + d2, 0)
+    # combined = sect [+ ' '] + diff — the separator exists only when BOTH
+    # parts are non-empty (fuzzywuzzy strips the joined string)
+    gap1 = d1 + ((d1 > 0) & (s > 0))
+    gap2 = d2 + ((d2 > 0) & (s > 0))
     c1 = s + gap1
     c2 = s + gap2
     r1 = (s > 0) & (400 * s > 109 * (s + c1))
@@ -168,7 +175,102 @@ def _tsr_ge55(ic, iw, tw_a, tw_b, cnt_a, cnt_b):
     empty = (cnt_a == 0) | (cnt_b == 0)
     definite_pass = (r1 | r2 | r3_lo) & ~empty
     definite_fail = (~(r1 | r2 | r3_hi)) | empty
-    return definite_pass, definite_fail
+    return definite_pass, definite_fail, s, c1, c2
+
+
+# ---------------------------------------------------------------------------
+# fast cascade: legacy_match with per-name precomputation
+# ---------------------------------------------------------------------------
+
+def _variant_aux(words, ws):
+    """Precomputed views of one name variant's (words, without_suffix):
+    (words, ws, raw ws set, processed words tokens, processed ws tokens).
+
+    The processed sets reproduce fuzzywuzzy's LIST-argument behavior
+    element-wise: every element is pure ``\\w`` (remove_punc output), so
+    ``full_process(str(lst))`` tokenizes to exactly the union of
+    ``full_process(elem)`` tokens (empty elements vanish both ways).
+    """
+    if words is None:
+        return None
+
+    def ts(lst):
+        out = set()
+        for w in lst:
+            p = full_process(w)
+            if p:
+                out.update(p.split())
+        return out
+
+    return (words, ws, set(ws), ts(words), ts(ws))
+
+
+def _prep_aux(p):
+    """aux triple (main, two_, three_) for one 9-tuple."""
+    (_z, words, ws, two_, two_words, two_ws,
+     three_, three_words, three_ws) = p
+    return (
+        _variant_aux(words, ws),
+        _variant_aux(two_words, two_ws) if two_ else None,
+        _variant_aux(three_words, three_ws) if three_ else None,
+    )
+
+
+def _match_fast(ax, ay, unique_word, pair_word):
+    """``legacy_match`` on precomputed aux views (exact same decisions —
+    pipeline output is differentially tested against the reference loop).
+    A None operand (absent glued variant passed through the reference's
+    buggy three_x guard) scores 0 in fuzzywuzzy and rejects."""
+    if ax is None or ay is None:
+        return
+    x_words, ws_x, set_ws_x, pwords_x, pws_x = ax
+    y_words, ws_y, set_ws_y, pwords_y, pws_y = ay
+    if fw_token_set_ratio_pre(pws_x, pws_y) < 94:
+        return
+    first_word_x, first_word_y = x_words[0], y_words[0]
+    first_score = fw_ratio(first_word_x, first_word_y)
+    if len(set_ws_x) == len(set_ws_y):
+        if first_score > 90 and first_word_x[0] == first_word_y[0]:
+            return True
+        else:
+            xyset = set_ws_x & set_ws_y
+            xyset.discard('s')
+            if xyset == set_ws_x:
+                if len(xyset) == 1 and list(xyset)[0] not in unique_word:
+                    if fw_token_set_ratio_pre(pwords_x, pwords_y) > 90:
+                        return True
+                else:
+                    return True
+    else:
+        if first_score > 90 and (first_word_y in unique_word):
+            if first_word_x[0] == first_word_y[0]:
+                return True
+        if len(ws_x) > 1 and len(ws_y) > 1:
+            y1, y2 = y_words[:2]
+            x1, x2 = x_words[:2]
+            if (y1, y2) in pair_word and 'of' not in (y1, y2) \
+                    and 's' not in (y1, y2):
+                if fw_ratio(x1, y1) > 90 and fw_ratio(x2, y2) > 90:
+                    return True
+
+
+def _cascade_fast(px, ax, py, ay, unique_word, pair_word):
+    """``_cascade_after_gates`` on aux views (guard asymmetry kept)."""
+    if _match_fast(ax[0], ay[0], unique_word, pair_word):
+        return True
+    if px[3]:  # two_x
+        if _match_fast(ax[1], ay[0], unique_word, pair_word):
+            return True
+        if px[6]:  # three_x
+            if _match_fast(ax[2], ay[0], unique_word, pair_word):
+                return True
+    if py[3]:  # two_y
+        if _match_fast(ax[0], ay[1], unique_word, pair_word):
+            return True
+        if px[6]:  # reference guard bug kept (coname.py:139-143)
+            if _match_fast(ax[0], ay[2], unique_word, pair_word):
+                return True
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +304,7 @@ class _ConameScorer:
         self.base_cm = _rows_to_matrix([set(z) for z in zs], self.char_vocab)
         self.tok_vocab: dict = {}
         self.base_tsets = [set(full_process(z).split()) for z in zs]
+        self.base_aux = [_prep_aux(p) for p in self.base_prep]
         self.base_tm = _rows_to_matrix(self.base_tsets, self.tok_vocab)
         self.base_tw = np.array(
             [sum(len(t) + 1 for t in ts) for ts in self.base_tsets], np.int64)
@@ -211,6 +314,7 @@ class _ConameScorer:
         m_idx = batch.column(self.index_col).to_pylist()
         m_name = batch.column(self.name_col).to_pylist()
         preps = [name_preprocessing(nm) for nm in m_name]
+        aux = [_prep_aux(p) for p in preps]
         zs = [p[0] for p in preps]
         zlen = np.array([len(z) for z in zs], np.int64)
         n = len(zs)
@@ -241,19 +345,41 @@ class _ConameScorer:
 
                 ic = np.rint(tm @ btm.T).astype(np.int64)
                 iw = np.rint(twm @ btm.T).astype(np.int64)
-                d_pass, d_fail = _tsr_ge55(
+                d_pass, d_fail, s_m, c1_m, c2_m = _tsr_ge55(
                     ic, iw, tw[:, None], self.base_tw[None, c0:c1],
                     cnt[:, None], self.base_cnt[None, c0:c1])
                 alive &= ~d_fail
                 ambiguous = ~d_pass
 
-                for i, jc in zip(*np.nonzero(alive)):
-                    j = c0 + jc
-                    if ambiguous[i, jc] and \
-                            fw_token_set_ratio(zs[i], self.base_z[j]) < 55:
-                        continue
-                    if _cascade_after_gates(preps[i], self.base_prep[j],
-                                            self.unique_word, self.pair_word):
+                # ambiguous pairs: r1/r2 are already exactly settled (below
+                # threshold), so the gate decision reduces to r3 =
+                # ratio(combined1, combined2).  Both combineds share the
+                # sect(+space) prefix, so LCS(c1, c2) = s + sep +
+                # LCS(diff1, diff2) — ONE bit-parallel LCS over the short
+                # diff strings decides the pair exactly (ambiguity implies
+                # both diffs are non-empty: an empty diff makes r1 or r2
+                # equal 100 and the pair definite-pass).  Per-pair values
+                # are extracted VECTORIZED; the loop reads Python lists.
+                iu, ju = np.nonzero(alive)
+                amb_l = ambiguous[iu, ju].tolist()
+                s_l = s_m[iu, ju].tolist()
+                c12_l = (c1_m + c2_m)[iu, ju].tolist()
+                iu_l = iu.tolist()
+                ju_l = ju.tolist()
+                uw, pw = self.unique_word, self.pair_word
+                for k in range(len(iu_l)):
+                    i = iu_l[k]
+                    j = c0 + ju_l[k]
+                    if amb_l[k]:
+                        t1, t2 = tsets[i], self.base_tsets[j]
+                        d1s = " ".join(sorted(t1 - t2))
+                        d2s = " ".join(sorted(t2 - t1))
+                        sp = s_l[k]
+                        lcs_c = sp + (sp > 0) + lcs_length(d1s, d2s)
+                        if 400 * lcs_c <= 109 * c12_l[k]:
+                            continue
+                    if _cascade_fast(preps[i], aux[i], self.base_prep[j],
+                                     self.base_aux[j], uw, pw):
                         out_mi.append(m_idx[i])
                         out_mn.append(m_name[i])
                         out_bi.append(self.base_idx[j])
@@ -300,16 +426,26 @@ def coname_match(main_ds, base_ds, *,
                  main_index: str = "index", main_name: str = "name",
                  base_index: str = "gvkey", base_name: str = "name",
                  order_col: str = "row_order",
-                 concurrency=(1, 8)):
+                 person_filter: bool = False,
+                 concurrency=None):
     """Legacy coname matcher: main × broadcast base, gates vectorized.
 
     Returns a Dataset (main_index, main_name, base_index, base_name) — the
     reference's ``__coname__.csv`` rows (coname.py:189-193; row order
     aside).  Base indices are emitted as strings (the reference never
-    interprets them downstream).
+    interprets them downstream).  ``person_filter=True`` fuses the
+    postproc-ppl.py person-name tail filter (the reference's separate
+    read→filter→overwrite pass over __coname__.csv) onto the output.
     """
     import ray
 
+    if concurrency is None:
+        # follow the cluster: the scorer is the dominant stage
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(8, ncpu))
+    # the base lineage is consumed twice (corpus stats + broadcast prep);
+    # materialize once — it is the small side by construction
+    base_ds = base_ds.materialize()
     unique_word, pair_word = coname_corpus_words(
         base_ds, order_col=order_col, gvkey_col=base_index,
         name_col=base_name)
@@ -334,7 +470,10 @@ def coname_match(main_ds, base_ds, *,
                              (pickle.loads(p) for p in b["prep"])))
     base_ref = ray.put(base_rows)
 
-    return main_ds.map_batches(
+    # a single-source main side arrives as ~1 block = 1 task = 1 actor (the
+    # house single-file pitfall) — repartition so the scorer pool saturates
+    pool_max = concurrency if isinstance(concurrency, int) else concurrency[1]
+    out = main_ds.repartition(pool_max * 4).map_batches(
         _ConameScorer,
         fn_constructor_kwargs={
             "base_ref": base_ref, "unique_word": unique_word,
@@ -344,3 +483,8 @@ def coname_match(main_ds, base_ds, *,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+    if person_filter:
+        from .linkage import filter_person_matches
+
+        out = filter_person_matches(out, name_col="main_name")
+    return out

@@ -195,3 +195,45 @@ def synth_name_pairs(n_entities: int, seed: int = 42) -> pa.Table:
         "name_a": pa.array(a_out, pa.string()),
         "name_b": pa.array(b_out, pa.string()),
     })
+
+
+def synth_coname_tables(n_entities: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Deterministic (main, base) tables for the legacy coname matcher.
+
+    base: one (gvkey, name) row per entity — the variant-0 surface form —
+    plus every 7th entity REPEATED under the same gvkey with a different
+    surface form: duplicate-gvkey rows drive the reference's corpus-stats
+    char-iteration branch (coname.py:227-230), which the parity suite keeps
+    bit-for-bit.  main: one planted-match row per entity (variant 1+e%3)
+    and, for every 3rd entity, an extra row borrowing the NEXT entity's
+    variant-2 form (mostly non-matching noise).  ``row_order`` carries the
+    file order the duplicate-gvkey semantics depend on.
+    """
+    b_gv, b_nm = [], []
+    m_ix, m_nm = [], []
+    for e in range(n_entities):
+        base = _entity_name(_doc_rng(seed, e * 1_000_003))
+        gv = f"g{e:06d}"
+        b_gv.append(gv)
+        b_nm.append(_variant(base, 0, _doc_rng(seed, e * 4)))
+        if e % 7 == 0:
+            b_gv.append(gv)
+            b_nm.append(_variant(base, 2, _doc_rng(seed, e * 4 + 2)))
+        v = 1 + (e % 3)
+        m_ix.append(len(m_ix))
+        m_nm.append(_variant(base, v, _doc_rng(seed, e * 4 + v)))
+        if e % 3 == 0:
+            e2 = (e + 1) % n_entities
+            base2 = _entity_name(_doc_rng(seed, e2 * 1_000_003))
+            m_ix.append(len(m_ix))
+            m_nm.append(_variant(base2, 2, _doc_rng(seed, e2 * 4 + 2)))
+    main = pa.table({
+        "index": pa.array(m_ix, pa.int64()),
+        "name": pa.array(m_nm, pa.string()),
+    })
+    base = pa.table({
+        "gvkey": pa.array(b_gv, pa.string()),
+        "name": pa.array(b_nm, pa.string()),
+        "row_order": pa.array(range(len(b_gv)), pa.int64()),
+    })
+    return main, base

@@ -201,3 +201,64 @@ def test_coname_pipeline_equals_reference_loop(ref, corpus, ray_session):
                 want_pairs.add((mi, gv))
     assert got_pairs == want_pairs
     assert len(want_pairs) > 0
+
+
+def test_coname_person_filter_tail(ray_session):
+    """person_filter=True fuses the postproc-ppl.py tail onto coname output
+    (wiring check: filtered == unfiltered minus person-shaped main names)."""
+    import ray
+
+    from name_matching_ray.functions.assets import load_assets
+    from name_matching_ray.pipelines.coname import coname_match
+    from name_matching_ray.synth import synth_coname_tables
+
+    main_t, base_t = synth_coname_tables(40)
+    # append a person-shaped main row cloned from base row 0 so it MATCHES
+    # (the tail filter must then remove it); person names come from the
+    # substitute dictionaries postproc-ppl.py would read
+    person = sorted(load_assets().person_names)
+    pname = f"{person[0]} {person[1]}"
+    base = base_t.to_pandas()
+    base.loc[len(base)] = ["gPPL", pname, len(base)]
+    main = main_t.to_pandas()
+    main.loc[len(main)] = [len(main), pname]
+    kw = dict(main_index="index", base_index="gvkey")
+    unfiltered = coname_match(ray.data.from_pandas(main),
+                              ray.data.from_pandas(base), **kw).to_pandas()
+    filtered = coname_match(ray.data.from_pandas(main),
+                            ray.data.from_pandas(base),
+                            person_filter=True, **kw).to_pandas()
+    assert (unfiltered["main_name"] == pname).any()
+    assert not (filtered["main_name"] == pname).any()
+    keep = ~unfiltered["main_name"].isin({pname})
+    assert set(zip(filtered["main_index"], filtered["base_index"])) == \
+        set(zip(unfiltered.loc[keep, "main_index"],
+                unfiltered.loc[keep, "base_index"]))
+
+
+def test_coname_query_entry_nonvacuous(ref, ray_session):
+    """The queries() input (planted synth variants) must actually match —
+    and identically to the reference loop (dup-gvkey corpus path included)."""
+    import ray
+
+    from name_matching_ray.pipelines.coname import coname_match
+    from name_matching_ray.synth import synth_coname_tables
+
+    main_t, base_t = synth_coname_tables(60)
+    got = coname_match(
+        ray.data.from_arrow(main_t), ray.data.from_arrow(base_t),
+        main_index="index", base_index="gvkey").to_pandas()
+    assert len(got) > 0
+
+    base = base_t.to_pandas()
+    main = main_t.to_pandas()
+    ref_unique, ref_pair = _ref_corpus_words(ref, base)
+    ref.unique_word = ref_unique
+    ref.pair_word = ref_pair
+    want = set()
+    for mi, nm in zip(main["index"], main["name"]):
+        xp = ref.name_preprocessing(nm)
+        for gv, bn in zip(base["gvkey"], base["name"]):
+            if ref.permutation(xp, ref.name_preprocessing(bn)):
+                want.add((mi, gv))
+    assert set(zip(got["main_index"], got["base_index"])) == want
