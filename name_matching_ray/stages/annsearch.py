@@ -20,6 +20,8 @@ training-data pipelines.
 from __future__ import annotations
 
 import numpy as np
+
+from ..util import default_pool
 import pyarrow as pa
 
 
@@ -98,7 +100,7 @@ class _SimsVsQueries:
 
 def cosine_threshold_pairs(ds, query_ids: list[int], *, threshold: float,
                            id_col: str = "vec_id", vec_col: str = "embedding",
-                           concurrency=(1, 8)):
+                           concurrency=None):
     """All (query_id, neighbor_id) with cosine >= threshold — set-shaped."""
     import ray
 
@@ -111,13 +113,13 @@ def cosine_threshold_pairs(ds, query_ids: list[int], *, threshold: float,
             "id_col": id_col, "vec_col": vec_col,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or default_pool(),
     )
     return hits.select_columns(["query_id", "neighbor_id"])
 
 
 def ann_topk(ds, query_ids: list[int], k: int, *, id_col: str = "vec_id",
-             vec_col: str = "embedding", concurrency=(1, 8), _queries=None):
+             vec_col: str = "embedding", concurrency=None, _queries=None):
     """Exact top-k (brute force): per-batch local top-k, then one groupby
     over ~q·k·num_blocks rows merges to the global top-k per query."""
     import ray
@@ -133,7 +135,7 @@ def ann_topk(ds, query_ids: list[int], k: int, *, id_col: str = "vec_id",
             "id_col": id_col, "vec_col": vec_col,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or default_pool(),
     )
 
     def merge_topk(g):
@@ -208,7 +210,7 @@ class _ChunkPairSims:
 
 def embedding_cosine_dups(ds, *, threshold: float = 0.35,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          concurrency=(1, 8), chunk_rows: int = 65536):
+                          concurrency=None, chunk_rows: int = 65536):
     """All i<j pairs with cosine >= threshold — EXACT block-pair join.
 
     The input is normalized once and materialized as ~``chunk_rows``-row
@@ -247,7 +249,7 @@ def embedding_cosine_dups(ds, *, threshold: float = 0.35,
         },
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=concurrency,
+        concurrency=concurrency or default_pool(),
     )
 
 
@@ -304,7 +306,7 @@ def srp_signatures(ds, hyperplanes: np.ndarray, *, id_col: str = "vec_id",
                                 pa.int64()),
             })
 
-    return ds.map_batches(Sign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Sign, batch_format="pyarrow", concurrency=default_pool())
 
 
 def srp_lsh_pairs(ds, *, max_hamming: int = 6, seed: int = 0,
@@ -461,7 +463,7 @@ def ivf_partition(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
                 if len(m) else np.empty(0, np.int64)
             return batch.append_column("partition", pa.array(part, pa.int64()))
 
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=default_pool())
 
 
 def ivf_topk(ds, centroids: np.ndarray, query_ids: list[int], k: int, *,

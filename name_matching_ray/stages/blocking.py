@@ -25,6 +25,8 @@ import hashlib
 import math
 
 import numpy as np
+
+from ..util import default_pool
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -546,7 +548,7 @@ def candidate_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
             "hot_first": hot_first, "hot_last": hot_last, "max_shards": max_shards
         },
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
     if out_blocks:
         # the sort-groupby's reduce (and the fused pair-emission) parallelism

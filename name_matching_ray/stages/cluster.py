@@ -26,6 +26,8 @@ O(log n) — the stage boundary (edges in, labels out) is unchanged.
 from __future__ import annotations
 
 import numpy as np
+
+from ..util import default_pool
 import pandas as pd
 import pyarrow as pa
 
@@ -74,7 +76,7 @@ def _driver_union_find(edges_ds, nodes_ds):
             })
 
     return nodes_ds.map_batches(Attach, batch_format="pyarrow",
-                                concurrency=(1, 8))
+                                concurrency=default_pool())
 
 
 def _hash64(node: pd.Series, label: pd.Series) -> np.ndarray:

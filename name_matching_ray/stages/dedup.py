@@ -26,6 +26,8 @@ stocknames.csv:2-4); these are the graft's large-scale additions.
 from __future__ import annotations
 
 import numpy as np
+
+from ..util import default_pool
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -123,7 +125,7 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, tau100: int = 50,
         ExplodeShingles,
         fn_constructor_kwargs={"n": n, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
 
     n_pair_buckets = 256
@@ -204,17 +206,29 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, tau100: int = 50,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_SHINGLE_HASH_CACHE: dict = {}
+_SHINGLE_HASH_CACHE_CAP = 2_000_000  # shingles repeat heavily across docs
+
+
 def _hash_shingles_u64(shingles: list[str]) -> np.ndarray:
     """Low 64 bits of md5 per shingle (== DuckDB ``md5_number_lower``) so the
     whole MinHash pipeline — signatures, banding, agree counts — is exactly
     reproducible by the SQL oracle (the permutation constants are seeded and
-    inlined into the SQL, like the IVF centroids)."""
+    inlined into the SQL, like the IVF centroids).  Per-process memo: the
+    md5 round trip is the dominant per-shingle cost and the shingle
+    vocabulary is heavy-tailed."""
     import hashlib
 
+    cache = _SHINGLE_HASH_CACHE
     out = np.empty(len(shingles), np.uint64)
     for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
-                                "little")
+        v = cache.get(s)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                               "little")
+            if len(cache) < _SHINGLE_HASH_CACHE_CAP:
+                cache[s] = v
+        out[i] = v
     return out
 
 
@@ -333,7 +347,7 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
         fn_constructor_kwargs={"n": n, "num_perm": num_perm,
                                "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
     min_agree = int(np.ceil(tau * num_perm))
     if lean:
@@ -345,7 +359,7 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
 
     def pairs_in_bucket(g):
@@ -406,7 +420,7 @@ def _minhash_lean(sigs, *, num_perm: int, bands: int, min_agree: int,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "id_col": id_col, "carry_sig": False},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
 
     def ids_in_bucket(g: pd.DataFrame) -> pa.Table:
@@ -651,7 +665,7 @@ def simhash_pairs(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
         SimHashes,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
     return hamming_band_pairs(sh, max_hamming=max_hamming, id_col=id_col,
                               sig_col="simhash")
