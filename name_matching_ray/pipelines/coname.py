@@ -55,21 +55,38 @@ from ..functions.similarity import lcs_length
 
 def coname_corpus_words(base_ds, *, order_col: str = "row_order",
                         gvkey_col: str = "gvkey", name_col: str = "name",
-                        n_buckets: int = 256) -> tuple[set, set]:
-    """Distributed (unique_word, pair_word) gates.
+                        n_buckets: int = 256,
+                        driver_threshold: int = 200_000) -> tuple[set, set]:
+    """(unique_word, pair_word) gates.
 
     Per-gvkey semantics are ORDER-dependent for duplicate gvkeys (the first
     row contributes word tokens of the abbreviated name; later rows
     contribute the CHARS of the raw name — reference bug kept,
-    coname.py:227-230), so the input must carry ``order_col``.  Rows are
-    bucketed by hash(gvkey) and each bucket runs the exact per-gvkey loop
-    over its (complete) gvkeys; one small (item, gvkey-count) shuffle
-    later, only items with count <= 2 — the membership tail the cascade
-    actually consults — reach the driver.
+    coname.py:227-230), so the input must carry ``order_col``.
+
+    Under ``driver_threshold`` rows the gates are computed driver-side with
+    the exact loop (the segment_revenue small-side pattern: two distributed
+    sort-shuffles over a catalog-sized table are pure fixed latency —
+    measured 9.8 s for 1.4k rows).  Above it, rows are bucketed by
+    hash(gvkey) and each bucket runs the exact per-gvkey loop over its
+    (complete) gvkeys; one small (item, gvkey-count) shuffle later, only
+    items with count <= 2 — the membership tail the cascade actually
+    consults — reach the driver.  Both paths are equality-tested.
     """
     from ray.data.aggregate import Sum
 
-    from ..functions.coname_legacy import abbr_adj
+    from ..functions.coname_legacy import abbr_adj, corpus_words_exact
+
+    if base_ds.count() <= driver_threshold:
+        rows = []
+        for b in (base_ds.select_columns([order_col, gvkey_col, name_col])
+                  .iter_batches(batch_format="pyarrow")):
+            rows.extend(zip(b.column(order_col).to_pylist(),
+                            b.column(gvkey_col).to_pylist(),
+                            b.column(name_col).to_pylist()))
+        rows.sort(key=lambda r: r[0])
+        return corpus_words_exact(
+            (g, nm, abbr_adj(nm)) for _, g, nm in rows)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[order_col, gvkey_col, name_col]].copy()
@@ -471,9 +488,13 @@ def coname_match(main_ds, base_ds, *,
     base_ref = ray.put(base_rows)
 
     # a single-source main side arrives as ~1 block = 1 task = 1 actor (the
-    # house single-file pitfall) — repartition so the scorer pool saturates
+    # house single-file pitfall) — repartition so the scorer pool saturates.
+    # Block count follows the row count (>= ~64 rows per block — measured
+    # best at sf0.1: enough actors to parallelize the quadratic pair loop
+    # without hundreds of tiny scheduling roundtrips)
     pool_max = concurrency if isinstance(concurrency, int) else concurrency[1]
-    out = main_ds.repartition(pool_max * 4).map_batches(
+    n_blocks = max(1, min(pool_max * 4, main_ds.count() // 64 + 1))
+    out = main_ds.repartition(n_blocks).map_batches(
         _ConameScorer,
         fn_constructor_kwargs={
             "base_ref": base_ref, "unique_word": unique_word,

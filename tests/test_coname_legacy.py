@@ -186,6 +186,9 @@ def test_coname_pipeline_equals_reference_loop(ref, corpus, ray_session):
     uw, pw = coname_corpus_words(base_ds)
     assert uw == set(ref_unique)
     assert pw == set(ref_pair)
+    # the distributed path (forced) must agree with the driver-side path
+    uw_d, pw_d = coname_corpus_words(base_ds, driver_threshold=0)
+    assert (uw_d, pw_d) == (uw, pw)
 
     got = coname_match(main_ds, base_ds).to_pandas()
     got_pairs = set(zip(got["main_index"], got["base_index"]))
