@@ -121,6 +121,33 @@ def _media(sf_dir: str):
     )
 
 
+def _dedup_keep_list(sf_dir: str):
+    """Training-data dedup keep-list: n-gram Jaccard near-dup pairs →
+    transitive clusters → canonical representative (min doc_id) per cluster,
+    ``keep = 1`` on the representative.  This is the composition a corpus
+    dedup actually ships (pairs alone aren't actionable), and it puts the
+    transitive-closure stage under the exact DuckDB oracle for the first
+    time (recursive-CTE min-label closure)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from name_matching_ray.stages.cluster import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(_read_docs(sf_dir), n=3, tau100=10,
+                                      max_df=100)
+    edges = pairs.select_columns(["left_id", "right_id"]).rename_columns(
+        {"left_id": "left_doc_id", "right_id": "right_doc_id"})
+    nodes = _read_docs(sf_dir).select_columns(["doc_id"])
+    cc = connected_components(edges, nodes)
+
+    def add_keep(t: pa.Table) -> pa.Table:
+        keep = pc.cast(pc.equal(t.column("doc_id"), t.column("cluster_id")),
+                       pa.int64())
+        return t.append_column("keep", keep)
+
+    return cc.map_batches(add_keep, batch_format="pyarrow")
+
+
 def _coname_legacy(sf_dir: str):
     """Legacy coname matcher (reference coname.py) over planted synthetic
     name tables at the sf's document scale: corpus-word gates from the base
@@ -183,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": lambda sf: dedup.exact_dedup(_read_docs(sf)),
         "ngram_jaccard_dedup": lambda sf: dedup.ngram_jaccard_pairs(
             _read_docs(sf), n=3, tau100=10, max_df=100),
+        "dedup_keep_list": _dedup_keep_list,
         "minhash_dedup": _minhash,
         "simhash_dedup": _simhash,
         # embeddings / similarity search
@@ -528,6 +556,40 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = p.left_id
             JOIN sizes sb ON sb.doc_id = p.right_id
             WHERE p.inter*100 >= (sa.n_sh + sb.n_sh - p.inter)*10
+        """,
+        "dedup_keep_list": """
+            WITH RECURSIVE tok AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+            SELECT node AS doc_id, MIN(lab) AS cluster_id,
+                   CAST(CASE WHEN node = MIN(lab) THEN 1 ELSE 0 END AS BIGINT)
+                       AS keep
+            FROM reach GROUP BY node
         """,
         "media_features": """
             SELECT printf('d%09d', doc_id) AS doc_id,

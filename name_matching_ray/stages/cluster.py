@@ -72,7 +72,8 @@ def _driver_union_find(edges_ds, nodes_ds):
             lbl = self.labels
             return pa.table({
                 "doc_id": t.column("doc_id"),
-                "cluster_id": pa.array([lbl.get(i, i) for i in ids], pa.string()),
+                "cluster_id": pa.array([lbl.get(i, i) for i in ids],
+                                       t.column("doc_id").type),
             })
 
     return nodes_ds.map_batches(Attach, batch_format="pyarrow",
@@ -108,6 +109,11 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
     if edges_ds.count() < driver_threshold:
         return _driver_union_find(edges_ds, nodes_ds)
 
+    _sch = edges_ds.schema()
+    idt = _sch.types[_sch.names.index("left_doc_id")]  # id type (string
+    # in the linkage flow, int64 for document ids) — all label columns
+    # carry it so the hybrid paths stay type-faithful
+
     n_buckets = 256  # coarse shuffle key: hash(node) % n_buckets — one Ray
     # group per BUCKET, with the per-node logic vectorized in pandas inside
     # (a groupby("node") built one tiny pandas group per node per iteration,
@@ -123,8 +129,8 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
         nbr = pd.concat([batch["right_doc_id"], batch["left_doc_id"]],
                         ignore_index=True)
         return pa.table({
-            "node": pa.array(node, pa.string()),
-            "nbr": pa.array(nbr, pa.string()),
+            "node": pa.array(node, idt),
+            "nbr": pa.array(nbr, idt),
             "bucket": pa.array(_bucket_of(node), pa.int64()),
         })
 
@@ -148,14 +154,14 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
     for it in range(max_iters):
         # 1) hash-bucket join: node's current min label -> messages (nbr, label)
         tagged_adj = adj.map_batches(
-            lambda t: t.append_column("label", pa.nulls(t.num_rows, pa.string())),
+            lambda t: t.append_column("label", pa.nulls(t.num_rows, idt)),
             batch_format="pyarrow",
         )
         tagged_lbl = labels.map_batches(
             lambda g: pa.table({
-                "node": pa.array(g["node"], pa.string()),
-                "nbr": pa.nulls(len(g), pa.string()),
-                "label": pa.array(g["label"], pa.string()),
+                "node": pa.array(g["node"], idt),
+                "nbr": pa.nulls(len(g), idt),
+                "label": pa.array(g["label"], idt),
                 "bucket": pa.array(_bucket_of(g["node"]), pa.int64()),
             }),
             batch_format="pandas",
@@ -169,15 +175,15 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
             adj_rows = g.loc[g["nbr"].notna(), ["node", "nbr"]]
             if lab.empty or adj_rows.empty:
                 return pa.table(
-                    {"node": pa.array([], pa.string()),
-                     "label": pa.array([], pa.string())}
+                    {"node": pa.array([], idt),
+                     "label": pa.array([], idt)}
                 )
             min_lbl = lab.groupby("node", sort=False)["label"].min()
             m = adj_rows["node"].map(min_lbl)
             ok = m.notna()
             return pa.table(
-                {"node": pa.array(adj_rows["nbr"][ok], pa.string()),
-                 "label": pa.array(m[ok], pa.string())}
+                {"node": pa.array(adj_rows["nbr"][ok], idt),
+                 "label": pa.array(m[ok], idt)}
             )
 
         msgs = (

@@ -327,6 +327,19 @@ def test_cluster_hybrid_paths_agree(ray_session):
     assert lbl["p"] == lbl["q"] == lbl["r"] == "p"
     assert lbl["lone"] == "lone"
 
+    # INT ids (the documents flow): both paths, numeric min labels.
+    # "10" < "9" lexicographically but 9 < 10 numerically — the int graph
+    # below would mislabel under a stringly-typed implementation
+    edges_i = pa.table({"left_doc_id": pa.array([10, 9], pa.int64()),
+                        "right_doc_id": pa.array([11, 10], pa.int64())})
+    nodes_i = pa.table({"doc_id": pa.array([9, 10, 11, 12], pa.int64())})
+    ei, ni = ray.data.from_arrow(edges_i), ray.data.from_arrow(nodes_i)
+    for kw in ({}, {"driver_threshold": 0}):
+        got = connected_components(ei, ni, **kw).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got["cluster_id"].dtype.kind == "i"
+        assert got["cluster_id"].tolist() == [9, 9, 9, 12]
+
 
 def test_cluster_distributed_path_at_size(ray_session):
     """Forced distributed min-label propagation (driver_threshold=0) on a
