@@ -121,6 +121,49 @@ def _media(sf_dir: str):
     )
 
 
+def _sample_mix(sf_dir: str):
+    """Deterministic stratified sampling (dataset mixing): sources whose
+    trailing digit is even keep 70% (7000 bp), odd keep 30%.  The rate rule
+    and the md5-low64 row hash are shared verbatim with the SQL oracle."""
+    import ray.data
+
+    from name_matching_ray.stages.curation import stratified_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    # per-stratum rate table from the (tiny) distinct source list — the
+    # operator's real interface is the dict; the parity rule generates it
+    rates = {s: 7000 if int(s[-1]) % 2 == 0 else 3000
+             for s in docs.unique("source")}
+    return stratified_sample(docs, rates)
+
+
+def _decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any word 8-gram with the
+    probe slice (every 23rd doc — the stand-in benchmark corpus) are
+    flagged; output is (doc_id, n_hits, keep) over ALL docs."""
+    import ray.data
+
+    from name_matching_ray.stages.curation import (
+        build_probe_ngrams,
+        decontaminate,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def probe_filter(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.asarray(ids) % 23 == 0))
+
+    probe = docs.map_batches(probe_filter, batch_format="pyarrow")
+    ngrams = build_probe_ngrams(probe, n=8)
+    return decontaminate(docs, ngrams, n=8)
+
+
 def _dedup_keep_list(sf_dir: str):
     """Training-data dedup keep-list: n-gram Jaccard near-dup pairs →
     transitive clusters → canonical representative (min doc_id) per cluster,
@@ -211,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": lambda sf: dedup.ngram_jaccard_pairs(
             _read_docs(sf), n=3, tau100=10, max_df=100),
         "dedup_keep_list": _dedup_keep_list,
+        # corpus curation (deterministic, map-only, SQL-oracled)
+        "sample_mix": _sample_mix,
+        "decontaminate": _decontaminate,
         "minhash_dedup": _minhash,
         "simhash_dedup": _simhash,
         # embeddings / similarity search
@@ -556,6 +602,28 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = p.left_id
             JOIN sizes sb ON sb.doc_id = p.right_id
             WHERE p.inter*100 >= (sa.n_sh + sb.n_sh - p.inter)*10
+        """,
+        "sample_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT)
+                      % 10000
+                  < CASE WHEN CAST(substr(source, -1) AS INT) % 2 = 0
+                         THEN 7000 ELSE 3000 END
+        """,
+        "decontaminate": """
+            WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS s
+                FROM tok, UNNEST(generate_series(1, len(w) - 7)) AS g(i)),
+            probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+            hits AS (
+                SELECT doc_id, COUNT(*) AS n_hits FROM sh
+                WHERE s IN (SELECT s FROM probe) GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   CAST(h.doc_id IS NULL AS BIGINT) AS keep
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         """,
         "dedup_keep_list": """
             WITH RECURSIVE tok AS (

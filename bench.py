@@ -98,7 +98,7 @@ BENCH_QUERIES = [
     "topk_per_customer", "text_stats", "quality_filter", "word_counts",
     "exact_dedup", "ngram_jaccard_dedup", "minhash_dedup", "simhash_dedup",
     "embedding_dups", "srp_dedup", "ann_topk", "coname_legacy",
-    "dedup_keep_list",
+    "dedup_keep_list", "sample_mix", "decontaminate",
 ]
 
 

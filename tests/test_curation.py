@@ -1,0 +1,67 @@
+"""Curation operators: deterministic stratified sampling + decontamination."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _md5_low64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
+def test_stratified_sample_deterministic_and_rates(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.curation import stratified_sample
+
+    n = 4000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": ["keepmost" if i % 2 else "keepfew" for i in range(n)],
+    })
+    rates = {"keepmost": 9000, "keepfew": 1000}
+    ds = ray.data.from_pandas(df)
+    got1 = stratified_sample(ds, rates).to_pandas()
+    got2 = stratified_sample(ds, rates).to_pandas()  # rerun: identical set
+    assert set(got1["doc_id"]) == set(got2["doc_id"])
+
+    # exact membership law, row by row
+    want = {int(i) for i, s in zip(df["doc_id"], df["source"])
+            if _md5_low64(str(i)) % 10000 < rates[s]}
+    assert set(got1["doc_id"]) == want
+    # rates land near their targets
+    kept = got1.groupby("source").size()
+    assert 0.8 < kept["keepmost"] / 2000 < 1.0
+    assert 0.03 < kept["keepfew"] / 2000 < 0.2
+    # unknown stratum drops by default
+    df2 = df.assign(source="unknown")
+    assert len(stratified_sample(ray.data.from_pandas(df2),
+                                 rates).to_pandas()) == 0
+
+
+def test_decontaminate_drops_probe_docs(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.curation import (
+        build_probe_ngrams,
+        decontaminate,
+    )
+
+    words = [f"w{i}" for i in range(30)]
+    bench_text = " ".join(words[:12])           # the "benchmark" doc
+    leaked = " ".join(["x y z"] + words[2:11])  # contains an 8-gram of it
+    clean = " ".join(reversed(words))           # same words, no shared 8-gram
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([bench_text, leaked, clean], pa.string()),
+    })
+    probe = pa.table({"text": pa.array([bench_text], pa.string())})
+    ngrams = build_probe_ngrams(ray.data.from_arrow(probe), n=8)
+    out = decontaminate(ray.data.from_arrow(docs), ngrams, n=8) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[1, "keep"] == 0          # benchmark doc itself flagged
+    assert out.loc[1, "n_hits"] == 5        # 12 tokens -> 5 distinct 8-grams
+    assert out.loc[2, "keep"] == 0 and out.loc[2, "n_hits"] >= 1
+    assert out.loc[3, "keep"] == 1 and out.loc[3, "n_hits"] == 0
