@@ -37,46 +37,7 @@ from itertools import tee
 
 from .fuzzy_legacy import fw_ratio, fw_token_set_ratio
 
-# --- legacy rewrite tables (coname.py:85-118; data = behavioral spec) -------
-
-ABBR: list[tuple[str, str]] = [
-    ('the', ''), ('and', ''), ('of', ''), ('for', ''), ('llc', 'llc'),
-    ('Inc', 'incorp'), ('Incorporated', 'incorp'),
-    ('CORP', 'incorp'), ('corporation', 'incorp'),
-    ('corpor', 'incorp'), ('corporat', 'incorp'),
-    ('corporate', 'incorp'), ('corporatin', 'incorp'),
-    ('Assn', 'Association'), ('Assoc', 'Association'),
-    ('intl', 'international'), ('gbl', 'global'),
-    ('CO', 'Company'), ('LTD', 'Limited'),
-    ('MOR', 'Mortgage'), ('Banc', 'BankCorp'),
-    ('grp', 'group'), ('cap', 'capital'), ('FINL', 'financial'),
-    ('THRU', 'Through'), ('COMM', 'Communication'), ('MGMT', 'Management'),
-    ('INVT', 'investments'), ('INV', 'investments'),
-    ('investment', 'investments'),
-    ('PTNR', 'partner'), ('ADVR', 'advisors'), ('laboratory', 'laboratories'),
-    ('tech', 'technologies'), ('technology', 'technologies'),
-    ('INDS', 'industries'), ('industry', 'industries'),
-    ('COMPANIES', 'Company'), ('Mort', 'Mortgage'), ('Thr', 'Through'),
-    ('Sec', 'Securities'), ('BANCORPORATION', 'BankCorp'),
-    ('RESOURCE', 'Resources'), ('Holding', 'Holdings'),
-    ('Security', 'Securities'), ('ENTERPRISE', 'Enterprises'),
-    ('funding', 'fundings'), ('system', 'systems'), ('chem', 'chemical'),
-    ('SYS', 'systems'), ('MFG', 'manufacturing'), ('Prod', 'products'),
-    ('Pharma', 'Pharm'), ('Pharmaceu', 'Pharm'), ('Pharmaceuti', 'Pharm'),
-    ('Pharmace', 'Pharm'), ('Pharmaceut', 'Pharm'),
-    ('Pharmaceutical', 'Pharm'),
-    ('Product', 'products'), ('svcs', 'services'), ('service', 'services'),
-    ('production', 'productions'),
-    ('&', 'and'), ('L\\.P', 'LP'), ('L\\.L\\.P', 'LLP'), ('S\\.A', 'SA'),
-    ('S\\.p\\.A', 'SPA'),
-    ('u s a', 'usa'),
-]
-
-SUFFIX: list[str] = [
-    'Incorporated', 'Corporation', 'LLC', 'Company', 'Limited', 'trust',
-    'Company', 'Holdings', 'Holding', 'Group', 'enterprises',
-    'international', 'and', 'gmbh',
-]
+from .coname_tables import ABBR, SUFFIX
 
 # the rules are applied sequentially, so each is compiled once per process
 _ABBR_COMPILED = [
