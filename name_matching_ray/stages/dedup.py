@@ -324,7 +324,8 @@ class ExplodeBands:
 def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
                       bands: int = 32, tau: float = 0.5, max_bucket: int = 200,
                       text_col: str = "text", id_col: str = "doc_id",
-                      metrics: bool = False, lean: bool = True):
+                      metrics: bool = False, lean: bool = True,
+                      broadcast_sig_bytes: int = 256 << 20):
     """MinHash-LSH candidate pairs with signature-estimated Jaccard >= tau.
 
     Returns (left_id, right_id, est_sim_pct int).  ``max_bucket`` caps the
@@ -339,6 +340,12 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
     the LSH shuffle and attaches each side's signature afterwards via two
     hash-bucket joins, so every signature crosses the wire once per join
     instead of ``bands`` times.  Outputs are identical (pytest-checked).
+
+    The lean attach itself is cost-based: when the materialized signature
+    table fits under ``broadcast_sig_bytes`` it is ``ray.put`` once and both
+    sides attach map-side in a single vectorized pass (zero extra shuffles);
+    above the gate (the 100 TB case — ~1 KB/doc of signatures) it falls back
+    to the two hash-bucket joins.  All three plans are equality-tested.
     """
     from ray.data.aggregate import Max
 
@@ -353,7 +360,8 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
     if lean:
         return _minhash_lean(sigs, num_perm=num_perm, bands=bands,
                              min_agree=min_agree, max_bucket=max_bucket,
-                             id_col=id_col, metrics=metrics)
+                             id_col=id_col, metrics=metrics,
+                             broadcast_sig_bytes=broadcast_sig_bytes)
     bands_ds = sigs.map_batches(
         ExplodeBands,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
@@ -407,9 +415,43 @@ def minhash_lsh_pairs(docs_ds, *, n: int = 3, num_perm: int = 128,
     )
 
 
+class _BroadcastSigAgree:
+    """Map-side signature attach for lean LSH: the whole (ids, sig-matrix)
+    pair lives once in the object store (``ray.put``; zero-copy read per
+    actor) and each candidate batch resolves both sides with two
+    ``searchsorted`` lookups + one vectorized agreement count — no shuffle.
+    Only constructed when the signature table passed the size gate."""
+
+    def __init__(self, sig_ref, num_perm: int, min_agree: int):
+        import ray
+
+        self.ids, self.mat = ray.get(sig_ref)
+        self.num_perm, self.min_agree = num_perm, min_agree
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"left_id": e, "right_id": e, "est_sim_pct": e})
+        l = batch.column("left_id").to_numpy()
+        r = batch.column("right_id").to_numpy()
+        # every candidate id came out of the same signature table — lookups
+        # cannot miss
+        li = np.searchsorted(self.ids, l)
+        ri = np.searchsorted(self.ids, r)
+        agree = (self.mat[li] == self.mat[ri]).sum(axis=1)
+        keep = agree >= self.min_agree
+        return pa.table({
+            "left_id": pa.array(l[keep].astype(np.int64), pa.int64()),
+            "right_id": pa.array(r[keep].astype(np.int64), pa.int64()),
+            "est_sim_pct": pa.array(
+                (agree[keep] * 100 // self.num_perm).astype(np.int64),
+                pa.int64()),
+        })
+
+
 def _minhash_lean(sigs, *, num_perm: int, bands: int, min_agree: int,
                   max_bucket: int, id_col: str, metrics: bool,
-                  n_buckets: int = 256):
+                  n_buckets: int = 256, broadcast_sig_bytes: int = 0):
     """Lean LSH: bands carry ids only; signatures attach via 2 bucket joins."""
     import pandas as pd
     from ray.data.aggregate import Max
@@ -452,6 +494,30 @@ def _minhash_lean(sigs, *, num_perm: int, bands: int, min_agree: int,
     # a pair surfaces once per agreeing band — dedupe BEFORE the sig joins
     cand = cand.groupby(["left_id", "right_id"]).aggregate(
         Max("left_id", alias_name="_k")).drop_columns(["_k"])
+
+    sig_bytes = sigs.size_bytes() or 0
+    if 0 < sig_bytes <= broadcast_sig_bytes:
+        import ray
+
+        ids_parts, mat_parts = [], []
+        for t in ray.get(sigs.to_arrow_refs()):
+            if t.num_rows == 0:
+                continue
+            ids_parts.append(t.column(id_col).to_numpy())
+            mat_parts.append(
+                t.column("sig").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(-1, num_perm))
+        ids_all = np.concatenate(ids_parts)
+        order = np.argsort(ids_all, kind="stable")
+        sig_ref = ray.put((ids_all[order],
+                           np.concatenate(mat_parts)[order]))
+        return cand.map_batches(
+            _BroadcastSigAgree,
+            fn_constructor_kwargs={"sig_ref": sig_ref, "num_perm": num_perm,
+                                   "min_agree": min_agree},
+            batch_format="pyarrow",
+            concurrency=default_pool(),
+        )
 
     def _jbucket(s: pd.Series) -> np.ndarray:
         h = pd.util.hash_pandas_object(s, index=False).to_numpy()

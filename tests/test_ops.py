@@ -68,11 +68,16 @@ def test_minhash_lean_equals_default(docs_ds, ray_session):
 
     a = minhash_lsh_pairs(docs_ds, tau=0.10, lean=False).to_pandas()
     b = minhash_lsh_pairs(docs_ds, tau=0.10, lean=True).to_pandas()
+    # lean with the broadcast attach gated OFF → the two hash-bucket joins
+    c = minhash_lsh_pairs(docs_ds, tau=0.10, lean=True,
+                          broadcast_sig_bytes=0).to_pandas()
     k = ["left_id", "right_id"]
     a = a.sort_values(k).reset_index(drop=True)
     b = b.sort_values(k).reset_index(drop=True)
+    c = c.sort_values(k).reset_index(drop=True)
     assert len(a) > 0
     assert a[k + ["est_sim_pct"]].equals(b[k + ["est_sim_pct"]])
+    assert a[k + ["est_sim_pct"]].equals(c[k + ["est_sim_pct"]])
 
 
 def test_simhash_hamming_is_exact(docs_ds, docs_df, ray_session):
