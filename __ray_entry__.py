@@ -164,6 +164,42 @@ def _decontaminate(sf_dir: str):
     return decontaminate(docs, ngrams, n=8)
 
 
+def _inject_pii(batch):
+    """Deterministic PII planting (shared rule with the SQL oracle, like
+    pair_scoring's planted variants): the synthetic documents carry no
+    emails/phones/IPs, so the graded redaction query appends them as a pure
+    function of doc_id — non-vacuous and SQL-reproducible."""
+    import pyarrow as pa
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        t = t or ""
+        if i % 7 == 0:
+            t += f" contact user{i}@example.com"
+        if i % 11 == 0:
+            t += f" call +1 ({300 + i % 700}) 555-{1000 + i % 9000}"
+        if i % 13 == 0:
+            t += f" from 10.{i % 256}.0.{i % 250}"
+        out.append(t)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "text": pa.array(out, pa.string())})
+
+
+def _redact_pii(sf_dir: str):
+    from name_matching_ray.stages.curation import redact_pii
+
+    return redact_pii(
+        _read_docs(sf_dir).map_batches(_inject_pii, batch_format="pyarrow"))
+
+
+def _pack_sequences(sf_dir: str):
+    from name_matching_ray.stages.curation import pack_sequences
+
+    return pack_sequences(_read_docs(sf_dir), cap=120, shard_size=100)
+
+
 def _dedup_keep_list(sf_dir: str):
     """Training-data dedup keep-list: n-gram Jaccard near-dup pairs →
     transitive clusters → canonical representative (min doc_id) per cluster,
@@ -257,6 +293,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus curation (deterministic, map-only, SQL-oracled)
         "sample_mix": _sample_mix,
         "decontaminate": _decontaminate,
+        "redact_pii": _redact_pii,
+        "pack_sequences": _pack_sequences,
+        "length_quantiles": lambda sf: textstats.length_quantiles(
+            _read_docs(sf)),
+        "pmi_bigrams": lambda sf: textstats.pmi_bigrams(
+            _read_docs(sf), k=20, min_count=5),
         "minhash_dedup": _minhash,
         "simhash_dedup": _simhash,
         # embeddings / similarity search
@@ -289,6 +331,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 _STOP_ALT = "|".join(textstats.STOPWORDS)
+
+
+def _pii_oracle() -> str:
+    """DuckDB replica of :func:`_redact_pii`: the injection rule is plain
+    SQL string concat, and the RE2 patterns are taken verbatim from
+    ``curation.PII_PATTERNS`` (DuckDB's regex engine is the same RE2, so
+    count/replace semantics match byte-for-byte)."""
+    from name_matching_ray.stages.curation import PII_PATTERNS
+
+    sql = """
+        WITH t AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+               THEN ' call +1 (' || (300 + doc_id % 700) || ') 555-'
+                    || (1000 + doc_id % 9000) ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+               THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 250)
+               ELSE '' END AS txt
+          FROM documents)"""
+    prev, cols = "t", []
+    for step, (kind, pat, repl) in enumerate(PII_PATTERNS):
+        cur = f"r{step}"
+        carried = ", ".join(cols)
+        sql += f""",
+        {cur} AS (SELECT doc_id{', ' + carried if carried else ''},
+               CAST(len(regexp_extract_all(txt, '{pat}')) AS BIGINT)
+                   AS n_{kind},
+               regexp_replace(txt, '{pat}', '{repl}', 'g') AS txt
+           FROM {prev})"""
+        prev = cur
+        cols.append(f"n_{kind}")
+    sql += f"""
+        SELECT doc_id, {', '.join(cols)},
+               CAST(length(txt) AS BIGINT) AS clean_len FROM {prev}"""
+    return sql
+
+
+_PII_ORACLE = _pii_oracle()
 
 
 def _ivf_topk_oracle() -> str:
@@ -624,6 +706,57 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                    CAST(h.doc_id IS NULL AS BIGINT) AS keep
             FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        "redact_pii": _PII_ORACLE,
+        "pack_sequences": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, doc_id // 100 AS shard,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+                     row_number() OVER (PARTITION BY doc_id // 100
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            p AS (
+              SELECT doc_id, shard, rn, tok,
+                     CAST(0 AS BIGINT) AS bin, tok AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.doc_id, d.shard, d.rn, d.tok,
+                     CASE WHEN p.fill + d.tok <= 120 THEN p.bin
+                          ELSE p.bin + 1 END,
+                     CASE WHEN p.fill + d.tok <= 120 THEN p.fill + d.tok
+                          ELSE d.tok END
+              FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, fill FROM p
+        """,
+        "length_quantiles": """
+            WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\\S+'))
+                              AS BIGINT) v FROM documents),
+            c AS (SELECT v, COUNT(*) c FROM t GROUP BY v),
+            w AS (SELECT v, SUM(c) OVER (ORDER BY v) cum,
+                         (SELECT COUNT(*) FROM t) n FROM c)
+            SELECT CAST(q.q_bp AS BIGINT) AS q_bp,
+                   CAST(MIN(w.v) AS BIGINT) AS value
+            FROM (VALUES (2500),(5000),(7500),(9000),(9900)) AS q(q_bp)
+            JOIN w ON w.cum * 10000 >= q.q_bp * w.n
+            GROUP BY q.q_bp
+        """,
+        "pmi_bigrams": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text), '\\S+') AS t
+                         FROM documents),
+            w AS (SELECT unnest(t) AS word FROM tok),
+            wc AS (SELECT word, COUNT(*) AS c FROM w
+                   GROUP BY word HAVING COUNT(*) >= 5),
+            pairs AS (SELECT t[i] AS w1, t[i+1] AS w2
+                      FROM tok, unnest(range(1, len(t))) AS u(i)),
+            bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+                   FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+            SELECT b.w1, b.w2, b.c_xy,
+                   CAST(x.c AS BIGINT) AS c_x, CAST(y.c AS BIGINT) AS c_y,
+                   CAST((CAST(b.c_xy AS HUGEINT) * b.c_xy * 1000000)
+                        // (x.c * y.c) AS BIGINT) AS score_ppm
+            FROM bc b JOIN wc x ON x.word = b.w1 JOIN wc y ON y.word = b.w2
+            ORDER BY score_ppm DESC, c_xy DESC, w1, w2 LIMIT 20
         """,
         "dedup_keep_list": """
             WITH RECURSIVE tok AS (

@@ -36,7 +36,11 @@ def _init_ray(num_cpus: int):
 
 
 def _consume(ds) -> int:
-    """Stream-consume a Dataset; returns row count without materializing."""
+    """Stream-consume a Dataset; returns row count without materializing.
+    Queries that already return a driver-side table (e.g. length_quantiles'
+    5-row result) just report their length."""
+    if not hasattr(ds, "iter_batches"):
+        return ds.num_rows if hasattr(ds, "num_rows") else len(ds)
     n = 0
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
         n += b.num_rows
@@ -99,6 +103,7 @@ BENCH_QUERIES = [
     "exact_dedup", "ngram_jaccard_dedup", "minhash_dedup", "simhash_dedup",
     "embedding_dups", "srp_dedup", "ann_topk", "coname_legacy",
     "dedup_keep_list", "sample_mix", "decontaminate",
+    "redact_pii", "pack_sequences", "length_quantiles", "pmi_bigrams",
 ]
 
 

@@ -64,6 +64,109 @@ def build_probe_ngrams(probe_ds, *, n: int = 8, text_col: str = "text") -> set:
     return out
 
 
+# RE2 patterns shared verbatim with the DuckDB oracle (both engines ARE RE2,
+# so replace/count semantics match byte-for-byte; verified in tests).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{1,2}[ .-]?\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}", "<PHONE>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
+               patterns=PII_PATTERNS):
+    """PII scrubbing for training corpora: count and redact emails / phone
+    numbers / IPv4 addresses, applied in ``patterns`` order (each rewrite
+    sees the previous one's output, so an email is never double-counted as
+    a phone).  Map-only, fully vectorized (pyarrow RE2 kernels), streams at
+    any scale.  Returns one row per doc:
+    ``(doc_id, n_<kind>..., clean_len)`` where ``clean_len`` is the
+    character length of the redacted text — all integers, exactly
+    reproducible in SQL because DuckDB's regex engine is the same RE2.
+    """
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        cols = [batch.column(id_col)]
+        names = [id_col]
+        for kind, pat, repl in patterns:
+            cols.append(pc.cast(pc.count_substring_regex(text, pat),
+                                pa.int64()))
+            names.append(f"n_{kind}")
+            text = pc.replace_substring_regex(text, pattern=pat,
+                                              replacement=repl)
+        cols.append(pc.cast(pc.utf8_length(text), pa.int64()))
+        names.append("clean_len")
+        return pa.Table.from_arrays(cols, names=names)
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def pack_sequences(docs_ds, *, cap: int, shard_size: int = 100,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_buckets: int = 256):
+    """Greedy sequence packing for pretraining: walk docs in ``doc_id``
+    order and append each to the current bin while the bin's token total
+    stays ≤ ``cap``; otherwise open a new bin (an oversize doc gets a bin
+    of its own — no splitting).  Token count is whitespace tokens
+    (``\\S+``), the repo-standard definition shared with text_stats.
+
+    Greedy packing is inherently a sequential scan, so it is parallelized
+    the way real pretraining pipelines shard it: packing restarts at every
+    ``shard_size`` block of doc_ids (``shard = doc_id // shard_size``) and
+    shards pack independently — each output file of a 100-TB run is one or
+    more whole shards, so a resumed job repacks only unfinished shards.
+    Shards are co-located via the hash%``n_buckets`` coarse-group pattern
+    (never one Ray group per shard), and the per-row work inside a bucket
+    is a few integer ops.
+
+    Returns ``(doc_id, shard, bin, fill)``: 0-based bin within the shard
+    and the bin's running token total after this doc.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        shard = ids // shard_size
+        tok = pc.count_substring_regex(batch.column(text_col), r"\S+")
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+            "tok": pc.cast(tok, pa.int64()),
+            "_ub": pa.array(shard % n_buckets, pa.int64()),
+        })
+
+    def pack_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["shard", id_col], kind="mergesort")
+        shard = g["shard"].to_numpy()
+        tok = g["tok"].to_numpy()
+        n = len(g)
+        bins = np.empty(n, np.int64)
+        fill = np.empty(n, np.int64)
+        b = f = 0
+        prev_shard = None
+        for i in range(n):
+            if shard[i] != prev_shard:
+                prev_shard, b, f = shard[i], 0, tok[i]
+            elif f + tok[i] <= cap:
+                f += tok[i]
+            else:
+                b, f = b + 1, tok[i]
+            bins[i] = b
+            fill[i] = f
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(), pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+            "bin": pa.array(bins, pa.int64()),
+            "fill": pa.array(fill, pa.int64()),
+        })
+
+    return docs_ds.map_batches(tokens, batch_format="pyarrow") \
+        .groupby("_ub").map_groups(pack_bucket, batch_format="pandas")
+
+
 def decontaminate(docs_ds, probe_ngrams: set, *, n: int = 8,
                   text_col: str = "text", id_col: str = "doc_id"):
     """Benchmark decontamination: flag every training document sharing any

@@ -120,6 +120,158 @@ def word_counts(docs_ds, *, text_col: str = "text", min_count: int = 1):
     return out
 
 
+def length_quantiles(docs_ds, *, q_bps: tuple[int, ...] = (2500, 5000, 7500,
+                                                           9000, 9900),
+                     text_col: str = "text"):
+    """Exact corpus token-length percentiles without a global sort.
+
+    Per-batch ``value_counts`` of the whitespace token count → one tiny
+    ``groupby(v).Sum`` shuffle → the cumulative scan runs on the driver over
+    DISTINCT length values only (bounded by the longest document, not the
+    corpus — a 100-TB corpus still has < ~10⁶ distinct lengths).  The
+    quantile rule is pure integer arithmetic shared with the SQL oracle:
+    value(q) = min v with cum_count(v) * 10000 >= q_bp * N — i.e.
+    ``percentile_disc`` semantics with no float position math.
+
+    Returns one row per requested quantile: ``(q_bp, value)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(batch.column(text_col), _RE_WS_TOKEN),
+            pa.int64())
+        vc = n_tok.combine_chunks().value_counts() \
+            if isinstance(n_tok, pa.ChunkedArray) else n_tok.value_counts()
+        return pa.table({
+            "v": vc.field("values"),
+            "c": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    hist = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c", alias_name="c")) \
+        .sort("v").to_pandas()
+    cum = hist["c"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = hist["v"].to_numpy()
+    out_q, out_v = [], []
+    for q in q_bps:
+        idx = int((cum * 10000 >= q * n).argmax()) if n else 0
+        out_q.append(q)
+        out_v.append(int(vals[idx]) if n else 0)
+    return pa.table({"q_bp": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})
+
+
+def bigram_counts(docs_ds, *, text_col: str = "text"):
+    """Corpus counts of adjacent lowercase word bigrams — vectorized: the
+    token list array is flattened once and pairs are formed positionally
+    (a pair is valid iff both tokens are non-empty and belong to the same
+    document, computed from the list offsets), then ``value_counts`` on the
+    joined pair string gives the per-batch partial; one groupby-Sum shuffle
+    combines.  The join separator (unit separator \\x1f) cannot appear in
+    whitespace-split tokens."""
+    from ray.data.aggregate import Sum
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        m = len(flat)
+        valid = np.zeros(max(m - 1, 0), bool)
+        if m > 1:
+            valid[:] = nonempty[:-1] & nonempty[1:]
+            # kill pairs straddling a document boundary
+            ends = offsets[1:-1] - 1
+            valid[ends[(ends >= 0) & (ends < m - 1)]] = False
+        idx = np.flatnonzero(valid)
+        w1 = flat.take(pa.array(idx, pa.int64()))
+        w2 = flat.take(pa.array(idx + 1, pa.int64()))
+        joined = pc.binary_join_element_wise(w1, w2, "\x1f")
+        vc = joined.value_counts()
+        pair = vc.field("values")
+        parts = pc.split_pattern(pair, "\x1f")
+        return pa.table({
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+            "c_xy": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    return docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("c_xy", alias_name="c_xy"))
+
+
+def pmi_bigrams(docs_ds, *, k: int = 20, min_count: int = 5,
+                text_col: str = "text"):
+    """Top-``k`` collocations by a PMI-proportional score in EXACT integer
+    arithmetic: ``score_ppm = (c_xy² · 10⁶) // (c_x · c_y)`` (monotone in
+    pointwise mutual information for a fixed corpus size; the 10⁶ scale
+    keeps ties honest and the // floor is reproducible in SQL HUGEINT
+    math — no float log anywhere, so the oracle hash matches exactly).
+
+    Word counts above ``min_count`` are collected to a driver dict and
+    broadcast (bounded by the filtered vocabulary — Zipf keeps this small;
+    the bigram table itself never materializes beyond the ``min_count``
+    filter).  Top-k = per-block local top-k then one tiny merge, ordered by
+    (score desc, c_xy desc, w1, w2) — a deterministic total order, so the
+    result SET is stable under any partitioning.
+    """
+    import pandas as pd
+
+    import ray
+
+    wc = {w: int(c) for w, c in
+          word_counts(docs_ds, text_col=text_col, min_count=min_count)
+          .to_pandas().itertuples(index=False)}
+    wc_ref = ray.put(wc)
+
+    bc = bigram_counts(docs_ds, text_col=text_col) \
+        .filter(expr=f"c_xy >= {min_count}")
+
+    class Score:
+        def __init__(self):
+            self.wc = ray.get(wc_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            wcd = self.wc
+            w1 = batch.column("w1").to_pylist()
+            w2 = batch.column("w2").to_pylist()
+            cxy = batch.column("c_xy").to_pylist()
+            cx = [wcd.get(w, 0) for w in w1]
+            cy = [wcd.get(w, 0) for w in w2]
+            score = [(n * n * 1_000_000) // (a * b) if a and b else 0
+                     for n, a, b in zip(cxy, cx, cy)]
+            t = pa.table({
+                "w1": batch.column("w1"), "w2": batch.column("w2"),
+                "c_xy": batch.column("c_xy"),
+                "c_x": pa.array(cx, pa.int64()),
+                "c_y": pa.array(cy, pa.int64()),
+                "score_ppm": pa.array(score, pa.int64()),
+            })
+            # local top-k: only k rows per block survive to the merge
+            df = t.to_pandas().sort_values(
+                ["score_ppm", "c_xy", "w1", "w2"],
+                ascending=[False, False, True, True]).head(k)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["score_ppm", "c_xy", "w1", "w2"],
+                            ascending=[False, False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ..util import default_pool
+
+    return bc.map_batches(Score, batch_format="pyarrow",
+                          concurrency=default_pool()) \
+        .repartition(1).map_batches(merge, batch_format="pandas")
+
+
 class RollingFingerprint:
     """Winnowing-style document fingerprint: k-gram hashes, keep the
     minimum hash in each sliding window of ``w`` — robust to local edits.

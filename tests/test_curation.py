@@ -65,3 +65,71 @@ def test_decontaminate_drops_probe_docs(ray_session):
     assert out.loc[1, "n_hits"] == 5        # 12 tokens -> 5 distinct 8-grams
     assert out.loc[2, "keep"] == 0 and out.loc[2, "n_hits"] >= 1
     assert out.loc[3, "keep"] == 1 and out.loc[3, "n_hits"] == 0
+
+
+def test_redact_pii_counts_and_order(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.curation import redact_pii
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            # email is rewritten FIRST, so its digits never feed the
+            # phone pattern; the phone and ip coexist in one doc
+            "mail a.b+x@ex-ample.co.uk or call +1 (212) 555-0199",
+            "server 10.1.2.3 and 192.168.0.255 talked",
+            "no pii at all",
+            "edge a@b.c is not an email (single-letter tld)",
+        ], pa.string()),
+    })
+    out = redact_pii(ray.data.from_arrow(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "n_email"] == 1 and out.loc[1, "n_phone"] == 1
+    assert out.loc[2, "n_ip"] == 2 and out.loc[2, "n_email"] == 0
+    assert out.loc[3, ["n_email", "n_phone", "n_ip"]].sum() == 0
+    assert out.loc[4, "n_email"] == 0
+    # clean_len reflects the redacted text, not the original
+    assert out.loc[1, "clean_len"] == len("mail <EMAIL> or call <PHONE>")
+    assert out.loc[3, "clean_len"] == len("no pii at all")
+
+
+def _pack_reference(ids, toks, cap, shard_size):
+    """Independent scalar re-implementation of greedy per-shard packing."""
+    rows = sorted(zip(ids, toks))
+    out = {}
+    prev_shard, b, f = None, 0, 0
+    for i, t in rows:
+        s = i // shard_size
+        if s != prev_shard:
+            prev_shard, b, f = s, 0, t
+        elif f + t <= cap:
+            f += t
+        else:
+            b, f = b + 1, t
+        out[i] = (s, b, f)
+    return out
+
+
+def test_pack_sequences_matches_reference_and_handles_oversize(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.curation import pack_sequences
+
+    rng = np.random.default_rng(7)
+    n, cap, shard_size = 500, 100, 64
+    ids = np.arange(n, dtype=np.int64)
+    toks = rng.integers(1, 140, n)  # some docs EXCEED cap -> own bin
+    texts = [" ".join(["w"] * t) for t in toks]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})) \
+        .repartition(7)  # shards span input blocks
+    got = pack_sequences(ds, cap=cap, shard_size=shard_size).to_pandas()
+    want = _pack_reference(ids, toks, cap, shard_size)
+    assert len(got) == n
+    for r in got.itertuples(index=False):
+        assert want[r.doc_id] == (r.shard, r.bin, r.fill), r
+    # no bin below an oversize doc ever exceeds cap unless it IS one doc
+    g = got.sort_values("doc_id").groupby(["shard", "bin"])
+    for (_, _), grp in g:
+        if len(grp) > 1:
+            assert grp["fill"].iloc[-1] <= cap

@@ -623,3 +623,52 @@ def test_srp_lsh_matches_bruteforce(ray_session):
     found = set(zip(tight.left_id, tight.right_id))
     hits = sum((i, 50 + i) in found for i in range(10))
     assert hits >= 8, (hits, found)
+
+
+def test_length_quantiles_integer_rule(ray_session):
+    """Quantile = min v with cum*10000 >= q_bp*N — checked on a known
+    distribution, including the q=9900 tail landing on the max."""
+    import pandas as pd
+    import ray.data
+
+    from name_matching_ray.stages.textstats import length_quantiles
+
+    # 10 docs of 1..10 tokens
+    texts = [" ".join(["w"] * k) for k in range(1, 11)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(10), "text": texts})).repartition(3)
+    got = length_quantiles(ds, q_bps=(2500, 5000, 9000, 9900, 10000)) \
+        .to_pandas().set_index("q_bp")["value"]
+    assert got[2500] == 3   # cum(3)=3, 3*10000 >= 2500*10
+    assert got[5000] == 5
+    assert got[9000] == 9
+    assert got[9900] == 10
+    assert got[10000] == 10
+
+
+def test_pmi_bigrams_planted_collocation(ray_session):
+    """A bigram that always co-occurs scores c_xy^2*1e6/(c_x*c_y) = 1e6 at
+    the top; filler words pair randomly and score far lower."""
+    import pandas as pd
+    import ray.data
+
+    from name_matching_ray.stages.textstats import pmi_bigrams
+
+    rng = np.random.default_rng(3)
+    filler = [f"f{i}" for i in range(8)]
+    texts = []
+    for i in range(60):
+        words = list(rng.choice(filler, 6))
+        words[2:2] = ["hong", "kong"]  # the collocation, always adjacent
+        texts.append(" ".join(words))
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(60), "text": texts})).repartition(4)
+    got = pmi_bigrams(ds, k=5, min_count=5).to_pandas()
+    top = got.iloc[0]
+    assert (top.w1, top.w2) == ("hong", "kong")
+    assert top.c_xy == top.c_x == top.c_y == 60
+    assert top.score_ppm == 1_000_000
+    assert (got.score_ppm.iloc[1:] < 600_000).all()
+    # deterministic under re-run and different partitioning
+    again = pmi_bigrams(ds.repartition(9), k=5, min_count=5).to_pandas()
+    assert got.equals(again)
