@@ -200,6 +200,16 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(_read_docs(sf_dir), cap=120, shard_size=100)
 
 
+def _shuffle_shards(sf_dir: str):
+    import ray.data
+
+    from name_matching_ray.stages.curation import shuffle_shards
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])
+    return shuffle_shards(ids, n_shards=16)
+
+
 def _dedup_keep_list(sf_dir: str):
     """Training-data dedup keep-list: n-gram Jaccard near-dup pairs →
     transitive clusters → canonical representative (min doc_id) per cluster,
@@ -295,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "redact_pii": _redact_pii,
         "pack_sequences": _pack_sequences,
+        "shuffle_shards": _shuffle_shards,
         "length_quantiles": lambda sf: textstats.length_quantiles(
             _read_docs(sf)),
         "pmi_bigrams": lambda sf: textstats.pmi_bigrams(
@@ -706,6 +717,18 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                    CAST(h.doc_id IS NULL AS BIGINT) AS keep
             FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        "shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                          AS HUGEINT) AS hv
+              FROM documents)
+            SELECT doc_id, CAST(hv % 16 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY hv % 16
+                                           ORDER BY hv, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM h
         """,
         "redact_pii": _PII_ORACLE,
         "pack_sequences": """

@@ -64,6 +64,92 @@ def build_probe_ngrams(probe_ds, *, n: int = 8, text_col: str = "text") -> set:
     return out
 
 
+def shuffle_shards(docs_ds, *, n_shards: int = 16, id_col: str = "doc_id"):
+    """Deterministic global training-data shuffle: every doc gets a
+    pseudo-random rank ``h = md5_low64(str(id))`` (the repo-standard
+    oracle-exact hash), ``shard = h % n_shards``, and ``pos`` = the doc's
+    0-based rank within its shard ordered by ``(h, id)``.  The (shard, pos)
+    order is a uniform random permutation that is a pure function of the
+    ids — reproducible across runs, machines and partitionings, unlike
+    ``Dataset.random_shuffle``.
+
+    One Ray group per shard is the intended partitioning: ``n_shards`` is
+    the number of OUTPUT files (hundreds to thousands at 100 TB, sized so
+    one shard fits a reduce task) — not a per-key groupby over millions of
+    keys.  Returns ``(id, shard, pos)``; compose with
+    :func:`export_shards` to land the shuffled corpus on disk.
+    """
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = [_md5_low64(str(i)) for i in ids]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "_h": pa.array(hs, pa.uint64()),
+            "shard": pa.array([h % n_shards for h in hs], pa.int64()),
+        })
+
+    def rank(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["_h", id_col], kind="mergesort")
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(), pa.int64()),
+            "shard": pa.array(g["shard"].to_numpy(), pa.int64()),
+            "pos": pa.array(np.arange(len(g), dtype=np.int64), pa.int64()),
+        })
+
+    return docs_ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("shard").map_groups(rank, batch_format="pandas")
+
+
+def export_shards(docs_ds, out_dir: str, *, n_shards: int = 16,
+                  id_col: str = "doc_id"):
+    """Resumable training-corpus export: land the deterministic shuffle of
+    :func:`shuffle_shards` as ``out_dir/shard=K/`` partitioned parquet plus
+    a ``manifest.json`` of per-shard row counts.
+
+    Shards already listed in an existing manifest are SKIPPED on re-run
+    (the shard is the resume unit — a failed export redoes only unfinished
+    shards), and because the shuffle is a pure function of the ids, the
+    resumed output is identical to a single-shot run.
+    """
+    import json
+    import os
+
+    # underscore prefix: invisible to Arrow/Spark dataset discovery
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    done: dict[str, int] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = json.load(f)
+
+    tagged = shuffle_shards(docs_ds, n_shards=n_shards, id_col=id_col)
+    todo = [s for s in range(n_shards) if str(s) not in done]
+    if todo:
+        import pyarrow.compute as pc
+
+        todo_arr = pa.array(todo, pa.int64())
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column("shard"), value_set=todo_arr))
+
+        remaining = tagged.map_batches(keep, batch_format="pyarrow")
+        remaining.write_parquet(out_dir, partition_cols=["shard"])
+        import pyarrow.dataset as pads
+
+        written = pads.dataset(out_dir, partitioning="hive")
+        counts = {}
+        for s in todo:
+            counts[str(s)] = written.count_rows(
+                filter=pads.field("shard") == s)
+        done.update(counts)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(manifest_path, "w") as f:
+        json.dump(done, f, sort_keys=True)
+    return done
+
+
 # RE2 patterns shared verbatim with the DuckDB oracle (both engines ARE RE2,
 # so replace/count semantics match byte-for-byte; verified in tests).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (

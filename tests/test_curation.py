@@ -133,3 +133,67 @@ def test_pack_sequences_matches_reference_and_handles_oversize(ray_session):
     for (_, _), grp in g:
         if len(grp) > 1:
             assert grp["fill"].iloc[-1] <= cap
+
+
+def test_shuffle_shards_deterministic_permutation(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.curation import shuffle_shards
+
+    n = 300
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64)})).repartition(5)
+    got = shuffle_shards(ds, n_shards=8).to_pandas()
+    assert len(got) == n and got.doc_id.is_unique
+    # exact law: shard = md5_low64 % 8, pos = rank by (h, id) within shard
+    h = {i: _md5_low64(str(i)) for i in range(n)}
+    for s, grp in got.groupby("shard"):
+        ids = sorted(grp.doc_id, key=lambda i: (h[i], i))
+        want = {i: p for p, i in enumerate(ids)}
+        assert all(h[i] % 8 == s for i in grp.doc_id)
+        assert all(want[r.doc_id] == r.pos for r in grp.itertuples())
+    # partitioning-independent
+    again = shuffle_shards(ds.repartition(2), n_shards=8).to_pandas()
+    assert got.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_export_shards_resume_skips_done(ray_session, tmp_path):
+    import json
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from name_matching_ray.stages.curation import export_shards, shuffle_shards
+
+    n = 200
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64)}))
+
+    # full export: manifest counts == on-disk counts == shuffle law
+    out1 = str(tmp_path / "full")
+    man = export_shards(ds, out1, n_shards=4)
+    disk = pads.dataset(out1, partitioning="hive").to_table().to_pandas()
+    assert sum(man.values()) == n == len(disk)
+    want = shuffle_shards(ds, n_shards=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = disk[["doc_id", "shard", "pos"]].astype("int64") \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
+
+    # resume: pre-claim shard 2 in the manifest -> it is NOT rewritten
+    out2 = str(tmp_path / "resumed")
+    import os
+    os.makedirs(out2)
+    with open(os.path.join(out2, "_manifest.json"), "w") as f:
+        json.dump({"2": 999}, f)
+    man2 = export_shards(ds, out2, n_shards=4)
+    assert man2["2"] == 999  # untouched claim
+    disk2 = pads.dataset(out2, partitioning="hive").to_table().to_pandas()
+    assert set(disk2["shard"].unique()) == {0, 1, 3}
+    # the shards it DID write are identical to the single-shot run
+    a = disk[disk.shard != 2].astype({"shard": "int64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = disk2.astype({"shard": "int64"}).sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert a[["doc_id", "shard", "pos"]].equals(b[["doc_id", "shard", "pos"]])
