@@ -234,41 +234,37 @@ def pmi_bigrams(docs_ds, *, k: int = 20, min_count: int = 5,
     bc = bigram_counts(docs_ds, text_col=text_col) \
         .filter(expr=f"c_xy >= {min_count}")
 
-    class Score:
-        def __init__(self):
-            self.wc = ray.get(wc_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            wcd = self.wc
-            w1 = batch.column("w1").to_pylist()
-            w2 = batch.column("w2").to_pylist()
-            cxy = batch.column("c_xy").to_pylist()
-            cx = [wcd.get(w, 0) for w in w1]
-            cy = [wcd.get(w, 0) for w in w2]
-            score = [(n * n * 1_000_000) // (a * b) if a and b else 0
-                     for n, a, b in zip(cxy, cx, cy)]
-            t = pa.table({
-                "w1": batch.column("w1"), "w2": batch.column("w2"),
-                "c_xy": batch.column("c_xy"),
-                "c_x": pa.array(cx, pa.int64()),
-                "c_y": pa.array(cy, pa.int64()),
-                "score_ppm": pa.array(score, pa.int64()),
-            })
-            # local top-k: only k rows per block survive to the merge
-            df = t.to_pandas().sort_values(
-                ["score_ppm", "c_xy", "w1", "w2"],
-                ascending=[False, False, True, True]).head(k)
-            return pa.Table.from_pandas(df, preserve_index=False)
+    def score(batch: pa.Table) -> pa.Table:
+        # stateless task (not an actor pool): the broadcast dict is one
+        # object-store get per task — cheaper than actor spin-up for
+        # this small post-filter stage
+        wcd = ray.get(wc_ref)
+        w1 = batch.column("w1").to_pylist()
+        w2 = batch.column("w2").to_pylist()
+        cxy = batch.column("c_xy").to_pylist()
+        cx = [wcd.get(w, 0) for w in w1]
+        cy = [wcd.get(w, 0) for w in w2]
+        score = [(n * n * 1_000_000) // (a * b) if a and b else 0
+                 for n, a, b in zip(cxy, cx, cy)]
+        t = pa.table({
+            "w1": batch.column("w1"), "w2": batch.column("w2"),
+            "c_xy": batch.column("c_xy"),
+            "c_x": pa.array(cx, pa.int64()),
+            "c_y": pa.array(cy, pa.int64()),
+            "score_ppm": pa.array(score, pa.int64()),
+        })
+        # local top-k: only k rows per block survive to the merge
+        df = t.to_pandas().sort_values(
+            ["score_ppm", "c_xy", "w1", "w2"],
+            ascending=[False, False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def merge(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(["score_ppm", "c_xy", "w1", "w2"],
                             ascending=[False, False, True, True]).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    from ..util import default_pool
-
-    return bc.map_batches(Score, batch_format="pyarrow",
-                          concurrency=default_pool()) \
+    return bc.map_batches(score, batch_format="pyarrow") \
         .repartition(1).map_batches(merge, batch_format="pandas")
 
 
