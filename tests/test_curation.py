@@ -197,3 +197,40 @@ def test_export_shards_resume_skips_done(ray_session, tmp_path):
     b = disk2.astype({"shard": "int64"}).sort_values("doc_id") \
         .reset_index(drop=True)
     assert a[["doc_id", "shard", "pos"]].equals(b[["doc_id", "shard", "pos"]])
+
+
+def test_redact_pii_re2_parity_with_duckdb():
+    """The operator's oracle-exactness rests on pyarrow and DuckDB sharing
+    RE2 semantics for count + replace. Differential-check the actual
+    kernels (no Ray needed) on adversarial strings: overlaps, adjacency,
+    unicode, pattern-order interactions."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    from name_matching_ray.stages.curation import PII_PATTERNS
+
+    texts = [
+        "a@b.co c@d.io e@f.museum",                 # adjacent emails
+        "x@y.z +1 (123) 456-7890 10.0.0.1",         # one of each, tight
+        "not.an.email@ @nope.com a..b@c.dd",        # partial lookalikes
+        "1.2.3.4.5.6.7.8",                          # overlapping dotted runs
+        "+12 (345) 678-9012+13 (456) 789-0123",     # phones back-to-back
+        "naïve@exämple.com café 192.168.1.255",     # unicode neighbours
+        "(555) 555-5555 and 55 (555) 555-5555",     # optional prefix forms
+        "",                                          # empty
+        "ip 999.999.999.999 pseudo 0.0.0.0",        # out-of-range but matches
+        "user+tag@sub.domain.co.uk.",               # trailing dot
+    ]
+    con = duckdb.connect()
+    arr = pa.array(texts, pa.string())
+    for _, pat, repl in PII_PATTERNS:
+        got_n = pc.count_substring_regex(arr, pat).to_pylist()
+        got_r = pc.replace_substring_regex(arr, pattern=pat,
+                                           replacement=repl).to_pylist()
+        for t, n, r in zip(texts, got_n, got_r):
+            o_n, o_r = con.execute(
+                "select len(regexp_extract_all(?, ?)),"
+                " regexp_replace(?, ?, ?, 'g')",
+                [t, pat, t, pat, repl]).fetchone()
+            assert n == o_n, (pat, t, n, o_n)
+            assert r == o_r, (pat, t, r, o_r)
