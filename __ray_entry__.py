@@ -22,7 +22,7 @@ from name_matching_ray.pipelines.linkage import (
     self_link_docs,
 )
 from name_matching_ray.sources.docs_source import documents_as_interleaved
-from name_matching_ray.stages import annsearch, dedup, textstats
+from name_matching_ray.stages import annsearch, chunking, dedup, textstats
 from name_matching_ray.stages.multimodal import media_features
 
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -210,6 +210,41 @@ def _shuffle_shards(sf_dir: str):
     return shuffle_shards(ids, n_shards=16)
 
 
+# 8 tokens exactly — a full segment_dedup window, so the planted header
+# dedups cleanly to its first occurrence (shared rule with the SQL oracle)
+_BOILER_HEADER = "terms of service apply to this document archive"
+_BOILER_FOOTER = "copyright notice all rights reserved"
+
+
+def _inject_boilerplate(batch):
+    """Deterministic boilerplate planting (like _inject_pii): the synthetic
+    docs are near-unique at the 8-token-segment level, so the graded
+    segment-dedup query prepends a shared header to every 5th doc (and a
+    footer to every 3rd) as a pure SQL-expressible function of doc_id —
+    the dedup result is non-vacuous."""
+    import pyarrow as pa
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        t = t or ""
+        if i % 5 == 0:
+            t = _BOILER_HEADER + " " + t
+        if i % 3 == 0:
+            t = t + " " + _BOILER_FOOTER
+        out.append(t)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "text": pa.array(out, pa.string())})
+
+
+def _segment_dedup(sf_dir: str):
+    return chunking.segment_dedup(
+        _read_docs(sf_dir).map_batches(_inject_boilerplate,
+                                       batch_format="pyarrow"),
+        window=8)
+
+
 def _dedup_keep_list(sf_dir: str):
     """Training-data dedup keep-list: n-gram Jaccard near-dup pairs →
     transitive clusters → canonical representative (min doc_id) per cluster,
@@ -310,6 +345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_docs(sf)),
         "pmi_bigrams": lambda sf: textstats.pmi_bigrams(
             _read_docs(sf), k=20, min_count=5),
+        "tfidf_topk": lambda sf: textstats.tfidf_topk(
+            _read_docs(sf), k=3, min_df=2),
+        "chunk_docs": lambda sf: chunking.chunk_docs(
+            _read_docs(sf), window=16, stride=8),
+        "segment_dedup": _segment_dedup,
         "minhash_dedup": _minhash,
         "simhash_dedup": _simhash,
         # embeddings / similarity search
@@ -780,6 +820,92 @@ def _oracle_sql_base() -> dict[str, str]:
                         // (x.c * y.c) AS BIGINT) AS score_ppm
             FROM bc b JOIN wc x ON x.word = b.w1 JOIN wc y ON y.word = b.w2
             ORDER BY score_ppm DESC, c_xy DESC, w1, w2 LIMIT 20
+        """,
+        # tfidf_topk: exact-integer tf·idf proxy, row_number tiebreak
+        # (score DESC, token ASC) == the Ray side's mergesort + head(k)
+        "tfidf_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                    FROM toks GROUP BY token),
+            n AS (SELECT COUNT(*) AS nd FROM documents),
+            s AS (SELECT t.doc_id, t.token, t.tf, d.df,
+                         t.tf * ((n.nd * 10000) // d.df) AS score_bp
+                  FROM tf t JOIN dfq d USING (token) CROSS JOIN n
+                  WHERE d.df >= 2)
+            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(score_bp AS BIGINT) AS score_bp
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score_bp DESC, token) AS rn
+                  FROM s)
+            WHERE rn <= 3
+        """,
+        # chunk_docs: window=16 stride=8; ord ranges over ceil(n/stride)
+        # window starts, the last windows may be short (least(...))
+        "chunk_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            d AS (SELECT doc_id, toks, len(toks) AS n
+                  FROM t WHERE len(toks) > 0),
+            s AS (SELECT doc_id, toks, n,
+                         unnest(range(0, (n + 7) // 8)) AS ord
+                  FROM d)
+            SELECT doc_id, CAST(ord AS BIGINT) AS chunk_id,
+                   array_to_string(
+                       list_slice(toks, ord*8 + 1, ord*8 + 16), ' ')
+                       AS chunk_text,
+                   CAST(least(16, n - ord*8) AS BIGINT) AS n_tokens
+            FROM s
+        """,
+        # segment_dedup: window=8 non-overlapping; keep = first global
+        # occurrence per md5-low64 segment hash, ordered by (doc_id, ord);
+        # boilerplate planting is the same doc_id rule as _inject_boilerplate
+        "segment_dedup": rf"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN '{_BOILER_HEADER} ' || text ELSE text END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' {_BOILER_FOOTER}' ELSE '' END AS text
+              FROM documents),
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM docs2),
+            d AS (SELECT doc_id, toks, len(toks) AS n
+                  FROM t WHERE len(toks) > 0),
+            s AS (SELECT doc_id, toks,
+                         unnest(range(0, (n + 7) // 8)) AS ord
+                  FROM d),
+            seg AS (SELECT doc_id, ord,
+                           array_to_string(
+                               list_slice(toks, ord*8 + 1, ord*8 + 8), ' ')
+                               AS seg
+                    FROM s),
+            k AS (SELECT doc_id, ord, seg,
+                         row_number() OVER (
+                             PARTITION BY md5_number_lower(seg)
+                             ORDER BY doc_id, ord) = 1 AS keep
+                  FROM seg)
+            SELECT doc_id,
+                   COALESCE(string_agg(seg, ' ' ORDER BY ord)
+                                FILTER (WHERE keep), '') AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept
+            FROM k GROUP BY doc_id
         """,
         "dedup_keep_list": """
             WITH RECURSIVE tok AS (

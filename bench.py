@@ -104,7 +104,7 @@ BENCH_QUERIES = [
     "embedding_dups", "srp_dedup", "ann_topk", "coname_legacy",
     "dedup_keep_list", "sample_mix", "decontaminate",
     "redact_pii", "pack_sequences", "length_quantiles", "pmi_bigrams",
-    "shuffle_shards",
+    "shuffle_shards", "chunk_docs", "segment_dedup", "tfidf_topk",
 ]
 
 

@@ -163,6 +163,104 @@ def length_quantiles(docs_ds, *, q_bps: tuple[int, ...] = (2500, 5000, 7500,
                      "value": pa.array(out_v, pa.int64())})
 
 
+def doc_freq(docs_ds, *, text_col: str = "text", min_df: int = 1):
+    """Document frequency per lowercase whitespace token: per-batch
+    DISTINCT-(doc, token) partial counts (pandas drop_duplicates — C hash
+    table), then one small ``groupby(word).Sum`` shuffle.  The partial is
+    exact because a doc never straddles batches (row-wise transform)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        import pandas as pd
+
+        df = pd.DataFrame({"d": doc_idx,
+                           "word": flat.to_numpy(zero_copy_only=False)})
+        df = df[df["word"] != ""].drop_duplicates()
+        vc = df["word"].value_counts()
+        return pa.table({"word": vc.index.to_numpy(),
+                         "df": vc.to_numpy().astype("int64")})
+
+    out = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("df", alias_name="df"))
+    if min_df > 1:
+        out = out.filter(expr=f"df >= {min_df}")
+    return out
+
+
+def tfidf_topk(docs_ds, *, k: int = 3, min_df: int = 1,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document top-``k`` keywords by an EXACT-integer tf·idf proxy:
+    ``score_bp = tf * ((N_docs * 10000) // df)`` — monotone in tf·idf for a
+    fixed corpus, floor-division reproducible in SQL, no float log.
+
+    Two stages: (1) the document-frequency table (:func:`doc_freq`) is
+    computed distributed, then collected and broadcast via ``ray.put`` —
+    the small-side-lookup pattern; ``min_df`` bounds the broadcast (Zipf:
+    the df>=2 vocabulary is a tiny fraction of token occurrences; for an
+    unbounded open vocabulary swap this for a bucketed join on ``word``).
+    (2) a map-only scoring pass: per-batch tf via one pandas
+    groupby-size (C hash table), score lookup against the broadcast dict,
+    per-doc top-k by ``(score_bp DESC, token ASC)`` — the same
+    deterministic total order as the oracle's ``row_number()``.
+
+    Output: ``(doc_id, token, tf, df, score_bp)``, <= k rows per doc.
+    """
+    import pandas as pd
+
+    import ray
+
+    dft = doc_freq(docs_ds, text_col=text_col, min_df=min_df).to_pandas()
+    dfd = dict(zip(dft["word"], dft["df"].astype(int)))
+    n_docs = docs_ds.count()
+    df_ref = ray.put(dfd)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        dmap = ray.get(df_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        df = pd.DataFrame({"d": doc_idx,
+                           "token": flat.to_numpy(zero_copy_only=False)})
+        df = df[df["token"] != ""]
+        tf = df.groupby(["d", "token"], sort=False).size().reset_index(
+            name="tf")
+        dfv = tf["token"].map(dmap).fillna(0).astype("int64")
+        tf["df"] = dfv
+        tf = tf[dfv > 0]
+        tf["score_bp"] = tf["tf"].astype("int64") * (
+            (n_docs * 10000) // tf["df"])
+        tf = tf.sort_values(["d", "score_bp", "token"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        top = tf.groupby("d", sort=False).head(k)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[top["d"].to_numpy()],
+                             batch.column(id_col).type),
+            "token": pa.array(top["token"].to_numpy(), pa.string()),
+            "tf": pa.array(top["tf"].to_numpy().astype("int64"), pa.int64()),
+            "df": pa.array(top["df"].to_numpy(), pa.int64()),
+            "score_bp": pa.array(top["score_bp"].to_numpy(), pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
 def bigram_counts(docs_ds, *, text_col: str = "text"):
     """Corpus counts of adjacent lowercase word bigrams — vectorized: the
     token list array is flattened once and pairs are formed positionally

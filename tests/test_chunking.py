@@ -1,0 +1,136 @@
+"""Chunking / segment-dedup / tf-idf operators: edge cases + brute-force
+reference checks (the exact SQL-oracle parity runs in tools/check_oracle
+and the driver; these tests pin the semantics standalone)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _brute_chunks(text: str, window: int, stride: int):
+    toks = [t for t in text.lower().split() if t]
+    out = []
+    s = 0
+    while s < len(toks):
+        out.append((s // stride, " ".join(toks[s:s + window]),
+                    min(window, len(toks) - s)))
+        s += stride
+    return out
+
+
+def test_chunk_docs_matches_bruteforce(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.chunking import chunk_docs
+
+    texts = [
+        "a b c d e f g h i j",        # 10 tokens
+        "one",                         # 1 token (single short chunk)
+        "  padded   with   spaces  ",  # whitespace runs + edges
+        "",                            # empty -> no chunks
+        " ".join(f"t{i}" for i in range(37)),  # partial tail windows
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = chunk_docs(ray.data.from_arrow(docs), window=4, stride=3) \
+        .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    want = []
+    for i, t in enumerate(texts):
+        for cid, ctext, ntok in _brute_chunks(t, 4, 3):
+            want.append((i, cid, ctext, ntok))
+    want = pd.DataFrame(want, columns=["doc_id", "chunk_id", "chunk_text",
+                                       "n_tokens"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_segment_dedup_keeps_first_occurrence(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.chunking import segment_dedup
+
+    boiler = "h1 h2 h3 h4"  # one full window=4 segment
+    docs = pa.table({
+        "doc_id": pa.array([10, 3, 7], pa.int64()),
+        "text": pa.array([
+            boiler + " u1 u2 u3 u4",    # dup header, but doc_id NOT minimal
+            boiler + " v1 v2 v3 v4",    # min doc_id -> keeps the header
+            boiler,                      # only the dup -> clean_text empty
+        ], pa.string()),
+    })
+    got = segment_dedup(ray.data.from_arrow(docs), window=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[3, "clean_text"] == boiler + " v1 v2 v3 v4"
+    assert got.loc[3, "n_kept"] == 2 and got.loc[3, "n_segments"] == 2
+    assert got.loc[10, "clean_text"] == "u1 u2 u3 u4"
+    assert got.loc[10, "n_kept"] == 1 and got.loc[10, "n_segments"] == 2
+    # fully-deduped doc stays visible with an empty clean_text
+    assert got.loc[7, "clean_text"] == ""
+    assert got.loc[7, "n_kept"] == 0 and got.loc[7, "n_segments"] == 1
+
+
+def test_segment_dedup_partition_invariant(ray_session):
+    """First-occurrence choice is a global (doc_id, ord) rule — the result
+    must not depend on how rows are split into blocks."""
+    import ray.data
+
+    from name_matching_ray.stages.chunking import segment_dedup
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(4, 24)))
+             for _ in range(80)]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(80, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    a = segment_dedup(ray.data.from_arrow(docs), window=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = segment_dedup(ray.data.from_arrow(docs).repartition(13), window=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_kept"] < a["n_segments"]).any()  # non-vacuous on this vocab
+
+
+def test_tfidf_topk_matches_bruteforce(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.textstats import tfidf_topk
+
+    texts = [
+        "apple apple banana rare",
+        "banana cherry cherry cherry",
+        "apple banana cherry",
+        "rare onlyonce apple",
+    ]
+    n_docs = len(texts)
+    docs = pa.table({
+        "doc_id": pa.array(list(range(n_docs)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    k, min_df = 2, 2
+    got = tfidf_topk(ray.data.from_arrow(docs), k=k, min_df=min_df) \
+        .to_pandas().sort_values(["doc_id", "score_bp", "token"],
+                                 ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+    df_counts: dict[str, int] = {}
+    for t in texts:
+        for w in set(t.split()):
+            df_counts[w] = df_counts.get(w, 0) + 1
+    want = []
+    for i, t in enumerate(texts):
+        tf: dict[str, int] = {}
+        for w in t.split():
+            tf[w] = tf.get(w, 0) + 1
+        rows = [(w, c, df_counts[w], c * ((n_docs * 10000) // df_counts[w]))
+                for w, c in tf.items() if df_counts[w] >= min_df]
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        for w, c, dfv, s in rows[:k]:
+            want.append((i, w, c, dfv, s))
+    want = pd.DataFrame(want, columns=["doc_id", "token", "tf", "df",
+                                       "score_bp"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # 'onlyonce' (df=1) never appears at min_df=2
+    assert "onlyonce" not in set(got["token"])
