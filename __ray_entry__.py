@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_docs(sf), k=20, min_count=5),
         "tfidf_topk": lambda sf: textstats.tfidf_topk(
             _read_docs(sf), k=3, min_df=2),
+        "inverted_index": lambda sf: textstats.inverted_index(
+            _read_docs(sf), cap=32, min_df=2),
         "chunk_docs": lambda sf: chunking.chunk_docs(
             _read_docs(sf), window=16, stride=8),
         "segment_dedup": _segment_dedup,
@@ -847,6 +849,24 @@ def _oracle_sql_base() -> dict[str, str]:
                       ORDER BY score_bp DESC, token) AS rn
                   FROM s)
             WHERE rn <= 3
+        """,
+        # inverted_index: cap=32 postings by smallest doc_id; df is the
+        # TRUE count (a capped token is visible as df > cap, never silent)
+        "inverted_index": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS token
+              FROM documents),
+            d AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+            r AS (SELECT token, doc_id, row_number() OVER (
+                      PARTITION BY token ORDER BY doc_id) AS rnk
+                  FROM toks)
+            SELECT r.token, CAST(d.df AS BIGINT) AS df,
+                   CAST(r.rnk - 1 AS BIGINT) AS pos, r.doc_id
+            FROM r JOIN d USING (token)
+            WHERE r.rnk <= 32 AND d.df >= 2
         """,
         # chunk_docs: window=16 stride=8; ord ranges over ceil(n/stride)
         # window starts, the last windows may be short (least(...))

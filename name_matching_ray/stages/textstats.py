@@ -197,20 +197,29 @@ def doc_freq(docs_ds, *, text_col: str = "text", min_df: int = 1):
 
 
 def tfidf_topk(docs_ds, *, k: int = 3, min_df: int = 1,
-               text_col: str = "text", id_col: str = "doc_id"):
+               text_col: str = "text", id_col: str = "doc_id",
+               broadcast: bool = True):
     """Per-document top-``k`` keywords by an EXACT-integer tf·idf proxy:
     ``score_bp = tf * ((N_docs * 10000) // df)`` — monotone in tf·idf for a
     fixed corpus, floor-division reproducible in SQL, no float log.
 
-    Two stages: (1) the document-frequency table (:func:`doc_freq`) is
-    computed distributed, then collected and broadcast via ``ray.put`` —
-    the small-side-lookup pattern; ``min_df`` bounds the broadcast (Zipf:
-    the df>=2 vocabulary is a tiny fraction of token occurrences; for an
-    unbounded open vocabulary swap this for a bucketed join on ``word``).
-    (2) a map-only scoring pass: per-batch tf via one pandas
-    groupby-size (C hash table), score lookup against the broadcast dict,
-    per-doc top-k by ``(score_bp DESC, token ASC)`` — the same
+    Two plans, equal outputs (tested):
+
+    ``broadcast=True`` (default): the document-frequency table
+    (:func:`doc_freq`) is computed distributed, then collected and
+    broadcast via ``ray.put`` — the small-side-lookup pattern; ``min_df``
+    bounds the broadcast (Zipf: the df>=2 vocabulary is a tiny fraction of
+    token occurrences).  Scoring is then map-only: per-batch tf via one
+    pandas groupby-size (C hash table), score lookup against the broadcast
+    dict, per-doc top-k by ``(score_bp DESC, token ASC)`` — the same
     deterministic total order as the oracle's ``row_number()``.
+
+    ``broadcast=False``: the open-vocabulary plan — NOTHING returns to the
+    driver.  The per-batch tf partials and the df table meet in a coarse
+    token-hash bucket join (the lean-minhash attach idiom,
+    dedup._minhash_lean), then a second doc-hash bucket pass takes the
+    per-doc top-k.  Two extra shuffles buy an unbounded vocabulary — the
+    100-TB configuration when min_df can't be raised.
 
     Output: ``(doc_id, token, tf, df, score_bp)``, <= k rows per doc.
     """
@@ -218,9 +227,38 @@ def tfidf_topk(docs_ds, *, k: int = 3, min_df: int = 1,
 
     import ray
 
+    n_docs = docs_ds.count()
+
+    def _tf_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        df = pd.DataFrame({"d": doc_idx,
+                           "token": flat.to_numpy(zero_copy_only=False)})
+        df = df[df["token"] != ""]
+        tf = df.groupby(["d", "token"], sort=False).size().reset_index(
+            name="tf")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[tf["d"].to_numpy()],
+                             batch.column(id_col).type),
+            "token": pa.array(tf["token"].to_numpy(), pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy().astype("int64"), pa.int64()),
+        })
+
+    if not broadcast:
+        return _tfidf_topk_join(docs_ds, _tf_partial, k=k, min_df=min_df,
+                                n_docs=n_docs, text_col=text_col,
+                                id_col=id_col)
+
     dft = doc_freq(docs_ds, text_col=text_col, min_df=min_df).to_pandas()
     dfd = dict(zip(dft["word"], dft["df"].astype(int)))
-    n_docs = docs_ds.count()
     df_ref = ray.put(dfd)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -259,6 +297,162 @@ def tfidf_topk(docs_ds, *, k: int = 3, min_df: int = 1,
         })
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def _tfidf_topk_join(docs_ds, tf_partial, *, k: int, min_df: int,
+                     n_docs: int, text_col: str, id_col: str,
+                     n_buckets: int = 256):
+    """Open-vocabulary tf·idf plan: bucket join on the token, then a
+    doc-bucket top-k — no driver-side vocabulary.  Bucket keys are
+    ``pd.util.hash_pandas_object`` (process-stable fixed-key siphash, the
+    same choice as dedup._minhash_lean's ``_jbucket``)."""
+    import numpy as np
+    import pandas as pd
+
+    def _tb(s: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        return (h % n_buckets).astype(np.int64)
+
+    tf_rows = docs_ds.map_batches(tf_partial, batch_format="pyarrow")
+    df_rows = doc_freq(docs_ds, text_col=text_col, min_df=min_df)
+
+    def tag_tf(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+            "token": pa.array(df["token"].to_numpy(), pa.string()),
+            "tf": pa.array(df["tf"].to_numpy(), pa.int64()),
+            "df": pa.nulls(len(df), pa.int64()),
+            "_tb": pa.array(_tb(df["token"]), pa.int64()),
+        })
+
+    def tag_df(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            id_col: pa.nulls(len(df), pa.int64()),
+            "token": pa.array(df["word"].to_numpy(), pa.string()),
+            "tf": pa.nulls(len(df), pa.int64()),
+            "df": pa.array(df["df"].to_numpy(), pa.int64()),
+            "_tb": pa.array(_tb(df["word"]), pa.int64()),
+        })
+
+    both = tf_rows.map_batches(tag_tf, batch_format="pandas").union(
+        df_rows.map_batches(tag_df, batch_format="pandas"))
+
+    def attach_df(g: pd.DataFrame) -> pa.Table:
+        dfr = g.loc[g[id_col].isna(), ["token", "df"]] \
+               .drop_duplicates("token").set_index("token")["df"]
+        tfr = g.loc[g[id_col].notna()]
+        got = tfr["token"].map(dfr)
+        ok = got.notna()
+        tfr = tfr[ok]
+        dfv = got[ok].astype("int64")
+        score = tfr["tf"].astype("int64").to_numpy() * (
+            (n_docs * 10000) // dfv.to_numpy())
+        ids = tfr[id_col].astype("int64")
+        return pa.table({
+            id_col: pa.array(ids.to_numpy(), pa.int64()),
+            "token": pa.array(tfr["token"].to_numpy(), pa.string()),
+            "tf": pa.array(tfr["tf"].to_numpy().astype("int64"), pa.int64()),
+            "df": pa.array(dfv.to_numpy(), pa.int64()),
+            "score_bp": pa.array(score.astype("int64"), pa.int64()),
+            "_db": pa.array((ids.to_numpy() % n_buckets).astype("int64"),
+                            pa.int64()),
+        })
+
+    scored = both.groupby("_tb").map_groups(attach_df, batch_format="pandas")
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([id_col, "score_bp", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby(id_col, sort=False).head(k)
+        return pa.table({
+            id_col: pa.array(top[id_col].to_numpy().astype("int64"),
+                             pa.int64()),
+            "token": pa.array(top["token"].to_numpy(), pa.string()),
+            "tf": pa.array(top["tf"].to_numpy().astype("int64"), pa.int64()),
+            "df": pa.array(top["df"].to_numpy().astype("int64"), pa.int64()),
+            "score_bp": pa.array(top["score_bp"].to_numpy().astype("int64"),
+                                 pa.int64()),
+        })
+
+    return scored.groupby("_db").map_groups(topk, batch_format="pandas")
+
+
+def inverted_index(docs_ds, *, cap: int = 32, min_df: int = 1,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_buckets: int = 256):
+    """Search-index build: capped posting lists per token, exploded as rows
+    ``(token, df, pos, doc_id)`` — ``df`` is the TRUE document frequency,
+    ``pos`` the 0-based position of ``doc_id`` among the token's first
+    ``cap`` documents ordered by id.  The cap is never silent: ``df`` in
+    every output row records how many documents the token really has, so
+    a capped list is visible as ``df > cap``.
+
+    Plan (one shuffle): per-batch partials emit, per token, (a) at most
+    ``cap`` smallest doc ids (the global cap-smallest set is a subset of
+    the union of per-batch cap-smallest sets) and (b) ONE df-partial row
+    carrying the batch's distinct-doc count; a coarse token-hash bucket
+    groupby merges both kinds — sum the df partials, rank and cap the
+    postings.  Volume per token per batch is bounded by ``cap + 1`` rows,
+    so hot tokens (stopwords) cannot blow up the shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": np.asarray(ids)[doc_idx],
+                           "token": flat.to_numpy(zero_copy_only=False)})
+        df = df[df["token"] != ""].drop_duplicates()
+        df = df.sort_values(["token", "doc_id"], kind="mergesort")
+        g = df.groupby("token", sort=False)
+        pdfc = g.size()                       # per-batch distinct-doc count
+        capped = g.head(cap)
+        h = pd.util.hash_pandas_object(
+            pd.Index(pdfc.index), index=False).to_numpy() % n_buckets
+        hb_post = pd.util.hash_pandas_object(
+            capped["token"], index=False).to_numpy() % n_buckets
+        return pa.table({
+            "token": pa.array(
+                np.concatenate([capped["token"].to_numpy(),
+                                pdfc.index.to_numpy()]), pa.string()),
+            "doc_id": pa.array(np.concatenate([
+                capped["doc_id"].to_numpy().astype("int64"),
+                np.full(len(pdfc), -1, np.int64)]), pa.int64()),
+            "pdf": pa.array(np.concatenate([
+                np.zeros(len(capped), np.int64),
+                pdfc.to_numpy().astype("int64")]), pa.int64()),
+            "_tb": pa.array(np.concatenate([hb_post, h]).astype("int64"),
+                            pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        dfc = g.loc[g["doc_id"] < 0].groupby("token", sort=False)["pdf"] \
+               .sum()
+        posts = g.loc[g["doc_id"] >= 0, ["token", "doc_id"]] \
+                 .sort_values(["token", "doc_id"], kind="mergesort")
+        posts = posts.groupby("token", sort=False).head(cap)
+        pos = posts.groupby("token", sort=False).cumcount()
+        dfv = posts["token"].map(dfc).astype("int64")
+        keep = dfv.to_numpy() >= min_df
+        return pa.table({
+            "token": pa.array(posts["token"].to_numpy()[keep], pa.string()),
+            "df": pa.array(dfv.to_numpy()[keep], pa.int64()),
+            "pos": pa.array(pos.to_numpy().astype("int64")[keep],
+                            pa.int64()),
+            "doc_id": pa.array(
+                posts["doc_id"].to_numpy().astype("int64")[keep],
+                pa.int64()),
+        })
+
+    return docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_tb").map_groups(merge, batch_format="pandas")
 
 
 def bigram_counts(docs_ds, *, text_col: str = "text"):

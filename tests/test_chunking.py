@@ -93,6 +93,102 @@ def test_segment_dedup_partition_invariant(ray_session):
     assert (a["n_kept"] < a["n_segments"]).any()  # non-vacuous on this vocab
 
 
+def test_explode_windows_property(ray_session):
+    """Hypothesis sweep: the vectorized window kernel equals the scalar
+    brute force for arbitrary texts / window / stride."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from name_matching_ray.stages.chunking import explode_windows
+
+    texts_st = st.lists(
+        st.text(alphabet=" abXY9", min_size=0, max_size=30),
+        min_size=1, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts=texts_st, window=st.integers(1, 5), stride=st.integers(1, 5))
+    def check(texts, window, stride):
+        batch = pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        got = explode_windows(batch, window=window, stride=stride) \
+            .to_pandas()
+        want = []
+        for i, t in enumerate(texts):
+            for cid, ctext, ntok in _brute_chunks(t, window, stride):
+                want.append((i, cid, ctext, ntok))
+        want = pd.DataFrame(want, columns=["doc_id", "ord", "chunk_text",
+                                           "n_tokens"])
+        got = got.sort_values(["doc_id", "ord"]).reset_index(drop=True)
+        want = want.sort_values(["doc_id", "ord"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    check()
+
+
+def test_tfidf_join_path_equals_broadcast(ray_session):
+    """broadcast=False (open-vocabulary bucket join) must produce the
+    identical row set as the broadcast plan, under any partitioning."""
+    import ray.data
+
+    from name_matching_ray.stages.textstats import tfidf_topk
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+             for _ in range(120)]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = ray.data.from_arrow(docs).repartition(7)
+    a = tfidf_topk(ds, k=4, min_df=2, broadcast=True).to_pandas()
+    b = tfidf_topk(ds, k=4, min_df=2, broadcast=False).to_pandas()
+    key = ["doc_id", "token", "tf", "df", "score_bp"]
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_inverted_index_cap_and_df(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.textstats import inverted_index
+
+    # 'hot' appears in every doc; 'cold3'/'cold7' in one each; 'pairq' in 2
+    texts = []
+    for i in range(9):
+        t = f"hot unique{i}"
+        if i in (3, 7):
+            t += f" cold{i}"
+        if i in (2, 5):
+            t += " pairq"
+        texts.append(t)
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(9, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = ray.data.from_arrow(docs).repartition(4)
+    got = inverted_index(ds, cap=3, min_df=1).to_pandas() \
+        .sort_values(["token", "pos"]).reset_index(drop=True)
+    hot = got[got["token"] == "hot"]
+    # capped at 3 postings, but df records the TRUE count (9 > cap)
+    assert list(hot["doc_id"]) == [0, 1, 2]
+    assert list(hot["pos"]) == [0, 1, 2]
+    assert (hot["df"] == 9).all()
+    pq = got[got["token"] == "pairq"]
+    assert list(pq["doc_id"]) == [2, 5] and (pq["df"] == 2).all()
+    # min_df drops singletons
+    got2 = inverted_index(ds, cap=3, min_df=2).to_pandas()
+    assert not got2["token"].str.startswith("unique").any()
+    assert not got2["token"].str.startswith("cold").any()
+    # partition-invariance
+    got3 = inverted_index(ray.data.from_arrow(docs), cap=3, min_df=1) \
+        .to_pandas().sort_values(["token", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got3)
+
+
 def test_tfidf_topk_matches_bruteforce(ray_session):
     import ray.data
 
