@@ -245,6 +245,16 @@ def _segment_dedup(sf_dir: str):
         window=8)
 
 
+def _substring_dedup(sf_dir: str):
+    """ExactSubstr-style repeated-span removal over the boilerplate-planted
+    corpus: every 5th doc's 8-token header duplicates doc 0's, so all but
+    the first occurrence lose exactly that span (n_removed == 8)."""
+    return chunking.substring_dedup(
+        _read_docs(sf_dir).map_batches(_inject_boilerplate,
+                                       batch_format="pyarrow"),
+        k=8)
+
+
 def _dedup_keep_list(sf_dir: str):
     """Training-data dedup keep-list: n-gram Jaccard near-dup pairs →
     transitive clusters → canonical representative (min doc_id) per cluster,
@@ -352,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": lambda sf: chunking.chunk_docs(
             _read_docs(sf), window=16, stride=8),
         "segment_dedup": _segment_dedup,
+        "substring_dedup": _substring_dedup,
         "minhash_dedup": _minhash,
         "simhash_dedup": _simhash,
         # embeddings / similarity search
@@ -926,6 +937,58 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_kept
             FROM k GROUP BY doc_id
+        """,
+        # substring_dedup: a k-gram (k=8) position is removed iff its hash
+        # group has >=2 members and it is not the global first (doc_id,
+        # pos); a token drops iff covered by any removed span (interval
+        # union = the EXISTS range probe)
+        "substring_dedup": rf"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN '{_BOILER_HEADER} ' || text ELSE text END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' {_BOILER_FOOTER}' ELSE '' END AS text
+              FROM documents),
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM docs2),
+            d AS (SELECT doc_id, toks, len(toks) AS n
+                  FROM t WHERE len(toks) > 0),
+            p AS (SELECT doc_id, toks,
+                         unnest(range(0, n - 7)) AS pos
+                  FROM d WHERE n >= 8),
+            g AS (SELECT doc_id, pos,
+                         md5_number_lower(array_to_string(
+                             list_slice(toks, pos + 1, pos + 8), ' ')) AS h
+                  FROM p),
+            dup AS (SELECT doc_id, pos FROM (
+                      SELECT doc_id, pos,
+                             COUNT(*) OVER (PARTITION BY h) AS c,
+                             row_number() OVER (
+                                 PARTITION BY h
+                                 ORDER BY doc_id, pos) AS rn
+                      FROM g)
+                    WHERE c > 1 AND rn > 1),
+            tok AS (SELECT doc_id, unnest(range(0, n)) AS ti, toks
+                    FROM d),
+            mark AS (SELECT tp.doc_id, tp.ti, tp.toks[tp.ti + 1] AS tok,
+                            EXISTS(SELECT 1 FROM dup u
+                                   WHERE u.doc_id = tp.doc_id
+                                     AND tp.ti BETWEEN u.pos
+                                                   AND u.pos + 7)
+                                AS removed
+                     FROM tok tp)
+            SELECT doc_id,
+                   COALESCE(string_agg(tok, ' ' ORDER BY ti)
+                                FILTER (WHERE NOT removed), '')
+                       AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed
+            FROM mark GROUP BY doc_id
         """,
         "dedup_keep_list": """
             WITH RECURSIVE tok AS (

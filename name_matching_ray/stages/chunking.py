@@ -182,3 +182,123 @@ def segment_dedup(docs_ds, *, window: int = 8, buckets: int = 256,
                                             batch_format="pandas")
     return flagged.groupby("db").map_groups(reassemble,
                                             batch_format="pandas")
+
+
+def substring_dedup(docs_ds, *, k: int = 8, buckets: int = 256,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Exact repeated-substring removal at token granularity — the
+    "ExactSubstr" dedup modality (Lee et al., *Deduplicating Training Data
+    Makes Language Models Better*, ACL 2022), token-k-gram variant: any
+    ``k``-token span that occurs more than once ANYWHERE in the corpus is
+    removed from every occurrence except the globally first (ordered by
+    ``(doc_id, pos)``); a token is dropped iff covered by at least one
+    removed span (overlapping spans union).  Unlike :func:`segment_dedup`
+    this catches duplicates at ANY offset, not just window-aligned ones.
+
+    Plan (two coarse-bucket shuffles, no driver state):
+
+    1. map: every k-gram position via the shared window kernel
+       (stride 1, full windows only); ship ``(doc_id, pos, md5-low64)`` —
+       the hash, never the k-gram text, so the exchange is ~24 B/position
+       regardless of k.
+    2. ``groupby(hash % buckets)``: sort by ``(h, doc_id, pos)``; a
+       position is a duplicate iff its hash group has >= 2 members and it
+       is not the group's first row (vectorized ``duplicated`` +
+       ``transform('size')``).  Only duplicate positions leave the stage.
+    3. ``groupby(doc_id % buckets)`` over docs UNION duplicate positions
+       (the tag-and-union join idiom): per bucket, one interval-union
+       coverage mask per doc via a difference array (+1 at ``pos``, -1 at
+       ``pos+k``, prefix-sum > 0 = covered) — all numpy over the bucket's
+       concatenated token stream, no per-token Python.
+
+    Output: ``(doc_id, clean_text, n_tokens, n_removed)`` for every doc
+    with >= 1 token; the removal tally keeps the cut visible per row.
+    """
+    import hashlib as _hl
+
+    import pandas as pd
+
+    def positions(batch: pa.Table) -> pa.Table:
+        t = explode_windows(batch, window=k, stride=1,
+                            text_col=text_col, id_col=id_col)
+        full = pc.equal(t.column("n_tokens"), k)
+        t = t.filter(full)
+        md5 = _hl.md5
+        grams = t.column("chunk_text").to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(md5(s.encode()).digest()[8:16], "little")
+             for s in grams),
+            np.uint64, count=len(grams))
+        return pa.table({
+            id_col: t.column(id_col),
+            "pos": t.column("ord"),
+            "h": pa.array(h, pa.uint64()),
+            "hb": pa.array((h % buckets).astype(np.int64), pa.int64()),
+        })
+
+    def find_dups(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", id_col, "pos"], kind="mergesort")
+        sz = df.groupby("h", sort=False)["h"].transform("size").to_numpy()
+        dup = (sz > 1) & df["h"].duplicated().to_numpy()
+        out = df.loc[dup, [id_col, "pos"]].copy()
+        out["db"] = (out[id_col].to_numpy().astype(np.int64) % buckets)
+        return out
+
+    dups = docs_ds.map_batches(positions, batch_format="pyarrow") \
+        .groupby("hb").map_groups(find_dups, batch_format="pandas")
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "pos": pa.array(np.full(len(batch), -1, np.int64), pa.int64()),
+            text_col: batch.column(text_col),
+            "db": pa.array((np.asarray(ids, np.int64) % buckets),
+                           pa.int64()),
+        })
+
+    def tag_dups(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+            "pos": pa.array(df["pos"].to_numpy(), pa.int64()),
+            text_col: pa.nulls(len(df), pa.string()),
+            "db": pa.array(df["db"].to_numpy(), pa.int64()),
+        })
+
+    both = docs_ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        dups.map_batches(tag_dups, batch_format="pandas"))
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        docs = g[g["pos"] < 0].sort_values(id_col, kind="mergesort")
+        toks = _token_lists(pa.array(docs[text_col].to_numpy(), pa.string()))
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(off)
+        ids = docs[id_col].to_numpy().astype(np.int64)
+        nonempty = n > 0
+        # difference array over the bucket's concatenated token stream
+        delta = np.zeros(int(off[-1]) + 1, np.int64)
+        dup = g[g["pos"] >= 0]
+        if len(dup):
+            order = np.searchsorted(ids, dup[id_col].to_numpy()
+                                    .astype(np.int64))
+            starts = off[order] + dup["pos"].to_numpy().astype(np.int64)
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, np.minimum(starts + k, off[order + 1]), -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        kept_idx = np.flatnonzero(~covered)
+        kept_cnt = np.add.reduceat(
+            (~covered).astype(np.int64), off[:-1][nonempty]) \
+            if nonempty.any() else np.empty(0, np.int64)
+        kept_vals = toks.values.take(pa.array(kept_idx, pa.int64()))
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(kept_cnt)]),
+                     pa.int32()), kept_vals)
+        n_removed = n[nonempty] - kept_cnt
+        return pa.table({
+            id_col: pa.array(ids[nonempty], pa.int64()),
+            "clean_text": pc.binary_join(lst, " "),
+            "n_tokens": pa.array(n[nonempty], pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    return both.groupby("db").map_groups(rebuild, batch_format="pandas")

@@ -189,6 +189,90 @@ def test_inverted_index_cap_and_df(ray_session):
     pd.testing.assert_frame_equal(got, got3)
 
 
+def _brute_substring_dedup(texts, ids, k):
+    """Scalar reference: mark non-first duplicate k-gram positions, drop
+    covered tokens."""
+    toks = {i: [w for w in t.lower().split() if w] for i, t in zip(ids, texts)}
+    first: dict[tuple, tuple] = {}
+    for i in sorted(ids):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            first.setdefault(tuple(ts[p:p + k]), (i, p))
+    out = {}
+    for i in ids:
+        ts = toks[i]
+        if not ts:
+            continue
+        covered = [False] * len(ts)
+        for p in range(len(ts) - k + 1):
+            if first[tuple(ts[p:p + k])] != (i, p):
+                for j in range(p, p + k):
+                    covered[j] = True
+        kept = [w for w, c in zip(ts, covered) if not c]
+        out[i] = (" ".join(kept), len(ts), sum(covered))
+    return out
+
+
+def test_substring_dedup_matches_bruteforce(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.chunking import substring_dedup
+
+    shared = "s1 s2 s3 s4 s5 s6"           # 6 tokens, k=4 -> 3 dup windows
+    texts = [
+        "a1 a2 " + shared + " a3",          # first occurrence (doc 0) kept
+        "b1 " + shared + " b2 b3",          # loses the shared span
+        shared,                              # fully covered -> empty
+        "c1 c2 c3 c4 c5",                    # unique, untouched
+        "d1 " + shared + " d2 " + shared,    # two hits incl. within-doc rep
+        "short one",                         # n < k -> untouched
+    ]
+    ids = list(range(len(texts)))
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    want = _brute_substring_dedup(texts, ids, k=4)
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(docs).repartition(parts)
+        got = substring_dedup(ds, k=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == len(want)
+        for _, row in got.iterrows():
+            w = want[row["doc_id"]]
+            assert (row["clean_text"], row["n_tokens"],
+                    row["n_removed"]) == w, (row["doc_id"], tuple(row), w)
+    # the fully-duplicated doc survives as an empty row (visible drop)
+    g = got.set_index("doc_id")
+    assert g.loc[2, "clean_text"] == "" and g.loc[2, "n_removed"] == 6
+    assert g.loc[3, "n_removed"] == 0
+    assert g.loc[5, "n_removed"] == 0
+
+
+def test_substring_dedup_random_property(ray_session):
+    """Randomized cross-check on a small vocab (forces genuine overlapping
+    duplicate spans) against the scalar reference."""
+    import ray.data
+
+    from name_matching_ray.stages.chunking import substring_dedup
+
+    rng = np.random.default_rng(3)
+    vocab = [f"v{i}" for i in range(6)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+             for _ in range(60)]
+    ids = list(range(60))
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    want = _brute_substring_dedup(texts, ids, k=3)
+    got = substring_dedup(ray.data.from_arrow(docs).repartition(9), k=3) \
+        .to_pandas()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert (row["clean_text"], row["n_tokens"],
+                row["n_removed"]) == want[row["doc_id"]]
+    assert (got["n_removed"] > 0).any()  # non-vacuous at this vocab size
+
+
 def test_tfidf_topk_matches_bruteforce(ray_session):
     import ray.data
 
