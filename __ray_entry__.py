@@ -359,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_docs(sf), k=3, min_df=2),
         "inverted_index": lambda sf: textstats.inverted_index(
             _read_docs(sf), cap=32, min_df=2),
+        "repetition_stats": lambda sf: textstats.repetition_stats(
+            _read_docs(sf)),
         "chunk_docs": lambda sf: chunking.chunk_docs(
             _read_docs(sf), window=16, stride=8),
         "segment_dedup": _segment_dedup,
@@ -878,6 +880,51 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(r.rnk - 1 AS BIGINT) AS pos, r.doc_id
             FROM r JOIN d USING (token)
             WHERE r.rnk <= 32 AND d.df >= 2
+        """,
+        # repetition_stats: Gopher-style intra-doc repetition signals in
+        # exact basis points; max_run via gaps-and-islands
+        "repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            d AS (SELECT doc_id, toks, len(toks) AS n
+                  FROM t WHERE len(toks) > 0),
+            tv AS (SELECT doc_id, unnest(range(0, n)) AS i, toks, n
+                   FROM d),
+            w AS (SELECT doc_id, i, toks[i + 1] AS w, n FROM tv),
+            dist AS (SELECT doc_id, COUNT(DISTINCT w) AS nd
+                     FROM w GROUP BY doc_id),
+            bgc AS (SELECT doc_id, toks[i+1] || chr(31) || toks[i+2] AS b,
+                           COUNT(*) AS c
+                    FROM tv WHERE i < n - 1 GROUP BY 1, 2),
+            dup AS (SELECT doc_id,
+                           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc,
+                           MAX(c) AS topc
+                    FROM bgc GROUP BY doc_id),
+            runs AS (SELECT doc_id, MAX(cnt) AS max_run FROM (
+                       SELECT doc_id, w, COUNT(*) AS cnt FROM (
+                         SELECT doc_id, w,
+                                i - row_number() OVER (
+                                    PARTITION BY doc_id, w
+                                    ORDER BY i) AS grp
+                         FROM w)
+                       GROUP BY doc_id, w, grp)
+                     GROUP BY doc_id)
+            SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+                   CAST(dist.nd * 10000 // d.n AS BIGINT)
+                       AS distinct_ratio_bp,
+                   CAST(COALESCE(dup.dupc, 0) * 10000
+                        // GREATEST(d.n - 1, 1) AS BIGINT)
+                       AS dup_bigram_frac_bp,
+                   CAST(COALESCE(dup.topc, 0) * 10000
+                        // GREATEST(d.n - 1, 1) AS BIGINT)
+                       AS top_bigram_frac_bp,
+                   CAST(runs.max_run AS BIGINT) AS max_run
+            FROM d JOIN dist USING (doc_id)
+                 LEFT JOIN dup USING (doc_id)
+                 JOIN runs USING (doc_id)
         """,
         # chunk_docs: window=16 stride=8; ord ranges over ceil(n/stride)
         # window starts, the last windows may be short (least(...))

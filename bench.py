@@ -105,7 +105,7 @@ BENCH_QUERIES = [
     "dedup_keep_list", "sample_mix", "decontaminate",
     "redact_pii", "pack_sequences", "length_quantiles", "pmi_bigrams",
     "shuffle_shards", "chunk_docs", "segment_dedup", "tfidf_topk",
-    "inverted_index", "substring_dedup",
+    "inverted_index", "substring_dedup", "repetition_stats",
 ]
 
 

@@ -455,6 +455,100 @@ def inverted_index(docs_ds, *, cap: int = 32, min_df: int = 1,
         .groupby("_tb").map_groups(merge, batch_format="pandas")
 
 
+def repetition_stats(docs_ds, *, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Intra-document repetition signals — the Gopher-family quality
+    filters (Rae et al. 2021, *Scaling Language Models*): per doc, in
+    exact basis-point integers (SQL-identical, no floats):
+
+    - ``distinct_ratio_bp``   = distinct_tokens·10⁴ // n_tokens
+    - ``dup_bigram_frac_bp``  = (bigram instances whose bigram repeats
+      within the doc)·10⁴ // max(n_tokens-1, 1)
+    - ``top_bigram_frac_bp``  = most-frequent-bigram count·10⁴ //
+      max(n_tokens-1, 1)
+    - ``max_run``             = longest run of one repeated token
+
+    Map-only (each doc is self-contained) so the stage streams at any
+    scale; all counting is pandas C-hash groupbys and numpy segment math
+    over the batch's concatenated token stream — the run lengths come from
+    the vectorized last-run-start trick (``arange - maximum.accumulate``),
+    not a Python scan.  Docs with zero tokens emit no row (== the SQL
+    ``len(toks) > 0`` guard)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat_all = toks.flatten()
+        keep = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+        off0 = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        off = cum[off0]
+        flat = flat_all.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+        n = np.diff(off)
+        nonempty = n > 0
+        ids_all = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids = np.asarray(ids_all, np.int64)[nonempty]
+        n_ne = n[nonempty]
+        m = len(flat)
+        doc_idx = np.repeat(np.arange(len(n)), n)
+
+        df = pd.DataFrame({"d": doc_idx, "w": flat})
+        nd = df.drop_duplicates().groupby("d", sort=True).size()
+        distinct = nd.reindex(np.flatnonzero(nonempty)).to_numpy() \
+            .astype(np.int64)
+
+        # positional bigrams: valid iff not straddling a doc boundary
+        if m > 1:
+            same_doc = doc_idx[:-1] == doc_idx[1:]
+            bi = np.flatnonzero(same_doc)
+            bdf = pd.DataFrame({
+                "d": doc_idx[bi],
+                "b": pd.Series(flat[bi]) + "\x1f" + pd.Series(flat[bi + 1]),
+            })
+            bc = bdf.groupby(["d", "b"], sort=False).size().reset_index(
+                name="c")
+            agg = bc.groupby("d", sort=True)["c"].agg(
+                dupc=lambda s: int(s[s > 1].sum()), topc="max")
+        else:
+            agg = pd.DataFrame(columns=["dupc", "topc"])
+        didx = np.flatnonzero(nonempty)
+        dupc = agg["dupc"].reindex(didx).fillna(0).to_numpy() \
+            .astype(np.int64)
+        topc = agg["topc"].reindex(didx).fillna(0).to_numpy() \
+            .astype(np.int64)
+
+        # longest same-token run, vectorized: a position starts a new run
+        # iff it's a doc start or differs from its predecessor
+        if m:
+            starts = np.ones(m, bool)
+            starts[1:] = (flat[1:] != flat[:-1]) | (doc_idx[1:]
+                                                    != doc_idx[:-1])
+            start_idx = np.maximum.accumulate(
+                np.where(starts, np.arange(m), 0))
+            run_len = np.arange(m) - start_idx + 1
+            max_run = np.maximum.reduceat(run_len, off[:-1][nonempty]) \
+                if nonempty.any() else np.empty(0, np.int64)
+        else:
+            max_run = np.empty(0, np.int64)
+
+        nb = np.maximum(n_ne - 1, 1)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_ne, pa.int64()),
+            "distinct_ratio_bp": pa.array(distinct * 10000 // n_ne,
+                                          pa.int64()),
+            "dup_bigram_frac_bp": pa.array(dupc * 10000 // nb, pa.int64()),
+            "top_bigram_frac_bp": pa.array(topc * 10000 // nb, pa.int64()),
+            "max_run": pa.array(max_run.astype(np.int64), pa.int64()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def bigram_counts(docs_ds, *, text_col: str = "text"):
     """Corpus counts of adjacent lowercase word bigrams — vectorized: the
     token list array is flattened once and pairs are formed positionally

@@ -273,6 +273,43 @@ def test_substring_dedup_random_property(ray_session):
     assert (got["n_removed"] > 0).any()  # non-vacuous at this vocab size
 
 
+def test_repetition_stats_edges(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.textstats import repetition_stats
+
+    texts = [
+        "a a a a b",          # run of 4; bigram 'a a' x3 duplicated
+        "x",                   # single token: nb guard = 1, fracs 0
+        "p q p q p q",         # alternating: dup bigrams, max_run 1
+        "",                    # empty: no row
+        "u v w",               # all unique
+    ]
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = repetition_stats(ray.data.from_arrow(docs).repartition(3)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert 3 not in got.index and len(got) == 4
+    r0 = got.loc[0]
+    assert r0["n_tokens"] == 5 and r0["max_run"] == 4
+    assert r0["distinct_ratio_bp"] == 2 * 10000 // 5
+    # bigrams: (a,a)x3 (a,b)x1 -> dup instances 3 of 4; top 3 of 4
+    assert r0["dup_bigram_frac_bp"] == 3 * 10000 // 4
+    assert r0["top_bigram_frac_bp"] == 3 * 10000 // 4
+    r1 = got.loc[1]
+    assert (r1[["dup_bigram_frac_bp", "top_bigram_frac_bp"]] == 0).all()
+    assert r1["max_run"] == 1 and r1["distinct_ratio_bp"] == 10000
+    r2 = got.loc[2]
+    # (p,q)x3 (q,p)x2 -> all 5 bigram instances duplicated; top 3 of 5
+    assert r2["max_run"] == 1
+    assert r2["dup_bigram_frac_bp"] == 5 * 10000 // 5
+    assert r2["top_bigram_frac_bp"] == 3 * 10000 // 5
+    r4 = got.loc[4]
+    assert r4["dup_bigram_frac_bp"] == 0 and r4["distinct_ratio_bp"] == 10000
+
+
 def test_tfidf_topk_matches_bruteforce(ray_session):
     import ray.data
 
