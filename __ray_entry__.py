@@ -164,6 +164,28 @@ def _decontaminate(sf_dir: str):
     return decontaminate(docs, ngrams, n=8)
 
 
+def _cross_dedup(sf_dir: str):
+    """Cross-corpus exact dedup: docs whose text hash appears in the
+    stand-in 'already ingested' corpus (every 7th doc — same deterministic
+    slice idiom as _decontaminate's probe) are flagged keep=0; output is
+    (doc_id, keep) over ALL docs.  Graded on the broadcast plan (the ref
+    side is small by construction); the bucketed anti-join plan is
+    equality-tested in tests/test_curation.py."""
+    from name_matching_ray.stages.curation import cross_dedup
+
+    docs = _read_docs(sf_dir)
+
+    def ref_filter(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.asarray(ids) % 7 == 0))
+
+    ref = docs.map_batches(ref_filter, batch_format="pyarrow")
+    return cross_dedup(docs, ref)
+
+
 def _inject_pii(batch):
     """Deterministic PII planting (shared rule with the SQL oracle, like
     pair_scoring's planted variants): the synthetic documents carry no
@@ -312,6 +334,18 @@ def _ivf_topk(sf_dir: str):
     return annsearch.ivf_topk(emb, cent, _ANN_QUERY_IDS, k=10, nprobe=4)
 
 
+def _cluster_stats(sf_dir: str):
+    """Embedding-cluster audit with the ORACLE-ABLE fixed centroids (same
+    literals inlined into the DuckDB oracle as _ivf_topk): nearest-centroid
+    assignment + per-cluster size / majority label."""
+    import ray.data
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+    cent = annsearch.fixed_centroids(8, 64)
+    return annsearch.cluster_stats(emb, cent)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational core (SQL-oracled)
@@ -348,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus curation (deterministic, map-only, SQL-oracled)
         "sample_mix": _sample_mix,
         "decontaminate": _decontaminate,
+        "cross_dedup": _cross_dedup,
         "redact_pii": _redact_pii,
         "pack_sequences": _pack_sequences,
         "shuffle_shards": _shuffle_shards,
@@ -380,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": lambda sf: annsearch.ann_topk(_read_emb(sf),
                                                   _ANN_QUERY_IDS, k=10),
         "ivf_topk": _ivf_topk,
+        "cluster_stats": _cluster_stats,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade)
         "linkage_pairs": _linkage_pairs,
         "linkage_clusters": _linkage_clusters,
@@ -480,6 +516,42 @@ def _ivf_topk_oracle() -> str:
                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
               FROM s)
         WHERE rn <= 10
+    """
+
+
+def _cluster_stats_oracle() -> str:
+    """DuckDB replica of :func:`_cluster_stats`: the SAME fixed centroids
+    inlined as literals; assignment is the identical argmax-cosine
+    row_number CTE the ivf_topk oracle uses; size + majority label (ties ->
+    lowest label, matching the Ray kernel's sort) are plain SQL."""
+    cent = annsearch.fixed_centroids(8, 64)
+    rows = ",\n".join(
+        f"({ci}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for ci, c in enumerate(cent)
+    )
+    return f"""
+        WITH cent(cid, cvec) AS (VALUES {rows}),
+        asg AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                             c.cid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+            WHERE rn = 1),
+        cl AS (
+            SELECT a.cid, CAST(e.label AS BIGINT) AS lbl, count(*) AS n
+            FROM asg a JOIN embeddings e USING (vec_id)
+            GROUP BY 1, 2),
+        tot AS (SELECT cid, sum(n) AS nv FROM cl GROUP BY 1)
+        SELECT t.cid AS cluster_id,
+               CAST(t.nv AS BIGINT) AS n_vecs,
+               m.lbl AS majority_label,
+               CAST(m.n AS BIGINT) AS n_majority
+        FROM tot t JOIN (
+            SELECT cid, lbl, n, row_number() OVER (
+                PARTITION BY cid ORDER BY n DESC, lbl) AS rn
+            FROM cl) m ON m.cid = t.cid AND m.rn = 1
     """
 
 
@@ -588,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
 def _oracle_sql_base() -> dict[str, str]:
     return {
         "ivf_topk": _ivf_topk_oracle(),
+        "cluster_stats": _cluster_stats_oracle(),
         "srp_dedup": _srp_oracle(),
         "minhash_dedup": _minhash_oracle(),
         "pricing_summary": """
@@ -772,6 +845,16 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                    CAST(h.doc_id IS NULL AS BIGINT) AS keep
             FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        # cross_dedup: exact-hash anti-join against the 'already ingested'
+        # slice (every 7th doc) — keep=1 iff the text hash is NOT in ref
+        "cross_dedup": """
+            WITH d AS (
+                SELECT doc_id, md5_number_lower(text) AS h FROM documents),
+            ref AS (SELECT DISTINCT h FROM d WHERE doc_id % 7 = 0)
+            SELECT d.doc_id,
+                   CAST(r.h IS NULL AS BIGINT) AS keep
+            FROM d LEFT JOIN ref r ON r.h = d.h
         """,
         "shuffle_shards": """
             WITH h AS (

@@ -482,3 +482,75 @@ def ivf_topk(ds, centroids: np.ndarray, query_ids: list[int], k: int, *,
     sub = parted.filter(expr=_in_expr("partition", wanted))
     return ann_topk(sub, query_ids, k, id_col=id_col, vec_col=vec_col,
                     _queries=(qids, qmat))
+
+
+def cluster_stats(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding", label_col: str = "label",
+                  buckets: int = 256):
+    """Cluster-level corpus audit — the assignment + balance step of an
+    embedding-curation pipeline (SemDeDup-style cluster pruning, mixture
+    balancing): every vector is assigned to its nearest centroid (cosine
+    argmax, ties -> lowest centroid id, the same kernel the IVF oracle
+    verifies), and the output is one row per NON-EMPTY cluster:
+    ``(cluster_id, n_vecs, majority_label, n_majority)``.
+
+    Scale shape: assignment is one matmul per batch against the broadcast
+    centroid matrix; counts pre-aggregate inside each batch into
+    ``(cluster, label)`` partials, so the only shuffle carries at most
+    K x L tiny rows regardless of input size; the majority pick runs per
+    coarse hash bucket (``cluster % buckets``) — never one Ray group per
+    cluster (see CLAUDE.md on the tiny-group pathology).
+    Majority ties break to the LOWEST label (matches the SQL
+    ``ORDER BY n DESC, lbl`` row_number tiebreak).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    if centroids.shape[0] >= (1 << 31):
+        raise ValueError("cluster id must fit 31 bits for the packed key")
+
+    asg = ivf_partition(ds.select_columns([id_col, vec_col, label_col]),
+                        centroids, id_col=id_col, vec_col=vec_col)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = batch.select(["partition", label_col]).to_pandas()
+        lbl = df[label_col].to_numpy()
+        if len(lbl) and (lbl.min() < 0 or lbl.max() >= (1 << 31)):
+            raise ValueError("label must be a non-negative 31-bit integer")
+        cnt = df.groupby(["partition", label_col]).size()
+        idx = cnt.index.to_frame(index=False)
+        ck = (idx["partition"].to_numpy(np.int64) << np.int64(31)) \
+            | idx[label_col].to_numpy(np.int64)
+        return pa.table({"ck": pa.array(ck, pa.int64()),
+                         "n": pa.array(cnt.to_numpy(np.int64), pa.int64())})
+
+    agg = asg.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("ck").aggregate(Sum("n", alias_name="n"))
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ck").to_numpy(zero_copy_only=False)
+        cid = ck >> np.int64(31)
+        return pa.table({
+            "cluster_id": pa.array(cid, pa.int64()),
+            "lbl": pa.array(ck & np.int64((1 << 31) - 1), pa.int64()),
+            "n": batch.column("n"),
+            "_ub": pa.array(cid % buckets, pa.int64()),
+        })
+
+    def majority(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cluster_id", "n", "lbl"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("cluster_id", sort=True).head(1)
+        nv = g.groupby("cluster_id", sort=True)["n"].sum()
+        return pa.table({
+            "cluster_id": pa.array(top["cluster_id"].to_numpy(np.int64),
+                                   pa.int64()),
+            "n_vecs": pa.array(nv.to_numpy(np.int64), pa.int64()),
+            "majority_label": pa.array(top["lbl"].to_numpy(np.int64),
+                                       pa.int64()),
+            "n_majority": pa.array(top["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(tag_bucket, batch_format="pyarrow") \
+        .groupby("_ub").map_groups(majority, batch_format="pandas")

@@ -292,3 +292,95 @@ def decontaminate(docs_ds, probe_ngrams: set, *, n: int = 8,
 
     return docs_ds.map_batches(Decontaminate, batch_format="pyarrow",
                                concurrency=default_pool())
+
+
+def cross_dedup(docs_ds, ref_ds, *, text_col: str = "text",
+                id_col: str = "doc_id", broadcast: bool = True,
+                buckets: int = 256):
+    """Cross-corpus exact dedup (hash anti-join): flag every doc whose text
+    hash (md5 low64 — the repo-standard oracle-exact hash) appears in a
+    REFERENCE corpus (an already-ingested crawl, a held-out eval split).
+    Returns ``(id, keep)`` for EVERY input doc — keep=1 iff the text is new.
+    Keeping the flag (not filtering) keeps the row count stable for audits
+    and lets the caller count removals before committing the filter.
+
+    Two plans, equality-tested (tests/test_curation.py):
+
+    - ``broadcast=True`` (default — the usual case: the ref side is an eval
+      benchmark or a bounded ingest ledger): the ref hashes are collected
+      ONCE into a sorted uint64 array (8 B/doc) placed in the object store,
+      and every batch probes it with ``searchsorted`` — a map-only plan, the
+      big side never shuffles.
+    - ``broadcast=False`` (scale path for a web-scale ref corpus): both
+      sides ship ONLY ``(hash, id, side)`` through a single groupby on
+      ``hash % buckets``; membership is vectorized pandas ``isin`` inside
+      each coarse bucket.  One shuffle, volume = 16 B/row.
+    """
+    import ray
+
+    def _hashes(batch: pa.Table) -> np.ndarray:
+        return np.array(
+            [_md5_low64(t or "") for t in batch.column(text_col).to_pylist()],
+            dtype=np.uint64,
+        )
+
+    if broadcast:
+        chunks = [
+            _hashes(b) for b in ref_ds.select_columns([text_col])
+            .iter_batches(batch_format="pyarrow")
+        ]
+        ref_arr = np.unique(np.concatenate(chunks)) if chunks \
+            else np.empty(0, np.uint64)
+        ref_ref = ray.put(ref_arr)
+
+        class Probe:
+            def __init__(self):
+                self.h = ray.get(ref_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                hs = _hashes(batch)
+                if len(self.h) and len(hs):
+                    idx = np.searchsorted(self.h, hs)
+                    idx[idx == len(self.h)] = 0
+                    found = self.h[idx] == hs
+                else:
+                    found = np.zeros(len(hs), dtype=bool)
+                return pa.table({
+                    id_col: batch.column(id_col),
+                    "keep": pa.array((~found).astype(np.int64), pa.int64()),
+                })
+
+        from ..util import default_pool
+
+        return docs_ds.map_batches(Probe, batch_format="pyarrow",
+                                   concurrency=default_pool())
+
+    import pandas as pd
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            hs = _hashes(batch)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                if side else np.zeros(len(hs), np.int64)
+            return pa.table({
+                "_h": pa.array(hs, pa.uint64()),
+                id_col: pa.array(ids, pa.int64()),
+                "_side": pa.array(np.full(len(hs), side, np.int8), pa.int8()),
+                "_ub": pa.array((hs % np.uint64(buckets)).astype(np.int64),
+                                pa.int64()),
+            })
+        return f
+
+    both = docs_ds.map_batches(tag(1), batch_format="pyarrow").union(
+        ref_ds.map_batches(tag(0), batch_format="pyarrow"))
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        ref_h = g.loc[g["_side"] == 0, "_h"]
+        d = g[g["_side"] == 1]
+        keep = ~d["_h"].isin(ref_h)
+        return pa.table({
+            id_col: pa.array(d[id_col].to_numpy(np.int64), pa.int64()),
+            "keep": pa.array(keep.to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return both.groupby("_ub").map_groups(anti, batch_format="pandas")

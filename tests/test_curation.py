@@ -234,3 +234,52 @@ def test_redact_pii_re2_parity_with_duckdb():
                 [t, pat, t, pat, repl]).fetchone()
             assert n == o_n, (pat, t, n, o_n)
             assert r == o_r, (pat, t, r, o_r)
+
+
+def test_cross_dedup_plans_agree_and_flag_planted_dups(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.curation import cross_dedup
+
+    # ref corpus: 40 docs; main corpus: 200 docs of which every 5th copies a
+    # ref text verbatim (the planted cross-corpus duplicates)
+    ref = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [f"ref document number {i} body" for i in range(40)],
+    })
+    main = pd.DataFrame({
+        "doc_id": np.arange(1000, 1200, dtype=np.int64),
+        "text": [
+            f"ref document number {i % 40} body" if i % 5 == 0
+            else f"fresh document {i}"
+            for i in range(200)
+        ],
+    })
+    dm = ray.data.from_pandas(main)
+    dr = ray.data.from_pandas(ref)
+
+    got_b = cross_dedup(dm, dr, broadcast=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got_s = cross_dedup(dm, dr, broadcast=False).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, got_s)
+
+    assert len(got_b) == 200  # every doc annotated, none dropped
+    want_keep = {1000 + i: 0 if i % 5 == 0 else 1 for i in range(200)}
+    assert dict(zip(got_b["doc_id"], got_b["keep"])) == want_keep
+
+
+def test_cross_dedup_empty_ref_keeps_everything(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.curation import cross_dedup
+
+    main = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                         "text": [f"t{i}" for i in range(10)]})
+    empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                          "text": pd.array([], dtype="string")})
+    got = cross_dedup(ray.data.from_pandas(main),
+                      ray.data.from_pandas(empty),
+                      broadcast=True).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(10))
+    assert (got["keep"] == 1).all()

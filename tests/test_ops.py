@@ -672,3 +672,35 @@ def test_pmi_bigrams_planted_collocation(ray_session):
     # deterministic under re-run and different partitioning
     again = pmi_bigrams(ds.repartition(9), k=5, min_count=5).to_pandas()
     assert got.equals(again)
+
+
+def test_cluster_stats_planted_clusters_and_tiebreak(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages import annsearch
+
+    # 3 orthogonal unit centroids in 8-d; vectors = centroid + tiny noise so
+    # the nearest-centroid assignment is unambiguous
+    cent = np.zeros((3, 8), dtype=np.float64)
+    cent[0, 0] = cent[1, 1] = cent[2, 2] = 1.0
+    rng = np.random.default_rng(5)
+    rows = []
+    # cluster 0: labels 7,7,3 -> majority 7 (n=2); cluster 1: labels 4,5
+    # tie -> LOWEST label 4; cluster 2: single label 9
+    plan = [(0, [7, 7, 3]), (1, [4, 5]), (2, [9])]
+    vid = 0
+    for cid, labels in plan:
+        for lb in labels:
+            v = cent[cid] + rng.normal(0, 0.01, 8)
+            rows.append({"vec_id": vid, "embedding": v.tolist(), "label": lb})
+            vid += 1
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = annsearch.cluster_stats(ds, cent).to_pandas() \
+        .sort_values("cluster_id").reset_index(drop=True)
+    want = pd.DataFrame({
+        "cluster_id": [0, 1, 2],
+        "n_vecs": [3, 2, 1],
+        "majority_label": [7, 4, 9],
+        "n_majority": [2, 1, 1],
+    }).astype(np.int64)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want)
