@@ -334,6 +334,28 @@ def _ivf_topk(sf_dir: str):
     return annsearch.ivf_topk(emb, cent, _ANN_QUERY_IDS, k=10, nprobe=4)
 
 
+_SEARCH_PROBE_IDS = [0, 7, 23, 41, 97]
+
+
+def _search_topk(sf_dir: str):
+    """Sparse retrieval: the query set = first 4 whitespace tokens of the
+    probe docs (deterministic, reconstructable in SQL via list slicing);
+    integer tf-idf scoring + per-query top-10."""
+    docs = _read_docs(sf_dir)
+
+    def probe_filter(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, _SEARCH_PROBE_IDS)))
+
+    probes = docs.map_batches(probe_filter, batch_format="pyarrow").take_all()
+    queries_ = {int(r["doc_id"]): (r["text"] or "").lower().split()[:4]
+                for r in probes}
+    return textstats.search_topk(docs, queries_, k=10)
+
+
 def _cluster_stats(sf_dir: str):
     """Embedding-cluster audit with the ORACLE-ABLE fixed centroids (same
     literals inlined into the DuckDB oracle as _ivf_topk): nearest-centroid
@@ -396,6 +418,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_docs(sf), cap=32, min_df=2),
         "repetition_stats": lambda sf: textstats.repetition_stats(
             _read_docs(sf)),
+        "unigram_bits": lambda sf: textstats.unigram_bits(
+            _read_docs(sf), vocab=2048),
+        "search_topk": _search_topk,
         "chunk_docs": lambda sf: chunking.chunk_docs(
             _read_docs(sf), window=16, stride=8),
         "segment_dedup": _segment_dedup,
@@ -845,6 +870,68 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                    CAST(h.doc_id IS NULL AS BIGINT) AS keep
             FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        # unigram_bits: corpus-LM surprisal, integer-exact — bit_length ==
+        # length(bin(x)); add-one smoothing over the top-2048 unigram model
+        "unigram_bits": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            t AS (SELECT doc_id, u.t AS w
+                  FROM tok, UNNEST(w) AS u(t) WHERE u.t <> ''),
+            cnt AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+            model AS (
+                SELECT w, c FROM cnt
+                QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 2048),
+            cost AS (
+                SELECT t.doc_id,
+                       length(bin(1 + (SELECT n FROM tot)
+                                      // (COALESCE(m.c, 0) + 1))) AS b
+                FROM t LEFT JOIN model m USING (w)),
+            agg AS (SELECT doc_id, count(*) AS n_tok, sum(b) AS bits
+                    FROM cost GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
+                   CAST(COALESCE(a.bits, 0) AS BIGINT) AS bits
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # search_topk: query terms = first 4 tokens of the probe docs;
+        # integer tf-idf proxy (the tfidf_topk formula), top-10 per query
+        "search_topk": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            qt AS (
+                SELECT DISTINCT doc_id AS query_id, u.t AS term
+                FROM tok, UNNEST(w[1:4]) AS u(t)
+                WHERE doc_id IN ({', '.join(map(str, _SEARCH_PROBE_IDS))})
+                  AND u.t <> ''),
+            tf AS (
+                SELECT t.doc_id, u.tk AS term, count(*) AS tf
+                FROM tok t, UNNEST(t.w) AS u(tk)
+                WHERE u.tk IN (SELECT term FROM qt)
+                GROUP BY 1, 2),
+            dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+                SELECT q.query_id, f.doc_id,
+                       sum(f.tf * (((SELECT n FROM nd) * 10000) // d.df))
+                           AS score_bp
+                FROM qt q
+                JOIN tf f ON f.term = q.term
+                JOIN dfx d ON d.term = q.term
+                GROUP BY 1, 2)
+            SELECT query_id, doc_id,
+                   CAST(score_bp AS BIGINT) AS score_bp,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY score_bp DESC, doc_id) AS rn
+                  FROM sc)
+            WHERE rn <= 10
         """,
         # cross_dedup: exact-hash anti-join against the 'already ingested'
         # slice (every 7th doc) — keep=1 iff the text hash is NOT in ref

@@ -16,8 +16,11 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..util import default_pool
 
 # shared with the SQL oracle (__ray_entry__.oracle_sql) — keep in sync
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
@@ -749,3 +752,183 @@ def lang_id(docs_ds, *, concurrency=(1, 4), **cols):
         LangId, fn_constructor_kwargs=cols, batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def unigram_bits(docs_ds, *, vocab: int = 2048, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Corpus-LM quality score (the CCNet-style perplexity filter,
+    integer-exact): pass 1 builds a top-``vocab`` unigram model of the
+    corpus itself; pass 2 charges every token
+    ``bits = (1 + N_tokens // (c_w + 1)).bit_length()`` (``c_w`` = model
+    count, 0 for out-of-vocabulary — add-one smoothing; bit_length is
+    floor-log2+1 and equals DuckDB ``length(bin(x))``), so the score is a
+    Shannon-style surprisal with NO float log anywhere.  High ``bits/n_tok``
+    = far from the corpus model = the tail bucket a quality filter drops.
+
+    Scale shape: the count pass is per-batch value_counts partials -> one
+    Sum shuffle (word_counts); the exact global top-V is the top-V of
+    per-block top-V partials (each word appears once post-aggregate), merged
+    in ONE reduce group and broadcast via ``ray.put`` (<= vocab rows on the
+    driver); scoring is map-only with the per-WORD bit cost precomputed in
+    the actor (one dict map per batch, zero per-token Python).
+
+    Output: ``(doc_id, n_tok, bits)`` for EVERY doc (empty docs score 0).
+    """
+    import pandas as pd
+
+    import ray
+
+    counts = word_counts(docs_ds, text_col=text_col).materialize()
+    n_tokens = int(counts.sum("n"))
+
+    def local_topv(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "word"], ascending=[False, True], kind="mergesort")
+        df = df.head(vocab)
+        df["_g"] = np.int64(0)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge_topv(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["n", "word"], ascending=[False, True],
+                          kind="mergesort").head(vocab)
+        return pa.table({"word": pa.array(g["word"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    model_rows = counts.map_batches(local_topv, batch_format="pyarrow") \
+        .groupby("_g").map_groups(merge_topv, batch_format="pandas") \
+        .take_all()
+    bits_of = {
+        r["word"]: (1 + n_tokens // (int(r["n"]) + 1)).bit_length()
+        for r in model_rows
+    }
+    oov_bits = (1 + n_tokens).bit_length()
+    model_ref = ray.put(bits_of)
+
+    class Score:
+        def __init__(self):
+            self.bits = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(batch.column(text_col)), r"\s+")
+            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+                else toks
+            flat = toks.flatten()
+            offsets = toks.offsets.to_numpy(zero_copy_only=False)
+            doc_idx = np.repeat(np.arange(len(offsets) - 1),
+                                np.diff(offsets))
+            s = pd.DataFrame({
+                "d": doc_idx,
+                "w": flat.to_numpy(zero_copy_only=False),
+            })
+            s = s[s["w"] != ""]
+            s["b"] = s["w"].map(self.bits).fillna(oov_bits).astype(np.int64)
+            agg = s.groupby("d").agg(n_tok=("b", "size"), bits=("b", "sum"))
+            agg = agg.reindex(range(len(batch)), fill_value=0)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "n_tok": pa.array(agg["n_tok"].to_numpy(np.int64), pa.int64()),
+                "bits": pa.array(agg["bits"].to_numpy(np.int64), pa.int64()),
+            })
+
+    return docs_ds.map_batches(Score, batch_format="pyarrow",
+                               concurrency=default_pool())
+
+
+def search_topk(docs_ds, queries: dict[int, list[str]], *, k: int = 10,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Sparse retrieval over the corpus: score every document against a
+    SMALL query set with the exact-integer tf-idf proxy
+    ``score_bp = sum_t tf(t, d) * ((N_docs * 10000) // df(t))`` (the
+    tfidf_topk proxy — monotone in tf-idf, no float log) and return the
+    top-``k`` docs per query by ``(score_bp DESC, doc_id)``.
+
+    Scale shape: the query-term set is tiny and broadcast; pass 1 computes
+    EXACT df for those terms only (per-batch distinct-membership partials ->
+    one Sum shuffle over <= |terms| keys -> driver dict); pass 2 is
+    map-only — each doc lives in exactly one batch, so per-batch
+    ``(query, doc)`` scores are already global, and only the per-batch
+    top-``k`` survivors enter the final per-query merge (one tiny group per
+    QUERY — bounded by the query count, not the corpus).
+
+    Output: ``(query_id, doc_id, score_bp, rank)``, <= k rows per query.
+    """
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    qterms = {int(q): sorted({t for t in ts if t}) for q, ts in queries.items()}
+    term_q = pd.DataFrame(
+        [(t, q) for q, ts in qterms.items() for t in ts],
+        columns=["w", "query_id"],
+    )
+    terms = set(term_q["w"])
+    n_docs = docs_ds.count()
+
+    def _tok(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        s = pd.DataFrame({"d": doc_idx,
+                          "w": flat.to_numpy(zero_copy_only=False)})
+        return s[s["w"].isin(terms)]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        s = _tok(batch).drop_duplicates()
+        vc = s["w"].value_counts()
+        return pa.table({"w": pa.array(vc.index, pa.string()),
+                         "df": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    df_rows = docs_ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("df", alias_name="df")).take_all()
+    idf_bp = {r["w"]: (n_docs * 10000) // int(r["df"]) for r in df_rows}
+    bc = ray.put((term_q, idf_bp))
+
+    class Score:
+        def __init__(self):
+            self.term_q, self.idf = ray.get(bc)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = _tok(batch)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            if not len(s):
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "score_bp": pa.array([], pa.int64())})
+            tf = s.groupby(["d", "w"], sort=False).size().reset_index(name="tf")
+            tf["part"] = tf["tf"] * tf["w"].map(self.idf).astype(np.int64)
+            m = tf.merge(self.term_q, on="w")
+            sc = m.groupby(["query_id", "d"], sort=False)["part"].sum() \
+                .reset_index(name="score_bp")
+            # local top-k per query: only survivors enter the global merge
+            sc = sc.sort_values(["query_id", "score_bp", "d"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+            sc = sc.groupby("query_id", sort=False).head(k)
+            return pa.table({
+                "query_id": pa.array(sc["query_id"].to_numpy(np.int64),
+                                     pa.int64()),
+                id_col: pa.array(ids[sc["d"].to_numpy()], pa.int64()),
+                "score_bp": pa.array(sc["score_bp"].to_numpy(np.int64),
+                                     pa.int64()),
+            })
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["score_bp", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pa.table({
+            "query_id": pa.array(g["query_id"].to_numpy(np.int64), pa.int64()),
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "score_bp": pa.array(g["score_bp"].to_numpy(np.int64), pa.int64()),
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64),
+                             pa.int64()),
+        })
+
+    return docs_ds.map_batches(Score, batch_format="pyarrow",
+                               concurrency=default_pool()) \
+        .groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -704,3 +704,49 @@ def test_cluster_stats_planted_clusters_and_tiebreak(ray_session):
         "n_majority": [2, 1, 1],
     }).astype(np.int64)
     pd.testing.assert_frame_equal(got.astype(np.int64), want)
+
+
+def test_unigram_bits_matches_local_reference(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages import textstats
+
+    texts = ["the cat sat on the mat", "the the the", "",
+             "zyzzyva unique tokens here", "cat mat the"]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": texts})
+    got = textstats.unigram_bits(ray.data.from_pandas(df), vocab=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # local reference: same tokenization, top-3 model (count desc, word asc)
+    from collections import Counter
+    toks = [t.lower().split() for t in texts]
+    cnt = Counter(w for ts in toks for w in ts)
+    n_total = sum(cnt.values())
+    model = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    for i, ts in enumerate(toks):
+        bits = sum((1 + n_total // (model.get(w, 0) + 1)).bit_length()
+                   for w in ts)
+        assert got.loc[i, "n_tok"] == len(ts)
+        assert got.loc[i, "bits"] == bits, (i, ts)
+    assert got.loc[2, "n_tok"] == 0 and got.loc[2, "bits"] == 0
+
+
+def test_search_topk_ranks_planted_relevant_doc_first(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages import textstats
+
+    docs = ["filler words only"] * 20
+    docs[13] = "needle needle needle haystack"   # tf=3 on the rare term
+    docs[7] = "needle appears once here"          # tf=1
+    df = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                       "text": docs})
+    got = textstats.search_topk(ray.data.from_pandas(df),
+                                {42: ["needle"]}, k=5).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert list(got["query_id"].unique()) == [42]
+    assert list(got["doc_id"]) == [13, 7]   # only matching docs, tf order
+    assert list(got["rank"]) == [1, 2]
+    # exact integer proxy: tf * ((N*10000)//df), df=2, N=20
+    assert list(got["score_bp"]) == [3 * (200000 // 2), 1 * (200000 // 2)]
