@@ -186,6 +186,23 @@ def _cross_dedup(sf_dir: str):
     return cross_dedup(docs, ref)
 
 
+def _cross_near_dedup(sf_dir: str):
+    """Fuzzy decontamination: best exact-Jaccard 3-gram match per doc
+    against the every-7th-doc reference slice (tau 10%, stop-shingle
+    df<=100 counted across both sides)."""
+    docs = _read_docs(sf_dir)
+
+    def ref_filter(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.asarray(ids) % 7 == 0))
+
+    ref = docs.map_batches(ref_filter, batch_format="pyarrow")
+    return dedup.cross_near_dedup(docs, ref, n=3, tau100=10, max_df=100)
+
+
 def _inject_pii(batch):
     """Deterministic PII planting (shared rule with the SQL oracle, like
     pair_scoring's planted variants): the synthetic documents carry no
@@ -405,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_mix": _sample_mix,
         "decontaminate": _decontaminate,
         "cross_dedup": _cross_dedup,
+        "cross_near_dedup": _cross_near_dedup,
         "redact_pii": _redact_pii,
         "pack_sequences": _pack_sequences,
         "shuffle_shards": _shuffle_shards,
@@ -932,6 +950,51 @@ def _oracle_sql_base() -> dict[str, str]:
                       ORDER BY score_bp DESC, doc_id) AS rn
                   FROM sc)
             WHERE rn <= 10
+        """,
+        # cross_near_dedup: best exact-Jaccard 3-gram cross match per doc
+        # vs the every-7th-doc ref slice; the stop-shingle df counts BOTH
+        # sides (ref rows drawn from the main corpus count twice)
+        "cross_near_dedup": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            refsh AS (SELECT doc_id AS ref_id, shingle FROM sh
+                      WHERE doc_id % 7 = 0),
+            ok_sh AS (
+                SELECT shingle FROM (
+                    SELECT shingle FROM sh
+                    UNION ALL SELECT shingle FROM refsh)
+                GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 100),
+            inter AS (
+                SELECT m.doc_id, r.ref_id, COUNT(*) AS inter
+                FROM sh m JOIN refsh r ON r.shingle = m.shingle
+                WHERE m.shingle IN (SELECT shingle FROM ok_sh)
+                  AND m.doc_id <> r.ref_id
+                GROUP BY 1, 2),
+            sc AS (
+                SELECT i.doc_id, i.ref_id, i.inter,
+                       nl.n_sh AS n_left, nr.n_sh AS n_right,
+                       (i.inter * 1000000)
+                           // (nl.n_sh + nr.n_sh - i.inter) AS score_ppm
+                FROM inter i
+                JOIN sizes nl ON nl.doc_id = i.doc_id
+                JOIN sizes nr ON nr.doc_id = i.ref_id
+                WHERE i.inter * 100 >= (nl.n_sh + nr.n_sh - i.inter) * 10)
+            SELECT doc_id, ref_id, CAST(inter AS BIGINT) AS inter,
+                   CAST(n_left AS BIGINT) AS n_left,
+                   CAST(n_right AS BIGINT) AS n_right,
+                   CAST(score_ppm AS BIGINT) AS score_ppm
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score_ppm DESC, ref_id) AS rn
+                  FROM sc)
+            WHERE rn = 1
         """,
         # cross_dedup: exact-hash anti-join against the 'already ingested'
         # slice (every 7th doc) — keep=1 iff the text hash is NOT in ref

@@ -735,3 +735,126 @@ def simhash_pairs(docs_ds, *, max_hamming: int = 3, text_col: str = "text",
     )
     return hamming_band_pairs(sh, max_hamming=max_hamming, id_col=id_col,
                               sig_col="simhash")
+
+
+def cross_near_dedup(docs_ds, ref_ds, *, n: int = 3, tau100: int = 50,
+                     max_df: int = 100, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Fuzzy decontamination / cross-corpus near-dedup: for every MAIN doc,
+    the single best n-gram-Jaccard match in a REFERENCE corpus (an eval
+    benchmark, the previous crawl) with
+    ``jaccard >= tau100/100`` — EXACT Jaccard, not a sketch.
+
+    Same machinery as :func:`ngram_jaccard_pairs` (coarse shingle-bucket
+    inverted index), but the in-bucket merge is CROSS-side only (main x ref
+    — no main-main or ref-ref pairs), so the pair space is |main| x |ref|
+    candidates pruned by shared shingles.  The stop-shingle guard counts a
+    shingle's occurrences across BOTH sides (a ref slice drawn from the main
+    corpus counts twice — mirrored exactly in the SQL oracle).  Identity
+    pairs (same id on both sides) are excluded.
+
+    Output: one row per matched main doc — ``(doc_id, ref_id, inter,
+    n_left, n_right, score_ppm)`` where ``score_ppm = inter * 10^6 //
+    union`` and the best ref breaks ties by lowest ``ref_id``; the per-doc
+    pick runs per coarse doc-hash bucket, never one Ray group per doc.
+    """
+    import pandas as pd
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "side", pa.array(np.full(len(b), side, np.int8), pa.int8()))
+        return f
+
+    kw = {"n": n, "text_col": text_col, "id_col": id_col}
+    ex = docs_ds.map_batches(
+        ExplodeShingles, fn_constructor_kwargs=kw, batch_format="pyarrow",
+        concurrency=default_pool(),
+    ).map_batches(tag(1), batch_format="pyarrow").union(
+        ref_ds.map_batches(
+            ExplodeShingles, fn_constructor_kwargs=kw, batch_format="pyarrow",
+            concurrency=default_pool(),
+        ).map_batches(tag(0), batch_format="pyarrow"))
+
+    n_pair_buckets = 256
+    _EMPTY = pa.table({
+        "left_id": pa.array([], pa.int64()),
+        "ref_id": pa.array([], pa.int64()),
+        "inter": pa.array([], pa.int64()),
+        "n_left": pa.array([], pa.int64()),
+        "n_right": pa.array([], pa.int64()),
+        "pbucket": pa.array([], pa.int64()),
+    })
+
+    def emit_cross(g: pd.DataFrame) -> pa.Table:
+        vc = g["shingle"].value_counts()
+        ok = vc[(vc >= 2) & (vc <= max_df)].index
+        g = g[g["shingle"].isin(ok)]
+        a = g[g["side"] == 1][[id_col, "shingle", "n_sh"]]
+        b = g[g["side"] == 0][[id_col, "shingle", "n_sh"]]
+        if a.empty or b.empty:
+            return _EMPTY
+        m = a.merge(b, on="shingle", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] != m[f"{id_col}_b"]]
+        if m.empty:
+            return _EMPTY
+        agg = (m.groupby([f"{id_col}_a", f"{id_col}_b"], as_index=False)
+                .agg(inter=("shingle", "size"),
+                     n_left=("n_sh_a", "first"),
+                     n_right=("n_sh_b", "first")))
+        l = agg[f"{id_col}_a"].to_numpy(np.int64)
+        r = agg[f"{id_col}_b"].to_numpy(np.int64)
+        pb = ((l * np.int64(1_000_003) + r) % n_pair_buckets).astype(np.int64)
+        return pa.table({
+            "left_id": pa.array(l, pa.int64()),
+            "ref_id": pa.array(r, pa.int64()),
+            "inter": pa.array(agg["inter"].to_numpy(np.int64), pa.int64()),
+            "n_left": pa.array(agg["n_left"].to_numpy(np.int64), pa.int64()),
+            "n_right": pa.array(agg["n_right"].to_numpy(np.int64),
+                                pa.int64()),
+            "pbucket": pa.array(pb, pa.int64()),
+        })
+
+    pairs = ex.groupby("bucket").map_groups(emit_cross, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        agg = (g.groupby(["left_id", "ref_id"], as_index=False)
+                .agg(inter=("inter", "sum"),
+                     n_left=("n_left", "max"),
+                     n_right=("n_right", "max")))
+        union = (agg["n_left"] + agg["n_right"] - agg["inter"]).to_numpy(
+            np.int64)
+        inter = agg["inter"].to_numpy(np.int64)
+        keep = inter * 100 >= union * tau100
+        agg, union, inter = agg[keep], union[keep], inter[keep]
+        return pa.table({
+            "doc_id": pa.array(agg["left_id"].to_numpy(np.int64), pa.int64()),
+            "ref_id": pa.array(agg["ref_id"].to_numpy(np.int64), pa.int64()),
+            "inter": pa.array(inter, pa.int64()),
+            "n_left": pa.array(agg["n_left"].to_numpy(np.int64), pa.int64()),
+            "n_right": pa.array(agg["n_right"].to_numpy(np.int64),
+                                pa.int64()),
+            "score_ppm": pa.array(inter * np.int64(1_000_000) // union,
+                                  pa.int64()),
+            "_db": pa.array(agg["left_id"].to_numpy(np.int64) % 256,
+                            pa.int64()),
+        })
+
+    scored = pairs.groupby("pbucket").map_groups(combine,
+                                                 batch_format="pandas")
+
+    def best(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "score_ppm", "ref_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(1)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "ref_id": pa.array(g["ref_id"].to_numpy(np.int64), pa.int64()),
+            "inter": pa.array(g["inter"].to_numpy(np.int64), pa.int64()),
+            "n_left": pa.array(g["n_left"].to_numpy(np.int64), pa.int64()),
+            "n_right": pa.array(g["n_right"].to_numpy(np.int64), pa.int64()),
+            "score_ppm": pa.array(g["score_ppm"].to_numpy(np.int64),
+                                  pa.int64()),
+        })
+
+    return scored.groupby("_db").map_groups(best, batch_format="pandas")

@@ -750,3 +750,33 @@ def test_search_topk_ranks_planted_relevant_doc_first(ray_session):
     assert list(got["rank"]) == [1, 2]
     # exact integer proxy: tf * ((N*10000)//df), df=2, N=20
     assert list(got["score_bp"]) == [3 * (200000 // 2), 1 * (200000 // 2)]
+
+
+def test_cross_near_dedup_finds_planted_cross_pairs_only(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages import dedup
+
+    # ref corpus: 5 docs; main: 30 docs. main doc 100 is a near-copy of ref
+    # doc 2 (one token changed); main docs 101,102 are near-copies of EACH
+    # OTHER only (must NOT match: cross pairs only).
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [f"ref{i} " + base + f" tail{i} unique{i}" for i in range(5)],
+    })
+    main_texts = [f"main doc {i} totally different words {i*7}"
+                  for i in range(30)]
+    twin = "omicron pi rho sigma tau upsilon phi chi psi omega"
+    main_texts[0] = "ref2 " + base + " tail2 CHANGED"       # near ref 2
+    main_texts[1] = "twin one " + twin + " shared suffix x"  # near main[2]
+    main_texts[2] = "twin two " + twin + " shared suffix x"
+    main = pd.DataFrame({"doc_id": np.arange(100, 130, dtype=np.int64),
+                         "text": main_texts})
+    got = dedup.cross_near_dedup(
+        ray.data.from_pandas(main), ray.data.from_pandas(ref),
+        n=3, tau100=50, max_df=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == [100]
+    assert list(got["ref_id"]) == [2]
+    assert (got["score_ppm"] >= 500000).all()
