@@ -321,6 +321,22 @@ def _dedup_keep_list(sf_dir: str):
     return cc.map_batches(add_keep, batch_format="pyarrow")
 
 
+def _split_by_cluster(sf_dir: str):
+    """Leakage-safe train/val split over the near-dup clusters of
+    _dedup_keep_list: split decided per CLUSTER (md5 rule), so near-dups
+    never straddle train/val."""
+    from name_matching_ray.stages.cluster import connected_components
+    from name_matching_ray.stages.curation import split_by_cluster
+
+    pairs = dedup.ngram_jaccard_pairs(_read_docs(sf_dir), n=3, tau100=10,
+                                      max_df=100)
+    edges = pairs.select_columns(["left_id", "right_id"]).rename_columns(
+        {"left_id": "left_doc_id", "right_id": "right_doc_id"})
+    nodes = _read_docs(sf_dir).select_columns(["doc_id"])
+    cc = connected_components(edges, nodes)
+    return split_by_cluster(cc, train_bp=9000)
+
+
 def _coname_legacy(sf_dir: str):
     """Legacy coname matcher (reference coname.py) over planted synthetic
     name tables at the sf's document scale: corpus-word gates from the base
@@ -423,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "cross_dedup": _cross_dedup,
         "cross_near_dedup": _cross_near_dedup,
+        "split_by_cluster": _split_by_cluster,
         "redact_pii": _redact_pii,
         "pack_sequences": _pack_sequences,
         "shuffle_shards": _shuffle_shards,
@@ -1302,6 +1319,43 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT node AS doc_id, MIN(lab) AS cluster_id,
                    CAST(CASE WHEN node = MIN(lab) THEN 1 ELSE 0 END AS BIGINT)
                        AS keep
+            FROM reach GROUP BY node
+        """,
+        # split_by_cluster: same recursive-CTE closure as dedup_keep_list;
+        # the split is a pure md5 function of the cluster label
+        "split_by_cluster": """
+            WITH RECURSIVE tok AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+            SELECT node AS doc_id, MIN(lab) AS cluster_id,
+                   CAST(CAST(md5_number_lower(CAST(MIN(lab) AS VARCHAR))
+                                 AS HUGEINT) % 10000 < 9000 AS BIGINT)
+                       AS is_train
             FROM reach GROUP BY node
         """,
         "media_features": """

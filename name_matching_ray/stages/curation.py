@@ -384,3 +384,28 @@ def cross_dedup(docs_ds, ref_ds, *, text_col: str = "text",
         })
 
     return both.groupby("_ub").map_groups(anti, batch_format="pandas")
+
+
+def split_by_cluster(cc_ds, *, train_bp: int = 9000, id_col: str = "doc_id",
+                     cluster_col: str = "cluster_id"):
+    """Leakage-safe train/validation split: the SPLIT UNIT is the near-dup
+    cluster, not the row.  A document's split is a pure deterministic
+    function of its cluster label (``md5_low64(str(label)) % 10000 <
+    train_bp``, the stratified_sample membership law), so two near-duplicate
+    documents can NEVER straddle train/val — the contamination path a
+    row-level random split leaves open.  Map-only over the labeled table
+    (compose with connected_components / dedup_keep_list); reproducible
+    across runs, machines and partitionings.  Output: ``(id, cluster,
+    is_train)``.
+    """
+    def assign(batch: pa.Table) -> pa.Table:
+        labs = batch.column(cluster_col).to_pylist()
+        is_tr = [1 if _md5_low64(str(lb)) % 10000 < train_bp else 0
+                 for lb in labs]
+        return pa.table({
+            id_col: batch.column(id_col),
+            cluster_col: batch.column(cluster_col),
+            "is_train": pa.array(is_tr, pa.int64()),
+        })
+
+    return cc_ds.map_batches(assign, batch_format="pyarrow")

@@ -283,3 +283,24 @@ def test_cross_dedup_empty_ref_keeps_everything(ray_session):
                       broadcast=True).to_pandas()
     assert sorted(got["doc_id"]) == list(range(10))
     assert (got["keep"] == 1).all()
+
+
+def test_split_by_cluster_never_straddles_near_dups(ray_session):
+    import ray.data
+
+    from name_matching_ray.stages.curation import split_by_cluster
+
+    # labeled table with multi-doc clusters: splits must agree per cluster
+    cc = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "cluster_id": (np.arange(300, dtype=np.int64) // 3) * 3,
+    })
+    got = split_by_cluster(ray.data.from_pandas(cc), train_bp=7000) \
+        .to_pandas()
+    per_cluster = got.groupby("cluster_id")["is_train"].nunique()
+    assert (per_cluster == 1).all()          # leakage-safe: one split/cluster
+    # exact membership law, and a non-degenerate mix
+    for _, r in got.iterrows():
+        want = 1 if _md5_low64(str(r["cluster_id"])) % 10000 < 7000 else 0
+        assert r["is_train"] == want
+    assert 0 < got["is_train"].mean() < 1
