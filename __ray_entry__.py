@@ -374,16 +374,16 @@ def _search_topk(sf_dir: str):
     """Sparse retrieval: the query set = first 4 whitespace tokens of the
     probe docs (deterministic, reconstructable in SQL via list slicing);
     integer tf-idf scoring + per-query top-10."""
+    import pyarrow.compute as pc
+    import ray.data
+
     docs = _read_docs(sf_dir)
-
-    def probe_filter(t):
-        import numpy as np
-        import pyarrow as pa
-
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(ids, _SEARCH_PROBE_IDS)))
-
-    probes = docs.map_batches(probe_filter, batch_format="pyarrow").take_all()
+    # prune at the read: the probe fetch pushes the id filter into the
+    # parquet scan (row-group stats pruning) instead of scanning the corpus
+    probes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(_SEARCH_PROBE_IDS),
+    ).take_all()
     queries_ = {int(r["doc_id"]): (r["text"] or "").lower().split()[:4]
                 for r in probes}
     return textstats.search_topk(docs, queries_, k=10)

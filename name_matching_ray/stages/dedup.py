@@ -755,8 +755,11 @@ def cross_near_dedup(docs_ds, ref_ds, *, n: int = 3, tau100: int = 50,
 
     Output: one row per matched main doc — ``(doc_id, ref_id, inter,
     n_left, n_right, score_ppm)`` where ``score_ppm = inter * 10^6 //
-    union`` and the best ref breaks ties by lowest ``ref_id``; the per-doc
-    pick runs per coarse doc-hash bucket, never one Ray group per doc.
+    union`` and the best ref breaks ties by lowest ``ref_id``.  Pair
+    partials are bucketed by the LEFT id only, so the partial-sum combine
+    AND the per-doc best pick run in one coarse-bucket shuffle (never one
+    Ray group per doc); skew per left key is bounded by the stop-shingle
+    guard (<= n_sh * max_df pairs per doc).
     """
     import pandas as pd
 
@@ -775,6 +778,13 @@ def cross_near_dedup(docs_ds, ref_ds, *, n: int = 3, tau100: int = 50,
             ExplodeShingles, fn_constructor_kwargs=kw, batch_format="pyarrow",
             concurrency=default_pool(),
         ).map_batches(tag(0), batch_format="pyarrow"))
+    # union SUMS the two sides' block counts (CLAUDE.md: the union
+    # block-doubling lesson) and the groupby sorts inherit it; right-size
+    # the shuffle width instead of paying 2x the per-block fixed costs
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    ex = ex.repartition(max(16, 2 * n_cpus))
 
     n_pair_buckets = 256
     _EMPTY = pa.table({
@@ -804,7 +814,12 @@ def cross_near_dedup(docs_ds, ref_ds, *, n: int = 3, tau100: int = 50,
                      n_right=("n_sh_b", "first")))
         l = agg[f"{id_col}_a"].to_numpy(np.int64)
         r = agg[f"{id_col}_b"].to_numpy(np.int64)
-        pb = ((l * np.int64(1_000_003) + r) % n_pair_buckets).astype(np.int64)
+        # bucket by LEFT id only: every pair partial of one main doc AND all
+        # of its pairs co-locate, so combine + per-doc best run in ONE
+        # shuffle (vs (l,r)-keyed combine + a second doc-keyed pass).  Skew
+        # is bounded: a doc's pair count <= n_sh * max_df by the stop-shingle
+        # guard, so no single left key can explode a bucket.
+        pb = ((l * np.int64(1_000_003)) % n_pair_buckets).astype(np.int64)
         return pa.table({
             "left_id": pa.array(l, pa.int64()),
             "ref_id": pa.array(r, pa.int64()),
@@ -817,7 +832,10 @@ def cross_near_dedup(docs_ds, ref_ds, *, n: int = 3, tau100: int = 50,
 
     pairs = ex.groupby("bucket").map_groups(emit_cross, batch_format="pandas")
 
-    def combine(g: pd.DataFrame) -> pa.Table:
+    def combine_and_best(g: pd.DataFrame) -> pa.Table:
+        # the left-keyed pbucket holds EVERY partial of every pair of these
+        # main docs: sum partials, threshold, then pick the per-doc best —
+        # all in this one group (no second doc-keyed shuffle needed)
         agg = (g.groupby(["left_id", "ref_id"], as_index=False)
                 .agg(inter=("inter", "sum"),
                      n_left=("n_left", "max"),
@@ -827,34 +845,20 @@ def cross_near_dedup(docs_ds, ref_ds, *, n: int = 3, tau100: int = 50,
         inter = agg["inter"].to_numpy(np.int64)
         keep = inter * 100 >= union * tau100
         agg, union, inter = agg[keep], union[keep], inter[keep]
+        agg = agg.assign(score_ppm=inter * np.int64(1_000_000) // union)
+        agg = agg.sort_values(["left_id", "score_ppm", "ref_id"],
+                              ascending=[True, False, True], kind="mergesort")
+        agg = agg.groupby("left_id", sort=False).head(1)
         return pa.table({
             "doc_id": pa.array(agg["left_id"].to_numpy(np.int64), pa.int64()),
             "ref_id": pa.array(agg["ref_id"].to_numpy(np.int64), pa.int64()),
-            "inter": pa.array(inter, pa.int64()),
+            "inter": pa.array(agg["inter"].to_numpy(np.int64), pa.int64()),
             "n_left": pa.array(agg["n_left"].to_numpy(np.int64), pa.int64()),
             "n_right": pa.array(agg["n_right"].to_numpy(np.int64),
                                 pa.int64()),
-            "score_ppm": pa.array(inter * np.int64(1_000_000) // union,
-                                  pa.int64()),
-            "_db": pa.array(agg["left_id"].to_numpy(np.int64) % 256,
-                            pa.int64()),
-        })
-
-    scored = pairs.groupby("pbucket").map_groups(combine,
-                                                 batch_format="pandas")
-
-    def best(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["doc_id", "score_ppm", "ref_id"],
-                          ascending=[True, False, True], kind="mergesort")
-        g = g.groupby("doc_id", sort=False).head(1)
-        return pa.table({
-            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
-            "ref_id": pa.array(g["ref_id"].to_numpy(np.int64), pa.int64()),
-            "inter": pa.array(g["inter"].to_numpy(np.int64), pa.int64()),
-            "n_left": pa.array(g["n_left"].to_numpy(np.int64), pa.int64()),
-            "n_right": pa.array(g["n_right"].to_numpy(np.int64), pa.int64()),
-            "score_ppm": pa.array(g["score_ppm"].to_numpy(np.int64),
+            "score_ppm": pa.array(agg["score_ppm"].to_numpy(np.int64),
                                   pa.int64()),
         })
 
-    return scored.groupby("_db").map_groups(best, batch_format="pandas")
+    return pairs.groupby("pbucket").map_groups(combine_and_best,
+                                               batch_format="pandas")
