@@ -164,6 +164,34 @@ def _decontaminate(sf_dir: str):
     return decontaminate(docs, ngrams, n=8)
 
 
+def _ref_slice(docs):
+    """The stand-in 'already ingested / benchmark' reference corpus: every
+    7th doc (deterministic slice, reconstructable in SQL as doc_id % 7 = 0).
+    """
+    def ref_filter(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.asarray(ids) % 7 == 0))
+
+    return docs.map_batches(ref_filter, batch_format="pyarrow")
+
+
+def _near_dup_clusters(sf_dir: str):
+    """Shared pairs -> transitive-closure recipe of _dedup_keep_list and
+    _split_by_cluster (ngram n=3 tau 10% max_df 100 — the thresholds the
+    recursive-CTE oracles hard-code; change here AND in both oracles)."""
+    from name_matching_ray.stages.cluster import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(_read_docs(sf_dir), n=3, tau100=10,
+                                      max_df=100)
+    edges = pairs.select_columns(["left_id", "right_id"]).rename_columns(
+        {"left_id": "left_doc_id", "right_id": "right_doc_id"})
+    nodes = _read_docs(sf_dir).select_columns(["doc_id"])
+    return connected_components(edges, nodes)
+
+
 def _cross_dedup(sf_dir: str):
     """Cross-corpus exact dedup: docs whose text hash appears in the
     stand-in 'already ingested' corpus (every 7th doc — same deterministic
@@ -174,16 +202,7 @@ def _cross_dedup(sf_dir: str):
     from name_matching_ray.stages.curation import cross_dedup
 
     docs = _read_docs(sf_dir)
-
-    def ref_filter(t):
-        import numpy as np
-        import pyarrow as pa
-
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.asarray(ids) % 7 == 0))
-
-    ref = docs.map_batches(ref_filter, batch_format="pyarrow")
-    return cross_dedup(docs, ref)
+    return cross_dedup(docs, _ref_slice(docs))
 
 
 def _cross_near_dedup(sf_dir: str):
@@ -191,16 +210,8 @@ def _cross_near_dedup(sf_dir: str):
     against the every-7th-doc reference slice (tau 10%, stop-shingle
     df<=100 counted across both sides)."""
     docs = _read_docs(sf_dir)
-
-    def ref_filter(t):
-        import numpy as np
-        import pyarrow as pa
-
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.asarray(ids) % 7 == 0))
-
-    ref = docs.map_batches(ref_filter, batch_format="pyarrow")
-    return dedup.cross_near_dedup(docs, ref, n=3, tau100=10, max_df=100)
+    return dedup.cross_near_dedup(docs, _ref_slice(docs), n=3, tau100=10,
+                                  max_df=100)
 
 
 def _inject_pii(batch):
@@ -304,14 +315,7 @@ def _dedup_keep_list(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from name_matching_ray.stages.cluster import connected_components
-
-    pairs = dedup.ngram_jaccard_pairs(_read_docs(sf_dir), n=3, tau100=10,
-                                      max_df=100)
-    edges = pairs.select_columns(["left_id", "right_id"]).rename_columns(
-        {"left_id": "left_doc_id", "right_id": "right_doc_id"})
-    nodes = _read_docs(sf_dir).select_columns(["doc_id"])
-    cc = connected_components(edges, nodes)
+    cc = _near_dup_clusters(sf_dir)
 
     def add_keep(t: pa.Table) -> pa.Table:
         keep = pc.cast(pc.equal(t.column("doc_id"), t.column("cluster_id")),
@@ -325,16 +329,9 @@ def _split_by_cluster(sf_dir: str):
     """Leakage-safe train/val split over the near-dup clusters of
     _dedup_keep_list: split decided per CLUSTER (md5 rule), so near-dups
     never straddle train/val."""
-    from name_matching_ray.stages.cluster import connected_components
     from name_matching_ray.stages.curation import split_by_cluster
 
-    pairs = dedup.ngram_jaccard_pairs(_read_docs(sf_dir), n=3, tau100=10,
-                                      max_df=100)
-    edges = pairs.select_columns(["left_id", "right_id"]).rename_columns(
-        {"left_id": "left_doc_id", "right_id": "right_doc_id"})
-    nodes = _read_docs(sf_dir).select_columns(["doc_id"])
-    cc = connected_components(edges, nodes)
-    return split_by_cluster(cc, train_bp=9000)
+    return split_by_cluster(_near_dup_clusters(sf_dir), train_bp=9000)
 
 
 def _coname_legacy(sf_dir: str):
@@ -384,8 +381,20 @@ def _search_topk(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         filter=pc.field("doc_id").isin(_SEARCH_PROBE_IDS),
     ).take_all()
-    queries_ = {int(r["doc_id"]): (r["text"] or "").lower().split()[:4]
-                for r in probes}
+
+    def _first4(text: str) -> list[str]:
+        # bit-faithful to the oracle's w[1:4] over regexp_split_to_array(
+        # lower(trim(text)), '\s+'): trim strips ASCII spaces ONLY, the
+        # split is RE2 \s (Python str.split() also splits on non-ASCII
+        # whitespace — a silent query-term divergence), and '' drops AFTER
+        # the 4-element slice, exactly like the qt CTE
+        import pyarrow as pa
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pa.array([(text or "").strip(" ")])), r"\s+")
+        return [t for t in toks[0].as_py()[:4] if t]
+
+    queries_ = {int(r["doc_id"]): _first4(r["text"]) for r in probes}
     return textstats.search_topk(docs, queries_, k=10)
 
 

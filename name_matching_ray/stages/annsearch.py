@@ -514,6 +514,10 @@ def cluster_stats(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
                         centroids, id_col=id_col, vec_col=vec_col)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
+        if batch.column(label_col).null_count:
+            # pandas groupby silently DROPS NaN keys — null labels would
+            # undercount n_vecs and diverge from the SQL (which groups NULL)
+            raise ValueError("cluster_stats: null labels are not supported")
         df = batch.select(["partition", label_col]).to_pandas()
         lbl = df[label_col].to_numpy()
         if len(lbl) and (lbl.min() < 0 or lbl.max() >= (1 << 31)):

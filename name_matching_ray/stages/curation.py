@@ -318,17 +318,24 @@ def cross_dedup(docs_ds, ref_ds, *, text_col: str = "text",
     """
     import ray
 
-    def _hashes(batch: pa.Table) -> np.ndarray:
-        return np.array(
-            [_md5_low64(t or "") for t in batch.column(text_col).to_pylist()],
+    # NULL text follows SQL semantics: md5_number_lower(NULL) is NULL, which
+    # never equi-joins — a null-text doc is always kept, a null-text ref row
+    # is dropped.  (Empty string is a real value and matches empty string.)
+    def _hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        texts = batch.column(text_col).to_pylist()
+        hs = np.array(
+            [0 if t is None else _md5_low64(t) for t in texts],
             dtype=np.uint64,
         )
+        valid = np.array([t is not None for t in texts], dtype=bool)
+        return hs, valid
 
     if broadcast:
-        chunks = [
-            _hashes(b) for b in ref_ds.select_columns([text_col])
-            .iter_batches(batch_format="pyarrow")
-        ]
+        chunks = []
+        for b in ref_ds.select_columns([text_col]) \
+                .iter_batches(batch_format="pyarrow"):
+            hs, valid = _hashes(b)
+            chunks.append(hs[valid])
         ref_arr = np.unique(np.concatenate(chunks)) if chunks \
             else np.empty(0, np.uint64)
         ref_ref = ray.put(ref_arr)
@@ -338,11 +345,11 @@ def cross_dedup(docs_ds, ref_ds, *, text_col: str = "text",
                 self.h = ray.get(ref_ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                hs = _hashes(batch)
+                hs, valid = _hashes(batch)
                 if len(self.h) and len(hs):
                     idx = np.searchsorted(self.h, hs)
                     idx[idx == len(self.h)] = 0
-                    found = self.h[idx] == hs
+                    found = (self.h[idx] == hs) & valid
                 else:
                     found = np.zeros(len(hs), dtype=bool)
                 return pa.table({
@@ -357,15 +364,26 @@ def cross_dedup(docs_ds, ref_ds, *, text_col: str = "text",
 
     import pandas as pd
 
+    _sch = docs_ds.schema()
+    id_type = _sch.types[_sch.names.index(id_col)]
+
     def tag(side: int):
         def f(batch: pa.Table) -> pa.Table:
-            hs = _hashes(batch)
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
-                if side else np.zeros(len(hs), np.int64)
+            hs, valid = _hashes(batch)
+            if side:
+                ids = batch.column(id_col).combine_chunks() \
+                    if isinstance(batch.column(id_col), pa.ChunkedArray) \
+                    else batch.column(id_col)
+            else:
+                # null-text ref rows drop here (SQL: NULL never joins)
+                hs = hs[valid]
+                ids = pa.nulls(len(hs), id_type)
+                valid = np.ones(len(hs), dtype=bool)
             return pa.table({
                 "_h": pa.array(hs, pa.uint64()),
-                id_col: pa.array(ids, pa.int64()),
+                id_col: ids,
                 "_side": pa.array(np.full(len(hs), side, np.int8), pa.int8()),
+                "_valid": pa.array(valid, pa.bool_()),
                 "_ub": pa.array((hs % np.uint64(buckets)).astype(np.int64),
                                 pa.int64()),
             })
@@ -373,13 +391,16 @@ def cross_dedup(docs_ds, ref_ds, *, text_col: str = "text",
 
     both = docs_ds.map_batches(tag(1), batch_format="pyarrow").union(
         ref_ds.map_batches(tag(0), batch_format="pyarrow"))
+    # union SUMS the two sides' block counts; right-size the shuffle width
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    both = both.repartition(max(16, 2 * n_cpus))
 
     def anti(g: pd.DataFrame) -> pa.Table:
         ref_h = g.loc[g["_side"] == 0, "_h"]
         d = g[g["_side"] == 1]
-        keep = ~d["_h"].isin(ref_h)
+        keep = (~d["_h"].isin(ref_h)) | (~d["_valid"])
         return pa.table({
-            id_col: pa.array(d[id_col].to_numpy(np.int64), pa.int64()),
+            id_col: pa.Array.from_pandas(d[id_col], type=id_type),
             "keep": pa.array(keep.to_numpy().astype(np.int64), pa.int64()),
         })
 

@@ -22,6 +22,22 @@ import pyarrow.compute as pc
 
 from ..util import default_pool
 
+
+def _explode_tokens(batch: pa.Table, text_col: str):
+    """Shared vectorized tokenize-and-explode: lowercase, RE2 ``\\s+`` split,
+    then (batch-row index, flattened token array, list offsets).  Empty
+    tokens are NOT filtered here — callers differ on when ``''`` drops
+    relative to the offsets (tf vs positional-bigram vs window kernels)."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch.column(text_col)),
+                                  r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+        else toks
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+    return doc_idx, flat, offsets
+
+
 # shared with the SQL oracle (__ray_entry__.oracle_sql) — keep in sync
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 _RE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish word/number/punct split
@@ -176,13 +192,7 @@ def doc_freq(docs_ds, *, text_col: str = "text", min_df: int = 1):
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column(text_col)), r"\s+")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
-            else toks
-        flat = toks.flatten()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        doc_idx, flat, offsets = _explode_tokens(batch, text_col)
         import pandas as pd
 
         df = pd.DataFrame({"d": doc_idx,
@@ -235,13 +245,7 @@ def tfidf_topk(docs_ds, *, k: int = 3, min_df: int = 1,
     def _tf_partial(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column(text_col)), r"\s+")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
-            else toks
-        flat = toks.flatten()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        doc_idx, flat, offsets = _explode_tokens(batch, text_col)
         df = pd.DataFrame({"d": doc_idx,
                            "token": flat.to_numpy(zero_copy_only=False)})
         df = df[df["token"] != ""]
@@ -268,13 +272,7 @@ def tfidf_topk(docs_ds, *, k: int = 3, min_df: int = 1,
         import numpy as np
 
         dmap = ray.get(df_ref)
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column(text_col)), r"\s+")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
-            else toks
-        flat = toks.flatten()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        doc_idx, flat, offsets = _explode_tokens(batch, text_col)
         df = pd.DataFrame({"d": doc_idx,
                            "token": flat.to_numpy(zero_copy_only=False)})
         df = df[df["token"] != ""]
@@ -402,13 +400,7 @@ def inverted_index(docs_ds, *, cap: int = 32, min_df: int = 1,
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column(text_col)), r"\s+")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
-            else toks
-        flat = toks.flatten()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        doc_idx, flat, offsets = _explode_tokens(batch, text_col)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"doc_id": np.asarray(ids)[doc_idx],
                            "token": flat.to_numpy(zero_copy_only=False)})
@@ -481,13 +473,9 @@ def repetition_stats(docs_ds, *, text_col: str = "text",
     import pandas as pd
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column(text_col)), r"\s+")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
-            else toks
-        flat_all = toks.flatten()
+        _di, flat_all, _off = _explode_tokens(batch, text_col)
         keep = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
-        off0 = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off0 = _off.astype(np.int64)
         cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
         off = cum[off0]
         flat = flat_all.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
@@ -565,12 +553,7 @@ def bigram_counts(docs_ds, *, text_col: str = "text"):
     import numpy as np
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column(text_col)), r"\s+")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
-            else toks
-        flat = toks.flatten()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        _di, flat, offsets = _explode_tokens(batch, text_col)
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         m = len(flat)
         valid = np.zeros(max(m - 1, 0), bool)
@@ -794,7 +777,11 @@ def unigram_bits(docs_ds, *, vocab: int = 2048, text_col: str = "text",
         return pa.table({"word": pa.array(g["word"], pa.string()),
                          "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
 
-    model_rows = counts.map_batches(local_topv, batch_format="pyarrow") \
+    # batch_size must exceed vocab or head(vocab) is a no-op and the single
+    # merge group receives the ENTIRE distinct-word table (the default
+    # ~1k-row batches would silently defeat the per-block pruning)
+    model_rows = counts.map_batches(local_topv, batch_format="pyarrow",
+                                    batch_size=max(65536, 4 * vocab)) \
         .groupby("_g").map_groups(merge_topv, batch_format="pandas") \
         .take_all()
     bits_of = {
@@ -809,14 +796,7 @@ def unigram_bits(docs_ds, *, vocab: int = 2048, text_col: str = "text",
             self.bits = ray.get(model_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            toks = pc.split_pattern_regex(
-                pc.utf8_lower(batch.column(text_col)), r"\s+")
-            toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
-                else toks
-            flat = toks.flatten()
-            offsets = toks.offsets.to_numpy(zero_copy_only=False)
-            doc_idx = np.repeat(np.arange(len(offsets) - 1),
-                                np.diff(offsets))
+            doc_idx, flat, offsets = _explode_tokens(batch, text_col)
             s = pd.DataFrame({
                 "d": doc_idx,
                 "w": flat.to_numpy(zero_copy_only=False),
@@ -867,13 +847,7 @@ def search_topk(docs_ds, queries: dict[int, list[str]], *, k: int = 10,
     n_docs = docs_ds.count()
 
     def _tok(batch: pa.Table) -> pd.DataFrame:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column(text_col)), r"\s+")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
-            else toks
-        flat = toks.flatten()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        doc_idx, flat, offsets = _explode_tokens(batch, text_col)
         s = pd.DataFrame({"d": doc_idx,
                           "w": flat.to_numpy(zero_copy_only=False)})
         return s[s["w"].isin(terms)]
@@ -905,15 +879,18 @@ def search_topk(docs_ds, queries: dict[int, list[str]], *, k: int = 10,
             m = tf.merge(self.term_q, on="w")
             sc = m.groupby(["query_id", "d"], sort=False)["part"].sum() \
                 .reset_index(name="score_bp")
-            # local top-k per query: only survivors enter the global merge
-            sc = sc.sort_values(["query_id", "score_bp", "d"],
+            # local top-k per query: only survivors enter the global merge.
+            # Tie-break on the REAL doc id (the merge/oracle order), not the
+            # batch-local position — nothing guarantees id-monotone blocks
+            sc["_id"] = ids[sc["d"].to_numpy()]
+            sc = sc.sort_values(["query_id", "score_bp", "_id"],
                                 ascending=[True, False, True],
                                 kind="mergesort")
             sc = sc.groupby("query_id", sort=False).head(k)
             return pa.table({
                 "query_id": pa.array(sc["query_id"].to_numpy(np.int64),
                                      pa.int64()),
-                id_col: pa.array(ids[sc["d"].to_numpy()], pa.int64()),
+                id_col: pa.array(sc["_id"].to_numpy(np.int64), pa.int64()),
                 "score_bp": pa.array(sc["score_bp"].to_numpy(np.int64),
                                      pa.int64()),
             })

@@ -304,3 +304,26 @@ def test_split_by_cluster_never_straddles_near_dups(ray_session):
         want = 1 if _md5_low64(str(r["cluster_id"])) % 10000 < 7000 else 0
         assert r["is_train"] == want
     assert 0 < got["is_train"].mean() < 1
+
+
+def test_cross_dedup_null_text_and_string_ids(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.curation import cross_dedup
+
+    # NULL text follows SQL semantics: never joins (always kept, and a
+    # null-text ref row matches nothing); '' is a real value and matches ''
+    main = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+        "text": pa.array([None, "", "dup text", "fresh"], pa.string()),
+    })
+    ref = pa.table({
+        "doc_id": pa.array(["r1", "r2", "r3"], pa.string()),
+        "text": pa.array([None, "", "dup text"], pa.string()),
+    })
+    dm, dr = ray.data.from_arrow(main), ray.data.from_arrow(ref)
+    want = {"a": 1, "b": 0, "c": 0, "d": 1}
+    for bc in (True, False):
+        got = cross_dedup(dm, dr, broadcast=bc, id_col="doc_id").to_pandas()
+        assert dict(zip(got["doc_id"], got["keep"])) == want, bc
