@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": analytics.rolling_user_value,
         "windowed_watermark": analytics.windowed_counts_watermark,
         "topk_per_customer": analytics.topk_orders_per_customer,
+        "range_join_windows": analytics.range_join_windows,
         # whale-key variants: same semantics (same oracles), but grouped by
         # (user, time-span) with cross-span stitch / replication — the plans
         # that survive a single pathological user at 100 TB
@@ -914,6 +915,20 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                    CAST(h.doc_id IS NULL AS BIGINT) AS keep
             FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        # range_join_windows: broadcast range join — events contained in
+        # 8 two-day windows every 7 days from the corpus' first day
+        "range_join_windows": """
+            WITH m AS (SELECT date_trunc('day', min(ts)) AS t0 FROM events),
+            w AS (SELECT i AS window_id,
+                         t0 + i * INTERVAL 7 DAY AS ws,
+                         t0 + i * INTERVAL 7 DAY + INTERVAL 2 DAY AS we
+                  FROM m, UNNEST(generate_series(0, 7)) AS g(i)),
+            j AS (SELECT w.window_id, e.event_type
+                  FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we)
+            SELECT window_id, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM j GROUP BY 1, 2
         """,
         # unigram_bits: corpus-LM surprisal, integer-exact — bit_length ==
         # length(bin(x)); add-one smoothing over the top-2048 unigram model

@@ -853,3 +853,49 @@ def topk_orders_per_customer(sf_dir: str, k: int = 3, n_buckets: int = 256):
 
     return ds.map_batches(tag, batch_format="pandas") \
         .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+
+
+def range_join_windows(sf_dir: str, *, n_windows: int = 8,
+                       period_days: int = 7, width_days: int = 2):
+    """Range join (interval containment) — events joined to a SMALL interval
+    set: ``n_windows`` maintenance/promo windows of ``width_days`` days,
+    every ``period_days`` days from the corpus' first day (the window table
+    is derived from ``min(ts)`` by a rule the SQL oracle reproduces
+    exactly).  Output: ``(window_id, event_type, n_events)``.
+
+    This is the broadcast range-join plan — the correct one when one side
+    is small: the interval table ships to every task (here a closure over
+    two tiny numpy arrays), each batch assigns events to windows with ONE
+    ``searchsorted`` against the sorted window starts (the windows are
+    non-overlapping by construction, so containment = "latest window
+    starting at or before ts, if ts < its end"), and per-batch partial
+    counts meet in one tiny Sum shuffle over <= windows x event_types keys.
+    A shuffle join of events against the window table would move the whole
+    event stream for an 8-row build side.
+    """
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    # min(ts) is a tiny full-scan aggregate (column-pruned read)
+    t0 = np.datetime64(ds.min("ts"), "us")
+    day0 = t0.astype("datetime64[D]")
+    starts = (day0 + np.arange(n_windows, dtype=np.int64)
+              * np.timedelta64(period_days, "D")).astype("datetime64[us]")
+    ends = starts + np.timedelta64(width_days * 24 * 3600 * 1_000_000, "us")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        idx = np.searchsorted(starts, ts, side="right") - 1
+        ok = idx >= 0
+        inside = np.zeros(len(ts), dtype=bool)
+        inside[ok] = ts[ok] < ends[idx[ok]]
+        sub = pd.DataFrame({
+            "window_id": idx[inside].astype(np.int64),
+            "event_type": df["event_type"].to_numpy()[inside],
+            "n_events": np.int64(1),
+        })
+        g = (sub.groupby(["window_id", "event_type"], as_index=False)
+                [["n_events"]].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _grouped_sum(ds, ["window_id", "event_type"], partial,
+                        ["n_events"])

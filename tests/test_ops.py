@@ -780,3 +780,35 @@ def test_cross_near_dedup_finds_planted_cross_pairs_only(ray_session):
     assert list(got["doc_id"]) == [100]
     assert list(got["ref_id"]) == [2]
     assert (got["score_ppm"] >= 500000).all()
+
+
+def test_range_join_windows_containment_edges(ray_session, tmp_path):
+    import ray.data
+
+    from name_matching_ray.pipelines import analytics
+
+    # windows from min(ts)=Jan-1: [Jan-1,Jan-3), [Jan-8,Jan-10), ...
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00",   # w0 start (inclusive)
+        "2024-01-02 23:59:59",   # inside w0
+        "2024-01-03 00:00:00",   # w0 end (EXCLUSIVE -> no window)
+        "2024-01-07 12:00:00",   # gap -> no window
+        "2024-01-08 00:00:00",   # w1 start
+        "2024-01-09 00:00:00",   # inside w1
+    ])
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.int64(1),
+        "event_type": ["click"] * 6,
+        "value": 1.0,
+        "props": "",
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    got = analytics.range_join_windows(str(tmp_path)).to_pandas() \
+        .sort_values("window_id").reset_index(drop=True)
+    want = pd.DataFrame({"window_id": [0, 1],
+                         "event_type": ["click", "click"],
+                         "n_events": [2, 2]})
+    pd.testing.assert_frame_equal(
+        got.astype({"window_id": np.int64, "n_events": np.int64}), want)
