@@ -398,6 +398,38 @@ def _search_topk(sf_dir: str):
     return textstats.search_topk(docs, queries_, k=10)
 
 
+def _semantic_keep_list(sf_dir: str):
+    """SemDeDup-style embedding dedup END-TO-END: IVF partition (the fixed
+    oracle-able centroids) -> exact all-pairs cosine >= 0.35 within each
+    partition -> transitive clusters -> canonical keep flag (min vec_id).
+    The whole chain (assignment, in-partition pairs, closure) is one DuckDB
+    oracle (argmax-cosine CTE + recursive-CTE closure)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from name_matching_ray.stages.cluster import connected_components
+
+    emb = _read_emb(sf_dir)
+    cent = annsearch.fixed_centroids(8, 64)
+    pairs = annsearch.ivf_cosine_dups(emb, cent, threshold=0.35)
+    edges = pairs.rename_columns(
+        {"left_id": "left_doc_id", "right_id": "right_doc_id"})
+    nodes = emb.select_columns(["vec_id"]).rename_columns(
+        {"vec_id": "doc_id"})
+    cc = connected_components(edges, nodes)
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.cast(pc.equal(t.column("doc_id"), t.column("cluster_id")),
+                       pa.int64())
+        return pa.table({
+            "vec_id": t.column("doc_id"),
+            "cluster_id": t.column("cluster_id"),
+            "keep": keep,
+        })
+
+    return cc.map_batches(finish, batch_format="pyarrow")
+
+
 def _cluster_stats(sf_dir: str):
     """Embedding-cluster audit with the ORACLE-ABLE fixed centroids (same
     literals inlined into the DuckDB oracle as _ivf_topk): nearest-centroid
@@ -486,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                   _ANN_QUERY_IDS, k=10),
         "ivf_topk": _ivf_topk,
         "cluster_stats": _cluster_stats,
+        "semantic_keep_list": _semantic_keep_list,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade)
         "linkage_pairs": _linkage_pairs,
         "linkage_clusters": _linkage_clusters,
@@ -625,6 +658,46 @@ def _cluster_stats_oracle() -> str:
     """
 
 
+def _semantic_keep_list_oracle() -> str:
+    """DuckDB replica of :func:`_semantic_keep_list`: same fixed centroids,
+    same argmax-cosine assignment CTE, in-partition pair join at the same
+    float threshold (the embedding_dups-proven comparison), recursive-CTE
+    min-label closure with min-id keep flag."""
+    cent = annsearch.fixed_centroids(8, 64)
+    rows = ",\n".join(
+        f"({ci}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for ci, c in enumerate(cent)
+    )
+    return f"""
+        WITH RECURSIVE cent(cid, cvec) AS (VALUES {rows}),
+        asg AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                             c.cid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+            WHERE rn = 1),
+        p AS (
+            SELECT x.vec_id AS l, y.vec_id AS r
+            FROM asg x JOIN asg y
+                 ON x.cid = y.cid AND x.vec_id < y.vec_id
+            JOIN embeddings a ON a.vec_id = x.vec_id
+            JOIN embeddings b ON b.vec_id = y.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+        edges AS (SELECT l AS a, r AS b FROM p
+                  UNION ALL SELECT r, l FROM p),
+        reach(node, lab) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.a, rch.lab FROM edges e JOIN reach rch ON rch.node = e.b)
+        SELECT node AS vec_id, MIN(lab) AS cluster_id,
+               CAST(CASE WHEN node = MIN(lab) THEN 1 ELSE 0 END AS BIGINT)
+                   AS keep
+        FROM reach GROUP BY node
+    """
+
+
 def _srp_oracle() -> str:
     """DuckDB replica of ``srp_lsh_pairs``: the same 64 seeded hyperplanes
     inlined as literals; sign bits, pairwise hamming and the <= max_hamming
@@ -731,6 +804,7 @@ def _oracle_sql_base() -> dict[str, str]:
     return {
         "ivf_topk": _ivf_topk_oracle(),
         "cluster_stats": _cluster_stats_oracle(),
+        "semantic_keep_list": _semantic_keep_list_oracle(),
         "srp_dedup": _srp_oracle(),
         "minhash_dedup": _minhash_oracle(),
         "pricing_summary": """

@@ -812,3 +812,28 @@ def test_range_join_windows_containment_edges(ray_session, tmp_path):
                          "n_events": [2, 2]})
     pd.testing.assert_frame_equal(
         got.astype({"window_id": np.int64, "n_events": np.int64}), want)
+
+
+def test_semantic_keep_list_clusters_planted_near_dups(ray_session):
+    """End-to-end SemDeDup composition: planted near-identical vectors land
+    in one cluster with exactly one keep=1 (the min id); singletons keep."""
+    import importlib.util
+
+    import ray  # noqa: F401
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_mod", "/root/repo/__ray_entry__.py")
+    ent = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ent)
+
+    got = ent._semantic_keep_list(SF).to_pandas()
+    n = len(got)
+    assert n == 500 and got["keep"].isin([0, 1]).all()
+    # every cluster has exactly one keeper = its min member
+    g = got.groupby("cluster_id")
+    assert (g["keep"].sum() == 1).all()
+    mins = g["vec_id"].min()
+    keepers = got[got["keep"] == 1].set_index("cluster_id")["vec_id"]
+    assert keepers.sort_index().equals(mins.sort_index())
+    # non-vacuous: the synthetic embeddings contain near-dups
+    assert (got["keep"] == 0).sum() > 0
