@@ -305,6 +305,25 @@ def _substring_dedup(sf_dir: str):
         k=8)
 
 
+def _cc_keep(cc, *, id_out: str = "doc_id"):
+    """Shared canonical-representative rule over a (doc_id, cluster_id)
+    closure table: ``keep = 1`` iff the node IS its cluster's min-id label
+    (the rule both recursive-CTE oracles hard-code)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_keep(t: pa.Table) -> pa.Table:
+        keep = pc.cast(pc.equal(t.column("doc_id"), t.column("cluster_id")),
+                       pa.int64())
+        return pa.table({
+            id_out: t.column("doc_id"),
+            "cluster_id": t.column("cluster_id"),
+            "keep": keep,
+        })
+
+    return cc.map_batches(add_keep, batch_format="pyarrow")
+
+
 def _dedup_keep_list(sf_dir: str):
     """Training-data dedup keep-list: n-gram Jaccard near-dup pairs →
     transitive clusters → canonical representative (min doc_id) per cluster,
@@ -312,17 +331,7 @@ def _dedup_keep_list(sf_dir: str):
     dedup actually ships (pairs alone aren't actionable), and it puts the
     transitive-closure stage under the exact DuckDB oracle for the first
     time (recursive-CTE min-label closure)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    cc = _near_dup_clusters(sf_dir)
-
-    def add_keep(t: pa.Table) -> pa.Table:
-        keep = pc.cast(pc.equal(t.column("doc_id"), t.column("cluster_id")),
-                       pa.int64())
-        return t.append_column("keep", keep)
-
-    return cc.map_batches(add_keep, batch_format="pyarrow")
+    return _cc_keep(_near_dup_clusters(sf_dir))
 
 
 def _split_by_cluster(sf_dir: str):
@@ -404,9 +413,6 @@ def _semantic_keep_list(sf_dir: str):
     partition -> transitive clusters -> canonical keep flag (min vec_id).
     The whole chain (assignment, in-partition pairs, closure) is one DuckDB
     oracle (argmax-cosine CTE + recursive-CTE closure)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from name_matching_ray.stages.cluster import connected_components
 
     emb = _read_emb(sf_dir)
@@ -417,17 +423,7 @@ def _semantic_keep_list(sf_dir: str):
     nodes = emb.select_columns(["vec_id"]).rename_columns(
         {"vec_id": "doc_id"})
     cc = connected_components(edges, nodes)
-
-    def finish(t: pa.Table) -> pa.Table:
-        keep = pc.cast(pc.equal(t.column("doc_id"), t.column("cluster_id")),
-                       pa.int64())
-        return pa.table({
-            "vec_id": t.column("doc_id"),
-            "cluster_id": t.column("cluster_id"),
-            "keep": keep,
-        })
-
-    return cc.map_batches(finish, batch_format="pyarrow")
+    return _cc_keep(cc, id_out="vec_id")
 
 
 def _cluster_stats(sf_dir: str):

@@ -873,6 +873,11 @@ def range_join_windows(sf_dir: str, *, n_windows: int = 8,
     A shuffle join of events against the window table would move the whole
     event stream for an 8-row build side.
     """
+    if width_days > period_days:
+        # the searchsorted plan assigns each event to at most ONE window;
+        # overlapping windows need an expand-per-containing-window variant
+        raise ValueError("range_join_windows requires non-overlapping "
+                         "windows (width_days <= period_days)")
     ds = _read(sf_dir, "events", ["ts", "event_type"])
 
     # min(ts) is a tiny full-scan aggregate (column-pruned read)

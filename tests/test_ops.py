@@ -818,11 +818,13 @@ def test_semantic_keep_list_clusters_planted_near_dups(ray_session):
     """End-to-end SemDeDup composition: planted near-identical vectors land
     in one cluster with exactly one keep=1 (the min id); singletons keep."""
     import importlib.util
+    from pathlib import Path
 
     import ray  # noqa: F401
 
     spec = importlib.util.spec_from_file_location(
-        "ray_entry_mod", "/root/repo/__ray_entry__.py")
+        "ray_entry_mod",
+        str(Path(__file__).resolve().parents[1] / "__ray_entry__.py"))
     ent = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ent)
 
