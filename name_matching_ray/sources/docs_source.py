@@ -11,15 +11,37 @@ deterministically from ``source`` (exercising the media path end-to-end).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 from ..schema import DOCS_SCHEMA
 
+try:  # feature probe: the sandbox lacks lance; production installs have it
+    import lance  # noqa: F401
+
+    HAS_LANCE = True
+except ImportError:
+    HAS_LANCE = False
+
+
+def _is_lance_path(path: str) -> bool:
+    """A Lance dataset is a directory named *.lance or one carrying the
+    Lance `_versions` manifest directory."""
+    return path.endswith(".lance") or (
+        os.path.isdir(path) and os.path.isdir(os.path.join(path, "_versions"))
+    )
+
 
 def read_docs(path: str, **kwargs):
-    """Read an interleaved-docs table (parquet stand-in for Lance)."""
+    """Read an interleaved-docs table: native Lance when the ``lance``
+    package is importable and the path IS a Lance dataset, parquet
+    otherwise (the offline stand-in — both branches yield the same
+    schema, tests/test_ops.py::test_read_docs_branches)."""
     import ray.data
 
+    if HAS_LANCE and _is_lance_path(path):
+        return ray.data.read_lance(path, **kwargs)
     return ray.data.read_parquet(path, **kwargs)
 
 

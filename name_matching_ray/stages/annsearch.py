@@ -210,7 +210,8 @@ class _ChunkPairSims:
 
 def embedding_cosine_dups(ds, *, threshold: float = 0.35,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          concurrency=None, chunk_rows: int = 65536):
+                          concurrency=None, chunk_rows: int = 65536,
+                          max_rows: int = 10_000_000):
     """All i<j pairs with cosine >= threshold — EXACT block-pair join.
 
     The input is normalized once and materialized as ~``chunk_rows``-row
@@ -227,6 +228,19 @@ def embedding_cosine_dups(ds, *, threshold: float = 0.35,
 
     norm = ds.select_columns([id_col, vec_col]).materialize()
     n = norm.count()
+    if n > max_rows:
+        # the quadratic is a deliberate choice at audit scale, never a
+        # silent default at corpus scale: refuse loudly and name the
+        # sub-quadratic alternatives instead of launching O(N²/chunk²) tasks
+        raise ValueError(
+            f"embedding_cosine_dups is an EXACT all-pairs join: {n:,} rows "
+            f"exceeds max_rows={max_rows:,} (≈{(n / chunk_rows) ** 2 / 2:.0f} "
+            "chunk-pair tasks). For near-dup detection at this scale use "
+            "ivf_cosine_dups (IVF-partitioned exact-within-cell, the "
+            "semantic_keep_list pipeline) or srp_lsh_pairs (SRP-LSH "
+            "hamming banding); raise max_rows only for a deliberate "
+            "exact audit."
+        )
     n_chunks = max(1, -(-n // chunk_rows))
     if n_chunks > 1 or norm.num_blocks() > n_chunks:
         norm = norm.repartition(n_chunks).materialize()

@@ -32,18 +32,13 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _driver_union_find(edges_ds, nodes_ds):
-    """Small-edge-set path: collect edges, union-find, broadcast labels back
-    onto the (possibly large) node set via a map_batches lookup."""
-    import ray
-    import ray.data
+def _closure_dict_reference(left: list, right: list) -> dict:
+    """Scalar union-find over edge lists — kept ONLY as the executable
+    reference for the equality test of the vectorized closure below
+    (tests/test_ops.py).  Returns {node: component-min} for non-min nodes."""
+    parent: dict = {}
 
-    batches = list(edges_ds.iter_batches(batch_format="pyarrow"))
-    edges = pa.concat_tables(batches) if batches else None
-
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
+    def find(x):
         root = x
         while parent.get(root, root) != root:
             root = parent[root]
@@ -51,16 +46,59 @@ def _driver_union_find(edges_ds, nodes_ds):
             parent[x], x = root, parent[x]
         return root
 
-    if edges is not None:
-        for l, r in zip(edges.column("left_doc_id").to_pylist(),
-                        edges.column("right_doc_id").to_pylist()):
-            rl, rr = find(l), find(r)
-            if rl != rr:
-                # union by lexicographic min so labels are deterministic
-                lo, hi = (rl, rr) if rl < rr else (rr, rl)
-                parent[hi] = lo
+    for l, r in zip(left, right):
+        rl, rr = find(l), find(r)
+        if rl != rr:
+            # union by lexicographic min so labels are deterministic
+            lo, hi = (rl, rr) if rl < rr else (rr, rl)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
 
-    labels = {x: find(x) for x in list(parent)}
+
+def _closure_numpy(left: np.ndarray, right: np.ndarray) -> dict:
+    """Vectorized transitive closure over collected edges: factorize the
+    endpoint ids to ranks of the SORTED unique array (so integer order ==
+    id order, numeric for int64 ids / lexicographic for strings), then
+    min-label propagation with pointer doubling — two ``np.minimum.at``
+    edge relaxations + ``lab = lab[lab]`` jumps per round, O(log n) rounds.
+    Labels equal the component-min id, identical to the scalar union-find
+    (equality-tested).  Returns {node: component-min} for non-min nodes."""
+    uniq, codes = np.unique(np.concatenate([left, right]),
+                            return_inverse=True)
+    le, re_ = codes[: len(left)], codes[len(left):]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, le, lab[re_])
+        np.minimum.at(lab, re_, lab[le])
+        while True:  # pointer doubling to the current fixpoint
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, old):
+            break
+    moved = np.flatnonzero(lab != np.arange(len(uniq), dtype=np.int64))
+    src, dst = uniq[moved], uniq[lab[moved]]
+    return {k: v for k, v in zip(src.tolist(), dst.tolist())}
+
+
+def _driver_union_find(edges_ds, nodes_ds):
+    """Small-edge-set path: collect edges, vectorized numpy closure,
+    broadcast labels back onto the (possibly large) node set via a
+    map_batches lookup."""
+    import ray
+    import ray.data
+
+    batches = list(edges_ds.iter_batches(batch_format="pyarrow"))
+    edges = pa.concat_tables(batches) if batches else None
+
+    labels: dict = {}
+    if edges is not None and edges.num_rows:
+        labels = _closure_numpy(
+            edges.column("left_doc_id").to_numpy(zero_copy_only=False),
+            edges.column("right_doc_id").to_numpy(zero_copy_only=False),
+        )
     lbl_ref = ray.put(labels)
 
     class Attach:

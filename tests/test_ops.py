@@ -240,6 +240,22 @@ def test_embedding_dups_chunked_exact(ray_session):
     assert truth <= got  # every planted dup found (cos ~ 1 > 0.95)
 
 
+def test_embedding_dups_scale_gate(ray_session):
+    """The exact all-pairs join refuses to launch above max_rows, and the
+    error names the sub-quadratic alternatives (verdict r3 item 5)."""
+    from name_matching_ray.stages.annsearch import embedding_cosine_dups
+
+    ds, _ = _planted_dup_ds()
+    with pytest.raises(ValueError) as exc:
+        embedding_cosine_dups(ds, threshold=0.95, max_rows=10)
+    msg = str(exc.value)
+    assert "ivf_cosine_dups" in msg and "srp_lsh_pairs" in msg
+    # a deliberate audit with max_rows raised still runs
+    out = embedding_cosine_dups(ds, threshold=0.95,
+                                max_rows=10_000).to_pandas()
+    assert len(out) > 0
+
+
 def test_ivf_cosine_dups_recall_on_planted(ray_session):
     """Bucketed (within-partition) near-dup recovers planted duplicates."""
     from name_matching_ray.stages.annsearch import (
@@ -344,6 +360,76 @@ def test_cluster_hybrid_paths_agree(ray_session):
             .sort_values("doc_id").reset_index(drop=True)
         assert got["cluster_id"].dtype.kind == "i"
         assert got["cluster_id"].tolist() == [9, 9, 9, 12]
+
+
+def test_read_docs_branches(ray_session, tmp_path):
+    """read_docs exercises whichever IO branch the environment offers
+    (native Lance when importable, parquet stand-in otherwise) and yields
+    the identical schema either way."""
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.schema import DOCS_SCHEMA
+    from name_matching_ray.sources.docs_source import (
+        HAS_LANCE,
+        _is_lance_path,
+        read_docs,
+    )
+
+    t = pa.table({
+        "doc_id": ["d000000001"],
+        "spans": [[{"kind": "text", "text": "hello world",
+                    "media_ref": "", "offset": 0}]],
+    }, schema=DOCS_SCHEMA)
+    pq_path = str(tmp_path / "docs.parquet")
+    pq.write_table(t, pq_path)
+    ds_pq = read_docs(pq_path)
+    assert ds_pq.schema().names == ["doc_id", "spans"]
+    assert ds_pq.count() == 1
+
+    if HAS_LANCE:  # production branch: identical schema from Lance
+        import lance
+
+        lance_path = str(tmp_path / "docs.lance")
+        lance.write_dataset(t, lance_path)
+        assert _is_lance_path(lance_path)
+        ds_ln = read_docs(lance_path)
+        assert ds_ln.schema().names == ds_pq.schema().names
+        assert ds_ln.take_all() == ds_pq.take_all()
+    else:  # offline: the probe must route a .lance path to parquet safely
+        assert _is_lance_path("x.lance")  # detection logic itself is live
+
+
+def test_closure_numpy_equals_dict_reference():
+    """The vectorized numpy closure (pointer-doubling min-label) returns the
+    exact {node: component-min} mapping of the scalar union-find it replaced,
+    on random multi-component graphs with both int and string ids."""
+    from name_matching_ray.stages.cluster import (
+        _closure_dict_reference,
+        _closure_numpy,
+    )
+
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        n = 4_000
+        comp_of = rng.integers(0, 900, size=n)
+        idx_by_comp: dict = {}
+        lefts, rights = [], []
+        for i in range(n):
+            ms = idx_by_comp.setdefault(comp_of[i], [])
+            if ms:  # random prior member: arbitrary topology, cycles incl.
+                lefts.append(int(ms[rng.integers(0, len(ms))]))
+                rights.append(i)
+                if rng.random() < 0.3:  # extra edge -> cycles
+                    lefts.append(int(ms[0]))
+                    rights.append(i)
+            ms.append(i)
+        li, ri = np.array(lefts, np.int64), np.array(rights, np.int64)
+        assert _closure_numpy(li, ri) == _closure_dict_reference(
+            li.tolist(), ri.tolist())
+        ls = np.array([f"n{x:06d}" for x in lefts], object)
+        rs = np.array([f"n{x:06d}" for x in rights], object)
+        assert _closure_numpy(ls, rs) == _closure_dict_reference(
+            ls.tolist(), rs.tolist())
 
 
 def test_cluster_distributed_path_at_size(ray_session):
