@@ -196,13 +196,14 @@ def _cross_dedup(sf_dir: str):
     """Cross-corpus exact dedup: docs whose text hash appears in the
     stand-in 'already ingested' corpus (every 7th doc — same deterministic
     slice idiom as _decontaminate's probe) are flagged keep=0; output is
-    (doc_id, keep) over ALL docs.  Graded on the broadcast plan (the ref
-    side is small by construction); the bucketed anti-join plan is
+    (doc_id, keep) over ALL docs.  Graded on the BUCKETED anti-join plan
+    (broadcast=False — the web-scale-ref configuration, one hash-bucket
+    shuffle, nothing on the driver); bucketed == broadcast is
     equality-tested in tests/test_curation.py."""
     from name_matching_ray.stages.curation import cross_dedup
 
     docs = _read_docs(sf_dir)
-    return cross_dedup(docs, _ref_slice(docs))
+    return cross_dedup(docs, _ref_slice(docs), broadcast=False)
 
 
 def _cross_near_dedup(sf_dir: str):
@@ -479,10 +480,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": _shuffle_shards,
         "length_quantiles": lambda sf: textstats.length_quantiles(
             _read_docs(sf)),
+        # pmi/tfidf are GRADED on their open-vocabulary bucket-join plans
+        # (broadcast=False — the 100-TB configuration, nothing on the
+        # driver); join == broadcast is pytest equality-tested
         "pmi_bigrams": lambda sf: textstats.pmi_bigrams(
-            _read_docs(sf), k=20, min_count=5),
+            _read_docs(sf), k=20, min_count=5, broadcast=False),
         "tfidf_topk": lambda sf: textstats.tfidf_topk(
-            _read_docs(sf), k=3, min_df=2),
+            _read_docs(sf), k=3, min_df=2, broadcast=False),
         "inverted_index": lambda sf: textstats.inverted_index(
             _read_docs(sf), cap=32, min_df=2),
         "repetition_stats": lambda sf: textstats.repetition_stats(

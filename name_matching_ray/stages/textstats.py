@@ -580,17 +580,32 @@ def bigram_counts(docs_ds, *, text_col: str = "text"):
 
 
 def pmi_bigrams(docs_ds, *, k: int = 20, min_count: int = 5,
-                text_col: str = "text"):
+                text_col: str = "text", broadcast: bool | None = None,
+                broadcast_threshold: int = 2_000_000):
     """Top-``k`` collocations by a PMI-proportional score in EXACT integer
     arithmetic: ``score_ppm = (c_xy² · 10⁶) // (c_x · c_y)`` (monotone in
     pointwise mutual information for a fixed corpus size; the 10⁶ scale
     keeps ties honest and the // floor is reproducible in SQL HUGEINT
     math — no float log anywhere, so the oracle hash matches exactly).
 
-    Word counts above ``min_count`` are collected to a driver dict and
-    broadcast (bounded by the filtered vocabulary — Zipf keeps this small;
-    the bigram table itself never materializes beyond the ``min_count``
-    filter).  Top-k = per-block local top-k then one tiny merge, ordered by
+    Two plans, equal outputs (tested):
+
+    - ``broadcast=True``: word counts above ``min_count`` are collected to
+      a driver dict and ``ray.put`` once — fine while the filtered
+      vocabulary is genuinely small (an English corpus, a high
+      ``min_count``).
+    - ``broadcast=False``: the open-vocabulary plan — NOTHING returns to
+      the driver.  Bigram partials meet the word-count table in a coarse
+      w1-hash bucket join (attach ``c_x``), then a w2-hash bucket join
+      (attach ``c_y``, score, local top-k per bucket), then one tiny merge
+      — the same two-sided-bucket idiom as ``tfidf_topk(broadcast=False)``
+      / ``dedup._minhash_lean``.  At 100 TB a count>=5 web vocabulary is
+      10⁸+ words; this plan is the scale configuration.
+
+    ``broadcast=None`` (default) auto-gates: broadcast only while the
+    filtered vocabulary stays under ``broadcast_threshold`` rows.
+
+    Top-k = per-block local top-k then one tiny merge, ordered by
     (score desc, c_xy desc, w1, w2) — a deterministic total order, so the
     result SET is stable under any partitioning.
     """
@@ -598,9 +613,14 @@ def pmi_bigrams(docs_ds, *, k: int = 20, min_count: int = 5,
 
     import ray
 
-    wc = {w: int(c) for w, c in
-          word_counts(docs_ds, text_col=text_col, min_count=min_count)
-          .to_pandas().itertuples(index=False)}
+    wc_ds = word_counts(docs_ds, text_col=text_col, min_count=min_count)
+    if broadcast is None:
+        broadcast = wc_ds.count() <= broadcast_threshold
+    if not broadcast:
+        return _pmi_bigrams_join(docs_ds, wc_ds, k=k, min_count=min_count,
+                                 text_col=text_col)
+
+    wc = {w: int(c) for w, c in wc_ds.to_pandas().itertuples(index=False)}
     wc_ref = ray.put(wc)
 
     bc = bigram_counts(docs_ds, text_col=text_col) \
@@ -637,6 +657,109 @@ def pmi_bigrams(docs_ds, *, k: int = 20, min_count: int = 5,
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return bc.map_batches(score, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pandas")
+
+
+def _pmi_bigrams_join(docs_ds, wc_ds, *, k: int, min_count: int,
+                      text_col: str, n_buckets: int = 256):
+    """Open-vocabulary PMI plan: two coarse bucket joins (hash(w1) then
+    hash(w2)) attach the word counts to the ``min_count``-filtered bigram
+    table with no driver-side vocabulary.  Bucket keys are
+    ``pd.util.hash_pandas_object`` (process-stable fixed-key siphash — the
+    same choice as ``_tfidf_topk_join``).  Scores use Python ints (the
+    broadcast plan's arbitrary-precision semantics — ``c_xy²·10⁶``
+    overflows int64 once c_xy > ~3M, exactly the regime this plan is for).
+    The second bucket pass also takes the per-bucket local top-k, so at
+    most ``k · n_buckets`` rows reach the final single-block merge."""
+    import numpy as np
+    import pandas as pd
+
+    def _wb(s: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        return (h % n_buckets).astype(np.int64)
+
+    bc = bigram_counts(docs_ds, text_col=text_col) \
+        .filter(expr=f"c_xy >= {min_count}")
+
+    def _str(s) -> pa.Array:
+        return pa.array(np.asarray(s, dtype=object), pa.string())
+
+    def _i64(s, *, nullable: bool = False) -> pa.Array:
+        if nullable:
+            return pa.array(pd.array(s, dtype="Int64"), pa.int64())
+        return pa.array(np.asarray(s).astype("int64"), pa.int64())
+
+    def _tag_bigrams(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "w1": _str(df["w1"]), "w2": _str(df["w2"]),
+            "c_xy": _i64(df["c_xy"]),
+            "c_x": pa.nulls(len(df), pa.int64()),
+            "cnt": pa.nulls(len(df), pa.int64()),
+            "_b": _i64(_wb(df["w1"])),
+        })
+
+    def _tag_words(df: pd.DataFrame) -> pa.Table:
+        # word rows (c_xy null) become the bucket-local count index; they
+        # carry the word in BOTH w1 and w2 so the same row serves either
+        # join side, and bucket on the word itself
+        n = len(df)
+        return pa.table({
+            "w1": _str(df["word"]), "w2": _str(df["word"]),
+            "c_xy": pa.nulls(n, pa.int64()),
+            "c_x": pa.nulls(n, pa.int64()),
+            "cnt": _i64(df["n"]),
+            "_b": _i64(_wb(df["word"])),
+        })
+
+    def _attach(g: pd.DataFrame, col: str, out_cx) -> pd.DataFrame:
+        # missing words count 0, mirroring the broadcast plan's
+        # wcd.get(w, 0) (dead in practice: c_x >= c_xy >= min_count)
+        dic = g.loc[g["c_xy"].isna()].drop_duplicates("w1") \
+               .set_index("w1")["cnt"]
+        big = g.loc[g["c_xy"].notna()].copy()
+        big[out_cx] = big[col].map(dic).fillna(0).astype("int64")
+        return big
+
+    # pass 1: attach c_x on hash(w1) buckets.  union sums block counts —
+    # repartition before the groupby sort (see CLAUDE.md perf lessons)
+    def attach_cx(g: pd.DataFrame) -> pa.Table:
+        big = _attach(g, "w1", "c_x")
+        return pa.table({
+            "w1": _str(big["w1"]), "w2": _str(big["w2"]),
+            "c_xy": _i64(big["c_xy"]), "c_x": _i64(big["c_x"]),
+            "cnt": pa.nulls(len(big), pa.int64()),
+            "_b": _i64(_wb(big["w2"])),   # re-bucket for pass 2
+        })
+
+    withx = bc.map_batches(_tag_bigrams, batch_format="pandas") \
+        .union(wc_ds.map_batches(_tag_words, batch_format="pandas")) \
+        .repartition(32) \
+        .groupby("_b").map_groups(attach_cx, batch_format="pandas")
+
+    # pass 2: attach c_y on hash(w2) buckets, score, local top-k per bucket
+    def score_topk(g: pd.DataFrame) -> pa.Table:
+        t = _attach(g, "w2", "c_y")
+        score = [(int(n) * int(n) * 1_000_000) // (int(a) * int(b))
+                 if a and b else 0
+                 for n, a, b in zip(t["c_xy"], t["c_x"], t["c_y"])]
+        t = t.assign(score_ppm=pd.array(score, dtype="int64"))
+        t = t.sort_values(["score_ppm", "c_xy", "w1", "w2"],
+                          ascending=[False, False, True, True]).head(k)
+        return pa.table({
+            "w1": _str(t["w1"]), "w2": _str(t["w2"]),
+            "c_xy": _i64(t["c_xy"]), "c_x": _i64(t["c_x"]),
+            "c_y": _i64(t["c_y"]), "score_ppm": _i64(t["score_ppm"]),
+        })
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["score_ppm", "c_xy", "w1", "w2"],
+                            ascending=[False, False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return withx \
+        .union(wc_ds.map_batches(_tag_words, batch_format="pandas")) \
+        .repartition(32) \
+        .groupby("_b").map_groups(score_topk, batch_format="pandas") \
         .repartition(1).map_batches(merge, batch_format="pandas")
 
 

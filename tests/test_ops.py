@@ -760,6 +760,35 @@ def test_pmi_bigrams_planted_collocation(ray_session):
     assert got.equals(again)
 
 
+def test_pmi_bigrams_join_plan_equals_broadcast(ray_session):
+    """The open-vocabulary bucket-join plan (broadcast=False — no driver
+    vocabulary dict) must produce exactly the broadcast plan's rows."""
+    import pandas as pd
+    import ray.data
+
+    from name_matching_ray.stages.textstats import pmi_bigrams
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(150)]
+    for i in range(0, 150, 4):
+        texts[i] += " san francisco"   # planted collocation
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(150), "text": texts})).repartition(7)
+
+    cols = ["w1", "w2", "c_xy", "c_x", "c_y", "score_ppm"]
+    bcast = pmi_bigrams(ds, k=15, min_count=3,
+                        broadcast=True).to_pandas()[cols]
+    joined = pmi_bigrams(ds, k=15, min_count=3,
+                         broadcast=False).to_pandas()[cols]
+    pd.testing.assert_frame_equal(bcast.reset_index(drop=True),
+                                  joined.reset_index(drop=True))
+    # auto gate: a tiny vocabulary picks the broadcast plan and still agrees
+    auto = pmi_bigrams(ds, k=15, min_count=3).to_pandas()[cols]
+    pd.testing.assert_frame_equal(bcast.reset_index(drop=True),
+                                  auto.reset_index(drop=True))
+
+
 def test_cluster_stats_planted_clusters_and_tiebreak(ray_session):
     import ray.data
 
