@@ -91,9 +91,34 @@ def _lang_id(sf_dir: str):
 
 
 def _winnow(sf_dir: str):
+    """Winnowing fingerprints with the HASHES THEMSELVES on the compared
+    surface: each selected k-gram min-hash becomes one (doc_id, pos,
+    fp_hash) row (pos = 0-based index in the deduped fingerprint list).
+    Docs shorter than k tokens have an empty fingerprint and contribute no
+    rows — the SQL unnest does the same."""
+    import numpy as np
+
     ds = _read_docs(sf_dir)
-    return ds.map_batches(textstats.RollingFingerprint, batch_format="pyarrow",
-                          concurrency=(1, 4)).select_columns(["doc_id", "fp_len"])
+    fp = ds.map_batches(textstats.RollingFingerprint,
+                        batch_format="pyarrow", concurrency=(1, 4))
+
+    def explode(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        lst = batch.column("winnow_fp").combine_chunks()
+        offsets = lst.offsets.to_numpy(zero_copy_only=False)
+        lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.arange(int(lengths.sum()), dtype=np.int64) - \
+            np.repeat(offsets[:-1].astype(np.int64), lengths)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lengths), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "fp_hash": lst.values,
+        })
+
+    return fp.map_batches(explode, batch_format="pyarrow")
 
 
 def _quality_filter(sf_dir: str):
@@ -1532,13 +1557,14 @@ def _oracle_sql_base() -> dict[str, str]:
                        ELSE [list_min(hs[i:i+3])
                              FOR i IN range(1, greatest(1, len(hs) - 3) + 1)]
                        END AS mins
-                FROM h)
-            SELECT doc_id,
-                   CAST(CASE WHEN len(mins) = 0 THEN 0
-                        ELSE len([i FOR i IN range(1, len(mins) + 1)
-                                  IF i = 1 OR mins[i] <> mins[i-1]])
-                        END AS BIGINT) AS fp_len
-            FROM m
+                FROM h),
+            fp AS (
+                SELECT doc_id,
+                       [mins[i] FOR i IN range(1, len(mins) + 1)
+                        IF i = 1 OR mins[i] <> mins[i-1]] AS fps
+                FROM m)
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos, fps[u.i + 1] AS fp_hash
+            FROM fp, unnest(range(0, len(fps))) AS u(i)
         """,
         "embedding_dups": """
             SELECT a.vec_id AS left_id, b.vec_id AS right_id
