@@ -305,20 +305,39 @@ class _ScorePrepaired:
                 cache[raw] = self.norm.preprocess(raw, remove_people=True)
             return cache[raw]
 
-        keep, codes = [], []
+        import numpy as np
+
+        from ..stages.blocking import _vector_precascade
+
+        # no token-set gate here: match_pair.py:31-35's do() calls
+        # match() directly with no cutoff (the >50 gate exists only in
+        # the matcher.py unpacking path) — a low-overlap pair the
+        # cascade accepts (rule 16 matchit, rule 21 location) must
+        # still be emitted.  BECAUSE there is no gate, arbitrary pairs
+        # hit the cheap Part-0/Part-1 early-outs constantly (-23 word
+        # deltas, NA-empty) — the vectorized pre-pass settles those in
+        # numpy and match() runs only on the remainder
+        rows, pl, gi, gj = [], [], [], []
         for i in range(len(names_a)):
             a, b = pre(names_a[i]), pre(names_b[i])
             if not a or not b:
                 continue
-            # no token-set gate here: match_pair.py:31-35's do() calls
-            # match() directly with no cutoff (the >50 gate exists only in
-            # the matcher.py unpacking path) — a low-overlap pair the
-            # cascade accepts (rule 16 matchit, rule 21 location) must
-            # still be emitted
-            code = self.matcher.match(a, b)
-            if code > 0:
-                keep.append(i)
-                codes.append(int(code))
+            gi.append(len(pl))
+            pl.append(a)
+            gj.append(len(pl))
+            pl.append(b)
+            rows.append(i)
+        keep, codes = [], []
+        if rows:
+            gi = np.asarray(gi, np.int64)
+            gj = np.asarray(gj, np.int64)
+            fast, scalar = _vector_precascade(self.matcher, pl, gi, gj)
+            for t, i in enumerate(rows):
+                code = (self.matcher.match(pl[gi[t]], pl[gj[t]])
+                        if scalar[t] else int(fast[t]))
+                if code > 0:
+                    keep.append(i)
+                    codes.append(int(code))
         take = pa.array(keep, pa.int64())
         return pa.Table.from_arrays(
             [batch.column("name_a").take(take),

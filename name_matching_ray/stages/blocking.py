@@ -306,6 +306,78 @@ def _encode_name(s: str):
     return got
 
 
+def _vector_precascade(matcher, pre: list, gi: np.ndarray, gj: np.ndarray):
+    """Vectorized evaluation of the cascade's cheap Part-0/Part-1
+    preconditions over gate-passing pairs (matcher.py:139-181 semantics,
+    see rules.Matcher.match) — the codes that need NO per-pair alignment:
+
+    - rule 16 sentinel: both sides contain ``matchit`` → scalar (rare);
+    - ``-23``: query word count exceeds base word count by > 5;
+    - ``-1`` / ``-2``: one side is NA-empty;
+    - both sides carry a location → scalar (rule 21/-22 needs a ratio);
+    - rule 1a: space-stripped equality with ``len(a) > 8`` → 1
+      (equality falls through at ``len(a) <= 8`` — those stay scalar);
+    - rule 1b triggers (sorted-join or sorted-char equality) → scalar
+      (its body can return 1, -21 or fall through);
+    - ``-3``: banned institution word on the query side.
+
+    Per-NAME state comes from the memoized ``_name_pre`` (built once per
+    distinct row actually present in a gate-passing pair); string
+    equalities become integer code compares via one ``pd.factorize`` per
+    field.  Returns ``(codes, scalar_mask)``: ``codes[t]`` is the decided
+    cascade code where ``scalar_mask[t]`` is False; pairs with
+    ``scalar_mask[t]`` True must run the full ``match()``.  Equivalence
+    with the scalar cascade is differential-tested
+    (test_vector_precascade_matches_cascade) and implied end-to-end by
+    the fused == two-stage equality test (the two-stage path scores every
+    pair through ``match()`` alone).
+    """
+    urows = np.unique(np.concatenate([gi, gj]))
+    pres = [matcher._name_pre(pre[r]) for r in urows]
+    nu = len(urows)
+    mt = np.fromiter(("matchit" in pre[r] for r in urows), bool, nu)
+    wc = np.fromiter((len(p.words) for p in pres), np.int64, nu)
+    na = np.fromiter((p.na_empty for p in pres), bool, nu)
+    loc = np.fromiter((p.has_loc for p in pres), bool, nu)
+    ban = np.fromiter((p.ban for p in pres), bool, nu)
+    len8 = np.fromiter((len(pre[r]) > 8 for r in urows), bool, nu)
+    ns_c = pd.factorize(np.array([p.nospace for p in pres], object))[0]
+    sj_c = pd.factorize(np.array([p.sj for p in pres], object))[0]
+    sc_c = pd.factorize(np.array([p.sorted_c for p in pres], object))[0]
+
+    ai = np.searchsorted(urows, gi)
+    bi = np.searchsorted(urows, gj)
+
+    codes = np.zeros(len(gi), np.int32)
+    scalar = mt[ai] & mt[bi]
+    dec = scalar.copy()
+    m = ~dec & (wc[ai] - wc[bi] > 5)
+    codes[m] = -23
+    dec |= m
+    m = ~dec & na[ai]
+    codes[m] = -1
+    dec |= m
+    m = ~dec & na[bi]
+    codes[m] = -2
+    dec |= m
+    m = ~dec & loc[ai] & loc[bi]
+    scalar |= m
+    dec |= m
+    ns_eq = ns_c[ai] == ns_c[bi]
+    m = ~dec & ns_eq & len8[ai]
+    codes[m] = 1
+    dec |= m
+    # 1b triggers — or a 1a equality that fell through without returning
+    m = ~dec & ((sj_c[ai] == sj_c[bi]) | (sc_c[ai] == sc_c[bi]) | ns_eq)
+    scalar |= m
+    dec |= m
+    m = ~dec & ban[ai]
+    codes[m] = -3
+    dec |= m
+    scalar |= ~dec  # remainder: the alignment loop / deep rules
+    return codes, scalar
+
+
 def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
                          dropped_first: frozenset = frozenset()) -> pa.Table:
     """Fused emit+score for one coarse bucket of pair-blocks.
@@ -332,7 +404,7 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
 
     profile = bool(os.environ.get("GRAFT_SCORE_PROFILE"))
     t_prep = t_gate = t_casc = 0.0
-    n_gate_pass = n_ambig = 0
+    n_gate_pass = n_ambig = n_fast = 0
 
     matcher = get_matcher()
     match = matcher.match
@@ -429,22 +501,31 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
             n_gate_pass += int(gate_pass.sum())
             _tc = _time.perf_counter()
 
-        # --- cascade only for gate-passing pairs ---
-        for t in np.nonzero(gate_pass)[0]:
-            i, j = int(iu[t]), int(ju[t])
-            code = int(match(pre[i], pre[j]))
-            if code > 0:
-                out_l.append(ids[i])
-                out_r.append(ids[j])
-                out_k.append(key)
-                out_c.append(code)
-                out_s.append(float(token_sort_ratio(nos[i], nos[j])))
-            elif keep_all:
-                out_l.append(ids[i])
-                out_r.append(ids[j])
-                out_k.append(key)
-                out_c.append(code)
-                out_s.append(0.0)
+        # --- cascade only for gate-passing pairs; the cheap Part-0/Part-1
+        # early-outs are settled vectorized first, so match() runs only on
+        # pairs that need the alignment loop / deep rules ---
+        gp = np.nonzero(gate_pass)[0]
+        if len(gp):
+            gi, gj = iu[gp], ju[gp]
+            fast_codes, scalar_mask = _vector_precascade(matcher, pre,
+                                                         gi, gj)
+            n_fast += int((~scalar_mask).sum())
+            for t in range(len(gp)):
+                i, j = int(gi[t]), int(gj[t])
+                code = (int(match(pre[i], pre[j])) if scalar_mask[t]
+                        else int(fast_codes[t]))
+                if code > 0:
+                    out_l.append(ids[i])
+                    out_r.append(ids[j])
+                    out_k.append(key)
+                    out_c.append(code)
+                    out_s.append(float(token_sort_ratio(nos[i], nos[j])))
+                elif keep_all:
+                    out_l.append(ids[i])
+                    out_r.append(ids[j])
+                    out_k.append(key)
+                    out_c.append(code)
+                    out_s.append(0.0)
         if keep_all:
             for t in np.nonzero(~gate_pass)[0]:
                 i, j = int(iu[t]), int(ju[t])
@@ -469,6 +550,7 @@ def _score_bucket_groups(g: pd.DataFrame, keep_all: bool, metrics: bool,
                 "prof_cascade_ms": int(t_casc * 1000),
                 "prof_gate_pass": n_gate_pass,
                 "prof_gate_ambig": n_ambig,
+                "prof_fast_decided": n_fast,
             })
         add_sync(counters)
     return pa.table({

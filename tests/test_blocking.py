@@ -182,3 +182,47 @@ def test_secondary_pass_recovers_dropped_first_key_pairs(ray_session):
     assert expected, "fixture must produce recoverable pairs"
     missing = expected - pairs
     assert not missing, f"{len(missing)} recoverable pairs lost"
+
+
+def test_vector_precascade_matches_cascade():
+    """Every pair the vectorized Part-0/Part-1 pre-pass DECIDES must carry
+    exactly the code the scalar cascade returns; undecided pairs are merely
+    routed to match(), so completeness needs no separate check.  The name
+    set hits every class: matchit sentinels, >5 word-count deltas, NA-empty
+    names, location pairs, space-stripped equality (both len>8 and the
+    len<=8 fall-through), sorted-join/sorted-char equality, banned words,
+    plus ordinary near-duplicates."""
+    import numpy as np
+
+    from name_matching_ray.functions.rules import get_matcher
+    from name_matching_ray.stages.blocking import _vector_precascade
+
+    matcher = get_matcher()
+    names = [
+        "acme matchit gold", "acme matchit silver", "zeta matchit gold",
+        "alpha beta gamma delta epsilon zeta eta theta inc", "alpha inc",
+        "north america", "international holdings", "acme inc",
+        "acme new york inc", "acme california inc",
+        "general dynamics corp", "generaldynamics corp",
+        "general dynamics  corp", "ab cd", "abcd", "a bc d",
+        "delta gamma inc", "gamma delta inc",
+        "university acme research", "acme university research",
+        "acme holdings inc", "acme holding inc", "na", "",
+        "blue river mining co", "blue river mining company",
+        "red stone energy inc", "redstone energy inc",
+    ]
+    n = len(names)
+    gi, gj = np.triu_indices(n, 1)
+    # both orientations: the cascade is asymmetric (-23, -1/-2, ban side)
+    gi2 = np.concatenate([gi, gj]).astype(np.int64)
+    gj2 = np.concatenate([gj, gi]).astype(np.int64)
+    codes, scalar = _vector_precascade(matcher, names, gi2, gj2)
+    decided = np.nonzero(~scalar)[0]
+    assert len(decided) > 20, "fixture must exercise the fast classes"
+    seen = set()
+    for t in decided:
+        a, b = names[gi2[t]], names[gj2[t]]
+        assert codes[t] == matcher.match(a, b), (a, b, codes[t])
+        seen.add(int(codes[t]))
+    # every vectorizable class fires at least once
+    assert {-23, -1, -2, 1, -3} <= seen, seen
