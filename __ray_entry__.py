@@ -231,6 +231,17 @@ def _cross_dedup(sf_dir: str):
     return cross_dedup(docs, _ref_slice(docs), broadcast=False)
 
 
+def _bloom_dedup(sf_dir: str):
+    """BFF-style Bloom-filter decontamination: the every-7th-doc reference
+    slice is compressed into a 2^20-bit / 4-hash filter; keep=0 iff all
+    probe bits hit.  Deterministic false positives included — the oracle
+    reproduces the filter bit-for-bit in SQL."""
+    from name_matching_ray.stages.curation import bloom_cross_dedup
+
+    docs = _read_docs(sf_dir)
+    return bloom_cross_dedup(docs, _ref_slice(docs), m_bits=1 << 20, k=4)
+
+
 def _cross_near_dedup(sf_dir: str):
     """Fuzzy decontamination: best exact-Jaccard 3-gram match per doc
     against the every-7th-doc reference slice (tau 10%, stop-shingle
@@ -498,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_mix": _sample_mix,
         "decontaminate": _decontaminate,
         "cross_dedup": _cross_dedup,
+        "bloom_dedup": _bloom_dedup,
         "cross_near_dedup": _cross_near_dedup,
         "split_by_cluster": _split_by_cluster,
         "redact_pii": _redact_pii,
@@ -1142,6 +1154,31 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(r.h IS NULL AS BIGINT) AS keep
             FROM d LEFT JOIN ref r ON r.h = d.h
+        """,
+        "bloom_dedup": """
+            WITH seeds AS (SELECT unnest(range(0, 4)) AS s),
+            rp AS (
+                SELECT DISTINCT
+                       CAST(md5_number_lower(r.text || '#' || s) % 1048576
+                            AS BIGINT) AS pos
+                FROM documents r CROSS JOIN seeds
+                WHERE r.doc_id % 7 = 0 AND r.text IS NOT NULL),
+            dp AS (
+                SELECT d.doc_id,
+                       CAST(md5_number_lower(d.text || '#' || s) % 1048576
+                            AS BIGINT) AS pos
+                FROM documents d CROSS JOIN seeds
+                WHERE d.text IS NOT NULL),
+            hits AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN pos IN (SELECT pos FROM rp)
+                           THEN 1 ELSE 0 END) AS nhit,
+                       COUNT(*) AS ntot
+                FROM dp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(CASE WHEN h.nhit = h.ntot THEN 0 ELSE 1 END
+                        AS BIGINT) AS keep
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         """,
         "shuffle_shards": """
             WITH h AS (

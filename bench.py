@@ -106,7 +106,7 @@ BENCH_QUERIES = [
     "redact_pii", "pack_sequences", "length_quantiles", "pmi_bigrams",
     "shuffle_shards", "chunk_docs", "segment_dedup", "tfidf_topk",
     "inverted_index", "substring_dedup", "repetition_stats",
-    "cross_dedup", "cluster_stats", "unigram_bits", "search_topk",
+    "cross_dedup", "bloom_dedup", "cluster_stats", "unigram_bits", "search_topk",
     "cross_near_dedup", "split_by_cluster", "range_join_windows",
     "semantic_keep_list",
 ]

@@ -430,3 +430,79 @@ def split_by_cluster(cc_ds, *, train_bp: int = 9000, id_col: str = "doc_id",
         })
 
     return cc_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def bloom_cross_dedup(docs_ds, ref_ds, *, m_bits: int = 1 << 20, k: int = 4,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Bloom-filter cross-corpus dedup — the BFF idiom (Dolma's Bloom
+    Filter deduper; Bloom 1970): membership of an arbitrarily large
+    reference corpus compressed into a FIXED ``m_bits``-bit filter.  A doc
+    is flagged ``keep=0`` iff ALL ``k`` of its probe bits are set —
+    deterministic false positives at a rate ≈ (set_bits/m)^k, chosen via
+    ``m_bits``/``k``, never false negatives.
+
+    Why this exists next to :func:`cross_dedup`: the exact anti-join ships
+    every reference hash (8 B/doc — 8 TB of filter state for a 10¹²-doc
+    crawl); the Bloom filter's memory is ``m_bits/8`` bytes REGARDLESS of
+    reference size, making it the configuration for "have we ever crawled
+    this page" ledgers.  Probe bit ``i`` of a text is
+    ``md5_low64(text + '#' + str(i)) % m_bits`` (== DuckDB
+    ``md5_number_lower(text || '#' || i)``), so the whole operator —
+    including its false positives — is exactly reproducible in the SQL
+    oracle.
+
+    Plan: the reference side emits per-batch DISTINCT positions, one lean
+    groupby dedups them (≤ k·rows int64 through the exchange), and the
+    driver materializes only the ≤ ``m_bits`` distinct positions into a
+    packed bitmap (``m_bits/8`` bytes — bounded by the FILTER size, the
+    Bloom property, not by the data) broadcast via ``ray.put``.  Probing
+    is map-only.  NULL text: a ref NULL sets no bits, a doc NULL is kept
+    (SQL join semantics, same as cross_dedup).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    def _positions(texts: list) -> list:
+        # k probe positions per non-null text, row-aligned
+        return [None if t is None else
+                [_md5_low64(f"{t}#{s}") % m_bits for s in range(k)]
+                for t in texts]
+
+    def ref_pos(batch: pa.Table) -> pa.Table:
+        pos = [p for ps in _positions(batch.column(text_col).to_pylist())
+               if ps is not None for p in ps]
+        return pa.table({"pos": pa.array(np.unique(np.asarray(
+            pos, dtype=np.int64)) if pos else [], pa.int64())})
+
+    distinct = ref_ds.select_columns([text_col]) \
+        .map_batches(ref_pos, batch_format="pyarrow") \
+        .groupby("pos").aggregate(Count())
+    bitmap = np.zeros(m_bits >> 3, np.uint8)
+    pos_arr = distinct.select_columns(["pos"]).to_pandas()["pos"] \
+        .to_numpy(dtype=np.int64)
+    np.bitwise_or.at(bitmap, pos_arr >> 3,
+                     np.left_shift(np.uint8(1), (pos_arr & 7).astype(np.uint8)))
+    bm_ref = ray.put(bitmap)
+
+    class Probe:
+        def __init__(self):
+            self.bm = ray.get(bm_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = []
+            bm = self.bm
+            for ps in _positions(batch.column(text_col).to_pylist()):
+                if ps is None:
+                    keep.append(1)
+                else:
+                    keep.append(0 if all(
+                        (bm[p >> 3] >> (p & 7)) & 1 for p in ps) else 1)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "keep": pa.array(keep, pa.int64()),
+            })
+
+    from ..util import default_pool
+
+    return docs_ds.map_batches(Probe, batch_format="pyarrow",
+                               concurrency=default_pool())

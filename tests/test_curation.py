@@ -327,3 +327,42 @@ def test_cross_dedup_null_text_and_string_ids(ray_session):
     for bc in (True, False):
         got = cross_dedup(dm, dr, broadcast=bc, id_col="doc_id").to_pandas()
         assert dict(zip(got["doc_id"], got["keep"])) == want, bc
+
+
+def test_bloom_cross_dedup_membership_and_false_positives(ray_session):
+    """Bloom semantics: every true ref member is flagged keep=0 (no false
+    negatives); with a deliberately tiny filter, some NON-members collide
+    on all k bits — deterministic false positives, the Bloom trade-off;
+    with a roomy filter the flags equal exact cross_dedup membership."""
+    import pandas as pd
+    import ray.data
+
+    from name_matching_ray.stages.curation import bloom_cross_dedup, cross_dedup
+
+    texts = [f"document body number {i}" for i in range(400)] + [None]
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(401), "text": texts})).repartition(5)
+    ref = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(100), "text": [f"document body number {i}"
+                                        for i in range(0, 200, 2)]}))
+
+    roomy = bloom_cross_dedup(docs, ref, m_bits=1 << 18, k=4).to_pandas() \
+        .set_index("doc_id")["keep"]
+    exact = cross_dedup(docs, ref).to_pandas().set_index("doc_id")["keep"]
+    # members: never kept (no false negatives), in both operators
+    members = [i for i in range(0, 200, 2)]
+    assert (roomy.loc[members] == 0).all()
+    # a roomy filter has no false positives here: equal to the exact join
+    pd.testing.assert_series_equal(roomy.sort_index(), exact.sort_index())
+    assert roomy.loc[401 - 1] == 1  # null text is kept
+
+    tiny = bloom_cross_dedup(docs, ref, m_bits=64, k=2).to_pandas() \
+        .set_index("doc_id")["keep"]
+    assert (tiny.loc[members] == 0).all()          # still no false negatives
+    nonmembers = [i for i in range(201, 400)]
+    assert (tiny.loc[nonmembers] == 0).any(), \
+        "a 64-bit filter over 100 texts must produce false positives"
+    # determinism: same filter, same flags
+    again = bloom_cross_dedup(docs, ref, m_bits=64, k=2).to_pandas() \
+        .set_index("doc_id")["keep"]
+    pd.testing.assert_series_equal(tiny.sort_index(), again.sort_index())
