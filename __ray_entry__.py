@@ -110,12 +110,16 @@ def _winnow(sf_dir: str):
         offsets = lst.offsets.to_numpy(zero_copy_only=False)
         lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # rebase starts by offsets[0]: a sliced ListArray's offsets are
+        # relative to the underlying buffer, the flattened arange is not
         pos = np.arange(int(lengths.sum()), dtype=np.int64) - \
-            np.repeat(offsets[:-1].astype(np.int64), lengths)
+            np.repeat((offsets[:-1] - offsets[0]).astype(np.int64), lengths)
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, lengths), pa.int64()),
             "pos": pa.array(pos, pa.int64()),
-            "fp_hash": lst.values,
+            # flatten() honors a sliced ListArray's offset; .values would
+            # return the whole underlying buffer and misalign
+            "fp_hash": lst.flatten(),
         })
 
     return fp.map_batches(explode, batch_format="pyarrow")
