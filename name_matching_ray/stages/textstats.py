@@ -303,8 +303,13 @@ def tfidf_topk(docs_ds, *, k: int = 3, min_df: int = 1,
 def _tfidf_topk_join(docs_ds, tf_partial, *, k: int, min_df: int,
                      n_docs: int, text_col: str, id_col: str,
                      n_buckets: int = 256):
-    """Open-vocabulary tf·idf plan: bucket join on the token, then a
-    doc-bucket top-k — no driver-side vocabulary.  Bucket keys are
+    """Open-vocabulary tf·idf plan: one token-hash bucket shuffle, then a
+    doc-bucket top-k — no driver-side vocabulary.  ``df`` is computed
+    INSIDE the token bucket from the tf rows themselves: the (doc, token)
+    rows are globally unique (a doc never straddles batches) and every row
+    for a token hashes to the same bucket, so the in-bucket per-token row
+    count IS the exact document frequency — no separate ``doc_freq`` scan,
+    no union, one less corpus pass and one less shuffle.  Bucket keys are
     ``pd.util.hash_pandas_object`` (process-stable fixed-key siphash, the
     same choice as dedup._minhash_lean's ``_jbucket``)."""
     import numpy as np
@@ -315,36 +320,22 @@ def _tfidf_topk_join(docs_ds, tf_partial, *, k: int, min_df: int,
         return (h % n_buckets).astype(np.int64)
 
     tf_rows = docs_ds.map_batches(tf_partial, batch_format="pyarrow")
-    df_rows = doc_freq(docs_ds, text_col=text_col, min_df=min_df)
 
     def tag_tf(df: pd.DataFrame) -> pa.Table:
         return pa.table({
             id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
             "token": pa.array(df["token"].to_numpy(), pa.string()),
             "tf": pa.array(df["tf"].to_numpy(), pa.int64()),
-            "df": pa.nulls(len(df), pa.int64()),
             "_tb": pa.array(_tb(df["token"]), pa.int64()),
         })
 
-    def tag_df(df: pd.DataFrame) -> pa.Table:
-        return pa.table({
-            id_col: pa.nulls(len(df), pa.int64()),
-            "token": pa.array(df["word"].to_numpy(), pa.string()),
-            "tf": pa.nulls(len(df), pa.int64()),
-            "df": pa.array(df["df"].to_numpy(), pa.int64()),
-            "_tb": pa.array(_tb(df["word"]), pa.int64()),
-        })
-
-    both = tf_rows.map_batches(tag_tf, batch_format="pandas").union(
-        df_rows.map_batches(tag_df, batch_format="pandas"))
+    tagged = tf_rows.map_batches(tag_tf, batch_format="pandas")
 
     def attach_df(g: pd.DataFrame) -> pa.Table:
-        dfr = g.loc[g[id_col].isna(), ["token", "df"]] \
-               .drop_duplicates("token").set_index("token")["df"]
-        tfr = g.loc[g[id_col].notna()]
-        got = tfr["token"].map(dfr)
-        ok = got.notna()
-        tfr = tfr[ok]
+        # exact df: count of (globally unique) (doc, token) rows per token
+        got = g["token"].map(g["token"].value_counts())
+        ok = got >= min_df
+        tfr = g[ok]
         dfv = got[ok].astype("int64")
         score = tfr["tf"].astype("int64").to_numpy() * (
             (n_docs * 10000) // dfv.to_numpy())
@@ -359,7 +350,8 @@ def _tfidf_topk_join(docs_ds, tf_partial, *, k: int, min_df: int,
                             pa.int64()),
         })
 
-    scored = both.groupby("_tb").map_groups(attach_df, batch_format="pandas")
+    scored = tagged.groupby("_tb").map_groups(attach_df,
+                                              batch_format="pandas")
 
     def topk(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([id_col, "score_bp", "token"],
@@ -613,7 +605,13 @@ def pmi_bigrams(docs_ds, *, k: int = 20, min_count: int = 5,
 
     import ray
 
-    wc_ds = word_counts(docs_ds, text_col=text_col, min_count=min_count)
+    # materialize ONCE: wc_ds is consumed 2-3x below (auto-gate count, the
+    # two join-plan unions, or the broadcast collect) and Ray datasets are
+    # lazy — without this the full word_counts scan+shuffle would re-execute
+    # per consumer.  The pinned blocks are O(filtered vocabulary), not
+    # O(corpus), and spill to the object store at scale.
+    wc_ds = word_counts(docs_ds, text_col=text_col,
+                        min_count=min_count).materialize()
     if broadcast is None:
         broadcast = wc_ds.count() <= broadcast_threshold
     if not broadcast:
