@@ -560,6 +560,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _lang_id,
         "winnow_fingerprint": _winnow,
         "media_features": _media,
+        # quality-classifier corpus selection (hashed-linear inference +
+        # exact binned-percentile cutoff).  Oracled, but past the driver's
+        # 50-query window (positions 1-50 are already all oracled):
+        # verified by tools/check_oracle.py + tests/test_ops.py instead.
+        "classifier_select": lambda sf: textstats.classifier_select(
+            _read_docs(sf), keep_bp=3000),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1629,5 +1635,40 @@ def _oracle_sql_base() -> dict[str, str]:
                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
                   FROM s)
             WHERE rn <= 10
+        """,
+        # classifier_select: hashed-linear quality classifier (weight law
+        # w[i] = (i * 2654435761) % 1001 - 500 over md5-low64 % 65536 token
+        # features) + exact binned-percentile cutoff (keep_bp=3000 ->
+        # drop_bp=7000; bin = (score + 2^40) // 64 is non-negative, so //
+        # floors identically in numpy and DuckDB).  UBIGINT care: subtract
+        # the 500 AFTER casting to BIGINT or low weights underflow.
+        "classifier_select": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            t AS (SELECT doc_id, u.t AS w
+                  FROM tok, UNNEST(w) AS u(t) WHERE u.t <> ''),
+            sc AS (
+                SELECT doc_id,
+                       sum(CAST(md5_number_lower(w) % 65536
+                                * 2654435761 % 1001 AS BIGINT) - 500) AS s
+                FROM t GROUP BY 1),
+            scored AS (
+                SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS score
+                FROM documents d LEFT JOIN sc USING (doc_id)),
+            bins AS (
+                SELECT doc_id, score,
+                       (score + (CAST(1 AS BIGINT) << 40)) // 64 AS b
+                FROM scored),
+            hist AS (SELECT b, count(*) AS c FROM bins GROUP BY 1),
+            cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cc FROM hist),
+            cut AS (SELECT min(b) AS cut FROM cum
+                    WHERE cc * 10000 >=
+                          7000 * (SELECT count(*) FROM documents))
+            SELECT doc_id, score,
+                   CAST(CASE WHEN b > (SELECT cut FROM cut)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM bins
         """,
     }

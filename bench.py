@@ -108,7 +108,7 @@ BENCH_QUERIES = [
     "inverted_index", "substring_dedup", "repetition_stats",
     "cross_dedup", "bloom_dedup", "cluster_stats", "unigram_bits", "search_topk",
     "cross_near_dedup", "split_by_cluster", "range_join_windows",
-    "semantic_keep_list",
+    "semantic_keep_list", "classifier_select",
 ]
 
 

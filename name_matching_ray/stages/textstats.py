@@ -1030,3 +1030,119 @@ def search_topk(docs_ds, queries: dict[int, list[str]], *, k: int = 10,
     return docs_ds.map_batches(Score, batch_format="pyarrow",
                                concurrency=default_pool()) \
         .groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# --- quality-classifier corpus selection (DCLM-style) ----------------------
+
+_CLS_OFFSET = 1 << 40  # makes every binned score non-negative, so the
+# bin floor-division is identical in numpy and DuckDB (which truncates
+# toward zero on negatives)
+
+
+class _HashedLinearScorer:
+    """Hashed-linear quality classifier (the fastText-style model-inference
+    shape): ``score(doc) = Σ_token w[md5low64(token) % dim]`` over token
+    OCCURRENCES, with the deterministic integer weight table
+    ``w[i] = (i * 2654435761) % 1001 - 500`` built ONCE per actor in
+    ``__init__`` (the stateful-stage pattern — a trained model's weights
+    would load here instead; this table's law is reproducible in SQL so the
+    whole inference pass is exactly oracled).  Per batch: factorize to
+    DISTINCT tokens, one md5 per distinct token, then a vectorized
+    ``bincount`` gather-sum (exact: |w| <= 500, so int sums stay far below
+    2^53)."""
+
+    def __init__(self, dim: int = 65536, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        i = np.arange(dim, dtype=np.int64)
+        self.w = (i * 2654435761) % 1001 - 500
+        self.dim = dim
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        doc_idx, flat, _ = _explode_tokens(batch, self.text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        mask = toks != ""
+        score = np.zeros(batch.num_rows, dtype=np.int64)
+        if mask.any():
+            codes, uniq = pd.factorize(toks[mask])
+            md5 = hashlib.md5
+            dim = self.dim
+            hu = np.fromiter(
+                (int.from_bytes(md5(t.encode()).digest()[8:16], "little")
+                 % dim for t in uniq),
+                dtype=np.int64, count=len(uniq))
+            wt = self.w[hu]
+            sums = np.bincount(doc_idx[mask],
+                               weights=wt[codes].astype(np.float64),
+                               minlength=batch.num_rows)
+            score = sums.astype(np.int64)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "score": pa.array(score, pa.int64()),
+        })
+
+
+def classifier_select(docs_ds, *, keep_bp: int = 3000, dim: int = 65536,
+                      bin_width: int = 64, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Quality-based corpus selection (the DCLM-style "classifier-score and
+    keep the top p%" pipeline): hashed-linear inference (actor pool,
+    weights in ``__init__``), then an EXACT percentile cutoff from a
+    distributed histogram over SCORE BINS.
+
+    The cutoff law is integer-exact and shared with the SQL oracle:
+    ``bin = (score + 2^40) // bin_width``; ``cut`` = min bin whose
+    ascending cumulative count satisfies ``cum * 10000 >= drop_bp * N``
+    (``drop_bp = 10000 - keep_bp`` — percentile_disc semantics, the
+    length_quantiles rule); ``keep = 1`` iff ``bin > cut``.  Binning is
+    what bounds the driver: raw scores can take ~N distinct values, but
+    the driver sees DISTINCT BINS only (range/bin_width — a knob trading
+    selection granularity for driver state, like length_quantiles'
+    distinct lengths).  The kept fraction is keep_bp/10000 up to one bin
+    of granularity.
+
+    Output: ``(doc_id, score, keep)`` over ALL docs, all int64.
+    """
+    from ray.data.aggregate import Sum
+
+    # consumed twice (histogram + keep attach) — pin the O(N)-row id+score
+    # table once rather than re-running inference per lazy consumer
+    scores = docs_ds.map_batches(
+        _HashedLinearScorer,
+        fn_constructor_kwargs={"dim": dim, "text_col": text_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", concurrency=default_pool(),
+    ).materialize()
+
+    def binpart(t: pa.Table) -> pa.Table:
+        b = (t.column("score").to_numpy(zero_copy_only=False)
+             + _CLS_OFFSET) // bin_width
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(vals, pa.int64()),
+                         "c": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    hist = scores.map_batches(binpart, batch_format="pyarrow") \
+        .groupby("b").aggregate(Sum("c", alias_name="c")) \
+        .sort("b").to_pandas()
+    cum = hist["c"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    drop_bp = 10000 - keep_bp
+    if n:
+        idx = int((cum * 10000 >= drop_bp * n).argmax())
+        cut = int(hist["b"].to_numpy()[idx])
+    else:
+        cut = 0
+
+    def add_keep(t: pa.Table) -> pa.Table:
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        keep = (((s + _CLS_OFFSET) // bin_width) > cut).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "score": t.column("score"),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    return scores.map_batches(add_keep, batch_format="pyarrow")

@@ -954,3 +954,59 @@ def test_semantic_keep_list_clusters_planted_near_dups(ray_session):
     assert keepers.sort_index().equals(mins.sort_index())
     # non-vacuous: the synthetic embeddings contain near-dups
     assert (got["keep"] == 0).sum() > 0
+
+
+def _brute_classifier(texts, keep_bp=3000, dim=65536, bin_width=64):
+    """Pure-python reference of the classifier_select law."""
+    import hashlib
+
+    scores = []
+    for t in texts:
+        s = 0
+        for w in (t or "").lower().split():
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16],
+                               "little") % dim
+            s += (h * 2654435761) % 1001 - 500
+        scores.append(s)
+    n = len(scores)
+    bins = [(s + (1 << 40)) // bin_width for s in scores]
+    hist = sorted(set(bins))
+    drop_bp = 10000 - keep_bp
+    cum = 0
+    cut = hist[0] if hist else 0
+    for b in hist:
+        cum += bins.count(b)
+        if cum * 10000 >= drop_bp * n:
+            cut = b
+            break
+    return scores, [1 if b > cut else 0 for b in bins]
+
+
+def test_classifier_select_matches_bruteforce(ray_session):
+    """Hashed-linear scores and the binned-percentile keep flags equal the
+    scalar reference law, including empty / whitespace-only / null text and
+    under re-partitioning (the cutoff must be a global, not per-block,
+    decision)."""
+    import pandas as pd
+    import ray.data
+
+    from name_matching_ray.stages.textstats import classifier_select
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 30)))
+             for _ in range(400)]
+    texts[5] = ""
+    texts[17] = "   "
+    texts[23] = None
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(400), "text": pd.array(texts, dtype="string")}))
+
+    exp_scores, exp_keep = _brute_classifier(texts)
+    for parts in (3, 11):
+        got = classifier_select(ds.repartition(parts), keep_bp=3000) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got["score"].tolist() == exp_scores
+        assert got["keep"].tolist() == exp_keep
+    # the kept fraction lands within a bin of the requested 30%
+    assert 0.15 <= sum(exp_keep) / len(exp_keep) <= 0.45
