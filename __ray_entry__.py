@@ -22,7 +22,7 @@ from name_matching_ray.pipelines.linkage import (
     self_link_docs,
 )
 from name_matching_ray.sources.docs_source import documents_as_interleaved
-from name_matching_ray.stages import annsearch, chunking, dedup, textstats
+from name_matching_ray.stages import annsearch, chunking, dedup, sketches, textstats
 from name_matching_ray.stages.multimodal import media_features
 
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -46,6 +46,14 @@ def _read_docs(sf_dir: str):
 
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
+
+
+def _hll_registers(sf_dir: str):
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    return sketches.hll_registers(docs, group_col="lang")
 
 
 def _read_emb(sf_dir: str):
@@ -566,6 +574,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verified by tools/check_oracle.py + tests/test_ops.py instead.
         "classifier_select": lambda sf: textstats.classifier_select(
             _read_docs(sf), keep_bp=3000),
+        # mergeable sketches (also oracled past the window — the register/
+        # cell tables are deterministic integer functions of md5-low64)
+        "hll_registers": _hll_registers,
+        "countmin_sketch": lambda sf: sketches.countmin_sketch(
+            _read_docs(sf)),
+        "countmin_topk": lambda sf: sketches.countmin_topk(
+            _read_docs(sf), k=20),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1670,5 +1685,79 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(CASE WHEN b > (SELECT cut FROM cut)
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM bins
+        """,
+        # hll_registers: grouped HyperLogLog — bucket = md5low64 % 4096,
+        # rho = 53 - bit_length(h // 4096) (leading zeros of the 52
+        # remaining bits, +1), rho(0) = 53.  bit_length == length(bin(x))
+        # for x > 0 (the unigram_bits identity).
+        "hll_registers": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            t AS (SELECT doc_id, u.t AS w
+                  FROM tok, UNNEST(w) AS u(t) WHERE u.t <> ''),
+            h AS (SELECT d.lang, md5_number_lower(t.w) AS hv
+                  FROM t JOIN documents d USING (doc_id)),
+            r AS (SELECT lang, CAST(hv % 4096 AS BIGINT) AS bucket,
+                         CASE WHEN hv // 4096 = 0 THEN 53
+                              ELSE 53 - length(bin(CAST(hv // 4096
+                                                         AS BIGINT))) END
+                             AS rho
+                  FROM h)
+            SELECT lang, bucket, CAST(max(rho) AS BIGINT) AS rho
+            FROM r GROUP BY 1, 2
+        """,
+        # count-min: col_j = (md5low64 >> 16j) % 1024 — four disjoint
+        # 16-bit windows, exact integer division on UBIGINT both sides.
+        "countmin_sketch": r"""
+            WITH sl(j, dv) AS (VALUES (0, 1), (1, 65536),
+                               (2, 4294967296), (3, 281474976710656)),
+            tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            t AS (SELECT doc_id, u.t AS w
+                  FROM tok, UNNEST(w) AS u(t) WHERE u.t <> ''),
+            cnt AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+            cell AS (SELECT s.j AS r,
+                            CAST(md5_number_lower(cnt.w)
+                                 // CAST(s.dv AS UBIGINT) % 1024
+                                 AS BIGINT) AS col,
+                            cnt.c AS c
+                     FROM cnt CROSS JOIN sl s)
+            SELECT CAST(r AS BIGINT) AS "row", col,
+                   CAST(sum(c) AS BIGINT) AS "count"
+            FROM cell GROUP BY 1, 2
+        """,
+        # countmin_topk: est(token) = min over the 4 rows of the cell the
+        # token hashes to; top-20 with the (est DESC, token ASC) tie-break
+        # shared by the Ray plan.
+        "countmin_topk": r"""
+            WITH sl(j, dv) AS (VALUES (0, 1), (1, 65536),
+                               (2, 4294967296), (3, 281474976710656)),
+            tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            t AS (SELECT doc_id, u.t AS w
+                  FROM tok, UNNEST(w) AS u(t) WHERE u.t <> ''),
+            cnt AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+            cell AS (SELECT s.j AS r,
+                            CAST(md5_number_lower(cnt.w)
+                                 // CAST(s.dv AS UBIGINT) % 1024
+                                 AS BIGINT) AS col,
+                            cnt.c AS c
+                     FROM cnt CROSS JOIN sl s),
+            sk AS (SELECT r, col, sum(c) AS n FROM cell GROUP BY 1, 2),
+            est AS (SELECT cnt.w AS token, min(sk.n) AS est
+                    FROM cnt CROSS JOIN sl s
+                    JOIN sk ON sk.r = s.j
+                           AND sk.col = CAST(md5_number_lower(cnt.w)
+                                             // CAST(s.dv AS UBIGINT)
+                                             % 1024 AS BIGINT)
+                    GROUP BY 1)
+            SELECT token, CAST(est AS BIGINT) AS est
+            FROM est ORDER BY est DESC, token LIMIT 20
         """,
     }

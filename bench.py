@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "cross_dedup", "bloom_dedup", "cluster_stats", "unigram_bits", "search_topk",
     "cross_near_dedup", "split_by_cluster", "range_join_windows",
     "semantic_keep_list", "classifier_select",
+    "hll_registers", "countmin_sketch", "countmin_topk",
 ]
 
 

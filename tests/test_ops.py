@@ -1010,3 +1010,104 @@ def test_classifier_select_matches_bruteforce(ray_session):
         assert got["keep"].tolist() == exp_keep
     # the kept fraction lands within a bin of the requested 30%
     assert 0.15 <= sum(exp_keep) / len(exp_keep) <= 0.45
+
+
+def test_hll_registers_match_bruteforce_and_estimate(ray_session):
+    """Register table equals the scalar bucket/rho law exactly (incl. under
+    re-partitioning — max must be global), and the resulting cardinality
+    estimate lands within HLL error of the exact distinct count.  Uses a
+    ~6k-token vocabulary so deep rho values and register collisions are
+    actually exercised (the sf tables' synthetic vocab is tiny)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from name_matching_ray.stages.sketches import hll_estimate, hll_registers
+
+    rng = np.random.default_rng(11)
+    vocab = {
+        "en": [f"en{i}" for i in range(4000)],
+        "de": [f"de{i}" for i in range(2000)],
+    }
+    rows = []
+    for g, v in vocab.items():
+        for d in range(200):
+            rows.append({"doc_id": len(rows), "lang": g,
+                         "text": " ".join(rng.choice(v, 60))})
+    pdf = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(pdf)
+
+    # scalar reference law
+    exp: dict = {}
+    seen: dict = {}
+    for _, r in pdf.iterrows():
+        for w in r["text"].lower().split():
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16],
+                               "little")
+            b, v = h % 4096, h // 4096
+            rho = 53 if v == 0 else 53 - v.bit_length()
+            exp[(r["lang"], b)] = max(exp.get((r["lang"], b), 0), rho)
+            seen.setdefault(r["lang"], set()).add(w)
+
+    for parts in (2, 9):
+        regs = hll_registers(ds.repartition(parts), group_col="lang")
+        got = regs.to_pandas()
+        gd = {(r.lang, r.bucket): r.rho for r in got.itertuples()}
+        assert gd == exp
+    est = hll_estimate(regs)
+    for g, s in seen.items():
+        assert abs(est[g] - len(s)) / len(s) < 0.1, (g, est[g], len(s))
+
+
+def test_countmin_sketch_and_topk(ray_session):
+    """Cell counts equal the scalar slice-hash law; every CMS estimate
+    upper-bounds the true count (the count-min guarantee — only valid if
+    partials merged correctly); top-k equals the brute-force ranking with
+    the (est DESC, token ASC) tie-break."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data
+
+    from name_matching_ray.stages.sketches import (
+        CMS_DEPTH, CMS_WIDTH, countmin_sketch, countmin_topk)
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(3000)] + ["hot1"] * 0
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(300)]
+    texts[0] += " hot1" * 500  # a guaranteed heavy hitter
+    texts[7] = None
+    pdf = pd.DataFrame({"doc_id": range(300),
+                        "text": pd.array(texts, dtype="string")})
+    ds = ray.data.from_pandas(pdf)
+
+    true = Counter(w for t in texts if t for w in t.lower().split())
+
+    def cols(w):
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+        return [(h >> (16 * j)) % CMS_WIDTH for j in range(CMS_DEPTH)]
+
+    exp = Counter()
+    for w, c in true.items():
+        for j, col in enumerate(cols(w)):
+            exp[(j, col)] += c
+
+    got = countmin_sketch(ds.repartition(5)).to_pandas()
+    gd = {(r.row, r.col): r.count for r in got.itertuples()}
+    assert gd == dict(exp)
+
+    # CMS never underestimates
+    table = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for (j, col), c in exp.items():
+        table[j, col] = c
+    est = {w: min(table[j, col] for j, col in enumerate(cols(w)))
+           for w in true}
+    assert all(est[w] >= c for w, c in true.items())
+
+    ranked = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    tk = countmin_topk(ds.repartition(5), k=15).to_pandas()
+    assert list(map(tuple, tk[["token", "est"]].itertuples(index=False))) \
+        == ranked
+    assert tk["token"].iloc[0] == "hot1"
