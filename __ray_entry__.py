@@ -56,6 +56,12 @@ def _hll_registers(sf_dir: str):
     return sketches.hll_registers(docs, group_col="lang")
 
 
+def _interleaved_spans(sf_dir: str):
+    from name_matching_ray.stages.extract import explode_spans
+
+    return explode_spans(documents_as_interleaved(sf_dir))
+
+
 def _read_emb(sf_dir: str):
     import ray.data
 
@@ -581,6 +587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_docs(sf)),
         "countmin_topk": lambda sf: sketches.countmin_topk(
             _read_docs(sf), k=20),
+        # the interleaved-docs axis under the oracle: the adapter's span
+        # law reconstructed independently in SQL from the flat table
+        "interleaved_spans": _interleaved_spans,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1759,5 +1768,24 @@ def _oracle_sql_base() -> dict[str, str]:
                     GROUP BY 1)
             SELECT token, CAST(est AS BIGINT) AS est
             FROM est ORDER BY est DESC, token LIMIT 20
+        """,
+        # interleaved_spans: the adapter's span law (docs_source._wrap_batch)
+        # rebuilt independently — text span at offset 0, image span at
+        # offset len(text) with media://{source}/d{doc_id:09d}.  Python len
+        # == DuckDB length (both count codepoints).
+        "interleaved_spans": """
+            WITH d AS (
+                SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS did,
+                       COALESCE(text, '') AS t, source
+                FROM documents)
+            SELECT did AS doc_id, CAST(0 AS BIGINT) AS span_idx,
+                   'text' AS kind, CAST(length(t) AS BIGINT) AS text_len,
+                   '' AS media_ref, CAST(0 AS BIGINT) AS "offset"
+            FROM d
+            UNION ALL
+            SELECT did, CAST(1 AS BIGINT), 'image', CAST(0 AS BIGINT),
+                   'media://' || source || '/' || did,
+                   CAST(length(t) AS BIGINT)
+            FROM d
         """,
     }

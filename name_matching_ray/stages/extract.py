@@ -59,3 +59,45 @@ def extract_names(docs_ds, *, carry_spans: bool = True,
     if not carry_spans:
         ds = ds.select_columns(["doc_id", "name"])
     return ds
+
+
+def explode_spans(docs_ds):
+    """Dataset[DOCS_SCHEMA] -> one row per span: (doc_id, span_idx, kind,
+    text_len, media_ref, offset).
+
+    The oracled surface of the interleaved-docs axis: the adapter's span
+    law (text span at offset 0, media span at offset len(text) with
+    ``media://{source}/{doc_id}``) is reconstructed independently in SQL
+    from the flat table, so span order, offsets and media refs are
+    hash-compared end-to-end, not just pytest-asserted.  Pure Arrow:
+    ``flatten()`` + ``list_parent_indices`` (slice-safe — the winnow
+    sliced-ListArray lesson), span position from run starts.
+    """
+    import numpy as np
+
+    def ex(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        parents = pc.list_parent_indices(spans).to_numpy(
+            zero_copy_only=False)
+        n = len(flat)
+        if n:
+            run_start = np.flatnonzero(
+                np.r_[True, parents[1:] != parents[:-1]])
+            span_idx = (np.arange(n)
+                        - np.repeat(run_start,
+                                    np.diff(np.r_[run_start, n])))
+        else:
+            span_idx = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(parents)),
+            "span_idx": pa.array(span_idx.astype(np.int64), pa.int64()),
+            "kind": flat.field("kind"),
+            "text_len": pc.utf8_length(flat.field("text")).cast(pa.int64()),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset").cast(pa.int64()),
+        })
+
+    return docs_ds.map_batches(ex, batch_format="pyarrow")

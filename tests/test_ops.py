@@ -1111,3 +1111,39 @@ def test_countmin_sketch_and_topk(ray_session):
     assert list(map(tuple, tk[["token", "est"]].itertuples(index=False))) \
         == ranked
     assert tk["token"].iloc[0] == "hot1"
+
+
+def test_explode_spans_irregular_lists(ray_session):
+    """Span explode preserves per-doc order and position for irregular
+    lists (empty, single, many) and after repartitioning — span_idx is a
+    within-doc position, not a global row number."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.schema import DOCS_SCHEMA
+    from name_matching_ray.stages.extract import explode_spans
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = {
+        "doc_id": ["a", "b", "c", "d"],
+        "spans": [
+            [sp("text", "hello", "", 0), sp("image", "", "m://1", 5),
+             sp("text", "bye", "", 5)],
+            [],
+            [sp("image", "", "m://2", 0)],
+            [sp("text", "héllo", "", 0)],  # non-ascii: codepoint length
+        ],
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows, schema=DOCS_SCHEMA))
+    for parts in (1, 3):
+        got = explode_spans(ds.repartition(parts)).to_pandas() \
+            .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+        assert got["doc_id"].tolist() == ["a", "a", "a", "c", "d"]
+        assert got["span_idx"].tolist() == [0, 1, 2, 0, 0]
+        assert got["kind"].tolist() == ["text", "image", "text", "image",
+                                        "text"]
+        assert got["text_len"].tolist() == [5, 0, 3, 0, 5]
+        assert got["media_ref"].tolist() == ["", "m://1", "", "m://2", ""]
+        assert got["offset"].tolist() == [0, 5, 5, 0, 0]
