@@ -590,6 +590,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the interleaved-docs axis under the oracle: the adapter's span
         # law reconstructed independently in SQL from the flat table
         "interleaved_spans": _interleaved_spans,
+        # C4-style line-level boilerplate filter (Raffel et al. 2020 §2.2)
+        "line_filter": lambda sf: textstats.line_filter(_read_docs(sf)),
+        # int8-grid scalar-quantized top-k: the exact-integer-score ANN
+        # surface (codes = floor(x*127+0.5); score = int dot of codes)
+        "quantized_topk": lambda sf: annsearch.quantized_topk(
+            _read_emb(sf), _ANN_QUERY_IDS, k=10),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1787,5 +1793,60 @@ def _oracle_sql_base() -> dict[str, str]:
                    'media://' || source || '/' || did,
                    CAST(length(t) AS BIGINT)
             FROM d
+        """,
+        # line_filter: C4-style line predicates rebuilt independently —
+        # string_split on chr(10) == Arrow split_pattern('\n');
+        # length(regexp_extract_all(line,'[^ ]+')) == count_substring_regex
+        # (both RE2, non-overlapping maximal runs); RE2 '$' is end-of-text
+        # on both sides; length() counts codepoints == pc.utf8_length.
+        "line_filter": """
+            WITH d AS (
+                SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+            l AS (
+                SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+                FROM d),
+            f AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(line, '[^ ]+'))
+                            AS BIGINT) AS nw,
+                       regexp_matches(line, '[.!?"]$') AS term,
+                       (contains(line, 'javascript')
+                        OR contains(line, '{')) AS bad,
+                       CAST(length(line) AS BIGINT) AS len
+                FROM l)
+            SELECT doc_id,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN nw >= 3 AND term AND NOT bad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN nw >= 3 AND term AND NOT bad
+                            THEN len ELSE 0 END) AS BIGINT) AS kept_chars,
+                   CAST(SUM(CASE WHEN nw >= 3 AND term AND NOT bad
+                                 THEN 1 ELSE 0 END) >= 1
+                        AND SUM(CASE WHEN nw >= 3 AND term AND NOT bad
+                                     THEN 1 ELSE 0 END) * 100
+                            >= COUNT(*) * 50 AS BIGINT) AS keep
+            FROM f GROUP BY doc_id
+        """,
+        # quantized_topk: the int8-grid quantization law floor(x*127+0.5)
+        # is exact in float64 on both sides (float32 -> double widening is
+        # exact, then identical IEEE ops); the dot product of codes stays
+        # far below 2^53 so list_dot_product's double accumulation is
+        # exact too.  Score itself is hash-compared (int64), not just rank.
+        "quantized_topk": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding,
+                       x -> floor(CAST(x AS DOUBLE) * 127 + 0.5)) AS q
+                FROM embeddings),
+            s AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+                FROM e a JOIN e b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id IN (0, 1, 2, 3, 4))
+            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, dot
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY dot DESC, neighbor_id) AS rn
+                  FROM s)
+            WHERE rn <= 10
         """,
     }

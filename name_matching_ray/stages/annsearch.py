@@ -49,16 +49,29 @@ def _in_expr(col: str, values) -> str:
 
 
 def load_query_matrix(ds, query_ids: list[int], *, id_col: str = "vec_id",
-                      vec_col: str = "embedding"):
-    """Collect the (tiny) query rows to the driver, normalized."""
+                      vec_col: str = "embedding", normalize: bool = True):
+    """Collect the (tiny) query rows to the driver, normalized by default
+    (``normalize=False`` returns the raw float64 rows — the quantized path
+    must quantize the RAW embedding, not the unit vector)."""
     tbl = pa.concat_tables(
         ds.filter(expr=_in_expr(id_col, query_ids))
         .iter_batches(batch_format="pyarrow")
     )
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-    mat = _unit(_mat(tbl.column(vec_col)))
+    mat = _mat(tbl.column(vec_col))
+    if normalize:
+        mat = _unit(mat)
     order = np.argsort(ids, kind="stable")
     return ids[order], mat[order]
+
+
+def _quantize127(m: np.ndarray) -> np.ndarray:
+    """Scalar quantization onto the int8 grid: ``floor(x·127 + 0.5)`` in
+    float64 — bit-identical to DuckDB ``floor(CAST(x AS DOUBLE)*127+0.5)``
+    (float32→float64 widening is exact, then identical IEEE double ops).
+    Returned as float64 integers so the downstream matmul is BLAS dgemm,
+    exact up to 2^53 (|q|≈127, so any realistic dim is far below)."""
+    return np.floor(m * 127.0 + 0.5)
 
 
 class _SimsVsQueries:
@@ -148,6 +161,81 @@ def ann_topk(ds, query_ids: list[int], k: int, *, id_col: str = "vec_id",
         })
 
     return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+class _QDotsVsQueries:
+    """Actor: quantize each batch onto the int8 grid and take ONE exact
+    integer dot-product matmul against the broadcast quantized queries.
+    The 100-TB rationale: int8 codes are 4× smaller than float32 (shuffle
+    volume, object-store footprint, memory bandwidth — the measured
+    single-VM ceiling), and the score is an exact int64 so the result is
+    hash-comparable, not approximately-equal."""
+
+    def __init__(self, qids_ref, qmat_ref, local_k: int,
+                 id_col: str, vec_col: str):
+        import ray
+
+        self.qids = ray.get(qids_ref)
+        self.qmat = _quantize127(ray.get(qmat_ref))  # (q, d) raw -> codes
+        self.local_k = local_k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        dots = _quantize127(_mat(batch.column(self.vec_col))) @ self.qmat.T
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(self.qids)):
+            col = dots[:, qi]
+            idx = np.nonzero(ids != self.qids[qi])[0]
+            if len(idx) > self.local_k:
+                idx = idx[np.lexsort((ids[idx], -col[idx]))[: self.local_k]]
+            out_q.extend([self.qids[qi]] * len(idx))
+            out_n.extend(ids[idx])
+            out_d.extend(col[idx])
+        return pa.table({
+            "query_id": pa.array(np.asarray(out_q, np.int64), pa.int64()),
+            "neighbor_id": pa.array(np.asarray(out_n, np.int64), pa.int64()),
+            "dot": pa.array(np.asarray(out_d, np.float64).astype(np.int64),
+                            pa.int64()),
+        })
+
+
+def quantized_topk(ds, query_ids: list[int], k: int, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   concurrency=None):
+    """Exact top-k under int8 scalar quantization (the memory/bandwidth
+    scale path for brute-force ANN): codes = ``floor(x·127+0.5)``, score =
+    integer dot product of the codes.  Same local-top-k + one-merge shape
+    as :func:`ann_topk`, but the score column itself is on the oracled
+    surface (int64 — no float rank-only hedge)."""
+    import ray
+
+    qids, qmat = load_query_matrix(ds, query_ids, id_col=id_col,
+                                   vec_col=vec_col, normalize=False)
+    local = ds.map_batches(
+        _QDotsVsQueries,
+        fn_constructor_kwargs={
+            "qids_ref": ray.put(qids), "qmat_ref": ray.put(qmat),
+            "local_k": k, "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or default_pool(),
+    )
+
+    def merge_topk(g):
+        order = np.lexsort((g["neighbor_id"].to_numpy(),
+                            -g["dot"].to_numpy()))
+        top = g.iloc[order[:k]]
+        return pa.table({
+            "query_id": pa.array(top["query_id"].to_numpy(), pa.int64()),
+            "neighbor_id": pa.array(top["neighbor_id"].to_numpy(),
+                                    pa.int64()),
+            "rank": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+            "dot": pa.array(top["dot"].to_numpy(), pa.int64()),
+        })
+
+    return local.groupby("query_id").map_groups(merge_topk,
+                                                batch_format="pandas")
 
 
 class _ChunkPairSims:

@@ -532,6 +532,78 @@ def repetition_stats(docs_ds, *, text_col: str = "text",
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def line_filter(docs_ds, *, min_words: int = 3, text_col: str = "text",
+                id_col: str = "doc_id", emit_text: bool = False):
+    """C4-style line-level boilerplate filter (Raffel et al. 2020, §2.2):
+    split each document into lines, keep a line iff it has at least
+    ``min_words`` words AND ends in terminal punctuation (``.!?"``) AND
+    contains neither ``javascript`` nor ``{`` (boilerplate / code markers);
+    a document survives iff at least one line AND at least half its lines
+    are kept.  Per doc: ``(n_lines, n_kept, kept_chars, keep)`` — all
+    integers so the DuckDB oracle hash-matches exactly; ``emit_text=True``
+    additionally rebuilds the filtered document (kept lines re-joined with
+    ``\\n``, vectorized ``pc.binary_join`` — not on the oracled surface).
+
+    Map-only (each doc is self-contained): streams at any scale.  The line
+    explode is pure Arrow (``split_pattern`` on the literal newline — ==
+    DuckDB ``string_split(t, chr(10))``); predicates are RE2 kernels shared
+    with the oracle (``[^ ]+`` word runs, ``[.!?"]$`` terminal punct —
+    RE2 ``$`` is end-of-text on both sides); per-doc sums are
+    cumsum-at-offsets (safe for any segment shape).  NULL text coalesces to
+    ``''`` on both sides (1 empty line, dropped).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.coalesce(text, pa.scalar("", pa.string()))
+        lines = pc.split_pattern(text, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        n_words = pc.count_substring_regex(flat, r"[^ ]+").to_numpy(
+            zero_copy_only=False)
+        terminal = pc.match_substring_regex(flat, r'[.!?"]$').to_numpy(
+            zero_copy_only=False)
+        bad = pc.or_(
+            pc.match_substring(flat, "javascript"),
+            pc.match_substring(flat, "{"),
+        ).to_numpy(zero_copy_only=False)
+        keep_line = (n_words >= min_words) & terminal & ~bad
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+        def segsum(x: np.ndarray) -> np.ndarray:
+            c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
+            return c[off[1:]] - c[off[:-1]]
+
+        n_lines = np.diff(off)
+        n_kept = segsum(keep_line.astype(np.int64))
+        kept_chars = segsum(np.where(keep_line, lens, 0))
+        doc_keep = (n_kept >= 1) & (n_kept * 100 >= n_lines * 50)
+
+        cols: dict = {
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "kept_chars": pa.array(kept_chars, pa.int64()),
+            "keep": pa.array(doc_keep.astype(np.int64), pa.int64()),
+        }
+        if emit_text:
+            kcum = np.concatenate(
+                [[0], np.cumsum(keep_line, dtype=np.int64)])
+            kept_list = pa.LargeListArray.from_arrays(
+                pa.array(kcum[off], pa.int64()),
+                flat.filter(pa.array(keep_line)))
+            cols["clean_text"] = pc.binary_join(kept_list, "\n")
+        return pa.table(cols)
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def bigram_counts(docs_ds, *, text_col: str = "text"):
     """Corpus counts of adjacent lowercase word bigrams — vectorized: the
     token list array is flattened once and pairs are formed positionally

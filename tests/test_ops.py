@@ -1147,3 +1147,75 @@ def test_explode_spans_irregular_lists(ray_session):
         assert got["text_len"].tolist() == [5, 0, 3, 0, 5]
         assert got["media_ref"].tolist() == ["", "m://1", "", "m://2", ""]
         assert got["offset"].tolist() == [0, 5, 5, 0, 0]
+
+
+def test_line_filter_c4_rules(ray_session):
+    """C4 line predicates: >=3 words, terminal punctuation, no
+    javascript/{ markers; doc keep = >=1 kept line and >=half kept.
+    Null text coalesces to one empty (dropped) line."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import line_filter
+
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            # kept, kept, dropped (2 words), dropped (no terminal punct)
+            "one two three.\nshe said \"go home now!\"\ntoo short.\n"
+            "four words but no punct",
+            None,                      # -> [''] : 1 line, 0 kept, keep=0
+            "var x = {a: 1}. done.\nuses javascript here today.",  # both bad
+            "multi  spaced   words  here.",   # multi-space: 4 words, kept
+            "héllo wörld ünicode.",           # 3 words, codepoint lens
+        ],
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = line_filter(ds, emit_text=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_lines"].tolist() == [4, 1, 2, 1, 1]
+    assert got["n_kept"].tolist() == [2, 0, 0, 1, 1]
+    assert got["kept_chars"].tolist() == [
+        len("one two three.") + len('she said "go home now!"'), 0, 0,
+        len("multi  spaced   words  here."), len("héllo wörld ünicode.")]
+    assert got["keep"].tolist() == [1, 0, 0, 1, 1]
+    assert got["clean_text"].tolist() == [
+        'one two three.\nshe said "go home now!"', "", "",
+        "multi  spaced   words  here.", "héllo wörld ünicode."]
+
+
+def test_quantized_topk_exact_integer_scores(ray_session):
+    """quantized_topk == brute-force floor(x*127+0.5) integer dot ranking
+    (dot desc, neighbor_id asc), across multiple blocks so the local-top-k
+    + merge path is exercised."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.annsearch import quantized_topk
+
+    rng = np.random.default_rng(7)
+    n, d, k = 60, 8, 5
+    emb = rng.normal(scale=0.5, size=(n, d)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(emb.astype(float)),
+                              pa.list_(pa.float32())),
+    })).repartition(4)
+
+    got = quantized_topk(ds, [0, 1, 2], k=k).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    q = np.floor(emb.astype(np.float64) * 127.0 + 0.5)
+    dots = (q @ q.T).astype(np.int64)
+    for qid in (0, 1, 2):
+        col = dots[qid].copy()
+        ids = np.arange(n)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -col[mask]))
+        exp_ids = ids[mask][order[:k]]
+        exp_dots = col[mask][order[:k]]
+        sub = got[got["query_id"] == qid]
+        assert sub["neighbor_id"].tolist() == exp_ids.tolist()
+        assert sub["dot"].tolist() == exp_dots.tolist()
+        assert sub["rank"].tolist() == list(range(1, k + 1))
