@@ -596,6 +596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # surface (codes = floor(x*127+0.5); score = int dot of codes)
         "quantized_topk": lambda sf: annsearch.quantized_topk(
             _read_emb(sf), _ANN_QUERY_IDS, k=10),
+        # Gopher document-quality rules (Rae et al. 2021, Appendix A)
+        "gopher_rules": lambda sf: textstats.gopher_rules(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1848,5 +1850,67 @@ def _oracle_sql_base() -> dict[str, str]:
                       ORDER BY dot DESC, neighbor_id) AS rn
                   FROM s)
             WHERE rn <= 10
+        """,
+        # gopher_rules: every predicate is the same RE2 pattern evaluated
+        # by the same engine (DuckDB embeds RE2 like pyarrow — the greedy
+        # \S*[A-Za-z]\S* alpha-word count agrees by construction);
+        # nonws_chars = codepoints - whitespace codepoints = exact sum of
+        # word lengths; thresholds are integer cross-multiplications.
+        "gopher_rules": """
+            WITH d AS (
+                SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+            w AS (
+                SELECT doc_id, t,
+                       CAST(length(regexp_extract_all(t, '\\S+'))
+                            AS BIGINT) AS n_words,
+                       CAST(length(t)
+                            - length(regexp_extract_all(t, '\\s'))
+                            AS BIGINT) AS nonws_chars,
+                       CAST(length(regexp_extract_all(t, '#|\\.\\.\\.'))
+                            AS BIGINT) AS n_sym,
+                       CAST(length(regexp_extract_all(
+                                t, '\\S*[A-Za-z]\\S*'))
+                            AS BIGINT) AS n_alpha_words,
+                       CAST((CASE WHEN regexp_matches(lower(t), '\\bthe\\b')
+                                  THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(t), '\\bbe\\b')
+                                  THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(t), '\\bto\\b')
+                                  THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(t), '\\bof\\b')
+                                  THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(t), '\\band\\b')
+                                  THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(t), '\\bthat\\b')
+                                  THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(t), '\\bhave\\b')
+                                  THEN 1 ELSE 0 END)
+                          + (CASE WHEN regexp_matches(lower(t), '\\bwith\\b')
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_stop_kinds
+                FROM d),
+            l AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_lines,
+                       CAST(SUM(CASE WHEN regexp_matches(line, '^[-•*]')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+                       CAST(SUM(CASE WHEN regexp_matches(
+                                         line, '(\\.\\.\\.|…)$')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis
+                FROM (SELECT doc_id,
+                             unnest(string_split(t, chr(10))) AS line
+                      FROM d)
+                GROUP BY doc_id)
+            SELECT w.doc_id, n_words, nonws_chars, n_sym, n_alpha_words,
+                   n_stop_kinds, n_lines, n_bullet, n_ellipsis,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                        AND 3 * n_words <= nonws_chars
+                        AND nonws_chars <= 10 * n_words
+                        AND n_sym * 10 <= n_words
+                        AND n_bullet * 10 <= n_lines * 9
+                        AND n_ellipsis * 10 <= n_lines * 3
+                        AND n_alpha_words * 10 >= n_words * 8
+                        AND n_stop_kinds >= 2 AS BIGINT) AS keep
+            FROM w JOIN l ON w.doc_id = l.doc_id
         """,
     }

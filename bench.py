@@ -110,7 +110,7 @@ BENCH_QUERIES = [
     "cross_near_dedup", "split_by_cluster", "range_join_windows",
     "semantic_keep_list", "classifier_select",
     "hll_registers", "countmin_sketch", "countmin_topk",
-    "interleaved_spans", "line_filter", "quantized_topk",
+    "interleaved_spans", "line_filter", "quantized_topk", "gopher_rules",
 ]
 
 

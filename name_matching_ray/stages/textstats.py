@@ -604,6 +604,106 @@ def line_filter(docs_ds, *, min_words: int = 3, text_col: str = "text",
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+# Gopher repetition-free quality rules (Rae et al. 2021, Appendix A) —
+# shared with the SQL oracle (__ray_entry__.oracle_sql): keep in sync.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_RE_GOPHER_SYMBOL = r"#|\.\.\."        # hash marks + literal ellipses
+_RE_ALPHA_WORD = r"\S*[A-Za-z]\S*"     # \S+ run containing >=1 ASCII letter
+_RE_BULLET_LINE = r"^[-•*]"
+_RE_ELLIPSIS_LINE = r"(\.\.\.|…)$"
+
+
+def gopher_rules(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000):
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A), the
+    standard web-corpus quality gate: per doc, keep iff
+      * ``min_words <= n_words <= max_words`` (whitespace ``\\S+`` runs),
+      * mean word length in [3, 10] — as the integer cross-multiplication
+        ``3·n_words <= nonws_chars <= 10·n_words`` (``nonws_chars`` = total
+        non-whitespace codepoints = the exact sum of word lengths),
+      * symbol-to-word ratio <= 0.1 (``#`` + literal ``...`` occurrences),
+      * <= 90% of lines start with a bullet (``-``, ``•``, ``*``),
+      * <= 30% of lines end with an ellipsis (``...`` or ``…``),
+      * >= 80% of words contain an ASCII letter,
+      * >= 2 distinct Gopher stop words present (``\\b``-bounded).
+
+    Everything is integers (counts + cross-multiplied thresholds — no float
+    ratios), so the DuckDB oracle hash-matches exactly; every predicate is
+    an RE2 kernel evaluated by the same engine on both sides (pyarrow and
+    DuckDB both embed RE2 — leftmost-first semantics agree by construction,
+    which matters for the greedy ``\\S*[A-Za-z]\\S*`` alpha-word count).
+    Map-only: each document is self-contained, so this streams at any
+    scale with zero shuffles.  NULL text coalesces to ``''`` (one empty
+    line; fails ``min_words``).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.coalesce(text, pa.scalar("", pa.string()))
+
+        n_words = pc.count_substring_regex(text, _RE_WS_TOKEN).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_cp = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_ws = pc.count_substring_regex(text, r"\s").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nonws_chars = n_cp - n_ws
+        n_sym = pc.count_substring_regex(text, _RE_GOPHER_SYMBOL).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_alpha_words = pc.count_substring_regex(text, _RE_ALPHA_WORD) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        lower = pc.utf8_lower(text)
+        n_stop_kinds = np.zeros(len(batch), np.int64)
+        for w in GOPHER_STOPWORDS:
+            n_stop_kinds += pc.match_substring_regex(
+                lower, rf"\b{w}\b").to_numpy(zero_copy_only=False)
+
+        lines = pc.split_pattern(text, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        bullet = pc.match_substring_regex(flat, _RE_BULLET_LINE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ellipsis = pc.match_substring_regex(flat, _RE_ELLIPSIS_LINE) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def segsum(x: np.ndarray) -> np.ndarray:
+            c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
+            return c[off[1:]] - c[off[:-1]]
+
+        n_lines = np.diff(off)
+        n_bullet = segsum(bullet)
+        n_ellipsis = segsum(ellipsis)
+
+        keep = (
+            (n_words >= min_words) & (n_words <= max_words)
+            & (3 * n_words <= nonws_chars) & (nonws_chars <= 10 * n_words)
+            & (n_sym * 10 <= n_words)
+            & (n_bullet * 10 <= n_lines * 9)
+            & (n_ellipsis * 10 <= n_lines * 3)
+            & (n_alpha_words * 10 >= n_words * 8)
+            & (n_stop_kinds >= 2)
+        )
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words, pa.int64()),
+            "nonws_chars": pa.array(nonws_chars, pa.int64()),
+            "n_sym": pa.array(n_sym, pa.int64()),
+            "n_alpha_words": pa.array(n_alpha_words, pa.int64()),
+            "n_stop_kinds": pa.array(n_stop_kinds, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_bullet": pa.array(n_bullet, pa.int64()),
+            "n_ellipsis": pa.array(n_ellipsis, pa.int64()),
+            "keep": pa.array(keep.astype(np.int64), pa.int64()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def bigram_counts(docs_ds, *, text_col: str = "text"):
     """Corpus counts of adjacent lowercase word bigrams — vectorized: the
     token list array is flattened once and pairs are formed positionally

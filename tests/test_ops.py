@@ -1219,3 +1219,41 @@ def test_quantized_topk_exact_integer_scores(ray_session):
         assert sub["neighbor_id"].tolist() == exp_ids.tolist()
         assert sub["dot"].tolist() == exp_dots.tolist()
         assert sub["rank"].tolist() == list(range(1, k + 1))
+
+
+def test_gopher_rules_predicates(ray_session):
+    """Each Gopher rule flips keep independently: word-count bounds, mean
+    word length via cross-multiplication, symbol ratio, bullet/ellipsis
+    line fractions, alpha-word share, distinct stop-word requirement."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import gopher_rules
+
+    good = ("the cat and the dog have words with that many letters here "
+            * 10).strip()  # 120 words, mean len ~3.9, >=2 stopwords
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            good,                                  # passes everything
+            "short of the words",                  # < 50 words
+            good + " " + "#" * 30 + " " + "... " * 20,   # symbol ratio
+            "\n".join(["- bullet line of the stuff"] * 10),  # all bullets
+            good.replace("the", "zzz").replace("and", "qqq")
+                .replace("that", "rrr").replace("have", "sss")
+                .replace("with", "ttt").replace("of", "uuu"),  # no stopwords
+            None,                                  # null -> 0 words
+        ],
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = gopher_rules(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got["keep"].tolist() == [1, 0, 0, 0, 0, 0]
+    # doc 1: 120 whitespace words, all alphabetic, no lines dropped
+    assert got.loc[0, "n_words"] == 120
+    assert got.loc[0, "n_alpha_words"] == 120
+    assert got.loc[0, "n_stop_kinds"] >= 2
+    # doc 4: every line is a bullet line
+    assert got.loc[3, "n_bullet"] == got.loc[3, "n_lines"] == 10
+    # doc 6: null text coalesces to one empty line, zero words
+    assert got.loc[5, "n_words"] == 0 and got.loc[5, "n_lines"] == 1
