@@ -598,6 +598,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_emb(sf), _ANN_QUERY_IDS, k=10),
         # Gopher document-quality rules (Rae et al. 2021, Appendix A)
         "gopher_rules": lambda sf: textstats.gopher_rules(_read_docs(sf)),
+        # Gopher repetition rules: dup line/paragraph fractions + top-ngram
+        # char coverage (the half repetition_stats doesn't cover)
+        "gopher_repetition": lambda sf: textstats.gopher_repetition(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1912,5 +1916,128 @@ def _oracle_sql_base() -> dict[str, str]:
                         AND n_alpha_words * 10 >= n_words * 8
                         AND n_stop_kinds >= 2 AS BIGINT) AS keep
             FROM w JOIN l ON w.doc_id = l.doc_id
+        """,
+        # gopher_repetition: chars(n-gram) = length(w1⊕chr(31)⊕…⊕wn) −
+        # (n−1); top score = max_count · max-chars-at-max-count (ties broken
+        # on chars — deterministic both sides); dup-5-gram chars count every
+        # instance, capped at total token chars (documented divergence from
+        # the paper's count-once interval union).
+        "gopher_repetition": """
+            WITH d AS (
+                SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+            ls AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS v
+                   FROM d),
+            lg AS (SELECT doc_id, v, COUNT(*) AS c, length(v) AS l
+                   FROM ls GROUP BY 1, 2),
+            lstat AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_lines,
+                       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                            AS BIGINT) AS dupl,
+                       CAST(SUM(CASE WHEN c > 1 THEN c * l ELSE 0 END)
+                            AS BIGINT) AS duplc,
+                       CAST(SUM(c * l) AS BIGINT) AS totlc
+                FROM lg GROUP BY doc_id),
+            ps AS (SELECT doc_id,
+                          unnest(string_split(t, chr(10) || chr(10))) AS v
+                   FROM d),
+            pg AS (SELECT doc_id, v, COUNT(*) AS c, length(v) AS l
+                   FROM ps GROUP BY 1, 2),
+            pstat AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_paras,
+                       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                            AS BIGINT) AS dupp,
+                       CAST(SUM(CASE WHEN c > 1 THEN c * l ELSE 0 END)
+                            AS BIGINT) AS duppc,
+                       CAST(SUM(c * l) AS BIGINT) AS totpc
+                FROM pg GROUP BY doc_id),
+            tk AS (SELECT doc_id,
+                          list_filter(string_split_regex(t, '\\s+'),
+                                      x -> x <> '') AS toks
+                   FROM d),
+            tt AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+            tv AS (SELECT doc_id, unnest(range(0, n)) AS i, toks, n
+                   FROM tt WHERE n > 0),
+            tstat AS (SELECT doc_id,
+                             CAST(SUM(length(toks[i + 1])) AS BIGINT) AS tot
+                      FROM tv GROUP BY doc_id),
+            g2 AS (SELECT doc_id,
+                          toks[i+1] || chr(31) || toks[i+2] AS k,
+                          COUNT(*) AS c
+                   FROM tv WHERE i < n - 1 GROUP BY 1, 2),
+            s2 AS (SELECT doc_id,
+                          CAST(MAX(c) * MAX(CASE WHEN c = mc
+                               THEN length(k) - 1 END) AS BIGINT) AS score
+                   FROM (SELECT doc_id, k, c,
+                                MAX(c) OVER (PARTITION BY doc_id) AS mc
+                         FROM g2)
+                   WHERE c = mc GROUP BY doc_id),
+            g3 AS (SELECT doc_id,
+                          toks[i+1] || chr(31) || toks[i+2] || chr(31)
+                              || toks[i+3] AS k,
+                          COUNT(*) AS c
+                   FROM tv WHERE i < n - 2 GROUP BY 1, 2),
+            s3 AS (SELECT doc_id,
+                          CAST(MAX(c) * MAX(CASE WHEN c = mc
+                               THEN length(k) - 2 END) AS BIGINT) AS score
+                   FROM (SELECT doc_id, k, c,
+                                MAX(c) OVER (PARTITION BY doc_id) AS mc
+                         FROM g3)
+                   WHERE c = mc GROUP BY doc_id),
+            g4 AS (SELECT doc_id,
+                          toks[i+1] || chr(31) || toks[i+2] || chr(31)
+                              || toks[i+3] || chr(31) || toks[i+4] AS k,
+                          COUNT(*) AS c
+                   FROM tv WHERE i < n - 3 GROUP BY 1, 2),
+            s4 AS (SELECT doc_id,
+                          CAST(MAX(c) * MAX(CASE WHEN c = mc
+                               THEN length(k) - 3 END) AS BIGINT) AS score
+                   FROM (SELECT doc_id, k, c,
+                                MAX(c) OVER (PARTITION BY doc_id) AS mc
+                         FROM g4)
+                   WHERE c = mc GROUP BY doc_id),
+            g5 AS (SELECT doc_id,
+                          toks[i+1] || chr(31) || toks[i+2] || chr(31)
+                              || toks[i+3] || chr(31) || toks[i+4]
+                              || chr(31) || toks[i+5] AS k,
+                          COUNT(*) AS c
+                   FROM tv WHERE i < n - 4 GROUP BY 1, 2),
+            d5 AS (SELECT doc_id,
+                          CAST(SUM(CASE WHEN c > 1
+                               THEN c * (length(k) - 4) ELSE 0 END)
+                               AS BIGINT) AS dupc
+                   FROM g5 GROUP BY doc_id)
+            SELECT
+                l.doc_id,
+                l.n_lines,
+                l.dupl * 10000 // l.n_lines AS dup_line_frac_bp,
+                l.duplc * 10000 // GREATEST(l.totlc, 1)
+                    AS dup_line_char_frac_bp,
+                p.n_paras,
+                p.dupp * 10000 // p.n_paras AS dup_para_frac_bp,
+                p.duppc * 10000 // GREATEST(p.totpc, 1)
+                    AS dup_para_char_frac_bp,
+                COALESCE(tt.n, 0) AS n_tokens,
+                COALESCE(s2.score, 0) * 10000
+                    // GREATEST(COALESCE(ts.tot, 0), 1)
+                    AS top2gram_char_frac_bp,
+                COALESCE(s3.score, 0) * 10000
+                    // GREATEST(COALESCE(ts.tot, 0), 1)
+                    AS top3gram_char_frac_bp,
+                COALESCE(s4.score, 0) * 10000
+                    // GREATEST(COALESCE(ts.tot, 0), 1)
+                    AS top4gram_char_frac_bp,
+                LEAST(COALESCE(d5.dupc, 0), COALESCE(ts.tot, 0)) * 10000
+                    // GREATEST(COALESCE(ts.tot, 0), 1)
+                    AS dup5gram_char_frac_bp
+            FROM lstat l
+            JOIN pstat p USING (doc_id)
+            LEFT JOIN tt USING (doc_id)
+            LEFT JOIN tstat ts USING (doc_id)
+            LEFT JOIN s2 USING (doc_id)
+            LEFT JOIN s3 USING (doc_id)
+            LEFT JOIN s4 USING (doc_id)
+            LEFT JOIN d5 USING (doc_id)
         """,
     }

@@ -704,6 +704,151 @@ def gopher_rules(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def gopher_repetition(docs_ds, *, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Gopher repetition rules (Rae et al. 2021, Appendix A) — the
+    line/paragraph/n-gram half that :func:`repetition_stats` does not
+    cover.  Per document, exact basis-point integers (SQL-identical):
+
+    - ``dup_line_frac_bp`` / ``dup_line_char_frac_bp`` — fraction of line
+      instances (and of line characters) whose line value occurs ≥ 2×
+      within the doc; lines are literal ``\\n`` splits.
+    - ``dup_para_frac_bp`` / ``dup_para_char_frac_bp`` — same over
+      paragraphs (literal ``\\n\\n`` splits, non-overlapping left-to-right
+      — identical to DuckDB ``string_split``).
+    - ``top{2,3,4}gram_char_frac_bp`` — characters covered by the most
+      frequent word n-gram: ``max_count · chars(gram)`` over the grams at
+      max count (char-richest gram breaks count ties — deterministic on
+      both sides, unlike "the" most frequent), over total token chars.
+      Overlapping instances each count, so a doc that is one phrase
+      repeated can exceed 10⁴ bp — fine for thresholding (cutoffs are
+      ~2000 bp), and the oracle computes the identical value.
+    - ``dup5gram_char_frac_bp`` — characters inside duplicated 5-grams,
+      counting every instance (the common implementation shortcut; the
+      paper counts overlapping chars once — interval union — which is not
+      SQL-expressible; the sum is capped at total chars).
+
+    ``chars(gram)`` = sum of its token lengths = ``length(w1⊕…⊕wn with
+    chr(31) seps) − (n−1)`` — the identity the oracle uses.  Tokens are
+    raw ``\\S+`` runs (no lowercasing: duplicate detection is
+    case-sensitive like the paper's).  Map-only — each doc is
+    self-contained, so the stage streams at any scale with zero shuffles.
+    NULL text coalesces to ``''`` (1 empty line/para, 0 tokens).
+    """
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.coalesce(text, pa.scalar("", pa.string()))
+        R = len(batch)
+
+        def seg_dup_stats(sep: str):
+            """(n_segs, dup_instances, dup_chars, total_chars) per row."""
+            parts = pc.split_pattern(text, pattern=sep)
+            if isinstance(parts, pa.ChunkedArray):
+                parts = parts.combine_chunks()
+            flat = parts.flatten()
+            off = parts.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            d = np.repeat(np.arange(R), np.diff(off))
+            ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            df = pd.DataFrame({
+                "d": d, "v": flat.to_numpy(zero_copy_only=False), "l": ln})
+            g = df.groupby(["d", "v"], sort=False).agg(
+                c=("l", "size"), l=("l", "first")).reset_index()
+            g["inst"] = np.where(g["c"] > 1, g["c"], 0)
+            g["instc"] = g["inst"] * g["l"]
+            g["totc"] = g["c"] * g["l"]
+            per = g.groupby("d", sort=True)[["inst", "instc", "totc"]].sum()
+            per = per.reindex(np.arange(R)).fillna(0).astype(np.int64)
+            return (np.diff(off), per["inst"].to_numpy(),
+                    per["instc"].to_numpy(), per["totc"].to_numpy())
+
+        n_lines, dupl, duplc, totlc = seg_dup_stats("\n")
+        n_paras, dupp, duppc, totpc = seg_dup_stats("\n\n")
+
+        # ---- word n-grams over raw \S+ tokens (case-sensitive) ----
+        toks = pc.split_pattern_regex(text, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat_all = toks.flatten()
+        off0 = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+        cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        off = cum[off0]
+        flat = flat_all.filter(pa.array(keep))
+        codes, _ = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = len(codes)
+        n_tok = np.diff(off)
+        doc_idx = np.repeat(np.arange(R), n_tok)
+        lcs = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
+        tot = lcs[off[1:]] - lcs[off[:-1]]
+        tot1 = np.maximum(tot, 1)
+
+        def ngram_tables(n: int):
+            """Per-doc (top_score, dup_chars) for word n-grams of size n."""
+            if m < n:
+                z = np.zeros(R, np.int64)
+                return z, z
+            valid = doc_idx[: m - n + 1] == doc_idx[n - 1:]
+            i = np.flatnonzero(valid)
+            cols = {"d": doc_idx[i]}
+            for j in range(n):
+                cols[f"k{j}"] = codes[i + j]
+            chars = lcs[i + n] - lcs[i]
+            gdf = pd.DataFrame(cols)
+            gdf["ch"] = chars
+            g = gdf.groupby(["d"] + [f"k{j}" for j in range(n)],
+                            sort=False).agg(
+                cnt=("ch", "size"), ch=("ch", "first")).reset_index()
+            mc = g.groupby("d", sort=False)["cnt"].transform("max")
+            sel = g[g["cnt"] == mc]
+            top = sel.groupby("d", sort=True).agg(
+                mc=("cnt", "first"), mch=("ch", "max"))
+            top_score = (top["mc"] * top["mch"]).reindex(
+                np.arange(R)).fillna(0).to_numpy().astype(np.int64)
+            dup = g[g["cnt"] > 1]
+            dupc = (dup["cnt"] * dup["ch"]).groupby(
+                dup["d"]).sum().reindex(np.arange(R)).fillna(0) \
+                .to_numpy().astype(np.int64)
+            return top_score, dupc
+
+        top2, _ = ngram_tables(2)
+        top3, _ = ngram_tables(3)
+        top4, _ = ngram_tables(4)
+        _, dup5 = ngram_tables(5)
+
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac_bp": pa.array(dupl * 10000 // n_lines,
+                                         pa.int64()),
+            "dup_line_char_frac_bp": pa.array(
+                duplc * 10000 // np.maximum(totlc, 1), pa.int64()),
+            "n_paras": pa.array(n_paras, pa.int64()),
+            "dup_para_frac_bp": pa.array(dupp * 10000 // n_paras,
+                                         pa.int64()),
+            "dup_para_char_frac_bp": pa.array(
+                duppc * 10000 // np.maximum(totpc, 1), pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "top2gram_char_frac_bp": pa.array(top2 * 10000 // tot1,
+                                              pa.int64()),
+            "top3gram_char_frac_bp": pa.array(top3 * 10000 // tot1,
+                                              pa.int64()),
+            "top4gram_char_frac_bp": pa.array(top4 * 10000 // tot1,
+                                              pa.int64()),
+            "dup5gram_char_frac_bp": pa.array(
+                np.minimum(dup5, tot) * 10000 // tot1, pa.int64()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def bigram_counts(docs_ds, *, text_col: str = "text"):
     """Corpus counts of adjacent lowercase word bigrams — vectorized: the
     token list array is flattened once and pairs are formed positionally

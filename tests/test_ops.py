@@ -1257,3 +1257,51 @@ def test_gopher_rules_predicates(ray_session):
     assert got.loc[3, "n_bullet"] == got.loc[3, "n_lines"] == 10
     # doc 6: null text coalesces to one empty line, zero words
     assert got.loc[5, "n_words"] == 0 and got.loc[5, "n_lines"] == 1
+
+
+def test_gopher_repetition_hand_computed(ray_session):
+    """Dup-line/para fractions and top-ngram char coverage on docs whose
+    values are checkable by hand; nulls and empty docs emit zero rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import gopher_repetition
+
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # 4 lines, "same line" twice (9 chars each); paras: the \n\n
+            # split yields 2 paragraphs, both distinct
+            "same line\nsame line\n\nother",
+            # tokens: "a b a b a b" -> top bigram ("a","b") x3, chars 2;
+            # total token chars 6
+            "a b a b a b",
+            None,                      # 1 empty line, 0 tokens
+            "unique paragraph",        # nothing repeats
+        ],
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = gopher_repetition(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    d1 = got.loc[0]
+    assert d1["n_lines"] == 4            # "same line","same line","","other"
+    assert d1["dup_line_frac_bp"] == 2 * 10000 // 4
+    assert d1["dup_line_char_frac_bp"] == 18 * 10000 // (18 + 0 + 5)
+    assert d1["n_paras"] == 2 and d1["dup_para_frac_bp"] == 0
+
+    d2 = got.loc[1]
+    assert d2["n_tokens"] == 6
+    # top bigram ("a","b") count 3, chars 2 -> 3*2*1e4 // 6
+    assert d2["top2gram_char_frac_bp"] == 3 * 2 * 10000 // 6
+    # 5-grams: "a b a b a" x1, "b a b a b" x1 -> no dups
+    assert d2["dup5gram_char_frac_bp"] == 0
+
+    d3 = got.loc[2]
+    assert d3["n_lines"] == 1 and d3["n_tokens"] == 0
+    assert d3["top2gram_char_frac_bp"] == 0
+
+    d4 = got.loc[3]
+    assert d4["dup_line_frac_bp"] == 0 and d4["dup_para_frac_bp"] == 0
+    # single 2-gram ("unique","paragraph") count 1, chars 15, tot 15
+    assert d4["top2gram_char_frac_bp"] == 10000
