@@ -48,6 +48,13 @@ def _read_docs(sf_dir: str):
                                  columns=["doc_id", "text"])
 
 
+def _read_docs_lang(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+
+
 def _hll_registers(sf_dir: str):
     import ray.data
 
@@ -602,6 +609,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # char coverage (the half repetition_stats doesn't cover)
         "gopher_repetition": lambda sf: textstats.gopher_repetition(
             _read_docs(sf)),
+        # DSIR importance resampling (Xie et al. 2023): hashed unigram+
+        # bigram models of target (lang='en') vs raw corpus, integer
+        # bit-length log-ratio scores, deterministic top-p% selection
+        "dsir_select": lambda sf: textstats.dsir_select(
+            _read_docs_lang(sf), keep_bp=2500, bin_width=1),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2039,5 +2051,64 @@ def _oracle_sql_base() -> dict[str, str]:
             LEFT JOIN s3 USING (doc_id)
             LEFT JOIN s4 USING (doc_id)
             LEFT JOIN d5 USING (doc_id)
+        """,
+        # dsir_select: features = unigrams + chr(31)-joined positional
+        # bigrams, md5low64 % 4096; wgt[b] = bitlen(tgt+1) - bitlen(raw+1),
+        # norm = bitlen(Nraw+4096) - bitlen(Ntgt+4096) (bitlen ==
+        # length(bin(x)) for x > 0); score = Σ wgt + n_features·norm;
+        # binned-percentile cutoff (classifier_select law, width 1 —
+        # bit-length scores are small ints, so distinct bins stay bounded
+        # and width-1 gives exact-score granularity; keep 2500 → drop 7500).
+        "dsir_select": r"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(
+                                       lower(trim(text)), '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents),
+            tt AS (SELECT doc_id, lang, w, len(w) AS n FROM tok),
+            tv AS (SELECT doc_id, lang, unnest(range(0, n)) AS i, w, n
+                   FROM tt WHERE n > 0),
+            feat AS (
+                SELECT doc_id, lang, w[i + 1] AS f FROM tv
+                UNION ALL
+                SELECT doc_id, lang, w[i + 1] || chr(31) || w[i + 2] AS f
+                FROM tv WHERE i < n - 1),
+            fb AS (SELECT doc_id, lang,
+                          CAST(md5_number_lower(f) % 4096 AS BIGINT) AS b
+                   FROM feat),
+            bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS raw_c,
+                          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                               AS BIGINT) AS tgt_c
+                   FROM fb GROUP BY b),
+            tot AS (SELECT CAST(SUM(raw_c) AS BIGINT) AS nr,
+                           CAST(SUM(tgt_c) AS BIGINT) AS nt FROM bc),
+            wgt AS (SELECT b,
+                           CAST(length(bin(tgt_c + 1))
+                                - length(bin(raw_c + 1)) AS BIGINT) AS wv
+                    FROM bc),
+            nrm AS (SELECT CAST(length(bin(nr + 4096))
+                                - length(bin(nt + 4096)) AS BIGINT) AS nv
+                    FROM tot),
+            sc AS (SELECT fb.doc_id,
+                          CAST(SUM(wgt.wv)
+                               + COUNT(*) * (SELECT nv FROM nrm)
+                               AS BIGINT) AS score
+                   FROM fb JOIN wgt USING (b) GROUP BY fb.doc_id),
+            scored AS (SELECT d.doc_id,
+                              CAST(COALESCE(sc.score, 0) AS BIGINT) AS score
+                       FROM documents d LEFT JOIN sc USING (doc_id)),
+            bins AS (SELECT doc_id, score,
+                            (score + (CAST(1 AS BIGINT) << 40)) // 1 AS b
+                     FROM scored),
+            hist AS (SELECT b, count(*) AS c FROM bins GROUP BY 1),
+            cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cc FROM hist),
+            cut AS (SELECT min(b) AS cut FROM cum
+                    WHERE cc * 10000 >=
+                          7500 * (SELECT count(*) FROM documents))
+            SELECT doc_id, score,
+                   CAST(CASE WHEN b > (SELECT cut FROM cut)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM bins
         """,
     }

@@ -1402,6 +1402,163 @@ class _HashedLinearScorer:
         })
 
 
+def _np_bitlen(x: np.ndarray) -> np.ndarray:
+    """Vectorized ``int.bit_length`` for non-negative int64 < 2^53 — the
+    np.frexp exponent (exact in float64; the unigram_bits/HLL identity,
+    == DuckDB ``length(bin(x))`` for x > 0)."""
+    _, e = np.frexp(x.astype(np.float64))
+    return e.astype(np.int64)
+
+
+def _hashed_features(batch: pa.Table, text_col: str, buckets: int):
+    """Per-occurrence (doc_index, bucket) for hashed unigram + positional
+    bigram features — the DSIR feature space.  Tokens are the shared
+    lowercase ``\\s+`` explode with ``''`` dropped (offset-remapped so
+    bigrams never straddle a doc boundary); each distinct feature string
+    is md5-hashed once (md5low64 % buckets == DuckDB
+    ``md5_number_lower(f) % buckets``)."""
+    import pandas as pd
+
+    doc_idx0, flat_all, off0 = _explode_tokens(batch, text_col)
+    keep = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+    cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+    off = cum[off0.astype(np.int64)]
+    toks = flat_all.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    m = len(toks)
+    doc_idx = np.repeat(np.arange(len(off) - 1), np.diff(off))
+
+    feats = [toks]
+    dis = [doc_idx]
+    if m > 1:
+        bi = np.flatnonzero(doc_idx[:-1] == doc_idx[1:])
+        if len(bi):
+            feats.append((pd.Series(toks[bi]) + "\x1f"
+                          + pd.Series(toks[bi + 1])).to_numpy())
+            dis.append(doc_idx[bi])
+    allf = np.concatenate(feats) if m else np.empty(0, object)
+    alld = np.concatenate(dis) if m else np.empty(0, np.int64)
+    if not len(allf):
+        return alld, np.empty(0, np.int64)
+    codes, uniq = pd.factorize(allf)
+    md5 = hashlib.md5
+    hu = np.fromiter(
+        (int.from_bytes(md5(f.encode()).digest()[8:16], "little") % buckets
+         for f in uniq),
+        dtype=np.int64, count=len(uniq))
+    return alld, hu[codes]
+
+
+def dsir_select(docs_ds, *, target_lang: str = "en", buckets: int = 4096,
+                keep_bp: int = 2500, bin_width: int = 8,
+                text_col: str = "text", id_col: str = "doc_id",
+                lang_col: str = "lang"):
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, *Data Selection for Language Models via Importance Resampling*):
+    estimate hashed-n-gram bag-of-words models of a TARGET distribution
+    (here: docs with ``lang == target_lang``) and the RAW corpus, score
+    every doc by its importance log-ratio, keep the top ``keep_bp``/10⁴.
+
+    Integer-exact adaptation (so the DuckDB oracle hash-matches): the
+    per-bucket log-probability is the bit-length proxy (the unigram_bits
+    idiom — ``bitlen(x) == length(bin(x))``), so
+
+      ``wgt[b] = bitlen(tgt_c[b]+1) − bitlen(raw_c[b]+1)``
+      ``norm   = bitlen(N_raw+B)   − bitlen(N_tgt+B)``
+      ``score(doc) = Σ_features wgt[b(f)] + n_features · norm``
+
+    ≈ ``Σ log₂ p̂_tgt(f)/p̂_raw(f)`` with add-one smoothing — deterministic
+    instead of the paper's Gumbel-noised sampling (documented divergence:
+    ranking selection, the reproducible batch variant).  Features are
+    hashed unigrams + positional bigrams (md5low64 % ``buckets``).
+
+    Scale shape: bucket counts are per-batch bincount PARTIALS → one Sum
+    shuffle over ≤ ``buckets`` keys; the driver state is the fixed-size
+    weight array (``buckets`` int64 — independent of corpus size),
+    broadcast once via ``ray.put``; scoring is map-only; the percentile
+    cutoff reuses the classifier_select binned-histogram law (driver sees
+    DISTINCT BINS only).  Output ``(doc_id, score, keep)`` over ALL docs.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d, b = _hashed_features(batch, text_col, buckets)
+        lang = batch.column(lang_col).to_numpy(zero_copy_only=False)
+        is_t = (lang == target_lang)
+        raw = np.bincount(b, minlength=buckets)
+        tgt = np.bincount(b[is_t[d]], minlength=buckets)
+        nz = np.flatnonzero(raw)
+        return pa.table({
+            "b": pa.array(nz, pa.int64()),
+            "raw_c": pa.array(raw[nz].astype(np.int64), pa.int64()),
+            "tgt_c": pa.array(tgt[nz].astype(np.int64), pa.int64()),
+        })
+
+    bc = docs_ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("b").aggregate(Sum("raw_c", alias_name="raw_c"),
+                                Sum("tgt_c", alias_name="tgt_c")) \
+        .to_pandas()  # ≤ buckets rows — fixed-size driver state
+    raw_c = np.zeros(buckets, np.int64)
+    tgt_c = np.zeros(buckets, np.int64)
+    if len(bc):
+        raw_c[bc["b"].to_numpy()] = bc["raw_c"].to_numpy()
+        tgt_c[bc["b"].to_numpy()] = bc["tgt_c"].to_numpy()
+    wgt = _np_bitlen(tgt_c + 1) - _np_bitlen(raw_c + 1)
+    nr, nt = int(raw_c.sum()), int(tgt_c.sum())
+    norm = (nr + buckets).bit_length() - (nt + buckets).bit_length()
+    wref = ray.put(wgt)
+
+    class Score:
+        def __init__(self):
+            self.w = ray.get(wref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d, b = _hashed_features(batch, text_col, buckets)
+            score = np.zeros(batch.num_rows, np.int64)
+            if len(d):
+                np.add.at(score, d, self.w[b])
+                score += np.bincount(
+                    d, minlength=batch.num_rows).astype(np.int64) * norm
+            return pa.table({
+                id_col: batch.column(id_col),
+                "score": pa.array(score, pa.int64()),
+            })
+
+    scores = docs_ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=default_pool(),
+    ).materialize()  # consumed twice: histogram + keep attach
+
+    def binpart(t: pa.Table) -> pa.Table:
+        b = (t.column("score").to_numpy(zero_copy_only=False)
+             + _CLS_OFFSET) // bin_width
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(vals, pa.int64()),
+                         "c": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    hist = scores.map_batches(binpart, batch_format="pyarrow") \
+        .groupby("b").aggregate(Sum("c", alias_name="c")) \
+        .sort("b").to_pandas()
+    cum = hist["c"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    drop_bp = 10000 - keep_bp
+    if n:
+        idx = int((cum * 10000 >= drop_bp * n).argmax())
+        cut = int(hist["b"].to_numpy()[idx])
+    else:
+        cut = 0
+
+    def add_keep(t: pa.Table) -> pa.Table:
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        keep = (((s + _CLS_OFFSET) // bin_width) > cut).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "score": t.column("score"),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    return scores.map_batches(add_keep, batch_format="pyarrow")
+
+
 def classifier_select(docs_ds, *, keep_bp: int = 3000, dim: int = 65536,
                       bin_width: int = 64, text_col: str = "text",
                       id_col: str = "doc_id"):

@@ -1305,3 +1305,51 @@ def test_gopher_repetition_hand_computed(ray_session):
     assert d4["dup_line_frac_bp"] == 0 and d4["dup_para_frac_bp"] == 0
     # single 2-gram ("unique","paragraph") count 1, chars 15, tot 15
     assert d4["top2gram_char_frac_bp"] == 10000
+
+
+def test_dsir_select_ranks_targetlike_docs(ray_session):
+    """DSIR importance scores rank docs written in the target corpus's
+    vocabulary above off-target docs, regardless of their own lang tag;
+    the binned-percentile keeps ~keep_bp of the corpus."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import dsir_select
+
+    tgt_vocab = "alpha beta gamma delta epsilon zeta"
+    off_vocab = "uno dos tres cuatro cinco seis"
+    rows = {"doc_id": [], "text": [], "lang": []}
+    for i in range(20):                      # target corpus (lang=en)
+        rows["doc_id"].append(i)
+        rows["text"].append(tgt_vocab + f" alpha beta {i % 3}")
+        rows["lang"].append("en")
+    for i in range(20, 40):                  # raw-only corpus (lang=es)
+        rows["doc_id"].append(i)
+        rows["text"].append(off_vocab + f" uno dos {i % 3}")
+        rows["lang"].append("es")
+    # probes: same length, opposite vocabularies, both tagged 'de' so the
+    # score is driven purely by the learned models, not the tag
+    rows["doc_id"] += [100, 101]
+    rows["text"] += [tgt_vocab, off_vocab]
+    rows["lang"] += ["de", "de"]
+    rows["doc_id"].append(102)               # null text -> score 0
+    rows["text"].append(None)
+    rows["lang"].append("en")
+
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = dsir_select(ds, keep_bp=5000, bin_width=1).to_pandas() \
+        .set_index("doc_id")
+    assert got.loc[100, "score"] > got.loc[101, "score"]
+    assert got.loc[102, "score"] == 0
+    # all target-vocab docs outscore all off-vocab docs
+    t_min = got.loc[range(20), "score"].min()
+    o_max = got.loc[range(20, 40), "score"].max()
+    assert t_min > o_max
+    # keep ~half, up to one tied score-bin of granularity (the strict
+    # bin > cut rule drops the whole boundary bin on ties)
+    kept = set(got[got["keep"] == 1].index)
+    assert 0.30 * len(got) <= len(kept) <= 0.65 * len(got)
+    # everything kept is target-vocab (the 20 en docs + the two
+    # target-like probes); no off-vocab doc survives
+    assert kept <= set(range(20)) | {100, 102}
+    assert not kept & set(range(20, 40)) and 101 not in kept
