@@ -614,6 +614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-length log-ratio scores, deterministic top-p% selection
         "dsir_select": lambda sf: textstats.dsir_select(
             _read_docs_lang(sf), keep_bp=2500, bin_width=1),
+        # semi-structured: vectorized JSON property extraction (polars
+        # json_path_match) + typed per-event_type aggregate
+        "json_props": analytics.json_props,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2110,5 +2113,23 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(CASE WHEN b > (SELECT cut FROM cut)
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM bins
+        """,
+        # json_props: TRY_CAST(json_extract_string(...) AS BIGINT) is the
+        # shared extraction law (non-integer / missing-path → NULL);
+        # all-NULL groups coalesce min/max to 0 on both sides.
+        "json_props": """
+            WITH e AS (
+                SELECT event_type,
+                       TRY_CAST(json_extract_string(props, '$.k')
+                                AS BIGINT) AS k
+                FROM events)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT) AS k_sum,
+                   CAST(COALESCE(MIN(k), 0) AS BIGINT) AS k_min,
+                   CAST(COALESCE(MAX(k), 0) AS BIGINT) AS k_max,
+                   CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS k_nulls
+            FROM e GROUP BY event_type
         """,
     }

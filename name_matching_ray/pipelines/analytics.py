@@ -904,3 +904,73 @@ def range_join_windows(sf_dir: str, *, n_windows: int = 8,
 
     return _grouped_sum(ds, ["window_id", "event_type"], partial,
                         ["n_events"])
+
+
+# ---------------------------------------------------------------------------
+# semi-structured: JSON property extraction + typed aggregate
+# ---------------------------------------------------------------------------
+
+def json_props(sf_dir: str, *, path: str = "$.k"):
+    """Semi-structured column handling: parse the ``events.props`` JSON
+    string column, extract an integer property (JSONPath ``path``), and
+    aggregate per event_type — ``(n_events, k_sum, k_min, k_max,
+    k_nulls)``, all int64.
+
+    The extraction kernel is polars' native ``str.json_path_match`` (a
+    vectorized Rust JSON parser — no Python row loop), then a strict
+    string→int64 cast where non-integers and missing paths become NULL —
+    the same law as DuckDB ``TRY_CAST(json_extract_string(props, path) AS
+    BIGINT)``, so the oracle hash-matches (NULL-k rows count in
+    ``k_nulls`` and nowhere else; all-NULL groups coalesce min/max to 0).
+
+    Scale shape: per-batch partials pre-aggregate to ≤ |event_type| rows
+    (count/sum/min/max/nonnull are all mergeable), then one tiny grouped
+    combine — the classic combiner pattern, no wide shuffle of raw rows.
+    """
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    I64 = np.iinfo(np.int64)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        k = pl.from_pandas(df["props"]).str.json_path_match(path) \
+            .cast(pl.Int64, strict=False).to_pandas()
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k}) \
+            .groupby("event_type", as_index=False) \
+            .agg(n_events=("k", "size"), k_sum=("k", "sum"),
+                 k_min=("k", "min"), k_max=("k", "max"),
+                 k_nonnull=("k", "count"))
+        # sentinel min/max so the merge is a plain min/max; resolved
+        # against k_nonnull in the final combine.  NOT via fillna(I64.max):
+        # that routes through float64, where float(2^63-1) rounds UP to
+        # 2^63 and the int64 cast wraps to I64.min — fill in int space.
+        def fill_int(col: pd.Series, sentinel: int) -> np.ndarray:
+            v = col.to_numpy(np.float64, na_value=np.nan)
+            out = np.full(len(v), sentinel, np.int64)
+            m = ~np.isnan(v)
+            out[m] = v[m].astype(np.int64)
+            return out
+
+        g["k_min"] = fill_int(g["k_min"], I64.max)
+        g["k_max"] = fill_int(g["k_max"], I64.min)
+        g["k_sum"] = g["k_sum"].fillna(0).astype(np.int64)
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["k_nonnull"] = g["k_nonnull"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), k_sum=("k_sum", "sum"),
+            k_min=("k_min", "min"), k_max=("k_max", "max"),
+            k_nonnull=("k_nonnull", "sum"))
+        none = agg["k_nonnull"] == 0
+        agg.loc[none, ["k_min", "k_max"]] = 0
+        agg["k_nulls"] = agg["n_events"] - agg["k_nonnull"]
+        return pa.Table.from_pandas(
+            agg[["event_type", "n_events", "k_sum", "k_min", "k_max",
+                 "k_nulls"]], preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    # |event_type| is tiny — a single-key grouped combine suffices
+    return partials.groupby("event_type").map_groups(
+        combine, batch_format="pandas")

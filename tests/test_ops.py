@@ -1353,3 +1353,31 @@ def test_dsir_select_ranks_targetlike_docs(ray_session):
     # target-like probes); no off-vocab doc survives
     assert kept <= set(range(20)) | {100, 102}
     assert not kept & set(range(20, 40)) and 101 not in kept
+
+
+def test_json_props_extraction_semantics(ray_session, tmp_path):
+    """JSON property extraction: missing path, non-integer value, invalid
+    JSON and NULL props all land in k_nulls; all-NULL groups coalesce
+    min/max to 0; sums/mins/maxes are exact ints."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import json_props
+
+    t = pa.table({
+        "event_type": ["a", "a", "a", "a", "b", "b", "c"],
+        "props": ['{"k": 5}', '{"k": -3}', '{"j": 9}', None,
+                  '{"k": 2.5}', 'not json', '{"k": 7}'],
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = json_props(str(tmp_path)).to_pandas() \
+        .sort_values("event_type").set_index("event_type")
+
+    a = got.loc["a"]
+    assert (a["n_events"], a["k_sum"], a["k_min"], a["k_max"],
+            a["k_nulls"]) == (4, 2, -3, 5, 2)
+    b = got.loc["b"]          # "2.5" fails the strict int cast
+    assert (b["n_events"], b["k_nulls"], b["k_min"], b["k_max"]) \
+        == (2, 2, 0, 0)
+    c = got.loc["c"]
+    assert (c["k_sum"], c["k_min"], c["k_max"], c["k_nulls"]) == (7, 7, 7, 0)
