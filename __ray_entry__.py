@@ -617,6 +617,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-structured: vectorized JSON property extraction (polars
         # json_path_match) + typed per-event_type aggregate
         "json_props": analytics.json_props,
+        # one exact Lloyd iteration on the int8 grid: integer argmin-L2
+        # assignment + per-(cluster, dim) integer sufficient statistics
+        "kmeans_update": lambda sf: annsearch.kmeans_update(
+            _read_emb(sf), annsearch.fixed_centroids(8, 64)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -752,6 +756,46 @@ def _cluster_stats_oracle() -> str:
             SELECT cid, lbl, n, row_number() OVER (
                 PARTITION BY cid ORDER BY n DESC, lbl) AS rn
             FROM cl) m ON m.cid = t.cid AND m.rn = 1
+    """
+
+
+def _kmeans_update_oracle() -> str:
+    """DuckDB replica of :func:`annsearch.kmeans_update`: the SAME fixed
+    centroids quantized with the quantized_topk law and inlined as DOUBLE
+    literals; assignment = integer argmin of ``c² − 2q·c`` (the per-row
+    ``q²`` term is constant per vec — dropped on both sides), ties →
+    lowest cid; sums per (cluster, dim) via the range-index idiom."""
+    import numpy as np
+
+    cent = annsearch.fixed_centroids(8, 64)
+    cq = np.floor(cent.astype(np.float64) * 127.0 + 0.5)
+    rows = ",\n".join(
+        f"({ci}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for ci, c in enumerate(cq)
+    )
+    return f"""
+        WITH cent(cid, cq) AS (VALUES {rows}),
+        q AS (SELECT vec_id, list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 127 + 0.5)) AS qv
+              FROM embeddings),
+        dist AS (SELECT q.vec_id, c.cid,
+                        CAST(list_dot_product(c.cq, c.cq)
+                             - 2 * list_dot_product(q.qv, c.cq)
+                             AS BIGINT) AS d2
+                 FROM q CROSS JOIN cent c),
+        asg AS (SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM dist) WHERE rn = 1),
+        n AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+              FROM asg GROUP BY cid),
+        xv AS (SELECT a.cid, unnest(range(1, len(q.qv) + 1)) AS i, q.qv
+               FROM asg a JOIN q USING (vec_id)),
+        s AS (SELECT cid, CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(SUM(qv[i]) AS BIGINT) AS dim_sum
+              FROM xv GROUP BY 1, 2)
+        SELECT s.cid AS cluster_id, s.dim, s.dim_sum, n.n_vecs
+        FROM s JOIN n USING (cid)
     """
 
 
@@ -2132,4 +2176,5 @@ def _oracle_sql_base() -> dict[str, str]:
                         AS BIGINT) AS k_nulls
             FROM e GROUP BY event_type
         """,
+        "kmeans_update": _kmeans_update_oracle(),
     }

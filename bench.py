@@ -111,7 +111,7 @@ BENCH_QUERIES = [
     "semantic_keep_list", "classifier_select",
     "hll_registers", "countmin_sketch", "countmin_topk",
     "interleaved_spans", "line_filter", "quantized_topk", "gopher_rules",
-    "gopher_repetition", "dsir_select", "json_props",
+    "gopher_repetition", "dsir_select", "json_props", "kmeans_update",
 ]
 
 

@@ -660,3 +660,71 @@ def cluster_stats(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
 
     return agg.map_batches(tag_bucket, batch_format="pyarrow") \
         .groupby("_ub").map_groups(majority, batch_format="pandas")
+
+
+def kmeans_update(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """One exact Lloyd iteration (the k-means update step) on the int8
+    quantization grid — the distributed-ML primitive behind IVF /
+    SemDeDup codebook training, with a fully-integer oracled surface:
+
+    * vectors AND centroids are quantized with :func:`_quantize127`
+      (``floor(x·127+0.5)`` — the quantized_topk law, float64-exact),
+    * each vector is assigned to the centroid minimizing the EXACT
+      integer squared L2 distance (computed as ``c² − 2q·c`` per batch —
+      one BLAS dgemm against the broadcast centroid codes; the per-row
+      ``q²`` term can't change the argmin; ties → lowest cluster id,
+      np.argmin's first-hit == the SQL ``ORDER BY d2, cid`` tiebreak),
+    * the output is the update's SUFFICIENT STATISTICS, one row per
+      (cluster, dim): ``dim_sum`` = Σ of member codes at that dim and
+      ``n_vecs`` = member count (the new centroid is ``dim_sum/n_vecs``
+      — the single float division is left to the caller so the oracled
+      surface stays pure-integer).  Empty clusters emit no rows.
+
+    Scale shape: per-batch partials pre-aggregate to ≤ K·D rows (the
+    (K, D) sums matrix + K counts), so the only shuffle carries K·D tiny
+    rows regardless of input size; centroid codes ship once via
+    ``ray.put``.  Iterating = call again with the updated centroids.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    cq = _quantize127(centroids.astype(np.float64))
+    c2 = (cq * cq).sum(axis=1)
+    K, D = cq.shape
+    cref = ray.put((cq, c2))
+
+    class Part:
+        def __init__(self):
+            self.cq, self.c2 = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = _quantize127(_mat(batch.column(vec_col)))
+            if not len(q):
+                return pa.table({
+                    "cluster_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "dim_sum": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                })
+            # c² − 2q·c: exact integers in float64 (|q|,|c| ≤ 127)
+            d = self.c2[None, :] - 2.0 * (q @ self.cq.T)
+            cid = np.argmin(d, axis=1)
+            sums = np.zeros((K, D), np.float64)
+            np.add.at(sums, cid, q)
+            cnt = np.bincount(cid, minlength=K).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "cluster_id": pa.array(np.repeat(nz, D), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(D, dtype=np.int64),
+                                        len(nz)), pa.int64()),
+                "dim_sum": pa.array(sums[nz].ravel().astype(np.int64),
+                                    pa.int64()),
+                "n_vecs": pa.array(np.repeat(cnt[nz], D), pa.int64()),
+            })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        Part, batch_format="pyarrow", concurrency=default_pool(),
+    ).groupby(["cluster_id", "dim"]).aggregate(
+        Sum("dim_sum", alias_name="dim_sum"),
+        Sum("n_vecs", alias_name="n_vecs"))

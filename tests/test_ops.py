@@ -1381,3 +1381,44 @@ def test_json_props_extraction_semantics(ray_session, tmp_path):
         == (2, 2, 0, 0)
     c = got.loc["c"]
     assert (c["k_sum"], c["k_min"], c["k_max"], c["k_nulls"]) == (7, 7, 7, 0)
+
+
+def test_kmeans_update_exact_sufficient_stats(ray_session):
+    """One Lloyd step on planted clusters: assignments recover the
+    plant, and (dim_sum, n_vecs) equal the numpy reference exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.annsearch import (_quantize127,
+                                                    kmeans_update)
+
+    rng = np.random.default_rng(7)
+    dim, n_per = 16, 40
+    centers = np.array([[1.0] * dim, [-1.0] * dim]) * 0.5
+    vecs = np.concatenate([
+        centers[0] + 0.05 * rng.standard_normal((n_per, dim)),
+        centers[1] + 0.05 * rng.standard_normal((n_per, dim)),
+    ])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(2 * n_per), pa.int64()),
+        "embedding": pa.array(list(vecs.astype(np.float32))),
+    }))
+    got = kmeans_update(ds, centers).to_pandas() \
+        .sort_values(["cluster_id", "dim"]).reset_index(drop=True)
+
+    # numpy reference: same quantization, exact integer distances
+    q = _quantize127(vecs.astype(np.float32).astype(np.float64))
+    cq = _quantize127(centers)
+    d2 = ((q[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+    cid = d2.argmin(axis=1)
+    assert (cid == np.repeat([0, 1], n_per)).all()   # plant recovered
+    for c in (0, 1):
+        sub = got[got.cluster_id == c]
+        assert sub["n_vecs"].unique().tolist() == [n_per]
+        np.testing.assert_array_equal(
+            sub.sort_values("dim")["dim_sum"].to_numpy(),
+            q[cid == c].sum(axis=0).astype(np.int64))
+    # the implied new centroids move toward the plant means
+    m0 = got[got.cluster_id == 0].sort_values("dim")
+    new0 = m0["dim_sum"].to_numpy() / m0["n_vecs"].to_numpy()
+    assert np.abs(new0 / 127.0 - 0.5).max() < 0.05
