@@ -621,6 +621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # assignment + per-(cluster, dim) integer sufficient statistics
         "kmeans_update": lambda sf: annsearch.kmeans_update(
             _read_emb(sf), annsearch.fixed_centroids(8, 64)),
+        # soft dedup: keep at most `cap` copies per exact-duplicate group
+        "frequency_cap": lambda sf: dedup.frequency_cap(
+            _read_docs(sf), cap=2),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2177,4 +2180,24 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM e GROUP BY event_type
         """,
         "kmeans_update": _kmeans_update_oracle(),
+        # frequency_cap: exact_dedup's fingerprint law with NULL text
+        # coalesced to '' on both sides; copy_rank = row_number within the
+        # fingerprint group by ascending doc_id; keep = copy_rank <= cap.
+        "frequency_cap": """
+            WITH f AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(COALESCE(text, '')),
+                                          '[^a-z0-9]', '', 'g'))
+                           AS fingerprint
+                FROM documents)
+            SELECT doc_id, fingerprint,
+                   CAST(row_number() OVER (PARTITION BY fingerprint
+                                           ORDER BY doc_id) AS BIGINT)
+                       AS copy_rank,
+                   CAST(CASE WHEN row_number() OVER (
+                                  PARTITION BY fingerprint
+                                  ORDER BY doc_id) <= 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM f
+        """,
     }

@@ -31,7 +31,7 @@ from ..util import default_pool
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .textstats import fingerprints
+from .textstats import fingerprint_batch, fingerprints
 
 _MERSENNE = (1 << 61) - 1
 _MAXU64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -50,6 +50,54 @@ def exact_dedup(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
         Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups")
     )
     return out
+
+
+def frequency_cap(docs_ds, *, cap: int = 2, text_col: str = "text",
+                  id_col: str = "doc_id", n_buckets: int = 256):
+    """Soft dedup / duplicate frequency capping: keep at most ``cap``
+    copies of each exact-duplicate document (the "allow k duplicates"
+    policy several LLM corpora use instead of hard dedup — repetition in
+    moderation is signal, unbounded repetition is spam).  Output one row
+    per doc: ``(doc_id, fingerprint, copy_rank, keep)`` where
+    ``copy_rank`` ranks the doc within its fingerprint group by ascending
+    doc_id (== SQL ``row_number() OVER (PARTITION BY fp ORDER BY
+    doc_id)``) and ``keep = copy_rank <= cap``.
+
+    The fingerprint is exact_dedup's md5-of-normalized-text law, with
+    NULL text coalesced to ``''`` on BOTH sides (SQL ``md5(NULL)`` is
+    NULL and PARTITION BY would lump NULLs anyway — coalescing keeps the
+    two sides' grouping identical when '' and NULL coexist).
+
+    Scale shape: the shuffle key is ``int(fp[:4], 16) % n_buckets`` — a
+    coarse bucket that co-locates each fingerprint group while producing
+    ~n_buckets Ray groups (the tiny-group pathology guard); ranking
+    inside a bucket is one vectorized sort + groupby-cumcount.  md5 keys
+    are uniform, so buckets are balanced by construction.
+    """
+    import pandas as pd
+
+    def fp_bucket(batch: pa.Table) -> pa.Table:
+        t = fingerprint_batch(batch, text_col=text_col, id_col=id_col)
+        fp = t.column("fingerprint")
+        codes, uniq = pd.factorize(fp.to_numpy(zero_copy_only=False))
+        bk = np.fromiter((int(u[:4], 16) % n_buckets for u in uniq),
+                         dtype=np.int64, count=len(uniq))
+        return t.append_column("bucket", pa.array(bk[codes], pa.int64()))
+
+    def rank_bucket(df) -> pa.Table:
+        df = df.sort_values(["fingerprint", id_col], kind="mergesort")
+        r = (df.groupby("fingerprint", sort=False).cumcount() + 1) \
+            .to_numpy(np.int64)
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+            "fingerprint": pa.array(df["fingerprint"].to_numpy(),
+                                    pa.string()),
+            "copy_rank": pa.array(r, pa.int64()),
+            "keep": pa.array((r <= cap).astype(np.int64), pa.int64()),
+        })
+
+    return docs_ds.map_batches(fp_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

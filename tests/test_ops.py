@@ -1422,3 +1422,30 @@ def test_kmeans_update_exact_sufficient_stats(ray_session):
     m0 = got[got.cluster_id == 0].sort_values("dim")
     new0 = m0["dim_sum"].to_numpy() / m0["n_vecs"].to_numpy()
     assert np.abs(new0 / 127.0 - 0.5).max() < 0.05
+
+
+def test_frequency_cap_keeps_first_k_copies(ray_session):
+    """Duplicate groups rank by ascending doc_id; copies past the cap
+    drop; normalization ('Hello!' == 'hello') groups as in exact_dedup;
+    null and '' text share one group (coalesced law)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.dedup import frequency_cap
+
+    rows = {
+        "doc_id": [5, 3, 1, 9, 2, 7, 8],
+        "text": ["hello", "Hello!", "h e l l o", "unique",
+                 None, "", "other"],
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = frequency_cap(ds, cap=2).to_pandas().set_index("doc_id")
+
+    # "hello" variants all normalize to the same fingerprint: ranks by id
+    assert got.loc[1, "copy_rank"] == 1 and got.loc[1, "keep"] == 1
+    assert got.loc[3, "copy_rank"] == 2 and got.loc[3, "keep"] == 1
+    assert got.loc[5, "copy_rank"] == 3 and got.loc[5, "keep"] == 0
+    # null text and '' text coalesce into one group
+    assert got.loc[2, "fingerprint"] == got.loc[7, "fingerprint"]
+    assert got.loc[2, "copy_rank"] == 1 and got.loc[7, "copy_rank"] == 2
+    assert got.loc[9, "keep"] == 1 and got.loc[8, "keep"] == 1
