@@ -22,7 +22,8 @@ from name_matching_ray.pipelines.linkage import (
     self_link_docs,
 )
 from name_matching_ray.sources.docs_source import documents_as_interleaved
-from name_matching_ray.stages import annsearch, chunking, dedup, sketches, textstats
+from name_matching_ray.stages import (annsearch, chunking, curation, dedup,
+                                      sketches, textstats)
 from name_matching_ray.stages.multimodal import media_features
 
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -53,6 +54,13 @@ def _read_docs_lang(sf_dir: str):
 
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
+
+
+def _read_docs_source(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
 
 
 def _hll_registers(sf_dir: str):
@@ -624,6 +632,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # soft dedup: keep at most `cap` copies per exact-duplicate group
         "frequency_cap": lambda sf: dedup.frequency_cap(
             _read_docs(sf), cap=2),
+        # per-source token budgeting: longest-first quota fill (mixing)
+        "token_budget": lambda sf: curation.token_budget_select(
+            _read_docs_source(sf), budget=1000),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2199,5 +2210,28 @@ def _oracle_sql_base() -> dict[str, str]:
                                   ORDER BY doc_id) <= 2
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM f
+        """,
+        # token_budget: n_words = RE2 \S+ count (gopher law); cum_words =
+        # window sum longest-first (n_words DESC, doc_id ASC); keep iff
+        # the running total including self fits the budget.
+        "token_budget": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       CAST(length(regexp_extract_all(
+                                COALESCE(text, ''), '\\S+'))
+                            AS BIGINT) AS n_words
+                FROM documents),
+            c AS (
+                SELECT doc_id, source, n_words,
+                       CAST(SUM(n_words) OVER (
+                            PARTITION BY source
+                            ORDER BY n_words DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_words
+                FROM w)
+            SELECT doc_id, source, n_words, cum_words,
+                   CAST(CASE WHEN cum_words <= 1000 THEN 1 ELSE 0 END
+                        AS BIGINT) AS keep
+            FROM c
         """,
     }

@@ -11,6 +11,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _md5_low64(s: str) -> int:
@@ -41,6 +42,71 @@ def stratified_sample(docs_ds, rates_bp: dict[str, int], *,
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return docs_ds.map_batches(keep_batch, batch_format="pyarrow")
+
+
+def token_budget_select(docs_ds, *, budget: int, key_col: str = "source",
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_buckets: int = 256):
+    """Per-source token budgeting — the mixing primitive that fills each
+    domain's quota: within every ``key_col`` stratum, rank docs
+    longest-first (``n_words`` DESC, ``doc_id`` ASC — deterministic) and
+    keep a doc iff the running token total INCLUDING it stays within
+    ``budget``.  Output per doc: ``(doc_id, source, n_words, cum_words,
+    keep)``, all integers — ``cum_words`` is the SQL window sum
+    ``SUM(n_words) OVER (PARTITION BY source ORDER BY n_words DESC,
+    doc_id ROWS UNBOUNDED PRECEDING)``.
+
+    ``n_words`` is the ``\\S+`` RE2 count (the gopher_rules law, == SQL
+    ``length(regexp_extract_all(t, '\\S+'))``); NULL text coalesces to
+    ``''`` (0 words — costs nothing, always kept if the budget isn't
+    already blown by ties ahead of it).
+
+    Scale shape: the shuffle key is ``hash(source) % n_buckets`` — each
+    stratum lands whole in one bucket while the shuffle makes
+    ~``n_buckets`` Ray groups (domains number 10²–10⁵ at web scale, and
+    the per-key-group pathology is documented); in-bucket ranking is one
+    vectorized sort + groupby-cumsum.  Per-stratum row counts are the
+    only skew axis — the same one every PARTITION BY carries.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def measure(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch.column(text_col),
+                           pa.scalar("", pa.string()))
+        nw = pc.count_substring_regex(text, r"\S+")
+        keys = batch.column(key_col)
+        kcodes, kuniq = pd.factorize(
+            keys.to_numpy(zero_copy_only=False))
+        bk = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(u).encode()).digest()[:4],
+                            "big") % n_buckets for u in kuniq),
+            dtype=np.int64, count=len(kuniq))
+        return pa.table({
+            id_col: batch.column(id_col),
+            key_col: keys,
+            "n_words": pc.cast(nw, pa.int64()),
+            "_bk": pa.array(bk[kcodes], pa.int64()),
+        })
+
+    def rank_bucket(df) -> pa.Table:
+        df = df.sort_values([key_col, "n_words", id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        cum = df.groupby(key_col, sort=False)["n_words"].cumsum() \
+            .to_numpy(np.int64)
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+            key_col: pa.array(df[key_col].to_numpy(), pa.string()),
+            "n_words": pa.array(df["n_words"].to_numpy(np.int64),
+                                pa.int64()),
+            "cum_words": pa.array(cum, pa.int64()),
+            "keep": pa.array((cum <= budget).astype(np.int64), pa.int64()),
+        })
+
+    return docs_ds.map_batches(measure, batch_format="pyarrow") \
+        .groupby("_bk").map_groups(rank_bucket, batch_format="pandas")
 
 
 def _word_ngrams(text: str, n: int) -> list[str]:

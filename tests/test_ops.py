@@ -1449,3 +1449,32 @@ def test_frequency_cap_keeps_first_k_copies(ray_session):
     assert got.loc[2, "fingerprint"] == got.loc[7, "fingerprint"]
     assert got.loc[2, "copy_rank"] == 1 and got.loc[7, "copy_rank"] == 2
     assert got.loc[9, "keep"] == 1 and got.loc[8, "keep"] == 1
+
+
+def test_token_budget_select_longest_first_quota(ray_session):
+    """Within each source, longest docs fill the budget first; the doc
+    that overflows the budget (and everything after) drops; ties rank by
+    ascending doc_id; empty/null docs cost nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.curation import token_budget_select
+
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "source": ["a", "a", "a", "a", "b", "b"],
+        "text": ["w " * 6, "w " * 5, "w " * 5, None,   # a: 6,5,5,0 words
+                 "w " * 2, "w " * 9],                   # b: 2,9
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = token_budget_select(ds, budget=11).to_pandas() \
+        .set_index("doc_id")
+
+    # a: rank order 1(6),2(5),3(5),4(0): cum 6,11,16,16 -> keep 1,2 only...
+    assert got.loc[1, "cum_words"] == 6 and got.loc[1, "keep"] == 1
+    assert got.loc[2, "cum_words"] == 11 and got.loc[2, "keep"] == 1
+    assert got.loc[3, "cum_words"] == 16 and got.loc[3, "keep"] == 0
+    # ...and the 0-word doc sorts last but still fails (cum stuck at 16)
+    assert got.loc[4, "n_words"] == 0 and got.loc[4, "keep"] == 0
+    # b: 9 then 2 -> cum 9, 11 -> both kept
+    assert got.loc[6, "keep"] == 1 and got.loc[5, "keep"] == 1
