@@ -635,6 +635,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source token budgeting: longest-first quota fill (mixing)
         "token_budget": lambda sf: curation.token_budget_select(
             _read_docs_source(sf), budget=1000),
+        # MOSS-style near-dup pairs on shared winnowing fingerprints (the
+        # sparse ~2/(w+1)-density alternative to full-shingle Jaccard)
+        "winnow_dedup": lambda sf: dedup.winnow_dedup(
+            _read_docs(sf), min_shared=2, max_df=64),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2233,5 +2237,57 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(CASE WHEN cum_words <= 1000 THEN 1 ELSE 0 END
                         AS BIGINT) AS keep
             FROM c
+        """,
+        # winnow_dedup: the winnow_fingerprint CTEs (same k=5/w=4 law) →
+        # distinct (doc, fp) postings → df <= 64 stop-hash filter (same
+        # guard as the engine; per-bucket df == global df there) →
+        # self-join pair counts >= 2; n_left/n_right = each doc's distinct
+        # fingerprint count BEFORE the df filter (the engine's n_fp).
+        "winnow_dedup": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            h AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 5 THEN CAST([] AS BIGINT[])
+                       ELSE [CAST(md5_number_lower(
+                                      array_to_string(toks[i:i+4], ' '))
+                                  % 9223372036854775808 AS BIGINT)
+                             FOR i IN range(1, len(toks) - 3)] END AS hs
+                FROM t),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                       ELSE [list_min(hs[i:i+3])
+                             FOR i IN range(1, greatest(1, len(hs) - 3) + 1)]
+                       END AS mins
+                FROM h),
+            fp AS (
+                SELECT doc_id,
+                       [mins[i] FOR i IN range(1, len(mins) + 1)
+                        IF i = 1 OR mins[i] <> mins[i-1]] AS fps
+                FROM m),
+            df AS (
+                SELECT DISTINCT doc_id, fps[u.i + 1] AS fp
+                FROM fp, unnest(range(0, len(fps))) AS u(i)),
+            nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM df GROUP BY doc_id),
+            ok AS (SELECT fp FROM df GROUP BY fp
+                   HAVING COUNT(*) BETWEEN 2 AND 64),
+            pr AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM df a JOIN df b ON a.fp = b.fp
+                                    AND a.doc_id < b.doc_id
+                WHERE a.fp IN (SELECT fp FROM ok)
+                GROUP BY 1, 2)
+            SELECT pr.left_id, pr.right_id, pr.n_shared,
+                   nl.n AS n_left, nr.n AS n_right
+            FROM pr
+            JOIN nd nl ON nl.doc_id = pr.left_id
+            JOIN nd nr ON nr.doc_id = pr.right_id
+            WHERE pr.n_shared >= 2
         """,
     }

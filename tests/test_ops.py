@@ -1478,3 +1478,32 @@ def test_token_budget_select_longest_first_quota(ray_session):
     assert got.loc[4, "n_words"] == 0 and got.loc[4, "keep"] == 0
     # b: 9 then 2 -> cum 9, 11 -> both kept
     assert got.loc[6, "keep"] == 1 and got.loc[5, "keep"] == 1
+
+
+def test_winnow_dedup_planted_pairs(ray_session):
+    """Docs sharing a long common span pair up (winnowing guarantees any
+    match of >= w+k-1 tokens shares a fingerprint); unrelated docs don't;
+    n_left/n_right are the per-doc distinct fingerprint counts."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.dedup import winnow_dedup
+
+    common = ("the quick brown fox jumps over the lazy dog near the "
+              "silent river bank at dawn every single summer morning")
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "intro words here " + common + " tail one",
+            "different lead-in text " + common + " other ending",
+            "completely unrelated content about distributed query "
+            "engines and arrow batches streaming through object stores",
+        ],
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = winnow_dedup(ds, min_shared=2, max_df=64).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["left_id"], r["right_id"]) == (1, 2)
+    assert r["n_shared"] >= 2
+    assert r["n_left"] > r["n_shared"] and r["n_right"] > r["n_shared"]
