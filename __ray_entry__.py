@@ -639,6 +639,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sparse ~2/(w+1)-density alternative to full-shingle Jaccard)
         "winnow_dedup": lambda sf: dedup.winnow_dedup(
             _read_docs(sf), min_shared=2, max_df=64),
+        # BPE tokenizer-training statistics: first-iteration adjacent
+        # char-pair counts over the word-frequency table
+        "bpe_pairs": lambda sf: textstats.bpe_pair_counts(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2289,5 +2292,22 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN nd nl ON nl.doc_id = pr.left_id
             JOIN nd nr ON nr.doc_id = pr.right_id
             WHERE pr.n_shared >= 2
+        """,
+        # bpe_pairs: word_counts CTE → per-word adjacent char pairs
+        # (1-based char indexing, unicode codepoints both sides) weighted
+        # by corpus frequency.
+        "bpe_pairs": """
+            WITH wc AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                    SELECT UNNEST(regexp_split_to_array(lower(text),
+                                                        '\\s+')) AS word
+                    FROM documents) t
+                WHERE word <> '' GROUP BY word),
+            p AS (
+                SELECT word[i] AS left_sym, word[i + 1] AS right_sym, n
+                FROM wc, unnest(range(1, length(word))) AS u(i))
+            SELECT left_sym, right_sym,
+                   CAST(SUM(n) AS BIGINT) AS pair_count
+            FROM p GROUP BY 1, 2
         """,
     }

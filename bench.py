@@ -112,7 +112,7 @@ BENCH_QUERIES = [
     "hll_registers", "countmin_sketch", "countmin_topk",
     "interleaved_spans", "line_filter", "quantized_topk", "gopher_rules",
     "gopher_repetition", "dsir_select", "json_props", "kmeans_update",
-    "frequency_cap", "token_budget", "winnow_dedup",
+    "frequency_cap", "token_budget", "winnow_dedup", "bpe_pairs",
 ]
 
 

@@ -704,6 +704,57 @@ def gopher_rules(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def bpe_pair_counts(docs_ds, *, min_count: int = 1,
+                    text_col: str = "text"):
+    """BPE tokenizer-training statistics (Sennrich et al. 2016): the
+    adjacent-symbol pair counts of the FIRST merge iteration — each
+    vocabulary word decomposed into characters, every adjacent char pair
+    weighted by the word's corpus frequency.  Output ``(left_sym,
+    right_sym, pair_count)`` with ``pair_count >= min_count``; the argmax
+    row is the first merge a BPE trainer would apply (subsequent
+    iterations re-run this over the re-segmented vocab — the trainer's
+    loop is driver-side over a table that only shrinks).
+
+    Scale shape: this runs over the WORD-FREQUENCY table (the output of
+    :func:`word_counts` — Zipf-bounded distinct words, not the corpus),
+    and the per-batch partial collapses to ≤ |Σ|² symbol-pair rows before
+    the one tiny Sum shuffle.  The per-distinct-word char loop is the
+    same vocabulary-bounded Python the md5 kernels use (it never touches
+    corpus rows).
+    """
+    from ray.data.aggregate import Sum
+
+    wc = word_counts(docs_ds, text_col=text_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = batch.column("word").to_pylist()
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        counter: dict = {}
+        get = counter.get
+        for w, n in zip(words, ns):
+            n = int(n)
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                counter[p] = get(p, 0) + n
+        if not counter:
+            return pa.table({"left_sym": pa.array([], pa.string()),
+                             "right_sym": pa.array([], pa.string()),
+                             "pair_count": pa.array([], pa.int64())})
+        keys = list(counter.keys())
+        return pa.table({
+            "left_sym": pa.array([k[0] for k in keys], pa.string()),
+            "right_sym": pa.array([k[1] for k in keys], pa.string()),
+            "pair_count": pa.array(list(counter.values()), pa.int64()),
+        })
+
+    out = wc.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["left_sym", "right_sym"]) \
+        .aggregate(Sum("pair_count", alias_name="pair_count"))
+    if min_count > 1:
+        out = out.filter(expr=f"pair_count >= {min_count}")
+    return out
+
+
 def gopher_repetition(docs_ds, *, text_col: str = "text",
                       id_col: str = "doc_id"):
     """Gopher repetition rules (Rae et al. 2021, Appendix A) — the

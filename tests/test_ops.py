@@ -1507,3 +1507,28 @@ def test_winnow_dedup_planted_pairs(ray_session):
     assert (r["left_id"], r["right_id"]) == (1, 2)
     assert r["n_shared"] >= 2
     assert r["n_left"] > r["n_shared"] and r["n_right"] > r["n_shared"]
+
+
+def test_bpe_pair_counts_weighted_by_frequency(ray_session):
+    """Pair counts weight each adjacent char pair by the word's corpus
+    frequency; repeated words multiply; the argmax is the first BPE
+    merge."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import bpe_pair_counts
+
+    rows = {"doc_id": [1, 2],
+            "text": ["aab aab ab", "aab Ünï"]}  # aab x3, ab x1, ünï x1
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = bpe_pair_counts(ds).to_pandas()
+    d = {(r.left_sym, r.right_sym): r.pair_count
+         for r in got.itertuples()}
+    # 'aa' appears once per "aab" occurrence (x3)
+    assert d[("a", "a")] == 3
+    # 'ab' from "aab" x3 + "ab" x1
+    assert d[("a", "b")] == 4
+    # unicode pairs survive lowercasing as codepoints
+    assert d[("ü", "n")] == 1 and d[("n", "ï")] == 1
+    # the first merge a BPE trainer would apply
+    assert max(d, key=d.get) == ("a", "b")
