@@ -443,6 +443,61 @@ def _ivf_topk(sf_dir: str):
     return annsearch.ivf_topk(emb, cent, _ANN_QUERY_IDS, k=10, nprobe=4)
 
 
+def _ann_recall(sf_dir: str):
+    """ANN quality evaluation: recall@k of the IVF approximate path
+    against exact brute-force cosine top-k, per query — the harness every
+    ANN deployment runs before trusting the index.  Both inputs are
+    existing oracled surfaces (ann_topk / ivf_topk); the driver merge is
+    provably bounded at |queries|·k rows per side (50 here)."""
+    import numpy as np
+    import pandas as pd
+
+    k = 10
+    exact = annsearch.ann_topk(_read_emb(sf_dir), _ANN_QUERY_IDS,
+                               k=k).to_pandas()
+    approx = _ivf_topk(sf_dir).to_pandas()
+    hit = exact.merge(approx, on=["query_id", "neighbor_id"]) \
+        .groupby("query_id").size()
+    out = pd.DataFrame({"query_id": np.array(_ANN_QUERY_IDS, np.int64)})
+    out["n_hit"] = out["query_id"].map(hit).fillna(0).astype(np.int64)
+    out["recall_bp"] = out["n_hit"] * 10000 // k
+    return out
+
+
+def _ann_recall_oracle() -> str:
+    """Composes the exact ann_topk CTE with the full ivf_topk oracle (as
+    a nested-WITH subquery) and counts the per-query overlap."""
+    ivf = _ivf_topk_oracle()
+    qids = ",".join(str(q) for q in _ANN_QUERY_IDS)
+    return f"""
+        WITH ex AS (
+            SELECT query_id, neighbor_id FROM (
+                WITH s AS (
+                    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                           list_cosine_similarity(q.embedding,
+                                                  d.embedding) AS sim
+                    FROM embeddings q
+                    JOIN embeddings d ON d.vec_id <> q.vec_id
+                    WHERE q.vec_id IN ({qids}))
+                SELECT query_id, neighbor_id
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS rn
+                      FROM s)
+                WHERE rn <= 10)),
+        ap AS (SELECT query_id, neighbor_id FROM ({ivf})),
+        ov AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+               FROM ex JOIN ap USING (query_id, neighbor_id)
+               GROUP BY 1)
+        SELECT CAST(v.query_id AS BIGINT) AS query_id,
+               CAST(COALESCE(ov.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(ov.n_hit, 0) * 10000 // 10 AS BIGINT)
+                   AS recall_bp
+        FROM (SELECT unnest([{qids}]) AS query_id) v
+        LEFT JOIN ov ON ov.query_id = v.query_id
+    """
+
+
 _SEARCH_PROBE_IDS = [0, 7, 23, 41, 97]
 
 
@@ -642,6 +697,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenizer-training statistics: first-iteration adjacent
         # char-pair counts over the word-frequency table
         "bpe_pairs": lambda sf: textstats.bpe_pair_counts(_read_docs(sf)),
+        # streaming-style repeat-event suppression (same (user,type)
+        # within the window → dup); sessionize's bucketed one-sort shape
+        "event_dedup": lambda sf: analytics.event_dedup(
+            sf, window_seconds=3600),
+        # ANN evaluation harness: recall@k of the IVF path vs exact
+        # brute-force top-k (both already-oracled surfaces composed)
+        "ann_recall": _ann_recall,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2310,4 +2372,21 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS pair_count
             FROM p GROUP BY 1, 2
         """,
+        # event_dedup: gap to the previous same-(user,type) event ordered
+        # (ts, event_id); -1 sentinel for the first; dup iff gap within
+        # the window.  epoch_us on timestamp[us] is the exact int64.
+        "event_dedup": """
+            WITH g AS (
+                SELECT event_id, user_id, event_type,
+                       COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                    PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id), -1) AS gap_us
+                FROM events)
+            SELECT event_id, user_id, event_type,
+                   CAST(gap_us AS BIGINT) AS gap_us,
+                   CAST(CASE WHEN gap_us >= 0 AND gap_us <= 3600000000
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+            FROM g
+        """,
+        "ann_recall": _ann_recall_oracle(),
     }

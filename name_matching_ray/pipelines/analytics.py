@@ -974,3 +974,63 @@ def json_props(sf_dir: str, *, path: str = "$.k"):
     # |event_type| is tiny — a single-key grouped combine suffices
     return partials.groupby("event_type").map_groups(
         combine, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# streaming-style event dedup (repeat suppression within a time window)
+# ---------------------------------------------------------------------------
+
+def event_dedup(sf_dir: str, *, window_seconds: int = 3600,
+                n_buckets: int = 256):
+    """Repeat-event suppression — the streaming-ETL dedup that drops an
+    event when the same ``(user_id, event_type)`` fired within
+    ``window_seconds`` before it.  Per event: ``(event_id, user_id,
+    event_type, gap_us, is_dup)`` where ``gap_us`` is the microsecond gap
+    to the previous same-key event ordered by ``(ts, event_id)``
+    (−1 for the first of its key — the SQL ``COALESCE(lag-diff, −1)``)
+    and ``is_dup = 1`` iff ``0 <= gap_us <= window_seconds·10⁶``.
+
+    Scale shape: the sessionize machinery — users hash-bucketed into
+    ``n_buckets`` coarse groups, then ONE vectorized sort + diff per
+    bucket serves every key in it (no per-key Python, no per-key Ray
+    group).  Partitioning assumption (documented, same as sessionize):
+    one key's events fit one bucket group; whale keys would take the
+    salt+stitch variant.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+    win_us = np.int64(window_seconds) * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(g)
+        if not n:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "gap_us": pa.array([], pa.int64()),
+                "is_dup": pa.array([], pa.int64()),
+            })
+        new_key = _segment_starts(g["user_id"].to_numpy(),
+                                  g["event_type"].to_numpy())
+        gap = np.empty(n, np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[new_key] = -1
+        dup = ((gap >= 0) & (gap <= win_us)).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(g["event_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "event_type": pa.array(g["event_type"].to_numpy(),
+                                   pa.string()),
+            "gap_us": pa.array(gap, pa.int64()),
+            "is_dup": pa.array(dup, pa.int64()),
+        })
+
+    return _bucket_tag(ds, ["user_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")

@@ -1532,3 +1532,46 @@ def test_bpe_pair_counts_weighted_by_frequency(ray_session):
     assert d[("ü", "n")] == 1 and d[("n", "ï")] == 1
     # the first merge a BPE trainer would apply
     assert max(d, key=d.get) == ("a", "b")
+
+
+def test_event_dedup_window_semantics(ray_session, tmp_path):
+    """Repeats of (user, type) within the window flag as dups; gaps
+    beyond the window, other keys, and firsts don't; gap_us is exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import event_dedup
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")
+    t = pa.table({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 7, 8],
+        "event_type": ["c", "c", "c", "v", "c"],
+        "ts": pa.array([base, base + 10 * s, base + 5000 * s,
+                        base + 11 * s, base + 12 * s],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = event_dedup(str(tmp_path), window_seconds=3600).to_pandas() \
+        .set_index("event_id")
+    assert got.loc[1, "gap_us"] == -1 and got.loc[1, "is_dup"] == 0
+    assert got.loc[2, "gap_us"] == 10_000_000 and got.loc[2, "is_dup"] == 1
+    # 4990 s later: within 3600s? no — 4990 > 3600 -> not a dup
+    assert got.loc[3, "gap_us"] == 4_990_000_000
+    assert got.loc[3, "is_dup"] == 0
+    # different event_type / different user: firsts
+    assert got.loc[4, "is_dup"] == 0 and got.loc[5, "is_dup"] == 0
+
+
+def test_ann_recall_bounds(ray_session):
+    """IVF recall@10 vs exact top-10 on the real embeddings: every row in
+    [0, 10000] bp, and nprobe=4-of-8 cells recovers most neighbors."""
+    import __ray_entry__ as ent
+
+    out = ent._ann_recall("/root/testdata/sf0.001")
+    assert len(out) == 5
+    assert ((out["recall_bp"] >= 0) & (out["recall_bp"] <= 10000)).all()
+    assert out["recall_bp"].mean() >= 5000
+    assert (out["n_hit"] * 1000 == out["recall_bp"]).all()
