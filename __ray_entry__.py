@@ -704,6 +704,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ANN evaluation harness: recall@k of the IVF path vs exact
         # brute-force top-k (both already-oracled surfaces composed)
         "ann_recall": _ann_recall,
+        # per-group exact percentiles (PARTITION BY length_quantiles;
+        # per-key cum scan inside map_groups — nothing on the driver)
+        "lang_quantiles": lambda sf: textstats.grouped_length_quantiles(
+            _read_docs_lang(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2389,4 +2393,23 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM g
         """,
         "ann_recall": _ann_recall_oracle(),
+        # lang_quantiles: the length_quantiles percentile_disc law with
+        # PARTITION BY lang window sums.
+        "lang_quantiles": """
+            WITH t AS (SELECT lang,
+                              CAST(len(regexp_extract_all(text, '\\S+'))
+                                   AS BIGINT) v
+                       FROM documents),
+            c AS (SELECT lang, v, COUNT(*) c FROM t GROUP BY 1, 2),
+            w AS (SELECT lang, v,
+                         SUM(c) OVER (PARTITION BY lang ORDER BY v) cum,
+                         SUM(c) OVER (PARTITION BY lang) n
+                  FROM c)
+            SELECT w.lang, CAST(q.q_bp AS BIGINT) AS q_bp,
+                   CAST(MIN(w.v) AS BIGINT) AS value
+            FROM (VALUES (2500), (5000), (7500), (9000), (9900))
+                 AS q(q_bp)
+            JOIN w ON w.cum * 10000 >= q.q_bp * w.n
+            GROUP BY 1, 2
+        """,
     }

@@ -182,6 +182,59 @@ def length_quantiles(docs_ds, *, q_bps: tuple[int, ...] = (2500, 5000, 7500,
                      "value": pa.array(out_v, pa.int64())})
 
 
+def grouped_length_quantiles(docs_ds, *, key_col: str = "lang",
+                             q_bps: tuple[int, ...] = (2500, 5000, 7500,
+                                                       9000, 9900),
+                             text_col: str = "text"):
+    """Per-group exact token-length percentiles — the ``PARTITION BY``
+    version of :func:`length_quantiles`, with the cumulative scan pushed
+    OFF the driver: per-batch ``(key, length)`` partial counts → one
+    Sum shuffle over (key, distinct-length) rows → per-key integer
+    quantile rule inside ``map_groups`` (each group is a key's tiny
+    histogram, never its documents).  Same percentile_disc law:
+    ``value(q) = min v with cum(v)·10⁴ >= q_bp·N_key``.
+
+    Output one row per (key, quantile): ``(key, q_bp, value)``.  Driver
+    sees nothing; group count = |keys| (languages/domains — 10²-10⁵,
+    each a histogram of < 10⁶ distinct lengths).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(batch.column(text_col), _RE_WS_TOKEN),
+            pa.int64())
+        g = pd.DataFrame({
+            "k": batch.column(key_col).to_numpy(zero_copy_only=False),
+            "v": n_tok.to_numpy(zero_copy_only=False),
+        }).groupby(["k", "v"], sort=False).size().reset_index(name="c")
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(), pa.string()),
+            "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        })
+
+    hist = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["k", "v"]).aggregate(Sum("c", alias_name="c"))
+
+    def per_key(df) -> pa.Table:
+        df = df.sort_values("v")
+        cum = df["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        vals = df["v"].to_numpy(np.int64)
+        out_v = [int(vals[int((cum * 10000 >= q * n).argmax())])
+                 for q in q_bps]
+        return pa.table({
+            key_col: pa.array([df["k"].iloc[0]] * len(q_bps), pa.string()),
+            "q_bp": pa.array(list(q_bps), pa.int64()),
+            "value": pa.array(out_v, pa.int64()),
+        })
+
+    return hist.groupby("k").map_groups(per_key, batch_format="pandas")
+
+
 def doc_freq(docs_ds, *, text_col: str = "text", min_df: int = 1):
     """Document frequency per lowercase whitespace token: per-batch
     DISTINCT-(doc, token) partial counts (pandas drop_duplicates — C hash

@@ -1575,3 +1575,24 @@ def test_ann_recall_bounds(ray_session):
     assert ((out["recall_bp"] >= 0) & (out["recall_bp"] <= 10000)).all()
     assert out["recall_bp"].mean() >= 5000
     assert (out["n_hit"] * 1000 == out["recall_bp"]).all()
+
+
+def test_grouped_length_quantiles_per_key(ray_session):
+    """Per-key percentile_disc: each key's quantiles come from its own
+    docs only (percentile = min v with cum*1e4 >= q*N)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import grouped_length_quantiles
+
+    rows = {"doc_id": list(range(8)),
+            "lang": ["a"] * 4 + ["b"] * 4,
+            "text": ["w " * n for n in (1, 2, 3, 4)] +
+                    ["w " * n for n in (10, 20, 30, 40)]}
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = grouped_length_quantiles(
+        ds, q_bps=(2500, 5000, 10000)).to_pandas()
+    g = got.set_index(["lang", "q_bp"])["value"]
+    # key a: lengths 1..4 -> p25=1 (cum 1*4 >= 1), p50=2, p100=4
+    assert (g[("a", 2500)], g[("a", 5000)], g[("a", 10000)]) == (1, 2, 4)
+    assert (g[("b", 2500)], g[("b", 5000)], g[("b", 10000)]) == (10, 20, 40)
