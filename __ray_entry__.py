@@ -708,6 +708,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-key cum scan inside map_groups — nothing on the driver)
         "lang_quantiles": lambda sf: textstats.grouped_length_quantiles(
             _read_docs_lang(sf)),
+        # fused Gopher ∧ C4-line gate in ONE map pass (no second read,
+        # no join — both kernels share the batch)
+        "quality_gate": lambda sf: textstats.quality_gate(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1023,7 +1026,19 @@ def oracle_sql() -> dict[str, str]:
     # (the salted whale-key plans were registry aliases of sessionize/asof/
     # rolling; they now live only as the pytest equality
     # test_salted_event_ops_equal_unsalted, so no alias oracles remain)
-    return _oracle_sql_base()
+    base = _oracle_sql_base()
+    # quality_gate = gopher_rules ∧ line_filter: composed from the two
+    # component oracles so the three keep laws can never drift apart
+    base["quality_gate"] = f"""
+        WITH g AS (SELECT doc_id, keep AS gopher_keep
+                   FROM ({base["gopher_rules"]})),
+             l AS (SELECT doc_id, keep AS line_keep
+                   FROM ({base["line_filter"]}))
+        SELECT g.doc_id, g.gopher_keep, l.line_keep,
+               CAST(g.gopher_keep * l.line_keep AS BIGINT) AS keep
+        FROM g JOIN l USING (doc_id)
+    """
+    return base
 
 
 def _oracle_sql_base() -> dict[str, str]:

@@ -113,7 +113,7 @@ BENCH_QUERIES = [
     "interleaved_spans", "line_filter", "quantized_topk", "gopher_rules",
     "gopher_repetition", "dsir_select", "json_props", "kmeans_update",
     "frequency_cap", "token_budget", "winnow_dedup", "bpe_pairs",
-    "event_dedup", "ann_recall", "lang_quantiles",
+    "event_dedup", "ann_recall", "lang_quantiles", "quality_gate",
 ]
 
 

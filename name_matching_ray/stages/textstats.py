@@ -605,56 +605,64 @@ def line_filter(docs_ds, *, min_words: int = 3, text_col: str = "text",
     cumsum-at-offsets (safe for any segment shape).  NULL text coalesces to
     ``''`` on both sides (1 empty line, dropped).
     """
-
     def fn(batch: pa.Table) -> pa.Table:
-        text = batch.column(text_col)
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        text = pc.coalesce(text, pa.scalar("", pa.string()))
-        lines = pc.split_pattern(text, pattern="\n")
-        if isinstance(lines, pa.ChunkedArray):
-            lines = lines.combine_chunks()
-        flat = lines.flatten()
-        off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-
-        n_words = pc.count_substring_regex(flat, r"[^ ]+").to_numpy(
-            zero_copy_only=False)
-        terminal = pc.match_substring_regex(flat, r'[.!?"]$').to_numpy(
-            zero_copy_only=False)
-        bad = pc.or_(
-            pc.match_substring(flat, "javascript"),
-            pc.match_substring(flat, "{"),
-        ).to_numpy(zero_copy_only=False)
-        keep_line = (n_words >= min_words) & terminal & ~bad
-        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-
-        def segsum(x: np.ndarray) -> np.ndarray:
-            c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
-            return c[off[1:]] - c[off[:-1]]
-
-        n_lines = np.diff(off)
-        n_kept = segsum(keep_line.astype(np.int64))
-        kept_chars = segsum(np.where(keep_line, lens, 0))
-        doc_keep = (n_kept >= 1) & (n_kept * 100 >= n_lines * 50)
-
-        cols: dict = {
-            id_col: batch.column(id_col),
-            "n_lines": pa.array(n_lines, pa.int64()),
-            "n_kept": pa.array(n_kept, pa.int64()),
-            "kept_chars": pa.array(kept_chars, pa.int64()),
-            "keep": pa.array(doc_keep.astype(np.int64), pa.int64()),
-        }
-        if emit_text:
-            kcum = np.concatenate(
-                [[0], np.cumsum(keep_line, dtype=np.int64)])
-            kept_list = pa.LargeListArray.from_arrays(
-                pa.array(kcum[off], pa.int64()),
-                flat.filter(pa.array(keep_line)))
-            cols["clean_text"] = pc.binary_join(kept_list, "\n")
-        return pa.table(cols)
+        return _line_filter_batch(batch, min_words=min_words,
+                                  text_col=text_col, id_col=id_col,
+                                  emit_text=emit_text)
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _line_filter_batch(batch: pa.Table, *, min_words: int, text_col: str,
+                       id_col: str, emit_text: bool = False) -> pa.Table:
+    """line_filter's per-batch kernel, module-level so :func:`quality_gate`
+    can fuse it with the Gopher kernel in a single map pass."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.coalesce(text, pa.scalar("", pa.string()))
+    lines = pc.split_pattern(text, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    n_words = pc.count_substring_regex(flat, r"[^ ]+").to_numpy(
+        zero_copy_only=False)
+    terminal = pc.match_substring_regex(flat, r'[.!?"]$').to_numpy(
+        zero_copy_only=False)
+    bad = pc.or_(
+        pc.match_substring(flat, "javascript"),
+        pc.match_substring(flat, "{"),
+    ).to_numpy(zero_copy_only=False)
+    keep_line = (n_words >= min_words) & terminal & ~bad
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+
+    def segsum(x: np.ndarray) -> np.ndarray:
+        c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
+        return c[off[1:]] - c[off[:-1]]
+
+    n_lines = np.diff(off)
+    n_kept = segsum(keep_line.astype(np.int64))
+    kept_chars = segsum(np.where(keep_line, lens, 0))
+    doc_keep = (n_kept >= 1) & (n_kept * 100 >= n_lines * 50)
+
+    cols: dict = {
+        id_col: batch.column(id_col),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_kept": pa.array(n_kept, pa.int64()),
+        "kept_chars": pa.array(kept_chars, pa.int64()),
+        "keep": pa.array(doc_keep.astype(np.int64), pa.int64()),
+    }
+    if emit_text:
+        kcum = np.concatenate(
+            [[0], np.cumsum(keep_line, dtype=np.int64)])
+        kept_list = pa.LargeListArray.from_arrays(
+            pa.array(kcum[off], pa.int64()),
+            flat.filter(pa.array(keep_line)))
+        cols["clean_text"] = pc.binary_join(kept_list, "\n")
+    return pa.table(cols)
 
 
 # Gopher repetition-free quality rules (Rae et al. 2021, Appendix A) —
@@ -689,72 +697,80 @@ def gopher_rules(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
     scale with zero shuffles.  NULL text coalesces to ``''`` (one empty
     line; fails ``min_words``).
     """
-
     def fn(batch: pa.Table) -> pa.Table:
-        text = batch.column(text_col)
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        text = pc.coalesce(text, pa.scalar("", pa.string()))
-
-        n_words = pc.count_substring_regex(text, _RE_WS_TOKEN).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n_cp = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        n_ws = pc.count_substring_regex(text, r"\s").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        nonws_chars = n_cp - n_ws
-        n_sym = pc.count_substring_regex(text, _RE_GOPHER_SYMBOL).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n_alpha_words = pc.count_substring_regex(text, _RE_ALPHA_WORD) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-
-        lower = pc.utf8_lower(text)
-        n_stop_kinds = np.zeros(len(batch), np.int64)
-        for w in GOPHER_STOPWORDS:
-            n_stop_kinds += pc.match_substring_regex(
-                lower, rf"\b{w}\b").to_numpy(zero_copy_only=False)
-
-        lines = pc.split_pattern(text, pattern="\n")
-        if isinstance(lines, pa.ChunkedArray):
-            lines = lines.combine_chunks()
-        flat = lines.flatten()
-        off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        bullet = pc.match_substring_regex(flat, _RE_BULLET_LINE).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        ellipsis = pc.match_substring_regex(flat, _RE_ELLIPSIS_LINE) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-
-        def segsum(x: np.ndarray) -> np.ndarray:
-            c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
-            return c[off[1:]] - c[off[:-1]]
-
-        n_lines = np.diff(off)
-        n_bullet = segsum(bullet)
-        n_ellipsis = segsum(ellipsis)
-
-        keep = (
-            (n_words >= min_words) & (n_words <= max_words)
-            & (3 * n_words <= nonws_chars) & (nonws_chars <= 10 * n_words)
-            & (n_sym * 10 <= n_words)
-            & (n_bullet * 10 <= n_lines * 9)
-            & (n_ellipsis * 10 <= n_lines * 3)
-            & (n_alpha_words * 10 >= n_words * 8)
-            & (n_stop_kinds >= 2)
-        )
-        return pa.table({
-            id_col: batch.column(id_col),
-            "n_words": pa.array(n_words, pa.int64()),
-            "nonws_chars": pa.array(nonws_chars, pa.int64()),
-            "n_sym": pa.array(n_sym, pa.int64()),
-            "n_alpha_words": pa.array(n_alpha_words, pa.int64()),
-            "n_stop_kinds": pa.array(n_stop_kinds, pa.int64()),
-            "n_lines": pa.array(n_lines, pa.int64()),
-            "n_bullet": pa.array(n_bullet, pa.int64()),
-            "n_ellipsis": pa.array(n_ellipsis, pa.int64()),
-            "keep": pa.array(keep.astype(np.int64), pa.int64()),
-        })
+        return _gopher_batch(batch, text_col=text_col, id_col=id_col,
+                             min_words=min_words, max_words=max_words)
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _gopher_batch(batch: pa.Table, *, text_col: str, id_col: str,
+                  min_words: int, max_words: int) -> pa.Table:
+    """gopher_rules' per-batch kernel, module-level so
+    :func:`quality_gate` can fuse it with the C4 line kernel."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.coalesce(text, pa.scalar("", pa.string()))
+
+    n_words = pc.count_substring_regex(text, _RE_WS_TOKEN).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_cp = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_ws = pc.count_substring_regex(text, r"\s").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nonws_chars = n_cp - n_ws
+    n_sym = pc.count_substring_regex(text, _RE_GOPHER_SYMBOL).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_alpha_words = pc.count_substring_regex(text, _RE_ALPHA_WORD) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    lower = pc.utf8_lower(text)
+    n_stop_kinds = np.zeros(len(batch), np.int64)
+    for w in GOPHER_STOPWORDS:
+        n_stop_kinds += pc.match_substring_regex(
+            lower, rf"\b{w}\b").to_numpy(zero_copy_only=False)
+
+    lines = pc.split_pattern(text, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    bullet = pc.match_substring_regex(flat, _RE_BULLET_LINE).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ellipsis = pc.match_substring_regex(flat, _RE_ELLIPSIS_LINE) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def segsum(x: np.ndarray) -> np.ndarray:
+        c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
+        return c[off[1:]] - c[off[:-1]]
+
+    n_lines = np.diff(off)
+    n_bullet = segsum(bullet)
+    n_ellipsis = segsum(ellipsis)
+
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (3 * n_words <= nonws_chars) & (nonws_chars <= 10 * n_words)
+        & (n_sym * 10 <= n_words)
+        & (n_bullet * 10 <= n_lines * 9)
+        & (n_ellipsis * 10 <= n_lines * 3)
+        & (n_alpha_words * 10 >= n_words * 8)
+        & (n_stop_kinds >= 2)
+    )
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(n_words, pa.int64()),
+        "nonws_chars": pa.array(nonws_chars, pa.int64()),
+        "n_sym": pa.array(n_sym, pa.int64()),
+        "n_alpha_words": pa.array(n_alpha_words, pa.int64()),
+        "n_stop_kinds": pa.array(n_stop_kinds, pa.int64()),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_bullet": pa.array(n_bullet, pa.int64()),
+        "n_ellipsis": pa.array(n_ellipsis, pa.int64()),
+        "keep": pa.array(keep.astype(np.int64), pa.int64()),
+    })
+
 
 
 def bpe_pair_counts(docs_ds, *, min_count: int = 1,
@@ -1724,3 +1740,35 @@ def classifier_select(docs_ds, *, keep_bp: int = 3000, dim: int = 65536,
         })
 
     return scores.map_batches(add_keep, batch_format="pyarrow")
+
+
+def quality_gate(docs_ds, *, text_col: str = "text",
+                 id_col: str = "doc_id", min_words: int = 50,
+                 max_words: int = 100_000, line_min_words: int = 3):
+    """Fused document-quality gate: the Gopher rules AND the C4 line
+    filter evaluated in ONE map pass over each batch — the composition a
+    production corpus pipeline actually runs, without paying a second
+    read or a join (`keep = gopher_keep AND line_keep`; both component
+    verdicts stay on the surface for auditability).
+
+    This is the Ray-Data-first shape for multi-filter curation: both
+    kernels are module-level batch functions (:func:`_gopher_batch`,
+    :func:`_line_filter_batch`) sharing the same Arrow batch in memory —
+    zero shuffles, zero extra materialization, streams at any scale.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = _gopher_batch(batch, text_col=text_col, id_col=id_col,
+                          min_words=min_words, max_words=max_words)
+        l = _line_filter_batch(batch, min_words=line_min_words,
+                               text_col=text_col, id_col=id_col)
+        gk = g.column("keep").to_numpy(zero_copy_only=False)
+        lk = l.column("keep").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "gopher_keep": g.column("keep"),
+            "line_keep": l.column("keep"),
+            "keep": pa.array((gk & lk).astype(np.int64), pa.int64()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

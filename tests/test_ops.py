@@ -1596,3 +1596,36 @@ def test_grouped_length_quantiles_per_key(ray_session):
     # key a: lengths 1..4 -> p25=1 (cum 1*4 >= 1), p50=2, p100=4
     assert (g[("a", 2500)], g[("a", 5000)], g[("a", 10000)]) == (1, 2, 4)
     assert (g[("b", 2500)], g[("b", 5000)], g[("b", 10000)]) == (10, 20, 40)
+
+
+def test_quality_gate_is_conjunction(ray_session):
+    """The fused gate equals running gopher_rules and line_filter
+    separately and ANDing their keeps."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import (gopher_rules,
+                                                    line_filter,
+                                                    quality_gate)
+
+    good_line = ("the cat and dog have words with that story here now. "
+                 * 5).strip()
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "\n".join([good_line] * 3),           # passes both
+            "\n".join(["short { js"] * 3),        # fails both
+            good_line.replace(".", "") + " " +    # gopher-pass, line-fail
+            ("alpha beta gamma " * 20).strip(),   # (no terminal punct)
+        ],
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    fused = quality_gate(ds).to_pandas().set_index("doc_id")
+    g = gopher_rules(ds).to_pandas().set_index("doc_id")["keep"]
+    l = line_filter(ds).to_pandas().set_index("doc_id")["keep"]
+    for i in (1, 2, 3):
+        assert fused.loc[i, "gopher_keep"] == g.loc[i]
+        assert fused.loc[i, "line_keep"] == l.loc[i]
+        assert fused.loc[i, "keep"] == (g.loc[i] & l.loc[i])
+    assert fused["keep"].tolist() == [1, 0, 0]
+    assert fused.loc[3, "gopher_keep"] == 1 and fused.loc[3, "line_keep"] == 0
