@@ -924,8 +924,9 @@ def json_props(sf_dir: str, *, path: str = "$.k"):
     ``k_nulls`` and nowhere else; all-NULL groups coalesce min/max to 0).
 
     Scale shape: per-batch partials pre-aggregate to ≤ |event_type| rows
-    (count/sum/min/max/nonnull are all mergeable), then one tiny grouped
-    combine — the classic combiner pattern, no wide shuffle of raw rows.
+    (count/sum/min/max/nonnull are all mergeable), then one tiny
+    hash-bucketed combine (~64 Ray groups however many event types
+    exist) — the classic combiner pattern, no wide shuffle of raw rows.
     """
     import polars as pl
 
@@ -971,9 +972,12 @@ def json_props(sf_dir: str, *, path: str = "$.k"):
                  "k_nulls"]], preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    # |event_type| is tiny — a single-key grouped combine suffices
-    return partials.groupby("event_type").map_groups(
-        combine, batch_format="pandas")
+    # coarse-bucket the combine (hash(event_type) % 64): each key's
+    # partials co-locate in one bucket while the shuffle stays ~64 Ray
+    # groups even with 10^4+ event types (the tiny-group pathology guard;
+    # combine() already groups by event_type inside the bucket)
+    return _bucket_tag(partials, ["event_type"], 64, out_col="_pb") \
+        .groupby("_pb").map_groups(combine, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

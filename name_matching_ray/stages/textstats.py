@@ -190,13 +190,14 @@ def grouped_length_quantiles(docs_ds, *, key_col: str = "lang",
     version of :func:`length_quantiles`, with the cumulative scan pushed
     OFF the driver: per-batch ``(key, length)`` partial counts → one
     Sum shuffle over (key, distinct-length) rows → per-key integer
-    quantile rule inside ``map_groups`` (each group is a key's tiny
-    histogram, never its documents).  Same percentile_disc law:
+    quantile rule inside hash-bucketed ``map_groups`` (a group is a
+    BUCKET of keys' tiny histograms — ~256 Ray groups however many
+    domains exist — never any documents).  Same percentile_disc law:
     ``value(q) = min v with cum(v)·10⁴ >= q_bp·N_key``.
 
     Output one row per (key, quantile): ``(key, q_bp, value)``.  Driver
-    sees nothing; group count = |keys| (languages/domains — 10²-10⁵,
-    each a histogram of < 10⁶ distinct lengths).
+    sees nothing; each key's scan runs over its own histogram of < 10⁶
+    distinct lengths.
     """
     import pandas as pd
 
@@ -216,23 +217,48 @@ def grouped_length_quantiles(docs_ds, *, key_col: str = "lang",
             "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
         })
 
-    hist = docs_ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["k", "v"]).aggregate(Sum("c", alias_name="c"))
+    import hashlib
 
-    def per_key(df) -> pa.Table:
-        df = df.sort_values("v")
-        cum = df["c"].to_numpy(np.int64).cumsum()
-        n = int(cum[-1])
-        vals = df["v"].to_numpy(np.int64)
-        out_v = [int(vals[int((cum * 10000 >= q * n).argmax())])
-                 for q in q_bps]
+    def tag(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        codes, uniq = pd.factorize(
+            t.column("k").to_numpy(zero_copy_only=False))
+        bk = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(u).encode()).digest()[:4],
+                            "big") % 256 for u in uniq),
+            dtype=np.int64, count=len(uniq))
+        return t.append_column("_kb", pa.array(bk[codes], pa.int64()))
+
+    # coarse-bucket the per-key scan (hash(key) % 256): every key's
+    # histogram co-locates in one bucket while the shuffle stays ~256 Ray
+    # groups even with 10^5 domains (the tiny-group pathology guard); the
+    # loop below iterates keys INSIDE the bucket, each over its own tiny
+    # histogram
+    hist = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["k", "v"]).aggregate(Sum("c", alias_name="c")) \
+        .map_batches(tag, batch_format="pyarrow")
+
+    def per_bucket(df) -> pa.Table:
+        out_k, out_q, out_v = [], [], []
+        for k, sub in df.groupby("k", sort=True):
+            sub = sub.sort_values("v")
+            cum = sub["c"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            vals = sub["v"].to_numpy(np.int64)
+            for q in q_bps:
+                out_k.append(k)
+                out_q.append(q)
+                out_v.append(int(vals[int((cum * 10000 >= q * n)
+                                          .argmax())]))
         return pa.table({
-            key_col: pa.array([df["k"].iloc[0]] * len(q_bps), pa.string()),
-            "q_bp": pa.array(list(q_bps), pa.int64()),
+            key_col: pa.array(out_k, pa.string()),
+            "q_bp": pa.array(out_q, pa.int64()),
             "value": pa.array(out_v, pa.int64()),
         })
 
-    return hist.groupby("k").map_groups(per_key, batch_format="pandas")
+    return hist.groupby("_kb").map_groups(per_bucket,
+                                          batch_format="pandas")
 
 
 def doc_freq(docs_ds, *, text_col: str = "text", min_df: int = 1):
