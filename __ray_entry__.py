@@ -711,6 +711,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fused Gopher ∧ C4-line gate in ONE map pass (no second read,
         # no join — both kernels share the batch)
         "quality_gate": lambda sf: textstats.quality_gate(_read_docs(sf)),
+        # per-source corpus health report (gopher verdicts + token/char
+        # totals aggregated per domain in the same map pass)
+        "source_quality": lambda sf: textstats.source_quality(
+            _read_docs_source(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1037,6 +1041,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.doc_id, g.gopher_keep, l.line_keep,
                CAST(g.gopher_keep * l.line_keep AS BIGINT) AS keep
         FROM g JOIN l USING (doc_id)
+    """
+    # source_quality: the gopher oracle grouped by source
+    base["source_quality"] = f"""
+        WITH g AS (SELECT * FROM ({base["gopher_rules"]})),
+             s AS (SELECT doc_id, source FROM documents)
+        SELECT s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(g.keep) AS BIGINT) AS n_keep,
+               CAST(SUM(g.keep) * 10000 // COUNT(*) AS BIGINT) AS keep_bp,
+               CAST(SUM(g.n_words) AS BIGINT) AS n_words_total,
+               CAST(SUM(g.nonws_chars) AS BIGINT) AS nonws_chars_total
+        FROM g JOIN s USING (doc_id)
+        GROUP BY s.source
     """
     return base
 

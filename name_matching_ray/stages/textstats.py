@@ -1768,6 +1768,69 @@ def classifier_select(docs_ds, *, keep_bp: int = 3000, dim: int = 65536,
     return scores.map_batches(add_keep, batch_format="pyarrow")
 
 
+def source_quality(docs_ds, *, key_col: str = "source",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000):
+    """Per-source corpus health report — the dashboard a curation run
+    publishes per domain: ``(source, n_docs, n_keep, keep_bp,
+    n_words_total, nonws_chars_total)`` where keep is the Gopher gate
+    verdict (:func:`_gopher_batch`, the shared kernel) and ``keep_bp =
+    n_keep·10⁴ // n_docs``.
+
+    Scale shape: the gopher stats and the per-source partial sums happen
+    in the SAME map pass (one read, no join — the doc never leaves its
+    batch); the only shuffle is a Sum over ≤ |sources| partial rows per
+    batch.  All integers — the oracle composes the gopher SQL with a
+    GROUP BY source.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = _gopher_batch(batch, text_col=text_col, id_col=id_col,
+                          min_words=min_words, max_words=max_words)
+        df = pd.DataFrame({
+            "source": batch.column(key_col).to_numpy(
+                zero_copy_only=False),
+            "keep": g.column("keep").to_numpy(zero_copy_only=False),
+            "nw": g.column("n_words").to_numpy(zero_copy_only=False),
+            "nc": g.column("nonws_chars").to_numpy(zero_copy_only=False),
+        })
+        df["n"] = np.int64(1)
+        agg = df.groupby("source", as_index=False)[
+            ["n", "keep", "nw", "nc"]].sum()
+        return pa.table({
+            "source": pa.array(agg["source"].to_numpy(), pa.string()),
+            "n_docs": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "n_keep": pa.array(agg["keep"].to_numpy(np.int64),
+                               pa.int64()),
+            "nw": pa.array(agg["nw"].to_numpy(np.int64), pa.int64()),
+            "nc": pa.array(agg["nc"].to_numpy(np.int64), pa.int64()),
+        })
+
+    agg = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_keep", alias_name="n_keep"),
+            Sum("nw", alias_name="nw"),
+            Sum("nc", alias_name="nc"))
+
+    def final(t: pa.Table) -> pa.Table:
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+        nk = t.column("n_keep").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": t.column("n_docs"),
+            "n_keep": t.column("n_keep"),
+            "keep_bp": pa.array(nk * 10000 // nd, pa.int64()),
+            "n_words_total": t.column("nw"),
+            "nonws_chars_total": t.column("nc"),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 def quality_gate(docs_ds, *, text_col: str = "text",
                  id_col: str = "doc_id", min_words: int = 50,
                  max_words: int = 100_000, line_min_words: int = 3):

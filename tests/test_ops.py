@@ -1629,3 +1629,30 @@ def test_quality_gate_is_conjunction(ray_session):
         assert fused.loc[i, "keep"] == (g.loc[i] & l.loc[i])
     assert fused["keep"].tolist() == [1, 0, 0]
     assert fused.loc[3, "gopher_keep"] == 1 and fused.loc[3, "line_keep"] == 0
+
+
+def test_source_quality_report(ray_session):
+    """Per-source rollup equals the gopher verdicts aggregated by hand;
+    keep_bp is the integer basis-point ratio."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import (gopher_rules,
+                                                    source_quality)
+
+    good = ("the cat and dog have words with that many letters here "
+            * 10).strip()
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "source": ["a", "a", "a", "b"],
+        "text": [good, good, "too short of words", good],
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    got = source_quality(ds).to_pandas().set_index("source")
+    g = gopher_rules(ds).to_pandas()
+    assert got.loc["a", "n_docs"] == 3
+    assert got.loc["a", "n_keep"] == 2
+    assert got.loc["a", "keep_bp"] == 2 * 10000 // 3
+    assert got.loc["b", "keep_bp"] == 10000
+    assert got.loc["a", "n_words_total"] == \
+        g[g.doc_id.isin([1, 2, 3])]["n_words"].sum()
