@@ -715,6 +715,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # totals aggregated per domain in the same map pass)
         "source_quality": lambda sf: textstats.source_quality(
             _read_docs_source(sf)),
+        # bigram-backoff corpus-LM surprisal (unigram_bits + one order of
+        # context; integer conditional-surprisal law, backoff penalty bit)
+        "bigram_bits": lambda sf: textstats.bigram_bits(
+            _read_docs(sf), vocab=2048, bigram_vocab=4096),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2443,5 +2447,52 @@ def _oracle_sql_base() -> dict[str, str]:
                  AS q(q_bp)
             JOIN w ON w.cum * 10000 >= q.q_bp * w.n
             GROUP BY 1, 2
+        """,
+        # bigram_bits: top-2048 unigram + top-4096 bigram models (ties →
+        # lexicographic); in-model bigram with in-model prev charges
+        # bitlen(1 + c_uni(prev) // c_bi); else backoff-penalty bit +
+        # the unigram_bits law; doc-initial tokens pay plain unigram.
+        "bigram_bits": """
+            WITH tok AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                FROM documents),
+            tt AS (SELECT doc_id, w, len(w) AS n FROM tok),
+            tv AS (SELECT doc_id, unnest(range(0, n)) AS i, w, n
+                   FROM tt WHERE n > 0),
+            t AS (SELECT doc_id, i, w[i + 1] AS cur,
+                         CASE WHEN i > 0 THEN w[i] END AS prev
+                  FROM tv),
+            cnt AS (SELECT cur AS wd, count(*) AS c FROM t GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+            umodel AS (SELECT wd, c FROM cnt
+                       QUALIFY row_number() OVER (ORDER BY c DESC, wd)
+                               <= 2048),
+            bg AS (SELECT prev || chr(31) || cur AS k, count(*) AS c
+                   FROM t WHERE prev IS NOT NULL GROUP BY 1),
+            bmodel AS (SELECT k, c FROM bg
+                       QUALIFY row_number() OVER (ORDER BY c DESC, k)
+                               <= 4096),
+            cost AS (
+                SELECT t.doc_id,
+                       CASE WHEN t.prev IS NOT NULL
+                                 AND bm.c IS NOT NULL
+                                 AND up.c IS NOT NULL
+                            THEN length(bin(1 + up.c // bm.c))
+                            ELSE (CASE WHEN t.prev IS NOT NULL
+                                  THEN 1 ELSE 0 END)
+                                 + length(bin(1 + (SELECT n FROM tot)
+                                              // (COALESCE(uc.c, 0) + 1)))
+                       END AS b
+                FROM t
+                LEFT JOIN bmodel bm
+                       ON bm.k = t.prev || chr(31) || t.cur
+                LEFT JOIN umodel up ON up.wd = t.prev
+                LEFT JOIN umodel uc ON uc.wd = t.cur),
+            agg AS (SELECT doc_id, count(*) AS n_tok, sum(b) AS bits
+                    FROM cost GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
+                   CAST(COALESCE(a.bits, 0) AS BIGINT) AS bits
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }

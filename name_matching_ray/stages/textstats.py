@@ -1399,6 +1399,135 @@ def unigram_bits(docs_ds, *, vocab: int = 2048, text_col: str = "text",
                                concurrency=default_pool())
 
 
+def bigram_bits(docs_ds, *, vocab: int = 2048, bigram_vocab: int = 4096,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Bigram-backoff corpus-LM surprisal — :func:`unigram_bits` with one
+    more order of context, still integer-exact: pass 1 builds a
+    top-``vocab`` unigram model AND a top-``bigram_vocab`` bigram model
+    of the corpus; pass 2 charges each token
+
+    * ``bits = bitlen(1 + c_uni(prev) // c_bi(prev, cur))`` — the
+      conditional surprisal — when the bigram AND ``prev`` are both in
+      model (``c_bi <= c_uni(prev)`` always, so the ratio >= 1),
+    * else ``1 + unigram cost`` (one backoff-penalty bit + the
+      unigram_bits law ``bitlen(1 + N // (c_uni(cur)+1))``, OOV → c=0),
+    * doc-initial tokens pay the plain unigram cost (no context, no
+      penalty).
+
+    ``bitlen == DuckDB length(bin(x))`` — no float log anywhere, so the
+    oracle hash-matches.  Scale shape: both models are exact global
+    top-K of per-block top-K partials merged in ONE reduce group
+    (<= vocab+bigram_vocab rows ever reach the driver, broadcast once
+    via ``ray.put``); scoring is map-only with two dict maps per batch.
+    Output ``(doc_id, n_tok, bits)`` for every doc.
+    """
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum  # noqa: F401  (sibling imports)
+
+    counts = word_counts(docs_ds, text_col=text_col).materialize()
+    n_tokens = int(counts.sum("n"))
+
+    def local_topv(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "word"], ascending=[False, True], kind="mergesort")
+        df = df.head(vocab)
+        df["_g"] = np.int64(0)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge_topv(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["n", "word"], ascending=[False, True],
+                          kind="mergesort").head(vocab)
+        return pa.table({"word": pa.array(g["word"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    uni_rows = counts.map_batches(local_topv, batch_format="pyarrow",
+                                  batch_size=max(65536, 4 * vocab)) \
+        .groupby("_g").map_groups(merge_topv, batch_format="pandas") \
+        .take_all()
+    uni_c = {r["word"]: int(r["n"]) for r in uni_rows}
+
+    bcounts = bigram_counts(docs_ds, text_col=text_col)
+
+    def local_topb(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["k"] = df["w1"] + "\x1f" + df["w2"]
+        df = df.sort_values(["c_xy", "k"], ascending=[False, True],
+                           kind="mergesort").head(bigram_vocab)
+        df["_g"] = np.int64(0)
+        return pa.Table.from_pandas(df[["k", "c_xy", "_g"]],
+                                    preserve_index=False)
+
+    def merge_topb(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["c_xy", "k"], ascending=[False, True],
+                          kind="mergesort").head(bigram_vocab)
+        return pa.table({"k": pa.array(g["k"], pa.string()),
+                         "c": pa.array(g["c_xy"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    bi_rows = bcounts.map_batches(local_topb, batch_format="pyarrow",
+                                  batch_size=max(65536, 4 * bigram_vocab)) \
+        .groupby("_g").map_groups(merge_topb, batch_format="pandas") \
+        .take_all()
+    bi_c = {r["k"]: int(r["c"]) for r in bi_rows}
+    model_ref = ray.put((uni_c, bi_c))
+    oov_bits = (1 + n_tokens).bit_length()
+
+    class Score:
+        def __init__(self):
+            self.uni, self.bi = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_idx0, flat_all, off0 = _explode_tokens(batch, text_col)
+            keep = pc.not_equal(flat_all, "") \
+                .to_numpy(zero_copy_only=False)
+            cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+            off = cum[off0.astype(np.int64)]
+            toks = flat_all.filter(pa.array(keep)) \
+                .to_numpy(zero_copy_only=False)
+            m = len(toks)
+            n_per = np.diff(off)
+            d = np.repeat(np.arange(len(n_per)), n_per)
+            is_start = np.zeros(m, bool)
+            is_start[off[:-1][n_per > 0]] = True
+
+            s = pd.DataFrame({"cur": toks})
+            cu = s["cur"].map(self.uni)
+            uni_bits = np.where(
+                cu.isna(), oov_bits,
+                _np_bitlen(1 + n_tokens
+                           // (cu.fillna(0).to_numpy(np.int64) + 1)))
+            prev = np.empty(m, object)
+            if m:
+                prev[0] = ""
+                prev[1:] = toks[:-1]
+            bik = pd.Series(prev, dtype=object) + "\x1f" + s["cur"]
+            cb = bik.map(self.bi)
+            cp = pd.Series(prev, dtype=object).map(self.uni)
+            cond = (~is_start) & cb.notna().to_numpy() \
+                & cp.notna().to_numpy()
+            bits = np.where(
+                cond,
+                _np_bitlen(1 + cp.fillna(1).to_numpy(np.int64)
+                           // cb.fillna(1).to_numpy(np.int64)),
+                uni_bits + (~is_start).astype(np.int64))
+            agg_bits = np.bincount(d, weights=bits,
+                                   minlength=batch.num_rows) \
+                .astype(np.int64)
+            agg_n = np.bincount(d, minlength=batch.num_rows) \
+                .astype(np.int64)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "n_tok": pa.array(agg_n, pa.int64()),
+                "bits": pa.array(agg_bits, pa.int64()),
+            })
+
+    return docs_ds.map_batches(Score, batch_format="pyarrow",
+                               concurrency=default_pool())
+
+
 def search_topk(docs_ds, queries: dict[int, list[str]], *, k: int = 10,
                 text_col: str = "text", id_col: str = "doc_id"):
     """Sparse retrieval over the corpus: score every document against a

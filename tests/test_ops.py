@@ -1656,3 +1656,38 @@ def test_source_quality_report(ray_session):
     assert got.loc["b", "keep_bp"] == 10000
     assert got.loc["a", "n_words_total"] == \
         g[g.doc_id.isin([1, 2, 3])]["n_words"].sum()
+
+
+def test_bigram_bits_branch_laws(ray_session):
+    """Every scoring branch hand-checked: in-model bigram (conditional
+    surprisal), backoff with penalty bit (bigram out of the tiny model),
+    OOV unigram, doc-initial token."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import bigram_bits
+
+    # corpus: "a b" x4, "a c" x1, "z" x1 -> N=11 tokens
+    # counts: a=5, b=4, c=1, z=1; bigrams: (a,b)=4, (a,c)=1
+    rows = {"doc_id": [1, 2, 3],
+            "text": ["a b a b a b a b", "a c", "z"]}
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    # bigram_vocab=1 keeps only (a,b); vocab=3 keeps a,b,c (z OOV... tie:
+    # c=1 vs z=1 -> lexicographic keeps c)
+    got = bigram_bits(ds, vocab=3, bigram_vocab=1).to_pandas() \
+        .set_index("doc_id")
+    N = 11
+
+    def ub(c):  # unigram law
+        return (1 + N // (c + 1)).bit_length()
+
+    # doc1: a(initial: ub(5)=2? N//(5+1)=1 ->bitlen(2)=2) then b|a in
+    # model: bitlen(1 + 5//4)=bitlen(2)=2; then a|b backoff: 1+ub(5);
+    # pattern: a b a b a b a b = ub(a) + 4*bits(b|a)... positions:
+    # a(init)=ub5, b|a=2, a|b=1+ub5, b|a=2, a|b=1+ub5, b|a=2, a|b=1+ub5, b|a=2
+    exp1 = ub(5) + 4 * 2 + 3 * (1 + ub(5))
+    assert got.loc[1, "bits"] == exp1 and got.loc[1, "n_tok"] == 8
+    # doc2: a(init)=ub(5); c|a NOT in bigram model (vocab 1) -> 1+ub(1)
+    assert got.loc[2, "bits"] == ub(5) + 1 + ub(1)
+    # doc3: z OOV (vocab=3 kept a,b,c) -> initial, oov bits = bitlen(1+N)
+    assert got.loc[3, "bits"] == (1 + N).bit_length()
