@@ -719,6 +719,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # context; integer conditional-surprisal law, backoff penalty bit)
         "bigram_bits": lambda sf: textstats.bigram_bits(
             _read_docs(sf), vocab=2048, bigram_vocab=4096),
+        # KMV/theta distinct-count sketch per lang: k smallest distinct
+        # token hashes — the deterministic, exactly-oracled sketch
+        "kmv_sketch": lambda sf: sketches.kmv_sketch(
+            _read_docs_lang(sf), k=256),
+        # long→wide pivot: per-user count column per declared event type
+        "pivot_events": analytics.pivot_events,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2494,5 +2500,39 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
                    CAST(COALESCE(a.bits, 0) AS BIGINT) AS bits
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # kmv_sketch: k smallest DISTINCT md5-low64 hashes per lang; the
+        # uint64 hash ships as (h_top, h_low) int64 halves — (top, low)
+        # ordering == uint64 ordering on both sides.
+        "kmv_sketch": r"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            t AS (SELECT lang, u.t AS w
+                  FROM tok, UNNEST(w) AS u(t) WHERE u.t <> ''),
+            hd AS (SELECT DISTINCT lang, md5_number_lower(w) AS hv FROM t),
+            r AS (SELECT lang, hv, row_number() OVER (
+                      PARTITION BY lang ORDER BY hv) AS rank
+                  FROM hd)
+            SELECT lang, CAST(rank AS BIGINT) AS rank,
+                   CAST(hv // 9223372036854775808 AS BIGINT) AS h_top,
+                   CAST(hv % 9223372036854775808 AS BIGINT) AS h_low
+            FROM r WHERE rank <= 256
+        """,
+        # pivot_events: declared-column-set pivot via conditional sums.
+        "pivot_events": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
         """,
     }

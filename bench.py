@@ -114,7 +114,7 @@ BENCH_QUERIES = [
     "gopher_repetition", "dsir_select", "json_props", "kmeans_update",
     "frequency_cap", "token_budget", "winnow_dedup", "bpe_pairs",
     "event_dedup", "ann_recall", "lang_quantiles", "quality_gate",
-    "source_quality", "bigram_bits",
+    "source_quality", "bigram_bits", "kmv_sketch", "pivot_events",
 ]
 
 

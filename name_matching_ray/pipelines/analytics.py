@@ -1038,3 +1038,37 @@ def event_dedup(sf_dir: str, *, window_seconds: int = 3600,
 
     return _bucket_tag(ds, ["user_id"], n_buckets) \
         .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# long→wide pivot (reshape)
+# ---------------------------------------------------------------------------
+
+PIVOT_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def pivot_events(sf_dir: str, *,
+                 types: tuple[str, ...] = PIVOT_EVENT_TYPES):
+    """Long→wide pivot: one row per user with one count column per event
+    type — the reshape every feature-engineering pipeline needs.  The
+    pivoted column set is DECLARED (``types``), the standard engine
+    contract for pivot: a data-dependent column set would make the
+    output schema nondeterministic mid-stream.  Types outside the list
+    are ignored (they'd be columns the caller didn't declare).
+
+    Scale shape: the crosstab partial collapses each batch to
+    ≤ |users-in-batch| rows before the grouped-sum combine
+    (:func:`_grouped_sum` — coarse-bucketed, no per-user Ray groups).
+    """
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in types]
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        d = pd.DataFrame({"user_id": df["user_id"]})
+        et = df["event_type"].to_numpy()
+        for t, c in zip(types, cols):
+            d[c] = (et == t).astype(np.int64)
+        g = d.groupby("user_id", as_index=False)[cols].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _grouped_sum(ds, ["user_id"], partial, cols)

@@ -1691,3 +1691,53 @@ def test_bigram_bits_branch_laws(ray_session):
     assert got.loc[2, "bits"] == ub(5) + 1 + ub(1)
     # doc3: z OOV (vocab=3 kept a,b,c) -> initial, oov bits = bitlen(1+N)
     assert got.loc[3, "bits"] == (1 + N).bit_length()
+
+
+def test_kmv_sketch_estimate_and_merge_law(ray_session):
+    """The KMV estimate (k-1)*2^64/h_(k) lands within sketch error of
+    the exact distinct count, and partial pruning (local k-smallest per
+    batch) reproduces the global k smallest."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.sketches import kmv_sketch
+
+    rng = np.random.default_rng(3)
+    words = [f"tok{int(i)}" for i in rng.integers(0, 5000, 30000)]
+    texts = [" ".join(words[i:i + 50]) for i in range(0, 30000, 50)]
+    exact = len({w for t in texts for w in t.split()})
+    k = 128
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "lang": pa.array(["en"] * len(texts)),
+        "text": pa.array(texts),
+    })).repartition(8)   # force multi-batch partials -> real merging
+    got = kmv_sketch(ds, k=k).to_pandas().sort_values("rank")
+    assert len(got) == k
+    assert got["rank"].tolist() == list(range(1, k + 1))
+    hk = int(got.iloc[-1]["h_top"]) * (1 << 63) + int(got.iloc[-1]["h_low"])
+    est = (k - 1) * (1 << 64) / hk
+    assert abs(est - exact) / exact < 4 / np.sqrt(k)  # ~4 sigma
+
+
+def test_pivot_events_declared_columns(ray_session, tmp_path):
+    """Pivot counts per declared type; undeclared types are ignored;
+    users with no declared events still appear (all zeros)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import pivot_events
+
+    t = pa.table({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_type": ["click", "click", "view", "purchase",
+                       "mystery", "mystery"],
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = pivot_events(str(tmp_path)).to_pandas().set_index("user_id")
+    assert (got.loc[1, "n_click"], got.loc[1, "n_view"]) == (2, 1)
+    assert got.loc[2, "n_purchase"] == 1
+    # undeclared 'mystery' contributes nothing, but the user row exists
+    assert got.loc[3].sum() == 0
+    assert set(got.columns) == {"n_click", "n_view", "n_purchase",
+                                "n_signup", "n_error"}
