@@ -35,13 +35,21 @@ def _is_lance_path(path: str) -> bool:
 
 def read_docs(path: str, **kwargs):
     """Read an interleaved-docs table: native Lance when the ``lance``
-    package is importable and the path IS a Lance dataset, parquet
-    otherwise (the offline stand-in — both branches yield the same
-    schema, tests/test_ops.py::test_read_docs_branches)."""
+    package is importable and the path IS a Lance dataset, JSONL for
+    ``*.jsonl`` / ``*.json`` paths (``ray.data.read_json`` — the
+    web-corpus interchange format), parquet otherwise (the offline
+    stand-in — every branch yields the same schema,
+    tests/test_ops.py::test_read_docs_branches)."""
     import ray.data
 
     if HAS_LANCE and _is_lance_path(path):
         return ray.data.read_lance(path, **kwargs)
+    if path.endswith((".jsonl", ".json")):
+        cols = kwargs.pop("columns", None)
+        ds = ray.data.read_json(path, **kwargs)
+        if cols:
+            ds = ds.select_columns(cols)
+        return ds
     return ray.data.read_parquet(path, **kwargs)
 
 

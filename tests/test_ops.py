@@ -1741,3 +1741,20 @@ def test_pivot_events_declared_columns(ray_session, tmp_path):
     assert got.loc[3].sum() == 0
     assert set(got.columns) == {"n_click", "n_view", "n_purchase",
                                 "n_signup", "n_error"}
+
+
+def test_read_docs_jsonl_branch(ray_session, tmp_path):
+    """read_docs reads JSONL (the web-corpus interchange format) into
+    the same flat-docs shape parquet yields, honoring column pruning."""
+    import json
+
+    from name_matching_ray.sources.docs_source import read_docs
+
+    rows = [{"doc_id": 1, "text": "hello world", "lang": "en"},
+            {"doc_id": 2, "text": "höla", "lang": "es"}]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    ds = read_docs(str(p), columns=["doc_id", "text"])
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == ["doc_id", "text"]
+    assert got["text"].tolist() == ["hello world", "höla"]
