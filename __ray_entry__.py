@@ -725,6 +725,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_docs_lang(sf), k=256),
         # long→wide pivot: per-user count column per declared event type
         "pivot_events": analytics.pivot_events,
+        # NFC + control-strip + whitespace-squeeze normalization (the
+        # string column itself is hash-compared)
+        "clean_text": lambda sf: textstats.clean_text(_read_docs(sf)),
+        # code-vs-prose routing heuristic (brace/semicolon density,
+        # indented-line fraction — integer cross-multiplied)
+        "code_detect": lambda sf: textstats.code_detect(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2534,5 +2540,53 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(CASE WHEN event_type = 'error'
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY user_id
+        """,
+        # clean_text: NFC == pc.utf8_normalize(form='NFC'); RE2 control
+        # class covers \x0b (RE2 \s doesn't); trim after squeeze only
+        # ever strips ASCII spaces — identical on both sides.
+        "clean_text": r"""
+            WITH d AS (SELECT doc_id, COALESCE(text, '') AS t
+                       FROM documents),
+            c AS (SELECT doc_id, t,
+                         trim(regexp_replace(regexp_replace(
+                                  nfc_normalize(t),
+                                  '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                              '\s+', ' ', 'g'), ' ') AS ct
+                  FROM d)
+            SELECT doc_id, ct AS clean_text,
+                   CAST(length(t) AS BIGINT) AS n_chars_before,
+                   CAST(length(ct) AS BIGINT) AS n_chars_after,
+                   CAST(CASE WHEN ct <> t THEN 1 ELSE 0 END AS BIGINT)
+                       AS changed
+            FROM c
+        """,
+        # code_detect: shared RE2 counts; GREATEST(n_words,1) so an
+        # empty doc never satisfies the 0 >= 0 density test.
+        "code_detect": r"""
+            WITH d AS (SELECT doc_id, COALESCE(text, '') AS t
+                       FROM documents),
+            w AS (SELECT doc_id, t,
+                         CAST(length(regexp_extract_all(t, '\S+'))
+                              AS BIGINT) AS n_words,
+                         CAST(length(regexp_extract_all(t, '[{}]'))
+                              AS BIGINT) AS n_braces,
+                         CAST(length(t) - length(replace(t, ';', ''))
+                              AS BIGINT) AS n_semis
+                  FROM d),
+            l AS (SELECT doc_id, COUNT(*) AS n_lines,
+                         CAST(SUM(CASE WHEN regexp_matches(
+                                  line, '^(    |\t)') THEN 1 ELSE 0 END)
+                              AS BIGINT) AS indent_lines
+                  FROM (SELECT doc_id,
+                               unnest(string_split(t, chr(10))) AS line
+                        FROM d)
+                  GROUP BY doc_id)
+            SELECT w.doc_id, w.n_words, w.n_braces, w.n_semis,
+                   l.n_lines, l.indent_lines,
+                   CAST((w.n_braces + w.n_semis) * 10
+                            >= GREATEST(w.n_words, 1)
+                        OR l.indent_lines * 10 >= l.n_lines * 3
+                        AS BIGINT) AS is_code
+            FROM w JOIN l USING (doc_id)
         """,
     }

@@ -1990,3 +1990,117 @@ def quality_gate(docs_ds, *, text_col: str = "text",
         })
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# shared with the SQL oracle — RE2 literals on both sides
+_RE_CTRL = r"[\x00-\x08\x0b-\x1f\x7f]"   # control chars EXCEPT \t \n (RE2)
+_RE_SQUEEZE = r"\s+"                     # RE2 \s = [\t\n\f\r ] (no \x0b)
+
+
+def clean_text(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Text normalization — the standard pre-tokenization cleanup: NFC
+    unicode normalization (``pc.utf8_normalize`` == DuckDB
+    ``nfc_normalize``), control-character strip, whitespace squeeze to
+    single spaces, ASCII-space trim.  Output ``(doc_id, clean_text,
+    n_chars_before, n_chars_after, changed)``.
+
+    Every step matches DuckDB exactly (``unicodedata.normalize('NFC')``
+    == ``nfc_normalize`` — this build's ``pc.utf8_normalize`` is a no-op
+    on composition, probed and rejected; the strip/squeeze regexes are
+    RE2 literals — note RE2 ``\\s`` excludes ``\\x0b``, which is why the
+    control-strip class covers it), so even the STRING column
+    hash-matches.  Map-only; NULL text coalesces to ``''``.  The NFC
+    call is CPython's C ``unicodedata``, applied ONLY to rows containing
+    non-ASCII (ASCII is NFC by construction; web text is ASCII-heavy, so
+    the per-row call touches a small minority).
+    """
+    import unicodedata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.coalesce(text, pa.scalar("", pa.string()))
+        before = pc.cast(pc.utf8_length(text), pa.int64())
+        nonascii = pc.match_substring_regex(text, r"[^\x00-\x7f]") \
+            .to_numpy(zero_copy_only=False)
+        if nonascii.any():
+            vals = text.to_numpy(zero_copy_only=False).copy()
+            idx = np.flatnonzero(nonascii)
+            norm = unicodedata.normalize
+            for i in idx:
+                vals[i] = norm("NFC", vals[i])
+            t = pa.array(vals, pa.string())
+        else:
+            t = text
+        t = pc.replace_substring_regex(t, _RE_CTRL, "")
+        t = pc.replace_substring_regex(t, _RE_SQUEEZE, " ")
+        t = pc.utf8_trim(t, " ")
+        after = pc.cast(pc.utf8_length(t), pa.int64())
+        changed = pc.cast(pc.not_equal(t, text), pa.int64())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "clean_text": t,
+            "n_chars_before": before,
+            "n_chars_after": after,
+            "changed": changed,
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+_RE_INDENT_LINE = r"^(    |\t)"   # 4-space or tab indent
+
+
+def code_detect(docs_ds, *, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Code-vs-prose heuristic — the curation signal that routes
+    documents to a code corpus (or drops code from a prose one): per
+    doc, integer counts of brace/semicolon density and indented-line
+    fraction, and ``is_code = 1`` iff
+
+      ``(n_braces + n_semis) · 10 >= n_words``  (symbol density) OR
+      ``indent_lines · 10 >= n_lines · 3``      (≥30% indented lines).
+
+    All counts are shared RE2 kernels; thresholds are integer
+    cross-multiplications, so the oracle hash-matches.  Map-only.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.coalesce(text, pa.scalar("", pa.string()))
+        n_words = pc.count_substring_regex(text, _RE_WS_TOKEN) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_braces = pc.count_substring_regex(text, r"[{}]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_semis = pc.count_substring(text, ";") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        lines = pc.split_pattern(text, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        off = lines.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ind = pc.match_substring_regex(flat, _RE_INDENT_LINE) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(ind, dtype=np.int64)])
+        indent_lines = cum[off[1:]] - cum[off[:-1]]
+        n_lines = np.diff(off)
+
+        # max(n_words, 1): an empty doc must not satisfy 0 >= 0
+        is_code = (((n_braces + n_semis) * 10 >= np.maximum(n_words, 1))
+                   | (indent_lines * 10 >= n_lines * 3)).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_braces": pa.array(n_braces, pa.int64()),
+            "n_semis": pa.array(n_semis, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "indent_lines": pa.array(indent_lines, pa.int64()),
+            "is_code": pa.array(is_code, pa.int64()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

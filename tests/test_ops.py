@@ -1758,3 +1758,36 @@ def test_read_docs_jsonl_branch(ray_session, tmp_path):
     got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(got.columns) == ["doc_id", "text"]
     assert got["text"].tolist() == ["hello world", "höla"]
+
+
+def test_clean_text_and_code_detect(ray_session):
+    """clean_text: NFC composition, control strip, squeeze, trim —
+    checked on combining characters, tabs, vertical tab, NULLs.
+    code_detect: brace/semicolon density and indent fraction flip
+    is_code; empty docs never flag."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import clean_text, code_detect
+
+    decomposed = "école"                # é as e + combining acute
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [f"  {decomposed}\t x \x0b y  ",
+                 None,
+                 "int main() { return 0; }\n    indented();\n    more();",
+                 "plain prose with many ordinary words in it today"],
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+    ct = clean_text(ds).to_pandas().set_index("doc_id")
+    assert ct.loc[1, "clean_text"] == "école x y"   # composed é
+    assert ct.loc[1, "changed"] == 1
+    assert ct.loc[2, "clean_text"] == "" and ct.loc[2, "n_chars_after"] == 0
+    assert ct.loc[4, "changed"] == 0
+
+    cd = code_detect(ds).to_pandas().set_index("doc_id")
+    assert cd.loc[3, "is_code"] == 1
+    assert cd.loc[3, "n_braces"] == 2 and cd.loc[3, "n_semis"] == 3
+    assert cd.loc[3, "indent_lines"] == 2
+    assert cd.loc[4, "is_code"] == 0
+    assert cd.loc[2, "is_code"] == 0   # empty doc never flags
