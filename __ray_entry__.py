@@ -731,6 +731,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # code-vs-prose routing heuristic (brace/semicolon density,
         # indented-line fraction — integer cross-multiplied)
         "code_detect": lambda sf: textstats.code_detect(_read_docs(sf)),
+        # generic coarse-bucket hash join (stages/joins.py) exercised as
+        # a two-level dimension join with a pre-join combiner
+        "nation_revenue": analytics.nation_revenue,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2588,5 +2591,15 @@ def _oracle_sql_base() -> dict[str, str]:
                         OR l.indent_lines * 10 >= l.n_lines * 3
                         AS BIGINT) AS is_code
             FROM w JOIN l USING (doc_id)
+        """,
+        "nation_revenue": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
     }

@@ -115,7 +115,7 @@ BENCH_QUERIES = [
     "frequency_cap", "token_budget", "winnow_dedup", "bpe_pairs",
     "event_dedup", "ann_recall", "lang_quantiles", "quality_gate",
     "source_quality", "bigram_bits", "kmv_sketch", "pivot_events",
-    "clean_text", "code_detect",
+    "clean_text", "code_detect", "nation_revenue",
 ]
 
 

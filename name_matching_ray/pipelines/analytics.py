@@ -1072,3 +1072,63 @@ def pivot_events(sf_dir: str, *,
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return _grouped_sum(ds, ["user_id"], partial, cols)
+
+
+# ---------------------------------------------------------------------------
+# generic-join demo: two-level dimension join via stages.joins
+# ---------------------------------------------------------------------------
+
+def nation_revenue(sf_dir: str):
+    """Revenue per nation (orders ⋈ customer ⋈ nation) built on the
+    GENERIC join primitive (:func:`~..stages.joins.bucket_hash_join`)
+    rather than an op-specific join — the reusable API surface.
+
+    Scale plan: orders are pre-aggregated per custkey inside map_batches
+    BEFORE the join (the combiner-before-shuffle rule: the join input is
+    one row per (batch, custkey), not per order), joined to customer on
+    the coarse-bucket hash join, re-aggregated per nation (tiny), and
+    the 25-row nation dim joins last.  All money in integer cents.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import bucket_hash_join
+
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pa.Table:
+        g = (df.assign(revenue_c=_cents(df["o_totalprice"].to_numpy()),
+                       n_orders=np.int64(1))
+               .groupby("o_custkey", as_index=False)
+               [["revenue_c", "n_orders"]].sum())
+        g = g.rename(columns={"o_custkey": "c_custkey"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    po = ords.map_batches(part, batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = bucket_hash_join(po, cust, on="c_custkey", how="inner")
+
+    def per_nation(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby("c_nationkey", as_index=False)
+               [["revenue_c", "n_orders"]].sum())
+        g["n_nationkey"] = g.pop("c_nationkey").astype(np.int64)
+        g["revenue_c"] = g["revenue_c"].astype(np.int64)
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_nat = j.map_batches(per_nation, batch_format="pandas") \
+        .groupby("n_nationkey").aggregate(
+            Sum("revenue_c", alias_name="revenue_c"),
+            Sum("n_orders", alias_name="n_orders"))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = bucket_hash_join(per_nat, nation, on="n_nationkey", how="inner")
+
+    import pyarrow.compute as _pc
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t.column("n_name"),
+            "revenue_c": _pc.cast(t.column("revenue_c"), pa.int64()),
+            "n_orders": _pc.cast(t.column("n_orders"), pa.int64()),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")

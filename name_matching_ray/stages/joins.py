@@ -1,0 +1,73 @@
+"""Generic distributed joins — the reusable primitive behind the engine's
+ad-hoc join shapes (segment_revenue's partitioned path, cross_dedup's
+anti-join, the dedup bucket joins), exposed as a public API.
+
+Ray Data has no native shuffle join; the engine's idiom is the
+coarse-bucket hash join: tag BOTH sides with ``hash(key) % n_buckets``,
+union (schemas aligned with null padding + a side marker), group by the
+coarse bucket — every key's rows from both sides co-locate while the
+shuffle produces ~``n_buckets`` Ray groups (never one per key) — and run
+one vectorized pandas merge inside each bucket.
+
+Skew note (the partitioning assumption every hash join carries): a single
+join key hotter than ~1/n_buckets of a side concentrates in one group;
+the linkage blocking stage shows the salting recipe when that matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _bucket_of(keys: pd.Series, n_buckets: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def bucket_hash_join(left, right, *, on: str, how: str = "inner",
+                     n_buckets: int = 128):
+    """Distributed hash join of two Datasets on column ``on``.
+
+    ``how`` ∈ {"inner", "left"}.  Non-key column names must be disjoint
+    (no suffixing — a rename before the join is explicit and cheap).
+    Both sides are tagged with the same ``hash(on) % n_buckets``; the
+    union is grouped by bucket and merged with pandas inside each group.
+    The left/right role is carried by a ``_side`` marker column; null
+    padding aligns the union schema.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+
+    lcols = [c for c in left.schema().names if c != on]
+    rcols = [c for c in right.schema().names if c != on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint: {overlap}")
+
+    def tag(side: int, own: list[str], other: list[str]):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            out = {on: df[on], "_jb": _bucket_of(df[on], n_buckets),
+                   "_side": np.full(len(df), side, np.int8)}
+            for c in own:
+                out[c] = df[c]
+            for c in other:
+                out[c] = pd.Series([None] * len(df), dtype=object)
+            return pa.Table.from_pandas(pd.DataFrame(out),
+                                        preserve_index=False)
+        return fn
+
+    both = left.map_batches(tag(0, lcols, rcols), batch_format="pandas") \
+        .union(right.map_batches(tag(1, rcols, lcols),
+                                 batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        lf = g[g["_side"] == 0][[on] + lcols]
+        rt = g[g["_side"] == 1][[on] + rcols]
+        out = lf.merge(rt, on=on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # union SUMS block counts (CLAUDE.md) — repartition before the groupby
+    return both.repartition(max(32, n_buckets // 2)) \
+        .groupby("_jb").map_groups(merge, batch_format="pandas")

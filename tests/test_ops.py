@@ -1791,3 +1791,31 @@ def test_clean_text_and_code_detect(ray_session):
     assert cd.loc[3, "indent_lines"] == 2
     assert cd.loc[4, "is_code"] == 0
     assert cd.loc[2, "is_code"] == 0   # empty doc never flags
+
+
+def test_bucket_hash_join_semantics(ray_session):
+    """Inner and left joins via the generic coarse-bucket primitive
+    match pandas merge; overlapping non-key columns are rejected."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from name_matching_ray.stages.joins import bucket_hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 2, 3, 3, 5], "lv": ["a", "b", "c", "d", "e"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": [1, 3, 3, 4], "rv": [10, 30, 31, 40]}))
+
+    inner = bucket_hash_join(left, right, on="k").to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    # k=3 fans out 2x2; k=2,5 drop; k=4 drops
+    assert inner["k"].tolist() == [1, 3, 3, 3, 3]
+    assert sorted(inner[inner.k == 3]["rv"].tolist()) == [30, 30, 31, 31]
+
+    lj = bucket_hash_join(left, right, on="k", how="left").to_pandas()
+    assert len(lj) == 1 + 4 + 2            # k=1, k=3 fanout, k=2/5 null
+    assert lj[lj.k == 2]["rv"].isna().all()
+
+    with pytest.raises(ValueError, match="disjoint"):
+        bucket_hash_join(left, left, on="k")
