@@ -734,6 +734,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generic coarse-bucket hash join (stages/joins.py) exercised as
         # a two-level dimension join with a pre-join combiner
         "nation_revenue": analytics.nation_revenue,
+        # duplicate-cluster size histogram (corpus-health report built on
+        # exact_dedup's fingerprint law — tiny Sum over distinct sizes)
+        "dup_size_hist": lambda sf: dedup.dup_size_hist(_read_docs(sf)),
+        # per-user time-decayed value sum (integer half-life shift law:
+        # cents >> (age_days // halflife) — exactly hash-comparable)
+        "decay_sum": lambda sf: analytics.decay_sum(sf, halflife_days=7),
+        # strict ordered funnel by first occurrence (view→click→purchase;
+        # per-(user,stage) min-ts partials, in-bucket depth, tiny Sum)
+        "funnel_counts": analytics.funnel_counts,
+        # week-over-week cohort retention (distinct (user,week) partials,
+        # users colocated per bucket, week/week+1 self-match in-bucket)
+        "user_retention": analytics.user_retention,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2601,5 +2613,73 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        # dup_size_hist: exact_dedup's fingerprint law, regrouped by size.
+        "dup_size_hist": """
+            WITH g AS (
+                SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                           AS fp,
+                       COUNT(*) AS cnt
+                FROM documents GROUP BY fp
+            )
+            SELECT cnt AS group_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(cnt * COUNT(*) AS BIGINT) AS n_docs
+            FROM g GROUP BY cnt
+        """,
+        # decay_sum: integer half-life decay — cents >> min(halflives, 62),
+        # reference point = global max ts.  cents are non-negative so >>
+        # == floor-division by 2^s on both sides.
+        "decay_sum": """
+            WITH ref AS (SELECT max(epoch_us(ts)) AS m FROM events)
+            SELECT user_id,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       >> LEAST(((ref.m - epoch_us(ts)) // 86400000000) // 7,
+                                62)) AS decay_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events, ref
+            GROUP BY user_id
+        """,
+        # funnel_counts: strict ordered funnel by FIRST occurrence — stage k
+        # requires first(stage_k) strictly after first(stage_{k-1}).
+        "funnel_counts": """
+            WITH m AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS t0,
+                       min(CASE WHEN event_type = 'click'
+                                THEN epoch_us(ts) END) AS t1,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS t2
+                FROM events GROUP BY user_id
+            ), d AS (
+                SELECT CASE WHEN t0 IS NULL THEN 0
+                            WHEN t1 IS NULL OR t1 <= t0 THEN 1
+                            WHEN t2 IS NULL OR t2 <= t1 THEN 2
+                            ELSE 3 END AS depth
+                FROM m
+            )
+            SELECT s.stage_idx, s.stage,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+                    WHERE depth >= s.stage_idx + 1) AS n_users
+            FROM (VALUES (CAST(0 AS BIGINT), 'view'),
+                         (CAST(1 AS BIGINT), 'click'),
+                         (CAST(2 AS BIGINT), 'purchase'))
+                 AS s(stage_idx, stage)
+        """,
+        # user_retention: absolute epoch weeks; retained_next counts the
+        # (at most one, uw is DISTINCT) week+1 match per active user.
+        "user_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events
+            )
+            SELECT a.week,
+                   CAST(COUNT(*) AS BIGINT) AS active_users,
+                   CAST(COUNT(b.user_id) AS BIGINT) AS retained_next
+            FROM uw a
+            LEFT JOIN uw b ON b.user_id = a.user_id AND b.week = a.week + 1
+            GROUP BY a.week
         """,
     }

@@ -1132,3 +1132,178 @@ def nation_revenue(sf_dir: str):
         })
 
     return out.map_batches(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# time-decayed aggregate (feature engineering over event streams)
+# ---------------------------------------------------------------------------
+
+def decay_sum(sf_dir: str, *, halflife_days: int = 7):
+    """Per-user exponentially time-decayed value sum — the recency-weighted
+    feature every behavioural model wants.  The decay is the INTEGER
+    half-life law ``decayed = cents >> min(age_days // halflife_days, 62)``
+    (each elapsed half-life halves the contribution, floor semantics), so
+    every value is exact int64 and the DuckDB oracle hash-compares — a
+    float ``exp(-age/tau)`` weight could never be summed order-independently.
+
+    ``age_days`` is measured against the corpus max timestamp (one tiny
+    ``max()`` aggregate = one extra streaming pass; the reference point
+    must be global for the law to be deterministic).  Values are
+    non-negative cents, so ``>>`` == floor-division by 2^s on both sides.
+
+    Output: ``(user_id, decay_cents, n_events)``.
+
+    Scale shape: map-only partial per (batch × user) then the coarse-bucket
+    grouped-sum combine — shuffle carries one row per (batch, user).
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ref_us = np.int64(pd.Timestamp(ds.max("ts")).value // 1000)
+    us_per_day = np.int64(86_400_000_000)
+    hl = np.int64(halflife_days)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = _cents(df["value"].to_numpy())
+        shift = np.minimum((ref_us - ts_us) // us_per_day // hl,
+                           np.int64(62))
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "decay_cents": cents >> shift,
+            "n_events": np.int64(1),
+        })
+        g = out.groupby("user_id", as_index=False)[
+            ["decay_cents", "n_events"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _grouped_sum(ds, ["user_id"], partial,
+                        ["decay_cents", "n_events"])
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel (product analytics)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str, *, stages: tuple[str, ...] = FUNNEL_STAGES,
+                  n_buckets: int = 64):
+    """Strict ordered funnel by first occurrence: a user completes stage k
+    iff their first stage-k event happened strictly AFTER their first
+    stage-(k-1) event (the classic product-analytics funnel law; ties
+    fail strict order).  Output one row per stage:
+    ``(stage_idx, stage, n_users)`` with ``n_users`` = users whose funnel
+    depth reaches that stage.
+
+    Scale shape: per-(batch × user × stage) min-timestamp partials → one
+    coarse-bucket min-combine (users colocated by hash) where depth is
+    computed vectorized per bucket → per-bucket depth-count partials
+    (≤ |stages| rows each) → one tiny Sum shuffle over |stages| keys.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    stage_idx = {s: i for i, s in enumerate(stages)}
+    k = len(stages)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = df[df["event_type"].isin(stage_idx)].copy()
+        if not len(m):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "_si": pa.array([], pa.int64()),
+                             "_t": pa.array([], pa.int64())})
+        m["_si"] = m["event_type"].map(stage_idx).astype(np.int64)
+        m["_t"] = m["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        g = m.groupby(["user_id", "_si"], as_index=False)["_t"].min()
+        return pa.Table.from_pandas(
+            g.astype({"user_id": np.int64}), preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # users are colocated: exact per-(user, stage) first-ts, then the
+        # strict-order depth, all vectorized on a (n_users × k) pivot.
+        m = g.groupby(["user_id", "_si"], as_index=False)["_t"].min()
+        piv = m.pivot(index="user_id", columns="_si", values="_t")
+        # NaN init, NOT a sentinel: a stage no user in this bucket hit is
+        # a missing pivot COLUMN and must read as "absent" for every row.
+        t = np.full((len(piv), k), np.nan, np.float64)
+        for c in piv.columns:
+            t[:, int(c)] = piv[c].to_numpy()
+        depth = np.where(np.isnan(t[:, 0]), 0, 1).astype(np.int64)
+        alive = depth == 1
+        for i in range(1, k):
+            alive = alive & ~np.isnan(t[:, i]) & (t[:, i] > t[:, i - 1])
+            depth[alive] = i + 1
+        counts = [(depth >= i + 1).sum() for i in range(k)]
+        return pa.table({"stage_idx": pa.array(range(k), pa.int64()),
+                         "n_users": pa.array(counts, pa.int64())})
+
+    parts = _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
+                        ["user_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+    agg = parts.groupby("stage_idx").aggregate(
+        Sum("n_users", alias_name="n_users"))
+
+    names = list(stages)
+
+    def add_name(t: pa.Table) -> pa.Table:
+        si = t.column("stage_idx").to_numpy()
+        return pa.table({
+            "stage_idx": t.column("stage_idx"),
+            "stage": pa.array([names[i] for i in si], pa.string()),
+            "n_users": t.column("n_users"),
+        })
+
+    return agg.map_batches(add_name, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# week-over-week retention (cohort analytics)
+# ---------------------------------------------------------------------------
+
+def user_retention(sf_dir: str, *, n_buckets: int = 64):
+    """Week-over-week retention: for each absolute epoch week ``w``
+    (``epoch_us // (7·86400·10⁶)``), ``active_users`` = distinct users
+    with any event in ``w`` and ``retained_next`` = those also active in
+    ``w+1`` — the cohort-retention table.
+
+    Scale shape: per-batch distinct-(user, week) partials cut the shuffle
+    to one row per (batch, user, week); users are then hash-bucketed so
+    each bucket holds ALL weeks of its users (global distinct + the
+    week/week+1 self-match are exact in-bucket, one vectorized merge);
+    per-bucket per-week partial counts → one tiny Sum shuffle over ≤
+    |weeks| keys.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    us_per_week = np.int64(7 * 86_400_000_000)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        week = (df["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // us_per_week)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "week": week}).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uw = g[["user_id", "week"]].drop_duplicates()
+        act = uw.groupby("week").size()
+        nxt = uw.assign(week=uw["week"] - 1)
+        ret = uw.merge(nxt, on=["user_id", "week"]).groupby("week").size()
+        out = pd.DataFrame({"week": act.index.to_numpy(np.int64),
+                            "active_users": act.to_numpy(np.int64)})
+        out["retained_next"] = ret.reindex(act.index, fill_value=0) \
+            .to_numpy(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
+                        ["user_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+    return parts.groupby("week").aggregate(
+        Sum("active_users", alias_name="active_users"),
+        Sum("retained_next", alias_name="retained_next"))

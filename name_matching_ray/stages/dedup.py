@@ -52,6 +52,41 @@ def exact_dedup(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
     return out
 
 
+def dup_size_hist(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Duplicate-cluster size histogram — the corpus-health report behind
+    every dedup decision ("how much of the corpus is duplicated, and in
+    what shape?").  One row per observed group size:
+    ``(group_size, n_groups, n_docs = group_size · n_groups)`` where a
+    group is an exact-fingerprint cluster (exact_dedup's
+    md5-of-normalized-text law, so the two surfaces can never drift).
+
+    Scale shape: exact_dedup's hash-partitioned groupby produces one row
+    per DISTINCT text; the histogram is then per-batch bincount partials
+    over ``n_dups`` → one Sum shuffle over ≤ |distinct sizes| keys
+    (duplicate-size distributions are Zipf-tailed: dozens of distinct
+    sizes even at web scale).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    groups = exact_dedup(docs_ds, text_col=text_col, id_col=id_col)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        c = df.groupby("n_dups").size()
+        sizes = c.index.to_numpy(np.int64)
+        n_groups = c.to_numpy(np.int64)
+        return pa.table({
+            "group_size": pa.array(sizes, pa.int64()),
+            "n_groups": pa.array(n_groups, pa.int64()),
+            "n_docs": pa.array(sizes * n_groups, pa.int64()),
+        })
+
+    return groups.map_batches(partial, batch_format="pandas") \
+        .groupby("group_size").aggregate(
+            Sum("n_groups", alias_name="n_groups"),
+            Sum("n_docs", alias_name="n_docs"))
+
+
 def frequency_cap(docs_ds, *, cap: int = 2, text_col: str = "text",
                   id_col: str = "doc_id", n_buckets: int = 256):
     """Soft dedup / duplicate frequency capping: keep at most ``cap``

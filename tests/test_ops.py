@@ -1819,3 +1819,113 @@ def test_bucket_hash_join_semantics(ray_session):
 
     with pytest.raises(ValueError, match="disjoint"):
         bucket_hash_join(left, left, on="k")
+
+
+def test_decay_sum_halflife_shift_law(ray_session, tmp_path):
+    """Each elapsed half-life halves (floor) the contribution; the
+    reference point is the global max ts; cents are exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import decay_sum
+
+    ref = np.datetime64("2026-01-29T00:00:00", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    t = pa.table({
+        "user_id": [1, 1, 1, 2],
+        "ts": pa.array([ref, ref - 7 * day, ref - 20 * day, ref - 13 * day],
+                       pa.timestamp("us")),
+        # 10.01 -> 1001 cents; shifts: 0, 1 (7d//7), 2 (20d//7), 1 (13d//7)
+        "value": [10.01, 10.01, 10.01, 10.01],
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = decay_sum(str(tmp_path), halflife_days=7).to_pandas() \
+        .set_index("user_id")
+    assert got.loc[1, "decay_cents"] == 1001 + (1001 >> 1) + (1001 >> 2)
+    assert got.loc[1, "n_events"] == 3
+    assert got.loc[2, "decay_cents"] == 1001 >> 1
+
+
+def test_funnel_strict_order_and_ties(ray_session, tmp_path):
+    """First-occurrence funnel: ties and out-of-order stages break the
+    chain; repeat events don't double-count users."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import funnel_counts
+
+    b = np.datetime64("2026-01-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")
+    rows = [
+        # u1: full funnel (with a repeat click that must not matter)
+        (1, "view", b), (1, "click", b + s), (1, "click", b + 5 * s),
+        (1, "purchase", b + 2 * s),
+        # u2: click BEFORE view -> depth 1
+        (2, "click", b), (2, "view", b + s), (2, "purchase", b + 2 * s),
+        # u3: click ties view's ts -> strict order fails -> depth 1
+        (3, "view", b), (3, "click", b),
+        # u4: never viewed -> depth 0
+        (4, "click", b), (4, "purchase", b + s),
+    ]
+    t = pa.table({
+        "user_id": [r[0] for r in rows],
+        "event_type": [r[1] for r in rows],
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = funnel_counts(str(tmp_path)).to_pandas().set_index("stage_idx")
+    assert got.loc[0, "n_users"] == 3       # u1 u2 u3 viewed
+    assert got.loc[1, "n_users"] == 1       # only u1 clicked after view
+    assert got.loc[2, "n_users"] == 1       # only u1 purchased after click
+    assert got.loc[0, "stage"] == "view"
+
+
+def test_user_retention_week_pairs(ray_session, tmp_path):
+    """Retention counts users active in w AND w+1; gaps don't retain;
+    multiple events in a week count once."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import user_retention
+
+    week_us = 604_800_000_000
+    w0 = (np.datetime64("2026-01-01T00:00:00", "us").astype(np.int64)
+          // week_us) * week_us
+    def ts(week, off=0):
+        return np.datetime64(int(w0 + week * week_us + off), "us")
+    t = pa.table({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": pa.array([ts(0), ts(0, 5), ts(1), ts(0), ts(2), ts(1)],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = user_retention(str(tmp_path)).to_pandas().set_index("week")
+    base = w0 // week_us
+    assert got.loc[base, "active_users"] == 2          # u1 u2
+    assert got.loc[base, "retained_next"] == 1         # only u1 in w1
+    assert got.loc[base + 1, "active_users"] == 2      # u1 u3
+    assert got.loc[base + 1, "retained_next"] == 0     # nobody in w2 of them... u2 is, but wasn't active w1
+
+
+def test_dup_size_hist_planted_groups(ray_session):
+    """Histogram over planted exact-dup groups: sizes 3, 2, 1, and the
+    normalization law (case/punct-insensitive) groups variants."""
+    import ray.data
+
+    from name_matching_ray.stages.dedup import dup_size_hist
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "Alpha Beta!"},
+        {"doc_id": 2, "text": "alpha beta"},
+        {"doc_id": 3, "text": "ALPHA-BETA"},
+        {"doc_id": 4, "text": "gamma"},
+        {"doc_id": 5, "text": "GAMMA "},
+        {"doc_id": 6, "text": "delta"},
+    ])
+    got = dup_size_hist(docs).to_pandas().set_index("group_size")
+    assert got.loc[3, "n_groups"] == 1 and got.loc[3, "n_docs"] == 3
+    assert got.loc[2, "n_groups"] == 1 and got.loc[2, "n_docs"] == 2
+    assert got.loc[1, "n_groups"] == 1 and got.loc[1, "n_docs"] == 1
