@@ -501,14 +501,12 @@ def _ann_recall_oracle() -> str:
 _SEARCH_PROBE_IDS = [0, 7, 23, 41, 97]
 
 
-def _search_topk(sf_dir: str):
-    """Sparse retrieval: the query set = first 4 whitespace tokens of the
-    probe docs (deterministic, reconstructable in SQL via list slicing);
-    integer tf-idf scoring + per-query top-10."""
+def _probe_queries(sf_dir: str) -> dict[int, list[str]]:
+    """Query set = first 4 whitespace tokens of the probe docs
+    (deterministic, reconstructable in SQL via list slicing)."""
     import pyarrow.compute as pc
     import ray.data
 
-    docs = _read_docs(sf_dir)
     # prune at the read: the probe fetch pushes the id filter into the
     # parquet scan (row-group stats pruning) instead of scanning the corpus
     probes = ray.data.read_parquet(
@@ -528,8 +526,20 @@ def _search_topk(sf_dir: str):
             pc.utf8_lower(pa.array([(text or "").strip(" ")])), r"\s+")
         return [t for t in toks[0].as_py()[:4] if t]
 
-    queries_ = {int(r["doc_id"]): _first4(r["text"]) for r in probes}
-    return textstats.search_topk(docs, queries_, k=10)
+    return {int(r["doc_id"]): _first4(r["text"]) for r in probes}
+
+
+def _search_topk(sf_dir: str):
+    """Sparse retrieval: integer tf-idf proxy + per-query top-10."""
+    return textstats.search_topk(_read_docs(sf_dir),
+                                 _probe_queries(sf_dir), k=10)
+
+
+def _bm25_topk(sf_dir: str):
+    """BM25 retrieval over the same probe query set — the all-integer
+    (avgdl-centitoken saturation × idf-bits) law, hash-compared."""
+    return textstats.bm25_topk(_read_docs(sf_dir),
+                               _probe_queries(sf_dir), k=10)
 
 
 def _semantic_keep_list(sf_dir: str):
@@ -746,6 +756,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # week-over-week cohort retention (distinct (user,week) partials,
         # users colocated per bucket, week/week+1 self-match in-bucket)
         "user_retention": analytics.user_retention,
+        # BM25 retrieval, all-integer law (centitoken avgdl saturation in
+        # bp × idf-bits) — overflow-proof at any corpus size
+        "bm25_topk": _bm25_topk,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2681,5 +2694,58 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM uw a
             LEFT JOIN uw b ON b.user_id = a.user_id AND b.week = a.week + 1
             GROUP BY a.week
+        """,
+        # bm25_topk: the all-integer BM25 law — dl = \S+ run count,
+        # avgdl_c centitokens, tf saturation in bp with K1=12 B=75
+        # (22 = K1+10, 300 = K1·(100−B), 900 = K1·B), idf = bit-length
+        # of 1 + N//df (length(bin(x)) == bit_length for x ≥ 1).
+        "bm25_topk": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            dlen AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\S+')) AS dl
+                FROM documents),
+            consts AS (
+                SELECT count(*) AS n,
+                       (100 * sum(dl)) // count(*) AS avgdl_c
+                FROM dlen),
+            qt AS (
+                SELECT DISTINCT doc_id AS query_id, u.t AS term
+                FROM tok, UNNEST(w[1:4]) AS u(t)
+                WHERE doc_id IN ({', '.join(map(str, _SEARCH_PROBE_IDS))})
+                  AND u.t <> ''),
+            tf AS (
+                SELECT t.doc_id, u.tk AS term, count(*) AS tf
+                FROM tok t, UNNEST(t.w) AS u(tk)
+                WHERE u.tk IN (SELECT term FROM qt)
+                GROUP BY 1, 2),
+            idf AS (
+                SELECT term,
+                       length(bin(1 + (SELECT n FROM consts) // count(*)))
+                           AS bits
+                FROM tf GROUP BY term),
+            sc AS (
+                SELECT q.query_id, f.doc_id,
+                       sum(i.bits *
+                           ((f.tf * 22 * 100 * c.avgdl_c * 10000) //
+                            (f.tf * 1000 * c.avgdl_c + 300 * c.avgdl_c
+                             + 900 * d.dl * 100))) AS score_i
+                FROM qt q
+                JOIN tf f ON f.term = q.term
+                JOIN idf i ON i.term = q.term
+                JOIN dlen d ON d.doc_id = f.doc_id
+                CROSS JOIN consts c
+                GROUP BY 1, 2)
+            SELECT query_id, doc_id,
+                   CAST(score_i AS BIGINT) AS score_i,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY score_i DESC, doc_id) AS rn
+                  FROM sc)
+            WHERE rn <= 10
         """,
     }

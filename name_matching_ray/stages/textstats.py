@@ -1624,6 +1624,136 @@ def search_topk(docs_ds, queries: dict[int, list[str]], *, k: int = 10,
         .groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def bm25_topk(docs_ds, queries: dict[int, list[str]], *, k: int = 10,
+              k1_x10: int = 12, b_x100: int = 75,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """BM25 retrieval (Robertson/Sparck Jones) with an ALL-INTEGER score law
+    so the DuckDB oracle hash-compares exactly at any corpus size:
+
+    * doc length ``dl`` = non-empty-token count = ``\\S+`` run count
+      (trim/lower-invariant, shared RE2 both sides);
+    * ``avgdl_c = (100·L) // N`` centitokens (L = corpus token total,
+      N = doc count) — folding avgdl into a bounded integer keeps every
+      product below int64 even at 10¹²-doc scale, where carrying raw
+      ``L``/``N`` factors through the formula would overflow;
+    * tf saturation in basis points:
+      ``tf_bp = (tf·(K1+10)·100·avgdl_c·10⁴) //
+      (tf·1000·avgdl_c + K1·(100−B)·avgdl_c + K1·B·dl·100)``
+      — exactly ``10⁴ · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl))`` floored,
+      with k1 = K1/10, b = B/100;
+    * idf as INTEGER BITS (the unigram_bits trick): ``idf_bits =
+      bit_length(1 + N//df) == SQL length(bin(1 + N//df))`` ≈ log₂ idf —
+      bounded ≤ 64, so ``score_i = Σ_t idf_bits(t) · tf_bp(t, d)`` can
+      never overflow regardless of N.
+
+    Scale shape is search_topk's: ONE stats pass (per-batch (n_docs, Σdl)
+    partials → two scalars), one exact-df pass over the tiny broadcast
+    query-term set, then a map-only scoring pass with per-batch local
+    top-k and a final per-QUERY merge (groups bounded by |queries|).
+
+    Output: ``(query_id, doc_id, score_i, rank)``, ≤ k rows per query.
+    """
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    K1, B = int(k1_x10), int(b_x100)
+    qterms = {int(q): sorted({t for t in ts if t})
+              for q, ts in queries.items()}
+    term_q = pd.DataFrame(
+        [(t, q) for q, ts in qterms.items() for t in ts],
+        columns=["w", "query_id"])
+    terms = set(term_q["w"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl = pc.count_substring_regex(batch.column(text_col), r"\S+")
+        return pa.table({
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "dl_sum": pa.array([pc.sum(dl).as_py() or 0], pa.int64()),
+        })
+
+    stats = docs_ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .sum(["n_docs", "dl_sum"])
+    n_docs = int(stats["sum(n_docs)"])
+    avgdl_c = (100 * int(stats["sum(dl_sum)"])) // max(n_docs, 1)
+
+    def _tok(batch: pa.Table) -> pd.DataFrame:
+        doc_idx, flat, offsets = _explode_tokens(batch, text_col)
+        s = pd.DataFrame({"d": doc_idx,
+                          "w": flat.to_numpy(zero_copy_only=False)})
+        return s[s["w"].isin(terms)]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        s = _tok(batch).drop_duplicates()
+        vc = s["w"].value_counts()
+        return pa.table({"w": pa.array(vc.index, pa.string()),
+                         "df": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    df_rows = docs_ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("df", alias_name="df")).take_all()
+    idf_bits = {r["w"]: (1 + n_docs // int(r["df"])).bit_length()
+                for r in df_rows}
+    bc = ray.put((term_q, idf_bits))
+
+    class Score:
+        def __init__(self):
+            self.term_q, self.idf = ray.get(bc)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              id_col: pa.array([], pa.int64()),
+                              "score_i": pa.array([], pa.int64())})
+            s = _tok(batch)
+            if not len(s):
+                return empty
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            dl_all = pc.count_substring_regex(
+                batch.column(text_col), r"\S+").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            tf = s.groupby(["d", "w"], sort=False).size() \
+                .reset_index(name="tf")
+            t_f = tf["tf"].to_numpy(np.int64)
+            dl = dl_all[tf["d"].to_numpy()]
+            num = t_f * (K1 + 10) * 100 * avgdl_c * 10_000
+            den = (t_f * 1000 * avgdl_c + K1 * (100 - B) * avgdl_c
+                   + K1 * B * dl * 100)
+            tf["part"] = (num // den) * tf["w"].map(self.idf) \
+                .astype(np.int64)
+            m = tf.merge(self.term_q, on="w")
+            sc = m.groupby(["query_id", "d"], sort=False)["part"].sum() \
+                .reset_index(name="score_i")
+            sc["_id"] = ids[sc["d"].to_numpy()]
+            sc = sc.sort_values(["query_id", "score_i", "_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+            sc = sc.groupby("query_id", sort=False).head(k)
+            return pa.table({
+                "query_id": pa.array(sc["query_id"].to_numpy(np.int64),
+                                     pa.int64()),
+                id_col: pa.array(sc["_id"].to_numpy(np.int64), pa.int64()),
+                "score_i": pa.array(sc["score_i"].to_numpy(np.int64),
+                                    pa.int64()),
+            })
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["score_i", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pa.table({
+            "query_id": pa.array(g["query_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "score_i": pa.array(g["score_i"].to_numpy(np.int64),
+                                pa.int64()),
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64),
+                             pa.int64()),
+        })
+
+    return docs_ds.map_batches(Score, batch_format="pyarrow",
+                               concurrency=default_pool()) \
+        .groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 # --- quality-classifier corpus selection (DCLM-style) ----------------------
 
 _CLS_OFFSET = 1 << 40  # makes every binned score non-negative, so the

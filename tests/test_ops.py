@@ -1929,3 +1929,32 @@ def test_dup_size_hist_planted_groups(ray_session):
     assert got.loc[3, "n_groups"] == 1 and got.loc[3, "n_docs"] == 3
     assert got.loc[2, "n_groups"] == 1 and got.loc[2, "n_docs"] == 2
     assert got.loc[1, "n_groups"] == 1 and got.loc[1, "n_docs"] == 1
+
+
+def test_bm25_topk_saturation_and_length_norm(ray_session):
+    """BM25 semantics the tf-idf proxy lacks: tf saturates (doubling tf
+    far less than doubles the score) and longer docs are penalized at
+    equal tf; rarer terms outweigh common ones via idf bits."""
+    import ray.data
+
+    from name_matching_ray.stages.textstats import bm25_topk
+
+    pad = " ".join(["filler"] * 96)
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "cat " + " ".join(["dog"] * 3)},
+        {"doc_id": 2, "text": " ".join(["cat"] * 4)},          # tf=4, dl=4
+        {"doc_id": 3, "text": " ".join(["cat"] * 4) + " " + pad},  # dl=100
+        {"doc_id": 4, "text": "dog mouse " + pad},
+        {"doc_id": 5, "text": pad + " " + pad},
+    ])
+    out = bm25_topk(docs, {7: ["cat", "dog"]}, k=5).to_pandas()
+    s = out.set_index("doc_id")["score_i"]
+    # length normalization: same tf('cat')=4, doc 3 is 25x longer
+    assert s[2] > s[3]
+    # tf saturation: tf 4 vs tf 1 of 'cat' in equal-ish short docs gains
+    # far less than 4x (compare cat-part of doc2 vs doc1's single cat +
+    # dog tf3): the scores are within 2x despite 4x/3x tf
+    assert s[2] < 2 * s[1]
+    # every score positive, ranks are 1..4 (doc 5 matches nothing)
+    assert (out["rank"].to_numpy() == range(1, len(out) + 1)).all()
+    assert 5 not in s.index
