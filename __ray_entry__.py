@@ -22,8 +22,8 @@ from name_matching_ray.pipelines.linkage import (
     self_link_docs,
 )
 from name_matching_ray.sources.docs_source import documents_as_interleaved
-from name_matching_ray.stages import (annsearch, chunking, curation, dedup,
-                                      sketches, textstats)
+from name_matching_ray.stages import (annsearch, blocking, chunking,
+                                      curation, dedup, sketches, textstats)
 from name_matching_ray.stages.multimodal import media_features
 
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -47,6 +47,13 @@ def _read_docs(sf_dir: str):
 
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
+
+
+def _read_table(sf_dir: str, table: str, columns: list[str]):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
 
 
 def _read_docs_lang(sf_dir: str):
@@ -759,6 +766,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BM25 retrieval, all-integer law (centitoken avgdl saturation in
         # bp × idf-bits) — overflow-proof at any corpus size
         "bm25_topk": _bm25_topk,
+        # phonetic blocking-key audit (Soundex, simplified h/w=vowel
+        # variant) over part names — block sizes drive salting decisions
+        "phonetic_block": lambda sf: blocking.phonetic_block_stats(
+            _read_table(sf, "part", ["p_name"]), name_col="p_name"),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2747,5 +2758,44 @@ def _oracle_sql_base() -> dict[str, str]:
                       ORDER BY score_i DESC, doc_id) AS rn
                   FROM sc)
             WHERE rn <= 10
+        """,
+        # phonetic_block: the simplified-Soundex law — digit translate,
+        # adjacent-run collapse (chained per digit: RE2 has no backrefs),
+        # zero drop AFTER the collapse, first letter + 3 digits, 0-padded.
+        "phonetic_block": """
+            WITH tok0 AS (
+                SELECT u.t AS t
+                FROM (SELECT regexp_split_to_array(lower(p_name), '\\s+')
+                          AS w FROM part),
+                     UNNEST(w) AS u(t)),
+            tok AS (
+                SELECT regexp_replace(t, '[^a-z]', '', 'g') AS tok
+                FROM tok0
+                WHERE regexp_replace(t, '[^a-z]', '', 'g') <> ''),
+            d AS (
+                SELECT tok,
+                       translate(tok, 'abcdefghijklmnopqrstuvwxyz',
+                                 '01230120022455012623010202') AS dd
+                FROM tok),
+            c AS (
+                SELECT tok,
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(dd,
+                           '00+', '0', 'g'), '11+', '1', 'g'),
+                           '22+', '2', 'g'), '33+', '3', 'g'),
+                           '44+', '4', 'g'), '55+', '5', 'g'),
+                           '66+', '6', 'g') AS cc
+                FROM d),
+            k AS (
+                SELECT tok,
+                       substr(tok, 1, 1) ||
+                       substr(replace(substr(cc, 2), '0', '') || '000',
+                              1, 3) AS block_key
+                FROM c)
+            SELECT block_key,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+            FROM k GROUP BY block_key
         """,
     }

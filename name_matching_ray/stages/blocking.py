@@ -646,3 +646,80 @@ def candidate_pairs(names_ds, *, cap: int = 200, max_shards: int = 16,
         # more pairs), which would leave scoring stragglers
         pairs = pairs.repartition(out_blocks)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# phonetic blocking keys (Soundex) + block-size audit
+# ---------------------------------------------------------------------------
+
+# a..z -> Soundex digit (b f p v=1, c g j k q s x z=2, d t=3, l=4, m n=5,
+# r=6, vowels/h/w/y=0).  h/w are treated as vowels (plain separators) —
+# the simplified variant; classic Soundex lets codes merge ACROSS h/w.
+# The SQL oracle inlines this exact table, so the law cannot drift.
+_SOUNDEX_DIGITS = "01230120022455012623010202"
+_SOUNDEX_TABLE = str.maketrans("abcdefghijklmnopqrstuvwxyz",
+                               _SOUNDEX_DIGITS)
+_SOUNDEX_COLLAPSE = __import__("re").compile(r"(\d)\1+")
+
+
+def soundex_key(tok: str) -> str:
+    """Simplified Soundex of a lowercase [a-z]+ token: first letter +
+    first 3 non-zero digits of the adjacent-collapsed code string
+    (collapse runs BEFORE the zero drop, first letter's digit included in
+    the collapse — the classic rule ordering), zero-padded to length 4."""
+    d = tok.translate(_SOUNDEX_TABLE)
+    c = _SOUNDEX_COLLAPSE.sub(r"\1", d)
+    return tok[0] + (c[1:].replace("0", "") + "000")[:3]
+
+
+def phonetic_block_stats(ds, *, name_col: str, n_buckets: int = 64):
+    """Phonetic blocking-key audit — the step BEFORE any fuzzy-match run:
+    generate a Soundex key per name token and report every block's size
+    (``n_tokens`` = token instances, ``n_distinct`` = distinct spellings
+    it would co-block).  Skewed phonetic blocks are exactly the keys the
+    salted-triangle blocking stage must shard, so this table is the
+    operational input to choosing ``max_shards`` / stop keys.
+
+    Tokens: RE2 ``\\s+`` split of ``lower(name)``, non-[a-z] stripped
+    per token, empties dropped.  The per-token key is computed once per
+    DISTINCT token per batch (vocab-bounded Python; the corpus-scale cost
+    is the factorize, not the key).
+
+    Scale shape: per-batch ``(key, token, count)`` partials → coarse
+    key-hash buckets → in-bucket vectorized groupby (sum + nunique) —
+    one shuffle, rows bounded by batch-distinct tokens.
+    """
+    from .textstats import _explode_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _explode_tokens(batch, name_col)
+        toks = pd.Series(flat.to_numpy(zero_copy_only=False))
+        toks = toks.str.replace("[^a-z]", "", regex=True)
+        toks = toks[toks != ""]
+        if not len(toks):
+            return pa.table({"block_key": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks.to_numpy())
+        keys = np.array([soundex_key(t) for t in uniq], object)
+        g = pd.DataFrame({"block_key": keys[codes], "tok": toks.to_numpy()}) \
+            .groupby(["block_key", "tok"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        a = g.groupby("block_key").agg(
+            n_tokens=("n", "sum"), n_distinct=("tok", "nunique"))
+        return pa.table({
+            "block_key": pa.array(a.index.to_numpy(), pa.string()),
+            "n_tokens": pa.array(a["n_tokens"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_distinct": pa.array(a["n_distinct"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    from ..pipelines.analytics import _bucket_tag
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucket_tag(parts, ["block_key"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")

@@ -1958,3 +1958,32 @@ def test_bm25_topk_saturation_and_length_norm(ray_session):
     # every score positive, ranks are 1..4 (doc 5 matches nothing)
     assert (out["rank"].to_numpy() == range(1, len(out) + 1)).all()
     assert 5 not in s.index
+
+
+def test_soundex_blocking_semantics(ray_session):
+    """Soundex co-blocks phonetic variants (robert/rupert, smith/smyth)
+    and the block table reports instance + distinct-spelling counts."""
+    import ray.data
+
+    from name_matching_ray.stages.blocking import (phonetic_block_stats,
+                                                   soundex_key)
+
+    # classic pairs under the simplified (h/w = vowel) variant
+    assert soundex_key("robert") == soundex_key("rupert") == "r163"
+    assert soundex_key("smith") == soundex_key("smyth") == "s530"
+    assert soundex_key("tymczak") == "t522"
+    # first letter's code participates in the collapse (pfister -> p236)
+    assert soundex_key("pfister") == "p236"
+
+    ds = ray.data.from_items([
+        {"name": "Robert Smith"}, {"name": "Rupert  SMYTH"},
+        {"name": "robert"}, {"name": "Ann-Marie"},
+    ])
+    got = phonetic_block_stats(ds, name_col="name").to_pandas() \
+        .set_index("block_key")
+    assert got.loc["r163", "n_tokens"] == 3      # robert x2 + rupert
+    assert got.loc["r163", "n_distinct"] == 2
+    assert got.loc["s530", "n_tokens"] == 2      # smith + smyth
+    assert got.loc["s530", "n_distinct"] == 2
+    # hyphen stripped -> 'annmarie' one token
+    assert got.loc[soundex_key("annmarie"), "n_tokens"] == 1
