@@ -770,6 +770,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variant) over part names — block sizes drive salting decisions
         "phonetic_block": lambda sf: blocking.phonetic_block_stats(
             _read_table(sf, "part", ["p_name"]), name_col="p_name"),
+        # character-entropy gibberish filter (floored Shannon
+        # self-information in integer bits; one utf-32 decode per batch)
+        "char_entropy": lambda sf: textstats.char_entropy(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2797,5 +2800,29 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_tokens,
                    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
             FROM k GROUP BY block_key
+        """,
+        # char_entropy: floored Shannon self-information, integer bits.
+        # substr/length are codepoint-based in DuckDB (== Python str), and
+        # length(bin(x)) == bit_length for x >= 1.
+        "char_entropy": """
+            WITH ch AS (
+                SELECT doc_id, substr(text, g.i, 1) AS c
+                FROM documents,
+                     UNNEST(generate_series(1, length(coalesce(text, ''))))
+                         AS g(i)),
+            cc AS (
+                SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+            nn AS (
+                SELECT doc_id, length(coalesce(text, '')) AS n
+                FROM documents),
+            e AS (
+                SELECT cc.doc_id,
+                       SUM(cnt * (length(bin(nn.n // cnt)) - 1)) AS eb
+                FROM cc JOIN nn ON nn.doc_id = cc.doc_id
+                GROUP BY cc.doc_id)
+            SELECT nn.doc_id,
+                   CAST(nn.n AS BIGINT) AS n_chars,
+                   CAST(coalesce(e.eb, 0) AS BIGINT) AS entropy_bits
+            FROM nn LEFT JOIN e ON e.doc_id = nn.doc_id
         """,
     }

@@ -2234,3 +2234,52 @@ def code_detect(docs_ds, *, text_col: str = "text",
         })
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- character-entropy gibberish filter ------------------------------------
+
+def char_entropy(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document character-entropy proxy — the gibberish/low-diversity
+    filter (binary blobs, keyboard mash and single-char spam score near 0;
+    natural text lands at a few bits/char).  All-integer law so the DuckDB
+    oracle hash-compares: with ``n`` = codepoint count and ``cnt_c`` the
+    count of codepoint ``c``,
+
+        ``entropy_bits = Σ_c cnt_c · (bit_length(n // cnt_c) − 1)``
+
+    i.e. each character is charged ``floor(log₂(n / cnt_c))`` bits — the
+    floored Shannon self-information (== SQL ``length(bin(n // cnt)) −
+    1``; a uniform single-char doc scores exactly 0).
+
+    Output: ``(doc_id, n_chars, entropy_bits)`` for EVERY doc (NULL text
+    reads as '': 0 chars, 0 bits).
+
+    Scale shape: map-only.  The batch's texts are decoded in ONE
+    ``utf-32`` pass (no per-row Python), per-(doc, codepoint) counts come
+    from a single ``np.unique`` over the fused ``doc·2²¹ + cp`` key
+    (codepoints < 2²¹), and the per-doc sum is one ``np.bincount``.
+    """
+    def score(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if pa.types.is_null(col.type):  # an all-NULL block types as null
+            col = col.cast(pa.string())
+        text = pc.fill_null(col, "")
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        joined = "".join(text.to_pylist())
+        cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32) \
+            .astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        key = doc_idx * (1 << 21) + cp
+        uk, cnt = np.unique(key, return_counts=True)
+        ud = (uk >> 21).astype(np.int64)
+        bits = cnt * (_np_bitlen(n[ud] // cnt) - 1)
+        ent = np.bincount(ud, weights=bits.astype(np.float64),
+                          minlength=len(n)).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_chars": pa.array(n, pa.int64()),
+            "entropy_bits": pa.array(ent, pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

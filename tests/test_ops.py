@@ -1987,3 +1987,25 @@ def test_soundex_blocking_semantics(ray_session):
     assert got.loc["s530", "n_distinct"] == 2
     # hyphen stripped -> 'annmarie' one token
     assert got.loc[soundex_key("annmarie"), "n_tokens"] == 1
+
+
+def test_char_entropy_gibberish_ordering(ray_session):
+    """Uniform spam scores 0; diverse natural text scores high; NULL and
+    empty docs survive with (0, 0); unicode counted by codepoint."""
+    import ray.data
+
+    from name_matching_ray.stages.textstats import char_entropy
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "aaaaaaaaaaaaaaaa"},            # uniform -> 0
+        {"doc_id": 2, "text": "the quick brown fox jumps"},   # diverse
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": None},
+        {"doc_id": 5, "text": "héé"},  # n=3: h cnt1 -> floor(log2 3)=1; é cnt2 -> floor(log2 1.5)=0
+    ])
+    got = char_entropy(docs).to_pandas().set_index("doc_id")
+    assert got.loc[1, "entropy_bits"] == 0
+    assert got.loc[2, "entropy_bits"] > 3 * got.loc[2, "n_chars"] // 2
+    assert got.loc[3, "n_chars"] == 0 and got.loc[3, "entropy_bits"] == 0
+    assert got.loc[4, "n_chars"] == 0 and got.loc[4, "entropy_bits"] == 0
+    assert got.loc[5, "n_chars"] == 3 and got.loc[5, "entropy_bits"] == 1
