@@ -773,6 +773,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # character-entropy gibberish filter (floored Shannon
         # self-information in integer bits; one utf-32 decode per batch)
         "char_entropy": lambda sf: textstats.char_entropy(_read_docs(sf)),
+        # pairwise source vocabulary Jaccard (token-colocated buckets,
+        # ≤|sources|² partial rows — the data-mixing affinity matrix)
+        "source_overlap": lambda sf: textstats.source_overlap(
+            _read_docs_source(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2824,5 +2828,32 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nn.n AS BIGINT) AS n_chars,
                    CAST(coalesce(e.eb, 0) AS BIGINT) AS entropy_bits
             FROM nn LEFT JOIN e ON e.doc_id = nn.doc_id
+        """,
+        # source_overlap: distinct (source, token) sets; pairs a < b with
+        # nonempty intersection only (inner-join semantics both sides).
+        "source_overlap": """
+            WITH tok AS (
+                SELECT source,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            st AS (
+                SELECT DISTINCT source, u.t AS tok
+                FROM tok, UNNEST(w) AS u(t) WHERE u.t <> ''),
+            v AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+            i AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS inter
+                FROM st a JOIN st b
+                  ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2)
+            SELECT i.source_a, i.source_b,
+                   CAST(i.inter AS BIGINT) AS inter,
+                   CAST(va.nv AS BIGINT) AS vocab_a,
+                   CAST(vb.nv AS BIGINT) AS vocab_b,
+                   CAST(i.inter * 10000 // (va.nv + vb.nv - i.inter)
+                        AS BIGINT) AS jaccard_bp
+            FROM i
+            JOIN v va ON va.source = i.source_a
+            JOIN v vb ON vb.source = i.source_b
         """,
     }

@@ -2283,3 +2283,90 @@ def char_entropy(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- cross-source vocabulary overlap ---------------------------------------
+
+def source_overlap(docs_ds, *, group_col: str = "source",
+                   text_col: str = "text", n_buckets: int = 64):
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    contamination/affinity matrix a data-mixing pipeline consults before
+    weighting sources ("are these two crawls the same site?").  One row
+    per observed source pair (a < b, pairs with empty intersection drop —
+    inner-join semantics both sides):
+    ``(source_a, source_b, inter, vocab_a, vocab_b, jaccard_bp)`` with
+    ``jaccard_bp = inter·10⁴ // (vocab_a + vocab_b − inter)``.
+
+    Scale shape: per-batch distinct (source, token) partials → TOKEN-hash
+    buckets (every row of a token colocates, so the in-bucket dedupe and
+    the per-token source pairing are globally exact); each bucket emits
+    per-source vocab partials (as ``a == b`` diagonal rows) and per-pair
+    intersection partials — a token shared by k sources emits k(k−1)/2
+    rows, bounded by |sources|², never by corpus size.  One tiny Sum
+    shuffle over ≤ |sources|² keys, then the Jaccard division over that
+    tiny table.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.analytics import _bucket_tag
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_idx, flat, _ = _explode_tokens(batch, text_col)
+        src = batch.column(group_col).to_numpy(zero_copy_only=False)
+        s = pd.DataFrame({"s": src[doc_idx],
+                          "tok": flat.to_numpy(zero_copy_only=False)})
+        s = s[s["tok"] != ""].drop_duplicates()
+        return pa.Table.from_pandas(s, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g[["s", "tok"]].drop_duplicates()
+        v = g.groupby("s").size()
+        m = g.merge(g, on="tok")
+        m = m[m["s_x"] < m["s_y"]]
+        i = m.groupby(["s_x", "s_y"]).size()
+        sa = list(v.index) + [a for a, _ in i.index]
+        sb = list(v.index) + [b for _, b in i.index]
+        n = list(v.to_numpy(np.int64)) + list(i.to_numpy(np.int64))
+        return pa.table({"sa": pa.array(sa, pa.string()),
+                         "sb": pa.array(sb, pa.string()),
+                         "n": pa.array(n, pa.int64())})
+
+    parts = _bucket_tag(docs_ds.map_batches(partial, batch_format="pyarrow"),
+                        ["tok"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+    # NOTE: do NOT fuse (sa, sb) into a separator-joined string key —
+    # Ray's groupby was observed to strip NUL bytes from string keys
+    agg = parts.groupby(["sa", "sb"]).aggregate(Sum("n", alias_name="n"))
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        if not len(g):  # map_groups may hand an empty block
+            return pa.table({
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "inter": pa.array([], pa.int64()),
+                "vocab_a": pa.array([], pa.int64()),
+                "vocab_b": pa.array([], pa.int64()),
+                "jaccard_bp": pa.array([], pa.int64()),
+            })
+        vocab = g[g["sa"] == g["sb"]].set_index("sa")["n"]
+        p = g[g["sa"] != g["sb"]].copy()
+        va = vocab.reindex(p["sa"]).to_numpy(np.int64)
+        vb = vocab.reindex(p["sb"]).to_numpy(np.int64)
+        inter = p["n"].to_numpy(np.int64)
+        return pa.table({
+            "source_a": pa.array(p["sa"].to_numpy(), pa.string()),
+            "source_b": pa.array(p["sb"].to_numpy(), pa.string()),
+            "inter": pa.array(inter, pa.int64()),
+            "vocab_a": pa.array(va, pa.int64()),
+            "vocab_b": pa.array(vb, pa.int64()),
+            "jaccard_bp": pa.array(inter * 10_000 // (va + vb - inter),
+                                   pa.int64()),
+        })
+
+    # the aggregated table is <= |sources|^2 rows — one tiny group
+    return agg.map_batches(lambda df: df.assign(_one=0),
+                           batch_format="pandas") \
+        .groupby("_one").map_groups(
+            lambda g: finish(g.drop(columns=["_one"])),
+            batch_format="pandas")

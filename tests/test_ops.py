@@ -2009,3 +2009,24 @@ def test_char_entropy_gibberish_ordering(ray_session):
     assert got.loc[3, "n_chars"] == 0 and got.loc[3, "entropy_bits"] == 0
     assert got.loc[4, "n_chars"] == 0 and got.loc[4, "entropy_bits"] == 0
     assert got.loc[5, "n_chars"] == 3 and got.loc[5, "entropy_bits"] == 1
+
+
+def test_source_overlap_jaccard(ray_session):
+    """Vocab Jaccard per source pair; zero-intersection pairs drop;
+    duplicate tokens within a source count once."""
+    import ray.data
+
+    from name_matching_ray.stages.textstats import source_overlap
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "a b c a", "source": "s1"},
+        {"doc_id": 2, "text": "b c d", "source": "s2"},
+        {"doc_id": 3, "text": "x y", "source": "s3"},
+    ])
+    got = source_overlap(docs).to_pandas() \
+        .set_index(["source_a", "source_b"])
+    r = got.loc[("s1", "s2")]
+    assert r["inter"] == 2 and r["vocab_a"] == 3 and r["vocab_b"] == 3
+    assert r["jaccard_bp"] == 2 * 10000 // 4
+    # s3 shares nothing -> no rows
+    assert len(got) == 1
