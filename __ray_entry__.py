@@ -777,6 +777,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ≤|sources|² partial rows — the data-mixing affinity matrix)
         "source_overlap": lambda sf: textstats.source_overlap(
             _read_docs_source(sf)),
+        # MinHash-LSH eval harness: recall/precision of the LSH candidate
+        # pairs vs exact Jaccard ≥ 0.5 truth (both laws already oracled)
+        "minhash_recall": lambda sf: dedup.minhash_recall(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1022,6 +1025,37 @@ def _srp_oracle() -> str:
     """
 
 
+def _ngram_jaccard_oracle(tau100: int) -> str:
+    """The exact 3-token-shingle Jaccard pair law at threshold
+    ``tau100/100`` (df ∈ [2, 100] stop-shingle guard) — shared by the
+    graded ngram_jaccard_dedup (tau 10) and the minhash_recall ground
+    truth (tau 50) so the two laws can never drift."""
+    return f"""
+            WITH tok AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            pairs AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT p.left_id, p.right_id, p.inter,
+                   sa.n_sh AS n_left, sb.n_sh AS n_right
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.left_id
+            JOIN sizes sb ON sb.doc_id = p.right_id
+            WHERE p.inter*100 >= (sa.n_sh + sb.n_sh - p.inter)*{tau100}
+    """
+
+
 def _minhash_oracle() -> str:
     """DuckDB replica of :func:`dedup.minhash_lsh_pairs` — the pipeline is
     fully deterministic, so the oracle recomputes it exactly: the shingle
@@ -1103,6 +1137,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.doc_id, g.gopher_keep, l.line_keep,
                CAST(g.gopher_keep * l.line_keep AS BIGINT) AS keep
         FROM g JOIN l USING (doc_id)
+    """
+    # minhash_recall: LSH candidates vs exact-Jaccard truth, both laws
+    # nested verbatim from their own oracles (tau 50 truth via the shared
+    # _ngram_jaccard_oracle helper)
+    base["minhash_recall"] = f"""
+        WITH truth AS (SELECT left_id, right_id
+                       FROM ({_ngram_jaccard_oracle(50)})),
+             found AS (SELECT left_id, right_id
+                       FROM ({_minhash_oracle()})),
+             h AS (SELECT COUNT(*) AS c
+                   FROM truth t JOIN found f
+                     ON f.left_id = t.left_id AND f.right_id = t.right_id)
+        SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+               CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
+               CAST((SELECT c FROM h) AS BIGINT) AS n_hit,
+               CAST((SELECT c FROM h) * 10000 //
+                    greatest((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
+                   AS recall_bp,
+               CAST((SELECT c FROM h) * 10000 //
+                    greatest((SELECT COUNT(*) FROM found), 1) AS BIGINT)
+                   AS precision_bp
     """
     # source_quality: the gopher oracle grouped by source
     base["source_quality"] = f"""
@@ -1264,30 +1319,7 @@ def _oracle_sql_base() -> dict[str, str]:
                    MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
             FROM documents GROUP BY fingerprint
         """,
-        "ngram_jaccard_dedup": """
-            WITH tok AS (
-                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
-                FROM documents),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-            ok_sh AS (
-                SELECT shingle FROM sh GROUP BY shingle
-                HAVING COUNT(*) BETWEEN 2 AND 100),
-            pairs AS (
-                SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
-                GROUP BY a.doc_id, b.doc_id)
-            SELECT p.left_id, p.right_id, p.inter,
-                   sa.n_sh AS n_left, sb.n_sh AS n_right
-            FROM pairs p
-            JOIN sizes sa ON sa.doc_id = p.left_id
-            JOIN sizes sb ON sb.doc_id = p.right_id
-            WHERE p.inter*100 >= (sa.n_sh + sb.n_sh - p.inter)*10
-        """,
+        "ngram_jaccard_dedup": _ngram_jaccard_oracle(10),
         "sample_mix": """
             SELECT doc_id, source FROM documents
             WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT)

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "event_dedup", "ann_recall", "lang_quantiles", "quality_gate",
     "source_quality", "bigram_bits", "kmv_sketch", "pivot_events",
     "clean_text", "code_detect", "nation_revenue",
+    "dup_size_hist", "decay_sum", "funnel_counts", "user_retention",
+    "bm25_topk", "phonetic_block", "char_entropy", "source_overlap",
 ]
 
 

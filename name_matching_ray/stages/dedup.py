@@ -1071,3 +1071,68 @@ def winnow_dedup(docs_ds, *, k: int = 5, w: int = 4, min_shared: int = 2,
 
     return pairs.groupby("pbucket").map_groups(combine,
                                                batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH evaluation harness
+# ---------------------------------------------------------------------------
+
+def minhash_recall(docs_ds, *, tau100: int = 50, max_df: int = 100,
+                   n_buckets: int = 64):
+    """Dedup-eval harness (the ann_recall of the fuzzy-dedup family):
+    recall AND precision of the MinHash-LSH candidate pairs against the
+    exact n-gram-Jaccard ≥ tau ground truth, one summary row:
+    ``(n_true, n_found, n_hit, recall_bp, precision_bp)``.
+
+    Ground truth = :func:`ngram_jaccard_pairs` (same 3-token shingles and
+    ``max_df`` stop-shingle guard); found = :func:`minhash_lsh_pairs` at
+    the same tau.  Both surfaces are individually oracled; this composes
+    them, so LSH banding quality is measured — not assumed — per corpus.
+
+    Scale shape: the two pair tables are unioned with side flags
+    (repartitioned first — union SUMS block counts), per-pair flags merge
+    in ONE coarse-bucketed shuffle, and the count partials collapse to
+    3 scalars; nothing wider than the pair tables ever materializes.
+    """
+    import pandas as pd
+
+    from ..pipelines.analytics import _bucket_tag
+
+    truth = ngram_jaccard_pairs(docs_ds, n=3, tau100=tau100, max_df=max_df)
+    found = minhash_lsh_pairs(docs_ds, tau=tau100 / 100.0, lean=True)
+
+    def flag(is_t: int, is_f: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "left_id": t.column("left_id"),
+                "right_id": t.column("right_id"),
+                "is_t": pa.array(np.full(n, is_t, np.int64)),
+                "is_f": pa.array(np.full(n, is_f, np.int64)),
+            })
+        return fn
+
+    u = truth.map_batches(flag(1, 0), batch_format="pyarrow").union(
+        found.map_batches(flag(0, 1), batch_format="pyarrow"))
+    u = u.repartition(n_buckets // 2)  # union sums block counts
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby(["left_id", "right_id"])[["is_t", "is_f"]].max()
+        t = int(m["is_t"].sum())
+        f = int(m["is_f"].sum())
+        h = int((m["is_t"] & m["is_f"]).sum())
+        return pa.table({"n_true": pa.array([t], pa.int64()),
+                         "n_found": pa.array([f], pa.int64()),
+                         "n_hit": pa.array([h], pa.int64())})
+
+    parts = _bucket_tag(u, ["left_id", "right_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+    tot = parts.sum(["n_true", "n_found", "n_hit"])
+    n_true = int(tot["sum(n_true)"])
+    n_found = int(tot["sum(n_found)"])
+    n_hit = int(tot["sum(n_hit)"])
+    return pd.DataFrame([{
+        "n_true": n_true, "n_found": n_found, "n_hit": n_hit,
+        "recall_bp": n_hit * 10_000 // max(n_true, 1),
+        "precision_bp": n_hit * 10_000 // max(n_found, 1),
+    }])

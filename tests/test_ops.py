@@ -2030,3 +2030,23 @@ def test_source_overlap_jaccard(ray_session):
     assert r["jaccard_bp"] == 2 * 10000 // 4
     # s3 shares nothing -> no rows
     assert len(got) == 1
+
+
+def test_minhash_recall_planted_dups(ray_session):
+    """Planted near-identical docs are ground-truth pairs the LSH must
+    recover (recall high on easy corpus); counts are consistent."""
+    import ray.data
+
+    from name_matching_ray.stages.dedup import minhash_recall
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [{"doc_id": i, "text": base + f" suffix{i}"} for i in range(6)]
+    docs += [{"doc_id": 100 + i,
+              "text": f"totally different text number {i} " + " ".join(
+                  f"w{i}{j}" for j in range(20))} for i in range(4)]
+    out = minhash_recall(ray.data.from_items(docs)).iloc[0]
+    assert out["n_true"] >= 10            # the 6 planted docs pair up
+    assert out["n_hit"] <= min(out["n_true"], out["n_found"])
+    assert out["recall_bp"] >= 8000       # near-identical sigs must bucket
+    assert 0 <= out["precision_bp"] <= 10000
