@@ -780,6 +780,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MinHash-LSH eval harness: recall/precision of the LSH candidate
         # pairs vs exact Jaccard ≥ 0.5 truth (both laws already oracled)
         "minhash_recall": lambda sf: dedup.minhash_recall(_read_docs(sf)),
+        # deterministic per-language k-sample (md5 rank — same 5 docs
+        # every run; lossless per-batch k-smallest partials)
+        "group_sample": lambda sf: curation.group_sample(
+            _read_table(sf, "documents", ["doc_id", "lang"]), k=5),
+        # √-temperature source rebalancing (T=2 multilingual-sampling law;
+        # tiny per-source count pass → broadcast rate dict → map-only tag)
+        "temperature_mix": lambda sf: curation.temperature_mix(
+            _read_table(sf, "documents", ["doc_id", "source"]), budget=250),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2887,5 +2895,42 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM i
             JOIN v va ON va.source = i.source_a
             JOIN v vb ON vb.source = i.source_b
+        """,
+        # group_sample: md5-rank per-group k-sample (rank law shared with
+        # shuffle_shards: md5_number_lower == little-endian low 8 bytes)
+        "group_sample": """
+            SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank
+            FROM (SELECT lang, doc_id,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY CAST(md5_number_lower(
+                                 CAST(doc_id AS VARCHAR)) AS HUGEINT),
+                                 doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 5
+        """,
+        # temperature_mix: √-size source weights (IEEE sqrt identical both
+        # sides), integer target/rate chain, md5 membership law (budget 250)
+        "temperature_mix": """
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY 1),
+            w AS (
+                SELECT source, n,
+                       CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+                FROM c),
+            r AS (
+                SELECT source, n, w,
+                       least(10000,
+                             (250 * w // greatest(
+                                  (SELECT sum(w) FROM w), 1)) * 10000
+                             // greatest(n, 1)) AS rate_bp
+                FROM w)
+            SELECT d.doc_id, d.source,
+                   CAST(r.rate_bp AS BIGINT) AS rate_bp,
+                   CAST(CASE WHEN CAST(md5_number_lower(
+                                 CAST(d.doc_id AS VARCHAR)) AS HUGEINT)
+                                 % 10000 < r.rate_bp
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM documents d JOIN r ON r.source = d.source
         """,
     }

@@ -572,3 +572,112 @@ def bloom_cross_dedup(docs_ds, ref_ds, *, m_bits: int = 1 << 20, k: int = 4,
 
     return docs_ds.map_batches(Probe, batch_format="pyarrow",
                                concurrency=default_pool())
+
+
+def group_sample(docs_ds, *, k: int = 5, group_col: str = "lang",
+                 id_col: str = "doc_id"):
+    """Deterministic per-group k-sample — the eval-set / spot-check draw
+    ("give me 5 random docs per language, the same 5 every run").  Rank =
+    the repo-standard pseudo-random hash ``md5_low64(str(id))`` ordered
+    ``(h, id)`` within each group; keep rank ≤ k.  A pure function of the
+    ids: reproducible across runs, machines and partitionings.
+
+    Scale shape: the per-batch per-group k-smallest partial is provably
+    lossless (any global top-k row is a batch top-k row), so the final
+    per-group merge sees ≤ k rows per (batch, group) — groups here are
+    the handful of strata, never the corpus.
+
+    Output: ``(group, id, rank)`` with rank 1-based.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        g = pd.DataFrame({
+            group_col: batch.column(group_col).to_numpy(
+                zero_copy_only=False),
+            id_col: batch.column(id_col).to_numpy(zero_copy_only=False),
+            "_h": np.array([_md5_low64(str(i)) for i in ids], np.uint64),
+        })
+        g = g.sort_values(["_h", id_col], kind="mergesort") \
+            .groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["_h", id_col], kind="mergesort").head(k)
+        return pa.table({
+            group_col: pa.array(g[group_col].to_numpy(), pa.string()),
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64),
+                             pa.int64()),
+        })
+
+    return docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(merge, batch_format="pandas")
+
+
+def temperature_mix(docs_ds, *, budget: int, group_col: str = "source",
+                    id_col: str = "doc_id"):
+    """Temperature-based source rebalancing (the T=2 multilingual-sampling
+    law: sample share ∝ √(source size), which upweights small sources
+    relative to proportional sampling).  Per-source keep rate:
+
+        ``w_s = floor(sqrt(n_s))``  (IEEE sqrt is correctly rounded, so
+        numpy and DuckDB agree bit-for-bit; the floor makes it integer)
+        ``target_s = budget · w_s // Σ w``
+        ``rate_bp_s = min(10000, target_s · 10000 // n_s)``
+
+    and a doc keeps iff ``md5_low64(str(id)) % 10000 < rate_bp_s`` —
+    stratified_sample's deterministic membership law with computed rates.
+
+    Output: one row per doc ``(id, group, rate_bp, keep)``.
+
+    Scale shape: pass 1 is a per-batch count partial → Sum over
+    ≤ |sources| keys, collected to a DRIVER DICT that is bounded by the
+    source vocabulary (a curated corpus has 10²-10⁴ sources; this is the
+    documented broadcast-small-side pattern, not an unbounded collect);
+    pass 2 is map-only with the rate dict shipped once via ``ray.put``.
+    """
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        c = df.groupby(group_col).size()
+        return pa.table({group_col: pa.array(c.index.to_numpy(), pa.string()),
+                         "n": pa.array(c.to_numpy(np.int64), pa.int64())})
+
+    rows = docs_ds.map_batches(count_partial, batch_format="pandas") \
+        .groupby(group_col).aggregate(Sum("n", alias_name="n")).take_all()
+    n_by = {r[group_col]: int(r["n"]) for r in rows}
+    w_by = {s: int(np.floor(np.sqrt(np.float64(n)))) for s, n in n_by.items()}
+    w_sum = sum(w_by.values())
+    rate_bp = {
+        s: min(10_000, (budget * w_by[s] // max(w_sum, 1)) * 10_000
+               // max(n_by[s], 1))
+        for s in n_by
+    }
+    bc = ray.put(rate_bp)
+
+    class Tag:
+        def __init__(self):
+            self.rates = ray.get(bc)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            src = batch.column(group_col).to_numpy(zero_copy_only=False)
+            rb = np.array([self.rates.get(s, 0) for s in src], np.int64)
+            h = np.array([_md5_low64(str(i)) % 10_000 for i in ids],
+                         np.int64)
+            return pa.table({
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                "rate_bp": pa.array(rb, pa.int64()),
+                "keep": pa.array((h < rb).astype(np.int64), pa.int64()),
+            })
+
+    from ..util import default_pool
+
+    return docs_ds.map_batches(Tag, batch_format="pyarrow",
+                               concurrency=default_pool())

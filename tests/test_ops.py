@@ -2050,3 +2050,42 @@ def test_minhash_recall_planted_dups(ray_session):
     assert out["n_hit"] <= min(out["n_true"], out["n_found"])
     assert out["recall_bp"] >= 8000       # near-identical sigs must bucket
     assert 0 <= out["precision_bp"] <= 10000
+
+
+def test_group_sample_deterministic_k(ray_session):
+    """Same k ids per group every run; rank 1..k; small groups yield all
+    their rows."""
+    import ray.data
+
+    from name_matching_ray.stages.curation import group_sample
+
+    docs = [{"doc_id": i, "lang": "en"} for i in range(50)]
+    docs += [{"doc_id": 100 + i, "lang": "de"} for i in range(2)]
+    a = group_sample(ray.data.from_items(docs), k=3).to_pandas()
+    b = group_sample(ray.data.from_items(docs), k=3).to_pandas()
+    a = a.sort_values(["lang", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["lang", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a[a["lang"] == "en"]["rank"].to_numpy() == [1, 2, 3]).all()
+    assert len(a[a["lang"] == "de"]) == 2  # group smaller than k
+
+
+def test_temperature_mix_upweights_small_sources(ray_session):
+    """√-temperature keeps a HIGHER rate for small sources than
+    proportional sampling; rates respect the 10000 bp cap."""
+    import ray.data
+
+    from name_matching_ray.stages.curation import temperature_mix
+
+    docs = [{"doc_id": i, "source": "big"} for i in range(400)]
+    docs += [{"doc_id": 1000 + i, "source": "small"} for i in range(16)]
+    out = temperature_mix(ray.data.from_items(docs), budget=100).to_pandas()
+    r = out.groupby("source")["rate_bp"].first()
+    # w_big=20, w_small=4, Σw=24: target_big=83 -> 2075bp; target_small=16
+    # -> 10000bp (capped): the small source keeps EVERYTHING
+    assert r["small"] == 10000
+    assert r["big"] == (100 * 20 // 24) * 10000 // 400
+    # proportional sampling would keep small at ~budget/total = 24% — the
+    # temperature law keeps 100%
+    kept = out.groupby("source")["keep"].sum()
+    assert kept["small"] == 16
