@@ -788,6 +788,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tiny per-source count pass → broadcast rate dict → map-only tag)
         "temperature_mix": lambda sf: curation.temperature_mix(
             _read_table(sf, "documents", ["doc_id", "source"]), budget=250),
+        # within-doc duplicate-line scrub (first occurrence kept, doc
+        # rebuilt — the STRING is hash-compared); map-only pure Arrow
+        "dedup_lines": lambda sf: textstats.dedup_lines(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2932,5 +2935,25 @@ def _oracle_sql_base() -> dict[str, str]:
                                  % 10000 < r.rate_bp
                              THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM documents d JOIN r ON r.source = d.source
+        """,
+        # dedup_lines: first occurrence per (doc, line), rebuilt in pos
+        # order; '' docs have exactly one (empty) line.
+        "dedup_lines": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(coalesce(text, ''), chr(10)) AS ls
+                FROM documents),
+            l AS (
+                SELECT doc_id, ls[i] AS line, i AS pos, len(ls) AS n_lines
+                FROM t, UNNEST(generate_series(1, len(ls))) AS g(i)),
+            f AS (
+                SELECT doc_id, line, min(pos) AS pos
+                FROM l GROUP BY doc_id, line)
+            SELECT f.doc_id,
+                   CAST(any_value(l.n_lines) AS BIGINT) AS n_lines,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(f.line, chr(10) ORDER BY f.pos) AS text_dedup
+            FROM f JOIN l ON l.doc_id = f.doc_id AND l.pos = f.pos
+            GROUP BY f.doc_id
         """,
     }

@@ -2370,3 +2370,53 @@ def source_overlap(docs_ds, *, group_col: str = "source",
         .groupby("_one").map_groups(
             lambda g: finish(g.drop(columns=["_one"])),
             batch_format="pandas")
+
+
+# --- within-document duplicate-line removal ---------------------------------
+
+def dedup_lines(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document duplicate-line removal — the nav-bar/footer
+    boilerplate scrubber that complements the cross-document dedups: a
+    line repeated INSIDE a doc keeps only its first occurrence, the doc
+    is rebuilt in original order.  Output per doc: ``(doc_id, n_lines,
+    n_kept, text_dedup)`` — the rebuilt STRING itself is hash-compared
+    against SQL (``string_agg(line, chr(10) ORDER BY pos)`` over
+    first-occurrence rows).
+
+    Map-only, pure-Arrow explode (``split_pattern`` on the literal
+    newline == DuckDB ``string_split(t, chr(10))``), first-occurrence
+    mask via one stable pandas ``duplicated`` over (doc, line), rebuild
+    via offsets-remap + ``pc.binary_join`` — no per-row Python.  NULL
+    text coalesces to '' (one empty line, kept) on both sides.
+    """
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        text = pc.coalesce(text, pa.scalar("", pa.string()))
+        lines = pc.split_pattern(text, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(off) - 1), np.diff(off))
+        keep = ~pd.DataFrame(
+            {"d": doc_idx,
+             "l": flat.to_numpy(zero_copy_only=False)}).duplicated() \
+            .to_numpy()
+        kcum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        kept_list = pa.LargeListArray.from_arrays(
+            pa.array(kcum[off], pa.int64()),
+            flat.filter(pa.array(keep)))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(np.diff(off), pa.int64()),
+            "n_kept": pa.array(kcum[off[1:]] - kcum[off[:-1]], pa.int64()),
+            "text_dedup": pc.binary_join(kept_list, "\n"),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

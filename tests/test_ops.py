@@ -2089,3 +2089,22 @@ def test_temperature_mix_upweights_small_sources(ray_session):
     # temperature law keeps 100%
     kept = out.groupby("source")["keep"].sum()
     assert kept["small"] == 16
+
+
+def test_dedup_lines_rebuild(ray_session):
+    """Repeated lines keep their first occurrence only, order preserved,
+    empty lines dedup too; NULL -> '' (one empty line)."""
+    import ray.data
+
+    from name_matching_ray.stages.textstats import dedup_lines
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "nav\nbody one\nnav\nbody two\n\n\nnav"},
+        {"doc_id": 2, "text": "only line"},
+        {"doc_id": 3, "text": None},
+    ])
+    got = dedup_lines(docs).to_pandas().set_index("doc_id")
+    assert got.loc[1, "text_dedup"] == "nav\nbody one\nbody two\n"
+    assert got.loc[1, "n_lines"] == 7 and got.loc[1, "n_kept"] == 4
+    assert got.loc[2, "text_dedup"] == "only line"
+    assert got.loc[3, "n_lines"] == 1 and got.loc[3, "text_dedup"] == ""
