@@ -791,6 +791,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # within-doc duplicate-line scrub (first occurrence kept, doc
         # rebuilt — the STRING is hash-compared); map-only pure Arrow
         "dedup_lines": lambda sf: textstats.dedup_lines(_read_docs(sf)),
+        # per-source exact-dup rate (which crawl spams dupes; (source,fp)
+        # buckets make the distinct exact, Sum over |sources| keys)
+        "dup_by_source": lambda sf: dedup.dup_by_source(
+            _read_docs_source(sf)),
+        # per-language open-vocab top-5 words (lossless bucketed top-k —
+        # the vocabulary never reaches the driver)
+        "lang_top_words": lambda sf: textstats.grouped_top_words(
+            _read_docs_lang(sf), k=5),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -2955,5 +2963,38 @@ def _oracle_sql_base() -> dict[str, str]:
                    string_agg(f.line, chr(10) ORDER BY f.pos) AS text_dedup
             FROM f JOIN l ON l.doc_id = f.doc_id AND l.pos = f.pos
             GROUP BY f.doc_id
+        """,
+        # dup_by_source: exact_dedup's fingerprint law (NULL ⇒ '' both
+        # sides), distinct counted per source.
+        "dup_by_source": """
+            WITH f AS (
+                SELECT source,
+                       md5(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g')) AS fp
+                FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+                   CAST((count(*) - count(DISTINCT fp)) * 10000
+                        // count(*) AS BIGINT) AS dup_bp
+            FROM f GROUP BY source
+        """,
+        # lang_top_words: exact per-group heavy hitters, rank law
+        # (count DESC, word ASC).
+        "lang_top_words": """
+            WITH tok AS (
+                SELECT lang,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            wc AS (
+                SELECT lang, u.t AS word, count(*) AS n
+                FROM tok, UNNEST(w) AS u(t)
+                WHERE u.t <> '' GROUP BY 1, 2)
+            SELECT lang, word, CAST(n AS BIGINT) AS n,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY lang ORDER BY n DESC, word) AS rn
+                  FROM wc)
+            WHERE rn <= 5
         """,
     }

@@ -1136,3 +1136,63 @@ def minhash_recall(docs_ds, *, tau100: int = 50, max_df: int = 100,
         "recall_bp": n_hit * 10_000 // max(n_true, 1),
         "precision_bp": n_hit * 10_000 // max(n_found, 1),
     }])
+
+
+def dup_by_source(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  group_col: str = "source", n_buckets: int = 64):
+    """Per-source exact-duplication rate — the corpus-health slice that
+    tells you WHICH crawl is spamming dupes (dup_size_hist aggregated the
+    whole corpus).  Per source: ``(source, n_docs, n_distinct, dup_bp)``
+    with ``dup_bp = (n_docs − n_distinct)·10⁴ // n_docs`` and distinct
+    counted per source (a text shared by two sources is distinct in each).
+
+    Scale shape: per-batch distinct-(source, fp) partials carry a doc
+    count; (source, fp) hash-buckets colocate each fingerprint group so
+    the in-bucket dedupe is globally exact; buckets emit per-source
+    (docs, distinct) partials → one tiny Sum shuffle over |sources| keys.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.analytics import _bucket_tag
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = fingerprint_batch(batch, text_col=text_col, id_col=id_col)
+        g = pd.DataFrame({
+            "s": batch.column(group_col).to_numpy(zero_copy_only=False),
+            "fp": t.column("fingerprint").to_numpy(zero_copy_only=False),
+        }).groupby(["s", "fp"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby(["s", "fp"], as_index=False)["n"].sum()
+        a = m.groupby("s").agg(n_docs=("n", "sum"), n_distinct=("fp", "size"))
+        return pa.table({
+            "source": pa.array(a.index.to_numpy(), pa.string()),
+            "n_docs": pa.array(a["n_docs"].to_numpy(np.int64), pa.int64()),
+            "n_distinct": pa.array(a["n_distinct"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    parts = _bucket_tag(docs_ds.map_batches(partial, batch_format="pyarrow"),
+                        ["s", "fp"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+    agg = parts.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_distinct", alias_name="n_distinct"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nu = t.column("n_distinct").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_distinct": pa.array(nu, pa.int64()),
+            "dup_bp": pa.array((nd - nu) * 10_000 // np.maximum(nd, 1),
+                               pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

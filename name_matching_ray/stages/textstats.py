@@ -2420,3 +2420,58 @@ def dedup_lines(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- per-group open-vocabulary heavy hitters --------------------------------
+
+def grouped_top_words(docs_ds, *, k: int = 5, group_col: str = "lang",
+                      text_col: str = "text", n_buckets: int = 64):
+    """Top-k words per group over an OPEN vocabulary (per-language heavy
+    hitters without a pre-agreed word list — countmin_topk's exact global
+    cousin, partitioned by group).  Rank law: ``(count DESC, word ASC)``.
+
+    Scale shape: per-batch (group, word) count partials → (group, word)
+    hash-buckets where each word's total is exact (colocated) → per-bucket
+    per-group top-k (LOSSLESS: every (group, word) key lives in exactly
+    one bucket, and a global top-k row is by definition ≥ every other row
+    of its group in its bucket) → final per-group merge over
+    ≤ n_buckets·k rows per group.  The driver never sees the vocabulary.
+
+    Output: ``(group, word, n, rank)``, ≤ k rows per group.
+    """
+    import pandas as pd
+
+    from ..pipelines.analytics import _bucket_tag
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_idx, flat, _ = _explode_tokens(batch, text_col)
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        s = pd.DataFrame({"g": grp[doc_idx],
+                          "w": flat.to_numpy(zero_copy_only=False)})
+        s = s[s["w"] != ""]
+        c = s.groupby(["g", "w"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby(["g", "w"], as_index=False)["n"].sum()
+        m = m.sort_values(["g", "n", "w"],
+                          ascending=[True, False, True], kind="mergesort")
+        m = m.groupby("g", sort=False).head(k)
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["n", "w"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pa.table({
+            "lang": pa.array(g["g"].to_numpy(), pa.string()),
+            "word": pa.array(g["w"].to_numpy(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64),
+                             pa.int64()),
+        })
+
+    parts = _bucket_tag(docs_ds.map_batches(partial, batch_format="pyarrow"),
+                        ["g", "w"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+    return parts.groupby("g").map_groups(merge, batch_format="pandas")

@@ -2108,3 +2108,42 @@ def test_dedup_lines_rebuild(ray_session):
     assert got.loc[1, "n_lines"] == 7 and got.loc[1, "n_kept"] == 4
     assert got.loc[2, "text_dedup"] == "only line"
     assert got.loc[3, "n_lines"] == 1 and got.loc[3, "text_dedup"] == ""
+
+
+def test_dup_by_source_rates(ray_session):
+    """Dup rate per source; cross-source copies are distinct in each;
+    case/punct variants collapse under the fingerprint law."""
+    import ray.data
+
+    from name_matching_ray.stages.dedup import dup_by_source
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "Hello World", "source": "a"},
+        {"doc_id": 2, "text": "hello, world!", "source": "a"},
+        {"doc_id": 3, "text": "unique a", "source": "a"},
+        {"doc_id": 4, "text": "Hello World", "source": "b"},
+    ])
+    got = dup_by_source(docs).to_pandas().set_index("source")
+    assert got.loc["a", "n_docs"] == 3 and got.loc["a", "n_distinct"] == 2
+    assert got.loc["a", "dup_bp"] == 10000 // 3
+    assert got.loc["b", "n_docs"] == 1 and got.loc["b", "dup_bp"] == 0
+
+
+def test_grouped_top_words_lossless_topk(ray_session):
+    """Counts aggregate across docs; tie-break is (n DESC, word ASC);
+    per-group ranking is independent."""
+    import ray.data
+
+    from name_matching_ray.stages.textstats import grouped_top_words
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "x x x y y z", "lang": "en"},
+        {"doc_id": 2, "text": "y x z w", "lang": "en"},
+        {"doc_id": 3, "text": "a b a", "lang": "de"},
+    ])
+    got = grouped_top_words(docs, k=3).to_pandas()
+    en = got[got["lang"] == "en"].set_index("rank")
+    assert list(en.loc[[1, 2, 3], "word"]) == ["x", "y", "z"]
+    assert list(en.loc[[1, 2, 3], "n"]) == [4, 3, 2]
+    de = got[got["lang"] == "de"].set_index("rank")
+    assert de.loc[1, "word"] == "a" and de.loc[2, "word"] == "b"
