@@ -536,6 +536,15 @@ def _probe_queries(sf_dir: str) -> dict[int, list[str]]:
     return {int(r["doc_id"]): _first4(r["text"]) for r in probes}
 
 
+def _incremental_dedup(sf_dir: str):
+    """Streaming exact dedup against a fresh sharded seen-set index (the
+    shared-mutable-index actor pattern; one keeper per fingerprint)."""
+    from name_matching_ray.state.incremental import (IncrementalIndex,
+                                                     incremental_dedup)
+
+    return incremental_dedup(_read_docs(sf_dir), IncrementalIndex(8))
+
+
 def _search_topk(sf_dir: str):
     """Sparse retrieval: integer tf-idf proxy + per-query top-10."""
     return textstats.search_topk(_read_docs(sf_dir),
@@ -803,6 +812,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
         # sits inside the driver's correctness window.
+        # streaming dedup vs a shared mutable actor index (arrival-order
+        # first-wins keep — no SQL oracle by nature: DuckDB has no arrival
+        # order; the keep-COUNT law is pytest-verified)
+        "incremental_dedup": _incremental_dedup,
         "linkage_pairs": _linkage_pairs,
         "linkage_clusters": _linkage_clusters,
         "pair_scoring": _pair_scoring,

@@ -2147,3 +2147,29 @@ def test_grouped_top_words_lossless_topk(ray_session):
     assert list(en.loc[[1, 2, 3], "n"]) == [4, 3, 2]
     de = got[got["lang"] == "de"].set_index("rank")
     assert de.loc[1, "word"] == "a" and de.loc[2, "word"] == "b"
+
+
+def test_incremental_dedup_streaming_state(ray_session):
+    """Exactly one keeper per fingerprint group within a run; a second
+    run over the SAME index marks everything dup (state carries across
+    Dataset executions); a fresh index starts clean."""
+    import ray.data
+
+    from name_matching_ray.state.incremental import (IncrementalIndex,
+                                                     incremental_dedup)
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i % 5}"} for i in range(20)])
+    idx = IncrementalIndex(n_shards=4)
+    out = incremental_dedup(docs, idx).to_pandas()
+    keep = out[out["is_dup"] == 0]
+    assert len(keep) == 5                       # one per distinct text
+    assert keep["fingerprint"].nunique() == 5
+    assert out["is_dup"].sum() == 15
+    assert sum(idx.sizes()) == 5
+    # second pass over the same index: zero keepers
+    out2 = incremental_dedup(docs, idx).to_pandas()
+    assert out2["is_dup"].sum() == 20
+    # a fresh index sees everything as new again
+    out3 = incremental_dedup(docs, IncrementalIndex(n_shards=4)).to_pandas()
+    assert (out3["is_dup"] == 0).sum() == 5
