@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "clean_text", "code_detect", "nation_revenue",
     "dup_size_hist", "decay_sum", "funnel_counts", "user_retention",
     "bm25_topk", "phonetic_block", "char_entropy", "source_overlap",
+    "minhash_recall", "group_sample", "temperature_mix", "dedup_lines",
+    "dup_by_source", "lang_top_words", "incremental_dedup",
 ]
 
 
