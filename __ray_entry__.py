@@ -808,6 +808,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the vocabulary never reaches the driver)
         "lang_top_words": lambda sf: textstats.grouped_top_words(
             _read_docs_lang(sf), k=5),
+        # product-quantization codes (Jégou 2011): int8-grid codebooks
+        # from fixed ids, exact integer argmin-L2 per subspace + true
+        # distortion — m·1-byte codes, the billion-vector footprint path
+        "pq_encode": lambda sf: annsearch.pq_encode(
+            _read_emb(sf), codebook_ids=list(range(8)), m=4),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3009,5 +3014,33 @@ def _oracle_sql_base() -> dict[str, str]:
                       PARTITION BY lang ORDER BY n DESC, word) AS rn
                   FROM wc)
             WHERE rn <= 5
+        """,
+        # pq_encode: int8 grid (floor(x·127+0.5), exact in float64 both
+        # sides), codebook = subvectors of vec_ids 0..7 (cid = vec_id
+        # rank), Σ(q−c)² per 16-dim subspace, ties → lowest cid.
+        "pq_encode": """
+            WITH q AS (
+                SELECT vec_id, g.i - 1 AS dim,
+                       CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 127
+                                  + 0.5) AS BIGINT) AS code
+                FROM embeddings,
+                     UNNEST(generate_series(1, len(embedding))) AS g(i)),
+            cent AS (
+                SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS cid,
+                       dim, code
+                FROM q WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+            costs AS (
+                SELECT q.vec_id, q.dim // 16 AS subspace, c.cid,
+                       SUM((q.code - c.code) * (q.code - c.code)) AS cost
+                FROM q JOIN cent c ON c.dim = q.dim
+                GROUP BY 1, 2, 3),
+            best AS (
+                SELECT vec_id, subspace, cid AS code, cost,
+                       row_number() OVER (PARTITION BY vec_id, subspace
+                                          ORDER BY cost, cid) AS rn
+                FROM costs)
+            SELECT vec_id, subspace, CAST(code AS BIGINT) AS code,
+                   CAST(cost AS BIGINT) AS cost
+            FROM best WHERE rn = 1
         """,
     }

@@ -728,3 +728,75 @@ def kmeans_update(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
     ).groupby(["cluster_id", "dim"]).aggregate(
         Sum("dim_sum", alias_name="dim_sum"),
         Sum("n_vecs", alias_name="n_vecs"))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) encoding
+# ---------------------------------------------------------------------------
+
+def pq_encode(ds, codebook_ids: list[int], *, m: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              concurrency=None):
+    """Product-quantization encoding (Jégou et al. 2011) — THE footprint
+    technique for billion-vector ANN: split each D-dim vector into ``m``
+    subvectors and store one centroid id per subspace (D·4 bytes →
+    m·1 byte).  Codebook = the int8-quantized subvectors of the rows named
+    by ``codebook_ids`` (codebooks are trained offline and loaded — the
+    explicit id list is that contract, and it makes the whole surface
+    SQL-oracle-able; centroid cid = rank of its vec_id).  Assignment is
+    exact integer argmin-L2 on the int8 grid via the kmeans_update law
+    (``Σc² − 2q·c`` per subspace, ties → lowest cid), and the emitted
+    ``cost`` adds back ``Σq²`` so it is the TRUE squared quantization
+    error — the distortion audit comes free.
+
+    Output (long form): ``(vec_id, subspace, code, cost)`` — m rows per
+    vector.
+
+    Scale shape: the codebook rows are a tiny driver fetch (k·D ints)
+    broadcast once via ``ray.put``; encoding is map-only — one
+    (n × sub_d)·(sub_d × k) integer dgemm per (batch, subspace).
+    """
+    import ray
+
+    cids, cmat = load_query_matrix(ds, codebook_ids, id_col=id_col,
+                                   vec_col=vec_col, normalize=False)
+    ccodes = _quantize127(cmat).astype(np.int64)       # (k, D)
+    k, D = ccodes.shape
+    if D % m:
+        raise ValueError(f"dim {D} not divisible by m={m}")
+    sub_d = D // m
+    # (m, k, sub_d): centroid cid is the RANK of its vec_id (sorted)
+    cent = ccodes.reshape(k, m, sub_d).transpose(1, 0, 2)
+    bc = ray.put(cent)
+
+    class Encode:
+        def __init__(self):
+            self.cent = ray.get(bc)                     # (m, k, sub_d)
+            self.c2 = (self.cent ** 2).sum(axis=2)      # (m, k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = _quantize127(_mat(batch.column(vec_col))).astype(np.int64)
+            n = q.shape[0]
+            qs = q.reshape(n, m, sub_d)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            out_id = np.repeat(ids, m)
+            out_sub = np.tile(np.arange(m, dtype=np.int64), n)
+            out_code = np.empty(n * m, np.int64)
+            out_cost = np.empty(n * m, np.int64)
+            for s in range(m):
+                # (n, k) integer costs: c² − 2 q·c  (+ q² for the true L2)
+                dots = qs[:, s, :] @ self.cent[s].T
+                cost = self.c2[s][None, :] - 2 * dots
+                code = np.argmin(cost, axis=1)          # first = lowest cid
+                q2 = (qs[:, s, :] ** 2).sum(axis=1)
+                out_code[s::m] = code
+                out_cost[s::m] = cost[np.arange(n), code] + q2
+            return pa.table({
+                id_col: pa.array(out_id, pa.int64()),
+                "subspace": pa.array(out_sub, pa.int64()),
+                "code": pa.array(out_code, pa.int64()),
+                "cost": pa.array(out_cost, pa.int64()),
+            })
+
+    return ds.map_batches(Encode, batch_format="pyarrow",
+                          concurrency=concurrency or default_pool())

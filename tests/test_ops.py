@@ -2173,3 +2173,29 @@ def test_incremental_dedup_streaming_state(ray_session):
     # a fresh index sees everything as new again
     out3 = incremental_dedup(docs, IncrementalIndex(n_shards=4)).to_pandas()
     assert (out3["is_dup"] == 0).sum() == 5
+
+
+def test_pq_encode_exact_reconstruction(ray_session):
+    """A vector that IS a codebook row encodes to its own cid with zero
+    distortion in every subspace; costs are true squared L2 on the grid."""
+    import numpy as np
+    import ray.data
+
+    from name_matching_ray.stages.annsearch import pq_encode
+
+    rng = np.random.default_rng(3)
+    vecs = rng.uniform(-1, 1, (10, 8)).astype(np.float32)
+    items = [{"vec_id": i, "embedding": list(map(float, vecs[i]))}
+             for i in range(10)]
+    out = pq_encode(ray.data.from_items(items),
+                    codebook_ids=[0, 1, 2, 3], m=2).to_pandas()
+    assert len(out) == 20
+    for cid in range(4):  # codebook rows reconstruct exactly
+        rows = out[out["vec_id"] == cid]
+        assert (rows["code"] == cid).all() and (rows["cost"] == 0).all()
+    # every cost equals the true grid L2 to the chosen centroid
+    codes = np.floor(vecs.astype(np.float64) * 127 + 0.5).astype(np.int64)
+    for _, r in out[out["vec_id"] == 7].iterrows():
+        s = int(r["subspace"])
+        d = codes[7, s * 4:(s + 1) * 4] - codes[int(r["code"]), s * 4:(s + 1) * 4]
+        assert r["cost"] == (d ** 2).sum()
