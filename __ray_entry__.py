@@ -813,6 +813,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distortion — m·1-byte codes, the billion-vector footprint path
         "pq_encode": lambda sf: annsearch.pq_encode(
             _read_emb(sf), codebook_ids=list(range(8)), m=4),
+        # PQ ADC search: per-query distance LUTs, adc = Σ_s LUT[s][code] —
+        # the 1-byte-per-subspace billion-vector query path
+        "pq_topk": lambda sf: annsearch.pq_topk(
+            _read_emb(sf), _ANN_QUERY_IDS, list(range(8)), k=10, m=4),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1060,6 +1064,31 @@ def _srp_oracle() -> str:
         SELECT left_id, right_id, CAST(hamming AS BIGINT) AS hamming
         FROM ham WHERE hamming <= 16
     """
+
+
+# shared PQ CTE chain (int8 codes per dim, codebook from vec_ids 0..7,
+# per-subspace integer argmin with lowest-cid ties) — used by the
+# pq_encode and pq_topk oracles so the code law cannot drift.
+_PQ_CODES_CTE = """q AS (
+                SELECT vec_id, g.i - 1 AS dim,
+                       CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 127
+                                  + 0.5) AS BIGINT) AS code
+                FROM embeddings,
+                     UNNEST(generate_series(1, len(embedding))) AS g(i)),
+            cent AS (
+                SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS cid,
+                       dim, code
+                FROM q WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+            costs AS (
+                SELECT q.vec_id, q.dim // 16 AS subspace, c.cid,
+                       SUM((q.code - c.code) * (q.code - c.code)) AS cost
+                FROM q JOIN cent c ON c.dim = q.dim
+                GROUP BY 1, 2, 3),
+            best AS (
+                SELECT vec_id, subspace, cid AS code, cost,
+                       row_number() OVER (PARTITION BY vec_id, subspace
+                                          ORDER BY cost, cid) AS rn
+                FROM costs)"""
 
 
 def _ngram_jaccard_oracle(tau100: int) -> str:
@@ -3018,29 +3047,35 @@ def _oracle_sql_base() -> dict[str, str]:
         # pq_encode: int8 grid (floor(x·127+0.5), exact in float64 both
         # sides), codebook = subvectors of vec_ids 0..7 (cid = vec_id
         # rank), Σ(q−c)² per 16-dim subspace, ties → lowest cid.
-        "pq_encode": """
-            WITH q AS (
-                SELECT vec_id, g.i - 1 AS dim,
-                       CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 127
-                                  + 0.5) AS BIGINT) AS code
-                FROM embeddings,
-                     UNNEST(generate_series(1, len(embedding))) AS g(i)),
-            cent AS (
-                SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS cid,
-                       dim, code
-                FROM q WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
-            costs AS (
-                SELECT q.vec_id, q.dim // 16 AS subspace, c.cid,
-                       SUM((q.code - c.code) * (q.code - c.code)) AS cost
-                FROM q JOIN cent c ON c.dim = q.dim
-                GROUP BY 1, 2, 3),
-            best AS (
-                SELECT vec_id, subspace, cid AS code, cost,
-                       row_number() OVER (PARTITION BY vec_id, subspace
-                                          ORDER BY cost, cid) AS rn
-                FROM costs)
+        "pq_encode": f"""
+            WITH {_PQ_CODES_CTE}
             SELECT vec_id, subspace, CAST(code AS BIGINT) AS code,
                    CAST(cost AS BIGINT) AS cost
             FROM best WHERE rn = 1
+        """,
+        # pq_topk: ADC search — per-query LUT of grid distances to every
+        # centroid per subspace, doc adc = Σ_s LUT[s][code(v,s)].
+        "pq_topk": f"""
+            WITH {_PQ_CODES_CTE},
+            qrow AS (
+                SELECT * FROM q WHERE vec_id IN (0, 1, 2, 3, 4)),
+            lut AS (
+                SELECT qr.vec_id AS query_id, qr.dim // 16 AS subspace,
+                       c.cid,
+                       SUM((qr.code - c.code) * (qr.code - c.code)) AS d
+                FROM qrow qr JOIN cent c ON c.dim = qr.dim
+                GROUP BY 1, 2, 3),
+            adc AS (
+                SELECT l.query_id, b.vec_id, SUM(l.d) AS adc
+                FROM best b
+                JOIN lut l ON l.subspace = b.subspace AND l.cid = b.code
+                WHERE b.rn = 1
+                GROUP BY 1, 2)
+            SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc,
+                   CAST(rn2 AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY adc, vec_id) AS rn2 FROM adc)
+            WHERE rn2 <= 10
         """,
     }

@@ -2199,3 +2199,24 @@ def test_pq_encode_exact_reconstruction(ray_session):
         s = int(r["subspace"])
         d = codes[7, s * 4:(s + 1) * 4] - codes[int(r["code"]), s * 4:(s + 1) * 4]
         assert r["cost"] == (d ** 2).sum()
+
+
+def test_pq_topk_adc_consistency(ray_session):
+    """ADC distance to a query's own vector is the query's total PQ
+    distortion (codes reconstruct through the same codebook); ranks are
+    1..k ascending in adc."""
+    import ray.data
+
+    from name_matching_ray.stages.annsearch import pq_encode, pq_topk
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    out = pq_topk(emb, [0], list(range(8)), k=10, m=4).to_pandas()
+    assert len(out) == 10
+    assert (out.sort_values("rank")["adc"].diff().dropna() >= 0).all()
+    # vec 0 IS codebook row 0: its codes have zero distortion, so its ADC
+    # to itself equals the query-side quantization residual = LUT self
+    # distance = 0 → it must be rank 1 with adc 0
+    top = out[out["rank"] == 1].iloc[0]
+    assert top["vec_id"] == 0 and top["adc"] == 0
