@@ -817,6 +817,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the 1-byte-per-subspace billion-vector query path
         "pq_topk": lambda sf: annsearch.pq_topk(
             _read_emb(sf), _ANN_QUERY_IDS, list(range(8)), k=10, m=4),
+        # exact flat-index baseline on the same int8 grid (integer L2)
+        "grid_l2_topk": lambda sf: annsearch.grid_l2_topk(
+            _read_emb(sf), _ANN_QUERY_IDS, k=10),
+        # PQ compression-loss audit: recall@10 of ADC vs the flat index
+        "pq_recall": lambda sf: annsearch.pq_recall(
+            _read_emb(sf), _ANN_QUERY_IDS, list(range(8)), k=10, m=4),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1224,6 +1230,23 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT c FROM h) * 10000 //
                     greatest((SELECT COUNT(*) FROM found), 1) AS BIGINT)
                    AS precision_bp
+    """
+    # pq_recall: ADC top-k vs the flat grid index, composed from the two
+    # component oracles (per-query hit counts; truth size from the oracle
+    # itself, not an assumed k)
+    base["pq_recall"] = f"""
+        WITH e AS (SELECT query_id, vec_id FROM ({base["grid_l2_topk"]})),
+             a AS (SELECT query_id, vec_id FROM ({base["pq_topk"]})),
+             t AS (SELECT query_id, count(*) AS nt FROM e GROUP BY 1),
+             h AS (SELECT e.query_id, count(*) AS n_hit
+                   FROM e JOIN a ON a.query_id = e.query_id
+                                AND a.vec_id = e.vec_id
+                   GROUP BY 1)
+        SELECT t.query_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(coalesce(h.n_hit, 0) * 10000
+                    // greatest(t.nt, 1) AS BIGINT) AS recall_bp
+        FROM t LEFT JOIN h ON h.query_id = t.query_id
     """
     # source_quality: the gopher oracle grouped by source
     base["source_quality"] = f"""
@@ -3077,5 +3100,26 @@ def _oracle_sql_base() -> dict[str, str]:
                       PARTITION BY query_id
                       ORDER BY adc, vec_id) AS rn2 FROM adc)
             WHERE rn2 <= 10
+        """,
+        # grid_l2_topk: exact int8-grid L2, (dist ASC, vec_id) rank law.
+        "grid_l2_topk": """
+            WITH q AS (
+                SELECT vec_id, g.i - 1 AS dim,
+                       CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 127
+                                  + 0.5) AS BIGINT) AS code
+                FROM embeddings,
+                     UNNEST(generate_series(1, len(embedding))) AS g(i)),
+            qq AS (SELECT * FROM q WHERE vec_id IN (0, 1, 2, 3, 4)),
+            d AS (
+                SELECT qq.vec_id AS query_id, q.vec_id,
+                       SUM((qq.code - q.code) * (qq.code - q.code)) AS dist
+                FROM qq JOIN q ON q.dim = qq.dim
+                GROUP BY 1, 2)
+            SELECT query_id, vec_id, CAST(dist AS BIGINT) AS dist,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY dist, vec_id) AS rn FROM d)
+            WHERE rn <= 10
         """,
     }

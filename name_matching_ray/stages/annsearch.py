@@ -886,3 +886,94 @@ def pq_topk(ds, query_ids: list[int], codebook_ids: list[int], *,
     return ds.map_batches(Score, batch_format="pyarrow",
                           concurrency=concurrency or default_pool()) \
         .groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def grid_l2_topk(ds, query_ids: list[int], *, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 concurrency=None):
+    """Exact L2 top-k on the int8 grid — the FLAT-index baseline PQ is
+    measured against (same quantization, no compression): ``dist =
+    Σ_d (q_d − v_d)²`` in exact int64, ranked ``(dist ASC, vec_id)``.
+    Local per-batch top-k + one per-query merge (ann_topk's shape).
+
+    Output: ``(query_id, vec_id, dist, rank)``.
+    """
+    import pandas as pd
+
+    import ray
+
+    qids, qmat = load_query_matrix(ds, query_ids, id_col=id_col,
+                                   vec_col=vec_col, normalize=False)
+    qcodes = _quantize127(qmat).astype(np.int64)
+    bc = ray.put((qids, qcodes))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.q = ray.get(bc)
+            self.q2 = (self.q ** 2).sum(axis=1)        # (nq,)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _quantize127(_mat(batch.column(vec_col))).astype(np.int64)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            n = v.shape[0]
+            if not n:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64())})
+            v2 = (v ** 2).sum(axis=1)
+            d = self.q2[:, None] + v2[None, :] - 2 * (self.q @ v.T)
+            rows = []
+            for qi in range(len(self.qids)):
+                kk = min(k, n)
+                part = np.argpartition(d[qi], kk - 1)[:kk] if n > kk else \
+                    np.arange(n)
+                order = part[np.lexsort((ids[part], d[qi][part]))]
+                rows.append(pd.DataFrame({
+                    "query_id": np.int64(self.qids[qi]),
+                    id_col: ids[order], "dist": d[qi][order]}))
+            return pa.Table.from_pandas(pd.concat(rows, ignore_index=True),
+                                        preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["dist", id_col], ascending=[True, True],
+                          kind="mergesort").head(k)
+        return pa.table({
+            "query_id": pa.array(g["query_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "dist": pa.array(g["dist"].to_numpy(np.int64), pa.int64()),
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64),
+                             pa.int64()),
+        })
+
+    return ds.map_batches(Score, batch_format="pyarrow",
+                          concurrency=concurrency or default_pool()) \
+        .groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def pq_recall(ds, query_ids: list[int], codebook_ids: list[int], *,
+              k: int = 10, m: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Compression-loss audit: recall@k of :func:`pq_topk` (ADC over m
+    1-byte codes) against :func:`grid_l2_topk` (the exact flat index on
+    the same int8 grid) — the faiss-style IndexPQ-vs-IndexFlat check,
+    measured per corpus, not assumed.  One row per query:
+    ``(query_id, n_hit, recall_bp)``.
+
+    Both component surfaces are individually oracled; the driver-side
+    merge is bounded at |queries|·k rows (the ann_recall pattern).
+    """
+    import pandas as pd
+
+    exact = grid_l2_topk(ds, query_ids, k=k, id_col=id_col,
+                         vec_col=vec_col).to_pandas()
+    approx = pq_topk(ds, query_ids, codebook_ids, k=k, m=m,
+                     id_col=id_col, vec_col=vec_col).to_pandas()
+    out = []
+    for q in sorted(exact["query_id"].unique()):
+        t = set(exact[exact["query_id"] == q][id_col])
+        f = set(approx[approx["query_id"] == q][id_col])
+        hit = len(t & f)
+        out.append({"query_id": int(q), "n_hit": hit,
+                    "recall_bp": hit * 10_000 // max(len(t), 1)})
+    return pd.DataFrame(out)

@@ -2220,3 +2220,22 @@ def test_pq_topk_adc_consistency(ray_session):
     # distance = 0 → it must be rank 1 with adc 0
     top = out[out["rank"] == 1].iloc[0]
     assert top["vec_id"] == 0 and top["adc"] == 0
+
+
+def test_grid_l2_and_pq_recall(ray_session):
+    """Flat grid index: self-distance 0 at rank 1; pq_recall rows are
+    bounded and the composition is consistent with its parts."""
+    import ray.data
+
+    from name_matching_ray.stages.annsearch import grid_l2_topk, pq_recall
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    flat = grid_l2_topk(emb, [3], k=5).to_pandas()
+    assert flat[flat["rank"] == 1].iloc[0]["vec_id"] == 3
+    assert flat[flat["rank"] == 1].iloc[0]["dist"] == 0
+    rec = pq_recall(emb, [0, 3], list(range(8)), k=5)
+    assert len(rec) == 2
+    assert ((rec["recall_bp"] >= 0) & (rec["recall_bp"] <= 10000)).all()
+    assert (rec["n_hit"] * 2000 == rec["recall_bp"]).all()  # k=5
