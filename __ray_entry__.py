@@ -823,6 +823,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PQ compression-loss audit: recall@10 of ADC vs the flat index
         "pq_recall": lambda sf: annsearch.pq_recall(
             _read_emb(sf), _ANN_QUERY_IDS, list(range(8)), k=10, m=4),
+        # trailing 7-day distinct users (windowed COUNT DISTINCT via the
+        # membership-explode rewrite — exact, no per-day sets shipped)
+        "rolling_active": analytics.rolling_active,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3121,5 +3124,22 @@ def _oracle_sql_base() -> dict[str, str]:
                       PARTITION BY query_id
                       ORDER BY dist, vec_id) AS rn FROM d)
             WHERE rn <= 10
+        """,
+        # rolling_active: windowed COUNT DISTINCT as membership explode —
+        # (user, day) contributes the user to days d..d+6; only observed
+        # activity days are reported.
+        "rolling_active": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            m AS (
+                SELECT DISTINCT user_id, day + g.i AS wday
+                FROM uw, UNNEST(generate_series(0, 6)) AS g(i)),
+            dau AS (SELECT day, count(*) AS dau FROM uw GROUP BY 1),
+            wau AS (SELECT wday AS day, count(*) AS wau FROM m GROUP BY 1)
+            SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+                   CAST(w.wau AS BIGINT) AS wau
+            FROM dau d JOIN wau w ON w.day = d.day
         """,
     }

@@ -1307,3 +1307,73 @@ def user_retention(sf_dir: str, *, n_buckets: int = 64):
     return parts.groupby("week").aggregate(
         Sum("active_users", alias_name="active_users"),
         Sum("retained_next", alias_name="retained_next"))
+
+
+# ---------------------------------------------------------------------------
+# trailing-window distinct users (windowed COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+def rolling_active(sf_dir: str, *, window_days: int = 7,
+                   n_buckets: int = 64):
+    """Trailing-window active users: for each absolute epoch day ``d``
+    with any activity, ``wau`` = distinct users active in
+    ``[d − window+1, d]`` (the 7-day-active-users metric).  Windowed
+    COUNT DISTINCT doesn't decompose like a sum, so the law is rewritten
+    as membership: a (user, day) activity CONTRIBUTES the user to window
+    days ``d .. d+window−1``; wau(d) = |distinct (user) over contributed
+    days| — an explode + distinct + count, exact at any scale.
+
+    Scale shape: per-batch distinct (user, day) partials → user-hash
+    buckets where each user's cross-batch dedupe and ×window day explode
+    are exact (dedupe (user, wday) per user needs only that user's rows)
+    → per-bucket per-wday counts → one Sum shuffle over ≤ |days| keys.
+    Only days with observed activity are reported (both sides).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    us_per_day = np.int64(86_400_000_000)
+    w = int(window_days)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        day = (df["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // us_per_day)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "day": day}).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uw = g[["user_id", "day"]].drop_duplicates()
+        n = len(uw)
+        days = np.repeat(uw["day"].to_numpy(np.int64), w) + \
+            np.tile(np.arange(w, dtype=np.int64), n)
+        users = np.repeat(uw["user_id"].to_numpy(np.int64), w)
+        m = pd.DataFrame({"user_id": users, "wday": days}) \
+            .drop_duplicates()
+        c = m.groupby("wday").size()
+        # same-day active markers ride along: dau for free, and the
+        # phantom trailing window days (dau = 0) filter on it at the end
+        o = uw.groupby("day").size()
+        out = pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                            "wau": c.to_numpy(np.int64)})
+        out["dau"] = o.reindex(c.index, fill_value=0).to_numpy(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
+                        ["user_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+    agg = parts.groupby("day").aggregate(Sum("dau", alias_name="dau"),
+                                         Sum("wau", alias_name="wau"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("dau"), 0)
+        t = t.filter(keep)
+        return pa.table({
+            "day": t.column("day").cast(pa.int64()),
+            "dau": t.column("dau").cast(pa.int64()),
+            "wau": t.column("wau").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2239,3 +2239,31 @@ def test_grid_l2_and_pq_recall(ray_session):
     assert len(rec) == 2
     assert ((rec["recall_bp"] >= 0) & (rec["recall_bp"] <= 10000)).all()
     assert (rec["n_hit"] * 2000 == rec["recall_bp"]).all()  # k=5
+
+
+def test_rolling_active_window_membership(ray_session, tmp_path):
+    """wau(d) counts a user once for any activity in the trailing 7 days;
+    phantom post-activity days don't appear; dau rides along."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import rolling_active
+
+    day_us = 86_400_000_000
+    d0 = (np.datetime64("2026-02-01", "us").astype(np.int64) // day_us)
+    def ts(day, off=0):
+        return np.datetime64(int(day * day_us + off), "us")
+    t = pa.table({
+        "user_id": [1, 1, 2, 1],
+        # u1 active d0 (twice) and d0+3; u2 active d0+9 (outside window)
+        "ts": pa.array([ts(d0), ts(d0, 7), ts(d0 + 9), ts(d0 + 3)],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = rolling_active(str(tmp_path)).to_pandas().set_index("day")
+    assert set(got.index) == {d0, d0 + 3, d0 + 9}  # observed days only
+    assert got.loc[d0, "wau"] == 1 and got.loc[d0, "dau"] == 1
+    assert got.loc[d0 + 3, "wau"] == 1              # still just u1
+    assert got.loc[d0 + 9, "wau"] == 2              # u2 + u1 (d0+3 in win)
+    assert got.loc[d0 + 9, "dau"] == 1
