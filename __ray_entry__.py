@@ -22,7 +22,7 @@ from name_matching_ray.pipelines.linkage import (
     self_link_docs,
 )
 from name_matching_ray.sources.docs_source import documents_as_interleaved
-from name_matching_ray.stages import (annsearch, blocking, chunking,
+from name_matching_ray.stages import (annsearch, blocking, chunking, cluster,
                                       curation, dedup, sketches, textstats)
 from name_matching_ray.stages.multimodal import media_features
 
@@ -826,6 +826,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trailing 7-day distinct users (windowed COUNT DISTINCT via the
         # membership-explode rewrite — exact, no per-day sets shipped)
         "rolling_active": analytics.rolling_active,
+        # integer PageRank (2 damped iterations) over the near-dup pair
+        # graph — iterative bucket-join + Sum, edges materialized once,
+        # rank repartitioned per round (template-hub centrality audit)
+        "pagerank_dups": lambda sf: cluster.pagerank_dupgraph(
+            _read_docs(sf), iters=2),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1250,6 +1255,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(h.n_hit, 0) * 10000
                     // greatest(t.nt, 1) AS BIGINT) AS recall_bp
         FROM t LEFT JOIN h ON h.query_id = t.query_id
+    """
+    # pagerank_dups: 2 damped integer iterations unrolled over the shared
+    # ngram-pair law (floor at every step: pr//deg summed, ·85//100)
+    base["pagerank_dups"] = f"""
+        WITH pairs AS (SELECT left_id, right_id
+                       FROM ({_ngram_jaccard_oracle(10)})),
+        e AS (SELECT left_id AS u, right_id AS v FROM pairs
+              UNION ALL
+              SELECT right_id, left_id FROM pairs),
+        deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+        p0 AS (SELECT u, 1000000 AS pr FROM deg),
+        p1 AS (SELECT e.v AS u,
+                      150000 + (85 * SUM(p0.pr // deg.d)) // 100 AS pr
+               FROM e JOIN p0 ON p0.u = e.u JOIN deg ON deg.u = e.u
+               GROUP BY e.v),
+        p2 AS (SELECT e.v AS u,
+                      150000 + (85 * SUM(p1.pr // deg.d)) // 100 AS pr
+               FROM e JOIN p1 ON p1.u = e.u JOIN deg ON deg.u = e.u
+               GROUP BY e.v)
+        SELECT u AS doc_id, CAST(pr AS BIGINT) AS pagerank FROM p2
     """
     # source_quality: the gopher oracle grouped by source
     base["source_quality"] = f"""

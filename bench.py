@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "bm25_topk", "phonetic_block", "char_entropy", "source_overlap",
     "minhash_recall", "group_sample", "temperature_mix", "dedup_lines",
     "dup_by_source", "lang_top_words", "incremental_dedup",
+    "pq_encode", "pq_topk", "grid_l2_topk", "pq_recall", "rolling_active",
 ]
 
 

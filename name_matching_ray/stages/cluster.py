@@ -252,3 +252,104 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (iterative join + aggregate)
+# ---------------------------------------------------------------------------
+
+def pagerank_dupgraph(docs_ds, *, iters: int = 2, scale: int = 1_000_000,
+                      tau100: int = 10, max_df: int = 100,
+                      n_blocks: int = 32):
+    """Integer PageRank over the undirected near-dup pair graph — the
+    centrality audit that surfaces template/boilerplate hubs (a doc
+    near-duplicating MANY others is a template, and its rank says so
+    louder than its raw degree).  All-integer fixed-point law so the
+    DuckDB oracle (unrolled iterations over the shared ngram-pair law)
+    hash-compares:
+
+        ``pr_0 = scale``;
+        ``pr_{t+1}(v) = (15·scale)//100 +
+                        (85 · Σ_{u∈N(v)} pr_t(u) // deg(u)) // 100``
+
+    (floor at every step, damping 0.85).  Nodes = docs appearing in at
+    least one pair.
+
+    Scale shape per iteration (the iterative-Dataset-loop pattern label
+    propagation established): one coarse-bucket hash join (edges ⋈ pr on
+    the source) + per-batch partial sums into one groupby-Sum on the
+    destination; the edge table is MATERIALIZED once and reused every
+    round, and the rank table is repartitioned each round (an iterative
+    union/groupby chain otherwise multiplies block counts — the
+    documented exponential-task trap).
+    """
+    from ..pipelines.analytics import _grouped_sum
+    from .dedup import ngram_jaccard_pairs
+    from .joins import bucket_hash_join
+
+    pairs = ngram_jaccard_pairs(docs_ds, n=3, tau100=tau100,
+                                max_df=max_df)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        l = t.column("left_id").to_numpy(zero_copy_only=False)
+        r = t.column("right_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([l, r]), pa.int64()),
+            "v": pa.array(np.concatenate([r, l]), pa.int64()),
+        })
+
+    edges = pairs.map_batches(undirect, batch_format="pyarrow") \
+        .repartition(n_blocks).materialize()
+    deg = _grouped_sum(
+        edges,
+        ["u"],
+        lambda df: pa.Table.from_pandas(
+            df.groupby("u", as_index=False).size()
+            .rename(columns={"size": "d"}), preserve_index=False),
+        ["d"],
+    )
+    # edges with the source degree attached (static across iterations)
+    ed = bucket_hash_join(edges, deg, on="u", how="inner") \
+        .repartition(n_blocks).materialize()
+
+    pr = deg.map_batches(
+        lambda t: pa.table({
+            "u": t.column("u").cast(pa.int64()),
+            "pr": pa.array(np.full(t.num_rows, scale, np.int64)),
+        }),
+        batch_format="pyarrow",
+    ).repartition(max(2, n_blocks // 4)).materialize()
+
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        j = bucket_hash_join(
+            ed.map_batches(
+                lambda t: pa.table({
+                    "u": t.column("u").cast(pa.int64()),
+                    "v": t.column("v").cast(pa.int64()),
+                    "d": t.column("d").cast(pa.int64()),
+                }), batch_format="pyarrow"),
+            pr, on="u", how="inner")
+
+        def contrib(df: pd.DataFrame) -> pa.Table:
+            c = df["pr"].to_numpy(np.int64) // df["d"].to_numpy(np.int64)
+            g = pd.DataFrame({"v": df["v"].to_numpy(np.int64), "c": c}) \
+                .groupby("v", as_index=False)["c"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        summed = _grouped_sum(j, ["v"], contrib, ["c"])
+        pr = summed.map_batches(
+            lambda t: pa.table({
+                "u": t.column("v").cast(pa.int64()),
+                "pr": pa.array(
+                    base + 85 * t.column("c").to_numpy(
+                        zero_copy_only=False).astype(np.int64) // 100,
+                    pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ).repartition(max(2, n_blocks // 4)).materialize()
+
+    return pr.map_batches(
+        lambda t: pa.table({"doc_id": t.column("u"),
+                            "pagerank": t.column("pr")}),
+        batch_format="pyarrow")

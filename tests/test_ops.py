@@ -2267,3 +2267,27 @@ def test_rolling_active_window_membership(ray_session, tmp_path):
     assert got.loc[d0 + 3, "wau"] == 1              # still just u1
     assert got.loc[d0 + 9, "wau"] == 2              # u2 + u1 (d0+3 in win)
     assert got.loc[d0 + 9, "dau"] == 1
+
+
+def test_pagerank_hub_ranks_highest(ray_session):
+    """A star of near-dup docs ranks its hub above the leaves (the
+    template-detection property); the integer law is deterministic."""
+    import ray.data
+
+    from name_matching_ray.stages.cluster import pagerank_dupgraph
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    # hub 0 shares a long prefix with leaves 1..4; leaves differ in their
+    # own suffixes so leaf-leaf Jaccard stays below the threshold
+    docs = [{"doc_id": 0, "text": base}]
+    docs += [{"doc_id": i,
+              "text": base + " " + " ".join(f"leaf{i}x{j}" for j in range(14))}
+             for i in range(1, 5)]
+    a = pagerank_dupgraph(ray.data.from_items(docs), iters=2,
+                          tau100=50).to_pandas().set_index("doc_id")
+    b = pagerank_dupgraph(ray.data.from_items(docs), iters=2,
+                          tau100=50).to_pandas().set_index("doc_id")
+    assert a.sort_index().equals(b.sort_index())
+    assert a.loc[0, "pagerank"] == a["pagerank"].max()
+    assert (a.drop(0)["pagerank"] < a.loc[0, "pagerank"]).all()
