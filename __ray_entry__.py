@@ -831,6 +831,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank repartitioned per round (template-hub centrality audit)
         "pagerank_dups": lambda sf: cluster.pagerank_dupgraph(
             _read_docs(sf), iters=2),
+        # referential-integrity audit via distributed ANTI joins (the
+        # right side ships distinct keys only)
+        "fk_violations": analytics.fk_violations,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3166,5 +3169,25 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
                    CAST(w.wau AS BIGINT) AS wau
             FROM dau d JOIN wau w ON w.day = d.day
+        """,
+        # fk_violations: three NOT EXISTS probes — the anti-join law.
+        "fk_violations": """
+            SELECT 'customers_without_orders' AS check_name,
+                   CAST((SELECT count(*) FROM customer c
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                           WHERE o.o_custkey = c.c_custkey))
+                        AS BIGINT) AS n
+            UNION ALL
+            SELECT 'lineitem_missing_order',
+                   CAST((SELECT count(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                           WHERE o.o_orderkey = l.l_orderkey))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'orders_missing_customer',
+                   CAST((SELECT count(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                           WHERE c.c_custkey = o.o_custkey))
+                        AS BIGINT)
         """,
     }

@@ -1377,3 +1377,46 @@ def rolling_active(sf_dir: str, *, window_days: int = 7,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit (semi/anti join demo)
+# ---------------------------------------------------------------------------
+
+def fk_violations(sf_dir: str):
+    """Data-validation audit over the warehouse FKs: row counts for
+    ``customers_without_orders`` (legitimate — inactive customers),
+    ``orders_missing_customer`` and ``lineitem_missing_order`` (true
+    referential violations, 0 on healthy data).  Each check is one
+    distributed ANTI join (``stages.joins.bucket_hash_join(how="anti")``
+    — the right side ships only distinct keys), counted; the three
+    scalars land in one tiny summary table.
+    """
+    import pandas as pd
+
+    from ..stages.joins import bucket_hash_join
+
+    def rekey(ds, src: str, dst: str):
+        return ds.map_batches(
+            lambda t: pa.table({dst: t.column(src)}),
+            batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    checks = {
+        "customers_without_orders": bucket_hash_join(
+            cust, rekey(orders, "o_custkey", "c_custkey"),
+            on="c_custkey", how="anti"),
+        "lineitem_missing_order": bucket_hash_join(
+            rekey(line, "l_orderkey", "o_orderkey"),
+            rekey(orders, "o_orderkey", "o_orderkey"),
+            on="o_orderkey", how="anti"),
+        "orders_missing_customer": bucket_hash_join(
+            rekey(orders, "o_custkey", "c_custkey"), cust,
+            on="c_custkey", how="anti"),
+    }
+    return pd.DataFrame(
+        [{"check_name": k, "n": int(ds.count())}
+         for k, ds in checks.items()])

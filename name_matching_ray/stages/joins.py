@@ -30,21 +30,32 @@ def bucket_hash_join(left, right, *, on: str, how: str = "inner",
                      n_buckets: int = 128):
     """Distributed hash join of two Datasets on column ``on``.
 
-    ``how`` ∈ {"inner", "left"}.  Non-key column names must be disjoint
-    (no suffixing — a rename before the join is explicit and cheap).
+    ``how`` ∈ {"inner", "left", "semi", "anti"}.  For inner/left,
+    non-key column names must be disjoint (no suffixing — a rename
+    before the join is explicit and cheap).  ``semi``/``anti`` return
+    the LEFT rows with / without a key match — the right side then
+    contributes only its key column, deduplicated per batch before the
+    shuffle (an existence probe ships distinct keys, never payloads).
     Both sides are tagged with the same ``hash(on) % n_buckets``; the
     union is grouped by bucket and merged with pandas inside each group.
     The left/right role is carried by a ``_side`` marker column; null
     padding aligns the union schema.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
 
+    existence = how in ("semi", "anti")
     lcols = [c for c in left.schema().names if c != on]
-    rcols = [c for c in right.schema().names if c != on]
+    rcols = [] if existence else \
+        [c for c in right.schema().names if c != on]
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"non-key columns must be disjoint: {overlap}")
+    if existence:
+        right = right.map_batches(
+            lambda df: pa.Table.from_pandas(
+                df[[on]].drop_duplicates(), preserve_index=False),
+            batch_format="pandas")
 
     def tag(side: int, own: list[str], other: list[str]):
         def fn(df: pd.DataFrame) -> pa.Table:
@@ -65,7 +76,11 @@ def bucket_hash_join(left, right, *, on: str, how: str = "inner",
     def merge(g: pd.DataFrame) -> pa.Table:
         lf = g[g["_side"] == 0][[on] + lcols]
         rt = g[g["_side"] == 1][[on] + rcols]
-        out = lf.merge(rt, on=on, how=how)
+        if existence:
+            mask = lf[on].isin(set(rt[on]))
+            out = lf[mask if how == "semi" else ~mask]
+        else:
+            out = lf.merge(rt, on=on, how=how)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     # union SUMS block counts (CLAUDE.md) — repartition before the groupby

@@ -2291,3 +2291,20 @@ def test_pagerank_hub_ranks_highest(ray_session):
     assert a.sort_index().equals(b.sort_index())
     assert a.loc[0, "pagerank"] == a["pagerank"].max()
     assert (a.drop(0)["pagerank"] < a.loc[0, "pagerank"]).all()
+
+
+def test_bucket_hash_join_semi_anti(ray_session):
+    """semi keeps left rows WITH a match, anti those WITHOUT; right
+    payload columns never appear; duplicate right keys don't multiply."""
+    import ray.data
+
+    from name_matching_ray.stages.joins import bucket_hash_join
+
+    left = ray.data.from_items([
+        {"k": 1, "a": "x"}, {"k": 2, "a": "y"}, {"k": 3, "a": "z"}])
+    right = ray.data.from_items([
+        {"k": 1, "b": 10}, {"k": 1, "b": 11}, {"k": 9, "b": 12}])
+    semi = bucket_hash_join(left, right, on="k", how="semi").to_pandas()
+    anti = bucket_hash_join(left, right, on="k", how="anti").to_pandas()
+    assert sorted(semi["k"]) == [1] and list(semi.columns) == ["k", "a"]
+    assert sorted(anti["k"]) == [2, 3]
