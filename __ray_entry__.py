@@ -834,6 +834,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # referential-integrity audit via distributed ANTI joins (the
         # right side ships distinct keys only)
         "fk_violations": analytics.fk_violations,
+        # faiss-style IVFPQ composite: coarse probe (nprobe cells) + PQ
+        # ADC fine ranking — the standard billion-vector index shape
+        "ivfpq_topk": lambda sf: annsearch.ivfpq_topk(
+            _read_emb(sf), annsearch.fixed_centroids(8, 64),
+            _ANN_QUERY_IDS, list(range(8)), k=10, nprobe=4, m=4),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1241,6 +1246,56 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT c FROM h) * 10000 //
                     greatest((SELECT COUNT(*) FROM found), 1) AS BIGINT)
                    AS precision_bp
+    """
+    # ivfpq_topk: the ivf_topk probe CTEs (fixed centroids inlined, probe
+    # UNION over queries) restricting the pq_topk ADC law — all three
+    # component recipes reused verbatim (i-prefixed CTEs avoid name clash
+    # with the PQ chain's q/cent)
+    _icent = annsearch.fixed_centroids(8, 64)
+    _irows = ",\n".join(
+        f"({ci}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for ci, c in enumerate(_icent))
+    _iqids = ",".join(str(qd) for qd in _ANN_QUERY_IDS)
+    base["ivfpq_topk"] = f"""
+        WITH icent(icid, cvec) AS (VALUES {_irows}),
+        iasg AS (
+            SELECT vec_id, icid AS part FROM (
+                SELECT e.vec_id, c.icid, row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.cvec)
+                        DESC, c.icid) AS rn
+                FROM embeddings e CROSS JOIN icent c)
+            WHERE rn = 1),
+        iprobes AS (
+            SELECT c.icid
+            FROM embeddings qv CROSS JOIN icent c
+            WHERE qv.vec_id IN ({_iqids})
+            QUALIFY row_number() OVER (
+                PARTITION BY qv.vec_id
+                ORDER BY list_cosine_similarity(qv.embedding, c.cvec)
+                    DESC, c.icid) <= 4),
+        iwanted AS (SELECT DISTINCT icid FROM iprobes),
+        {_PQ_CODES_CTE},
+        qrow AS (SELECT * FROM q WHERE vec_id IN ({_iqids})),
+        lut AS (
+            SELECT qr.vec_id AS query_id, qr.dim // 16 AS subspace, c.cid,
+                   SUM((qr.code - c.code) * (qr.code - c.code)) AS d
+            FROM qrow qr JOIN cent c ON c.dim = qr.dim
+            GROUP BY 1, 2, 3),
+        adc AS (
+            SELECT l.query_id, b.vec_id, SUM(l.d) AS adc
+            FROM best b
+            JOIN iasg a ON a.vec_id = b.vec_id
+                       AND a.part IN (SELECT icid FROM iwanted)
+            JOIN lut l ON l.subspace = b.subspace AND l.cid = b.code
+            WHERE b.rn = 1
+            GROUP BY 1, 2)
+        SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc,
+               CAST(rn2 AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY adc, vec_id) AS rn2
+              FROM adc)
+        WHERE rn2 <= 10
     """
     # pq_recall: ADC top-k vs the flat grid index, composed from the two
     # component oracles (per-query hit counts; truth size from the oracle

@@ -804,7 +804,8 @@ def pq_encode(ds, codebook_ids: list[int], *, m: int = 4,
 
 def pq_topk(ds, query_ids: list[int], codebook_ids: list[int], *,
             k: int = 10, m: int = 4, id_col: str = "vec_id",
-            vec_col: str = "embedding", concurrency=None):
+            vec_col: str = "embedding", concurrency=None,
+            search_ds=None):
     """PQ search by asymmetric distance computation (ADC, Jégou et al.
     2011): per query, precompute the ``m × |codebook|`` lookup table of
     exact integer grid distances ``Σ(q_d − c_d)²`` per subspace, then a
@@ -816,6 +817,10 @@ def pq_topk(ds, query_ids: list[int], codebook_ids: list[int], *,
     (at deployment scale the codes table is precomputed and this stage
     reads 1-byte codes, never raw vectors — that is the point of PQ);
     local per-batch top-k + one per-query merge, the ann_topk shape.
+
+    ``search_ds`` (optional) scores a RESTRICTED dataset (e.g. the probed
+    IVF cells) while queries and codebook still load from ``ds`` — the
+    :func:`ivfpq_topk` composition hook.
 
     Output: ``(query_id, vec_id, adc, rank)``.
     """
@@ -883,8 +888,9 @@ def pq_topk(ds, query_ids: list[int], codebook_ids: list[int], *,
                              pa.int64()),
         })
 
-    return ds.map_batches(Score, batch_format="pyarrow",
-                          concurrency=concurrency or default_pool()) \
+    return (search_ds if search_ds is not None else ds) \
+        .map_batches(Score, batch_format="pyarrow",
+                     concurrency=concurrency or default_pool()) \
         .groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
@@ -977,3 +983,30 @@ def pq_recall(ds, query_ids: list[int], codebook_ids: list[int], *,
         out.append({"query_id": int(q), "n_hit": hit,
                     "recall_bp": hit * 10_000 // max(len(t), 1)})
     return pd.DataFrame(out)
+
+
+def ivfpq_topk(ds, centroids: np.ndarray, query_ids: list[int],
+               codebook_ids: list[int], *, k: int = 10, nprobe: int = 4,
+               m: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """IVF + PQ composite (faiss ``IVFPQ``) — the standard billion-vector
+    index: a coarse quantizer restricts the search to the ``nprobe``
+    nearest inverted lists, and the fine ranking inside them is PQ ADC
+    (m 1-byte codes + per-query integer LUTs).  Probe semantics mirror
+    :func:`ivf_topk` (the probed-cell UNION over all queries — one
+    filtered scan serves the whole query batch); ranking and tie-break
+    are :func:`pq_topk`'s ``(adc ASC, vec_id)``.
+
+    Output: ``(query_id, vec_id, adc, rank)``, ≤ k rows per query.
+    """
+    import ray  # noqa: F401  (parity with siblings; ray.put via pq_topk)
+
+    parted = ivf_partition(ds, centroids, id_col=id_col, vec_col=vec_col)
+    _qids, qmat = load_query_matrix(ds, query_ids, id_col=id_col,
+                                    vec_col=vec_col)
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(p) for row in probes for p in row})
+    sub = parted.filter(expr=_in_expr("partition", wanted)) \
+        .drop_columns(["partition"])
+    return pq_topk(ds, query_ids, codebook_ids, k=k, m=m, id_col=id_col,
+                   vec_col=vec_col, search_ds=sub)

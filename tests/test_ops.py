@@ -2308,3 +2308,29 @@ def test_bucket_hash_join_semi_anti(ray_session):
     anti = bucket_hash_join(left, right, on="k", how="anti").to_pandas()
     assert sorted(semi["k"]) == [1] and list(semi.columns) == ["k", "a"]
     assert sorted(anti["k"]) == [2, 3]
+
+
+def test_ivfpq_subset_of_pq(ray_session):
+    """IVFPQ searches only the probed cells: its result per query is the
+    pq_topk ranking restricted to a subset (every IVFPQ hit appears in
+    the unrestricted ADC ranking at the same or better adc)."""
+    import ray.data
+
+    from name_matching_ray.stages.annsearch import (fixed_centroids,
+                                                    ivfpq_topk, pq_topk)
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    full = pq_topk(emb, [0], list(range(8)), k=500, m=4).to_pandas()
+    sub = ivfpq_topk(emb, fixed_centroids(8, 64), [0], list(range(8)),
+                     k=10, nprobe=4, m=4).to_pandas()
+    assert len(sub) == 10
+    fmap = full.set_index("vec_id")["adc"]
+    for _, r in sub.iterrows():
+        assert fmap.loc[r["vec_id"]] == r["adc"]   # same ADC law
+    # probing fewer cells can only LOSE candidates: the adc at each rank
+    # is >= the unrestricted ranking's adc at that rank
+    fr = full.sort_values("rank")["adc"].to_numpy()[:10]
+    sr = sub.sort_values("rank")["adc"].to_numpy()
+    assert (sr >= fr).all()
