@@ -839,6 +839,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfpq_topk": lambda sf: annsearch.ivfpq_topk(
             _read_emb(sf), annsearch.fixed_centroids(8, 64),
             _ANN_QUERY_IDS, list(range(8)), k=10, nprobe=4, m=4),
+        # CCNet head/middle/tail perplexity tertiles (milli-bits/token,
+        # peers-inclusive percentile cuts over distinct values only)
+        "perplexity_buckets": lambda sf: textstats.perplexity_buckets(
+            _read_docs(sf), vocab=2048),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1296,6 +1300,26 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id ORDER BY adc, vec_id) AS rn2
               FROM adc)
         WHERE rn2 <= 10
+    """
+    # perplexity_buckets: milli-bits/token over the unigram_bits oracle,
+    # exact tertiles via the peers-inclusive cum·3 ≥ q·N rule
+    base["perplexity_buckets"] = f"""
+        WITH u AS (SELECT doc_id, n_tok, bits
+                   FROM ({base["unigram_bits"]})),
+        s AS (SELECT doc_id,
+                     bits * 1000 // greatest(n_tok, 1) AS bpt FROM u),
+        nn AS (SELECT count(*) AS n FROM s),
+        cum AS (SELECT bpt, count(*) OVER (ORDER BY bpt) AS cum FROM s),
+        cuts AS (
+            SELECT (SELECT min(bpt) FROM cum, nn
+                    WHERE cum * 3 >= nn.n) AS c1,
+                   (SELECT min(bpt) FROM cum, nn
+                    WHERE cum * 3 >= 2 * nn.n) AS c2)
+        SELECT s.doc_id, s.bpt,
+               CASE WHEN s.bpt <= cuts.c1 THEN 'head'
+                    WHEN s.bpt <= cuts.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM s, cuts
     """
     # pq_recall: ADC top-k vs the flat grid index, composed from the two
     # component oracles (per-query hit counts; truth size from the oracle

@@ -2475,3 +2475,72 @@ def grouped_top_words(docs_ds, *, k: int = 5, group_col: str = "lang",
                         ["g", "w"], n_buckets) \
         .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
     return parts.groupby("g").map_groups(merge, batch_format="pandas")
+
+
+# --- CCNet-style perplexity bucketing --------------------------------------
+
+def perplexity_buckets(docs_ds, *, vocab: int = 2048,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score every
+    doc by corpus-LM surprisal per token and cut the corpus into exact
+    TERtiles — head (closest to the model) is what CCNet keeps, tail is
+    what it drops.  Integer end to end: ``bpt = bits·1000 //
+    max(n_tok, 1)`` (milli-bits/token, bits = the unigram_bits law) and
+    the peers-inclusive percentile rule ``cut_q = min bpt with
+    cum·3 ≥ q·N`` (q = 1, 2) — the length_quantiles law at thirds.
+
+    Output: ``(doc_id, bpt, bucket)`` with bucket ∈ head|middle|tail.
+
+    Scale shape: unigram_bits is two passes + map-only scoring; the
+    tertile histogram ships DISTINCT bpt values only (bpt ≤ 64·1000, so
+    the driver state is bounded by 64k keys regardless of corpus size);
+    the bucket tag is a final map against two broadcast cutoffs.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    scores = unigram_bits(docs_ds, vocab=vocab, text_col=text_col,
+                          id_col=id_col).materialize()
+
+    def bpt_col(t: pa.Table) -> pa.Table:
+        bits = t.column("bits").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ntok = t.column("n_tok").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.append_column(
+            "bpt", pa.array(bits * 1000 // np.maximum(ntok, 1),
+                            pa.int64()))
+
+    withbpt = scores.map_batches(bpt_col, batch_format="pyarrow") \
+        .materialize()
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t.column("bpt").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"v": pa.array(v.astype(np.int64), pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = withbpt.map_batches(hist_part, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c", alias_name="c")) \
+        .sort("v").to_pandas()  # distinct bpt values only — bounded
+    cum = hist["c"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    vs = hist["v"].to_numpy()
+    if n:
+        c1 = int(vs[int((cum * 3 >= n).argmax())])
+        c2 = int(vs[int((cum * 3 >= 2 * n).argmax())])
+    else:
+        c1 = c2 = 0
+
+    def tag(t: pa.Table) -> pa.Table:
+        bpt = t.column("bpt").to_numpy(zero_copy_only=False)
+        bucket = np.where(bpt <= c1, "head",
+                          np.where(bpt <= c2, "middle", "tail"))
+        return pa.table({
+            id_col: t.column(id_col),
+            "bpt": t.column("bpt"),
+            "bucket": pa.array(bucket, pa.string()),
+        })
+
+    return withbpt.map_batches(tag, batch_format="pyarrow")

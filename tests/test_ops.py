@@ -2334,3 +2334,28 @@ def test_ivfpq_subset_of_pq(ray_session):
     fr = full.sort_values("rank")["adc"].to_numpy()[:10]
     sr = sub.sort_values("rank")["adc"].to_numpy()
     assert (sr >= fr).all()
+
+
+def test_perplexity_buckets_tertiles(ray_session):
+    """Repetitive in-model docs land in head, OOV gibberish in tail;
+    tertile sizes are balanced within peer-tie slack."""
+    import ray.data
+
+    from name_matching_ray.stages.textstats import perplexity_buckets
+
+    common = "the cat sat on the mat and the dog ran off"
+    docs = [{"doc_id": i, "text": common} for i in range(6)]
+    docs += [{"doc_id": 10 + i, "text": common + f" extra{i} words{i}"}
+             for i in range(6)]
+    docs += [{"doc_id": 20 + i,
+              "text": " ".join(f"zq{i}{j}xv" for j in range(10))}
+             for i in range(6)]
+    got = perplexity_buckets(ray.data.from_items(docs), vocab=64) \
+        .to_pandas().set_index("doc_id")
+    assert (got.loc[range(6), "bucket"] == "head").all()
+    assert (got.loc[range(20, 26), "bucket"] == "tail").all()
+    # monotone: head bpt <= middle bpt <= tail bpt
+    assert got[got["bucket"] == "head"]["bpt"].max() <= \
+        got[got["bucket"] == "middle"]["bpt"].min()
+    assert got[got["bucket"] == "middle"]["bpt"].max() <= \
+        got[got["bucket"] == "tail"]["bpt"].min()
