@@ -843,6 +843,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # peers-inclusive percentile cuts over distinct values only)
         "perplexity_buckets": lambda sf: textstats.perplexity_buckets(
             _read_docs(sf), vocab=2048),
+        # generic column profiler (typed min/max partials, exact distinct
+        # via (column,value) buckets — the warehouse-load QA report)
+        "profile_table": analytics.profile_table,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3248,6 +3251,32 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
                    CAST(w.wau AS BIGINT) AS wau
             FROM dau d JOIN wau w ON w.day = d.day
+        """,
+        # profile_table: per-column QA stats; floats render through the
+        # cents law (monotone, so min/max commute), ints/strings directly.
+        "profile_table": """
+            SELECT 'o_custkey' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   CAST(min(o_custkey) AS VARCHAR) AS min_v,
+                   CAST(max(o_custkey) AS VARCHAR) AS max_v
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderstatus) AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_totalprice) AS BIGINT),
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                   CAST(CAST(floor(min(o_totalprice) * 100 + 0.5)
+                             AS BIGINT) AS VARCHAR),
+                   CAST(CAST(floor(max(o_totalprice) * 100 + 0.5)
+                             AS BIGINT) AS VARCHAR)
+            FROM orders
         """,
         # fk_violations: three NOT EXISTS probes — the anti-join law.
         "fk_violations": """

@@ -121,7 +121,7 @@ BENCH_QUERIES = [
     "minhash_recall", "group_sample", "temperature_mix", "dedup_lines",
     "dup_by_source", "lang_top_words", "incremental_dedup",
     "pq_encode", "pq_topk", "grid_l2_topk", "pq_recall", "rolling_active",
-    "pagerank_dups", "fk_violations", "ivfpq_topk",
+    "pagerank_dups", "fk_violations", "ivfpq_topk", "perplexity_buckets",
 ]
 
 

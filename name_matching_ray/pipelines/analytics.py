@@ -1420,3 +1420,139 @@ def fk_violations(sf_dir: str):
     return pd.DataFrame(
         [{"check_name": k, "n": int(ds.count())}
          for k, ds in checks.items()])
+
+
+# ---------------------------------------------------------------------------
+# generic column profiler (data-quality reporting)
+# ---------------------------------------------------------------------------
+
+def profile_table(sf_dir: str, *, table: str = "orders",
+                  columns: tuple[str, ...] = ("o_custkey", "o_orderstatus",
+                                              "o_totalprice"),
+                  n_buckets: int = 64):
+    """Generic column profiler — the data-quality report every warehouse
+    load starts with.  Per declared column: ``(column, n_rows, n_nulls,
+    n_distinct, min_v, max_v)``.  min/max render as strings in ONE
+    uniform schema, but are computed TYPED first (ints as ints, floats in
+    integer cents — the repo's money law — and strings in binary
+    collation), so '10' < '9' string order is never consulted and float
+    rendering can't drift from SQL.
+
+    Scale shape: one pass computes per-batch typed (n_rows, n_nulls,
+    min, max) partials per column (≤ |columns| rows per batch, merged in
+    one tiny group); n_distinct ships per-batch DISTINCT (column, value)
+    rows into (column, value) hash-buckets — exact, one row per distinct
+    value per batch, never the table.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, table, list(columns))
+
+    def typed_minmax(col: pd.Series):
+        """-> (is_num, min_n, max_n, min_s, max_s) with numerics mapped to
+        the integer law (floats -> cents; monotone, so min commutes)."""
+        nonnull = col.dropna()
+        if not len(nonnull):
+            return 1, None, None, None, None
+        if pd.api.types.is_float_dtype(col):
+            v = np.floor(nonnull.to_numpy(np.float64) * 100.0 + 0.5) \
+                .astype(np.int64)
+            return 1, int(v.min()), int(v.max()), None, None
+        if pd.api.types.is_integer_dtype(col):
+            v = nonnull.to_numpy(np.int64)
+            return 1, int(v.min()), int(v.max()), None, None
+        return 0, None, None, str(nonnull.min()), str(nonnull.max())
+
+    def scalar_partial(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for c in columns:
+            is_num, mn, mx, ms, xs = typed_minmax(df[c])
+            rows.append({"column": c, "n_rows": np.int64(len(df[c])),
+                         "n_nulls": np.int64(int(df[c].isna().sum())),
+                         "is_num": np.int64(is_num),
+                         "min_n": mn, "max_n": mx,
+                         "min_s": ms, "max_s": xs})
+        out = pd.DataFrame(rows)
+        return pa.table({
+            "column": pa.array(out["column"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "is_num": pa.array(out["is_num"], pa.int64()),
+            "min_n": pa.array(out["min_n"], pa.int64()),
+            "max_n": pa.array(out["max_n"], pa.int64()),
+            "min_s": pa.array(out["min_s"], pa.string()),
+            "max_s": pa.array(out["max_s"], pa.string()),
+        })
+
+    def scalar_combine(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        for c, sub in g.groupby("column"):
+            num = bool(sub["is_num"].iloc[0])
+            mn = sub["min_n"].dropna() if num else sub["min_s"].dropna()
+            mx = sub["max_n"].dropna() if num else sub["max_s"].dropna()
+            lo = None if not len(mn) else \
+                (str(int(mn.min())) if num else str(mn.min()))
+            hi = None if not len(mx) else \
+                (str(int(mx.max())) if num else str(mx.max()))
+            rows.append({"column": c,
+                         "n_rows": int(sub["n_rows"].sum()),
+                         "n_nulls": int(sub["n_nulls"].sum()),
+                         "min_v": lo, "max_v": hi})
+        out = pd.DataFrame(rows)
+        return pa.table({
+            "column": pa.array(out["column"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "min_v": pa.array(out["min_v"], pa.string()),
+            "max_v": pa.array(out["max_v"], pa.string()),
+        })
+
+    scalars = ds.map_batches(scalar_partial, batch_format="pandas") \
+        .map_batches(lambda df: pa.Table.from_pandas(
+            df.assign(_one=np.int64(0)), preserve_index=False),
+            batch_format="pandas") \
+        .groupby("_one").map_groups(
+            lambda g: scalar_combine(g.drop(columns=["_one"])),
+            batch_format="pandas")
+
+    def distinct_partial(df: pd.DataFrame) -> pa.Table:
+        frames = []
+        for c in columns:
+            v = df[c].dropna().astype(str).drop_duplicates()
+            frames.append(pd.DataFrame({"column": c, "v": v}))
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        c = g[["column", "v"]].drop_duplicates().groupby("column").size()
+        return pa.table({
+            "column": pa.array(c.index.to_numpy(), pa.string()),
+            "n_distinct": pa.array(c.to_numpy(np.int64), pa.int64()),
+        })
+
+    dist = _bucket_tag(ds.map_batches(distinct_partial,
+                                      batch_format="pandas"),
+                       ["column", "v"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas") \
+        .groupby("column").aggregate(Sum("n_distinct",
+                                         alias_name="n_distinct"))
+
+    from ..stages.joins import bucket_hash_join
+
+    j = bucket_hash_join(scalars, dist, on="column", how="inner")
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "column": pa.array(df["column"].to_numpy(), pa.string()),
+            "n_rows": pa.array(df["n_rows"].to_numpy(np.int64),
+                               pa.int64()),
+            "n_nulls": pa.array(df["n_nulls"].to_numpy(np.int64),
+                                pa.int64()),
+            "n_distinct": pa.array(df["n_distinct"].to_numpy(np.int64),
+                                   pa.int64()),
+            "min_v": pa.array(df["min_v"].to_numpy(), pa.string()),
+            "max_v": pa.array(df["max_v"].to_numpy(), pa.string()),
+        })
+
+    return j.map_batches(finish, batch_format="pandas")

@@ -2359,3 +2359,28 @@ def test_perplexity_buckets_tertiles(ray_session):
         got[got["bucket"] == "middle"]["bpt"].min()
     assert got[got["bucket"] == "middle"]["bpt"].max() <= \
         got[got["bucket"] == "tail"]["bpt"].min()
+
+
+def test_profile_table_null_and_types(ray_session, tmp_path):
+    """Nulls counted, distinct exact across batches, numeric min/max via
+    the typed law (no '10' < '9' string order), floats in cents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import profile_table
+
+    t = pa.table({
+        "o_custkey": pa.array([9, 10, None, 10], pa.int64()),
+        "o_orderstatus": pa.array(["P", None, "F", "O"], pa.string()),
+        "o_totalprice": pa.array([1.01, 2.5, None, 100.0], pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "orders.parquet")
+    got = profile_table(str(tmp_path)).to_pandas().set_index("column")
+    ck = got.loc["o_custkey"]
+    assert ck["n_rows"] == 4 and ck["n_nulls"] == 1
+    assert ck["n_distinct"] == 2
+    assert ck["min_v"] == "9" and ck["max_v"] == "10"   # numeric order
+    st = got.loc["o_orderstatus"]
+    assert st["min_v"] == "F" and st["max_v"] == "P" and st["n_nulls"] == 1
+    tp = got.loc["o_totalprice"]
+    assert tp["min_v"] == "101" and tp["max_v"] == "10000"  # cents law
