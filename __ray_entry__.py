@@ -846,6 +846,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generic column profiler (typed min/max partials, exact distinct
         # via (column,value) buckets — the warehouse-load QA report)
         "profile_table": analytics.profile_table,
+        # funnel timing: exact view→purchase delay percentiles over
+        # converting users (distinct-delay histogram, never the users)
+        "conversion_time": analytics.conversion_time,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3277,6 +3280,30 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(CAST(floor(max(o_totalprice) * 100 + 0.5)
                              AS BIGINT) AS VARCHAR)
             FROM orders
+        """,
+        # conversion_time: strictly-ordered first-view→first-purchase
+        # delays in whole seconds, peers-inclusive percentile rule.
+        "conversion_time": """
+            WITH m AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS tv,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS tp
+                FROM events GROUP BY 1),
+            d AS (
+                SELECT (tp - tv) // 1000000 AS delay_s FROM m
+                WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv),
+            cum AS (
+                SELECT delay_s, count(*) OVER (ORDER BY delay_s) AS cum,
+                       (SELECT count(*) FROM d) AS n
+                FROM d)
+            SELECT q.q_bp,
+                   (SELECT min(delay_s) FROM cum
+                    WHERE cum * 10000 >= q.q_bp * n) AS delay_s
+            FROM (VALUES (CAST(2500 AS BIGINT)), (CAST(5000 AS BIGINT)),
+                         (CAST(7500 AS BIGINT)), (CAST(9000 AS BIGINT)))
+                 AS q(q_bp)
         """,
         # fk_violations: three NOT EXISTS probes — the anti-join law.
         "fk_violations": """

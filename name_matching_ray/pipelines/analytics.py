@@ -1556,3 +1556,90 @@ def profile_table(sf_dir: str, *, table: str = "orders",
         })
 
     return j.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# conversion-delay percentiles (funnel timing)
+# ---------------------------------------------------------------------------
+
+def conversion_time(sf_dir: str, *, from_type: str = "view",
+                    to_type: str = "purchase", n_buckets: int = 64,
+                    q_bps: tuple[int, ...] = (2500, 5000, 7500, 9000)):
+    """Funnel timing: exact percentiles of the first-``from`` →
+    first-``to`` delay over converting users (strictly ordered, the
+    funnel_counts law), in whole seconds.  One row per requested
+    percentile: ``(q_bp, delay_s)`` under the peers-inclusive rule
+    ``delay = min v with cum·10⁴ ≥ q_bp·N`` (the length_quantiles law).
+
+    Scale shape: per-(user, type) min-ts partials → user buckets compute
+    each user's delay → per-batch (delay, count) histogram partials →
+    one Sum shuffle over DISTINCT delays → the percentile scan runs in
+    one tiny group over distinct values (never the users).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    idx = {from_type: 0, to_type: 1}
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = df[df["event_type"].isin(idx)].copy()
+        if not len(m):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "_si": pa.array([], pa.int64()),
+                             "_t": pa.array([], pa.int64())})
+        m["_si"] = m["event_type"].map(idx).astype(np.int64)
+        m["_t"] = m["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        g = m.groupby(["user_id", "_si"], as_index=False)["_t"].min()
+        return pa.Table.from_pandas(
+            g.astype({"user_id": np.int64}), preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby(["user_id", "_si"], as_index=False)["_t"].min()
+        piv = m.pivot(index="user_id", columns="_si", values="_t")
+        if 0 not in piv.columns or 1 not in piv.columns:
+            return pa.table({"delay_s": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        ok = piv[0].notna() & piv[1].notna() & (piv[1] > piv[0])
+        delay = ((piv[1][ok] - piv[0][ok]).to_numpy(np.int64)
+                 // 1_000_000)
+        v, c = np.unique(delay, return_counts=True)
+        return pa.table({"delay_s": pa.array(v, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
+                       ["user_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas") \
+        .groupby("delay_s").aggregate(Sum("c", alias_name="c"))
+
+    qlist = list(q_bps)
+
+    def cuts(g: pd.DataFrame) -> pa.Table:
+        if not len(g) or "c" not in g.columns:
+            # an empty map_groups block must emit NOTHING (emitting the
+            # q rows here would duplicate the real group's output)
+            return pa.table({"q_bp": pa.array([], pa.int64()),
+                             "delay_s": pa.array([], pa.int64())})
+        g = g.sort_values("delay_s", kind="mergesort")
+        cum = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1]) if len(cum) else 0
+        vs = g["delay_s"].to_numpy(np.int64)
+        out = []
+        for q in qlist:
+            if n:
+                out.append(int(vs[int((cum * 10_000 >= q * n).argmax())]))
+            else:
+                out.append(0)
+        return pa.table({
+            "q_bp": pa.array(qlist, pa.int64()),
+            "delay_s": pa.array(out, pa.int64()),
+        })
+
+    return hist.map_batches(
+        lambda df: pa.Table.from_pandas(df.assign(_one=np.int64(0)),
+                                        preserve_index=False),
+        batch_format="pandas") \
+        .groupby("_one").map_groups(
+            lambda g: cuts(g.drop(columns=["_one"])),
+            batch_format="pandas")

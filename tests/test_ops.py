@@ -2384,3 +2384,34 @@ def test_profile_table_null_and_types(ray_session, tmp_path):
     assert st["min_v"] == "F" and st["max_v"] == "P" and st["n_nulls"] == 1
     tp = got.loc["o_totalprice"]
     assert tp["min_v"] == "101" and tp["max_v"] == "10000"  # cents law
+
+
+def test_conversion_time_percentiles(ray_session, tmp_path):
+    """Only strictly-ordered converters count; delays floor to seconds;
+    the peers-inclusive percentile rule picks exact values."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import conversion_time
+
+    b = np.datetime64("2026-01-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")
+    rows = []
+    # converters with delays 10, 20, 30, 40 s
+    for u, d in [(1, 10), (2, 20), (3, 30), (4, 40)]:
+        rows += [(u, "view", b), (u, "purchase", b + d * s)]
+    # purchase BEFORE view -> not a converter
+    rows += [(9, "purchase", b), (9, "view", b + s)]
+    t = pa.table({
+        "user_id": [r[0] for r in rows],
+        "event_type": [r[1] for r in rows],
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = conversion_time(str(tmp_path)).to_pandas().set_index("q_bp")
+    # n=4: p25 -> first v with cum*1e4 >= 2500*4=1e4 -> cum>=1 -> 10
+    assert got.loc[2500, "delay_s"] == 10
+    assert got.loc[5000, "delay_s"] == 20
+    assert got.loc[7500, "delay_s"] == 30
+    assert got.loc[9000, "delay_s"] == 40
