@@ -681,3 +681,72 @@ def temperature_mix(docs_ds, *, budget: int, group_col: str = "source",
 
     return docs_ds.map_batches(Tag, batch_format="pyarrow",
                                concurrency=default_pool())
+
+
+def export_jsonl(docs_ds, out_dir: str, *, n_shards: int = 8,
+                 id_col: str = "doc_id"):
+    """Resumable JSONL export — the web-corpus interchange sink matching
+    the JSONL reader (``sources.docs_source.read_docs``).  Rows are
+    deterministically sharded by ``md5_low64(str(id)) % n_shards`` and
+    each shard lands as ``out_dir/shard-K.jsonl`` via a Ray task; a
+    ``_manifest.json`` of per-shard row counts makes the SHARD the
+    resume unit — a re-run skips finished shards and (because the shard
+    assignment is a pure function of the ids) reproduces the remaining
+    files byte-for-byte.
+
+    Returns the manifest dict.  At 100 TB, ``n_shards`` is sized so one
+    shard fits one task's disk/bandwidth budget (hundreds to thousands);
+    shard writes run in parallel as independent Ray tasks.
+    """
+    import json
+    import os
+
+    import ray
+
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    done: dict[str, int] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sh = np.array([_md5_low64(str(i)) % n_shards for i in ids],
+                      np.int64)
+        return batch.append_column("shard", pa.array(sh, pa.int64()))
+
+    tagged = docs_ds.map_batches(tag, batch_format="pyarrow")
+    todo = set(s for s in range(n_shards) if str(s) not in done)
+
+    def write_group(g) -> pa.Table:
+        # runs INSIDE the reduce task — file bytes never touch the driver
+        import pandas as pd  # noqa: F401
+
+        if not len(g):
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        s = int(g["shard"].iloc[0])
+        if s not in todo:  # finished in a previous run — resume skip
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = g.drop(columns=["shard"]).sort_values(id_col, kind="mergesort")
+        path = os.path.join(out_dir, f"shard-{s}.jsonl")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            if len(g):
+                f.write(g.to_json(orient="records", lines=True))
+                f.write("\n")
+        os.replace(tmp, path)
+        return pa.table({"shard": pa.array([s], pa.int64()),
+                         "n": pa.array([len(g)], pa.int64())})
+
+    if todo:
+        counts = tagged.groupby("shard").map_groups(
+            write_group, batch_format="pandas").take_all()
+        for r in counts:
+            done[str(int(r["shard"]))] = int(r["n"])
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(done, f)
+        os.replace(manifest_path + ".tmp", manifest_path)
+    return done
