@@ -61,6 +61,29 @@ class _SeenShard:
     def size(self) -> int:
         return len(self.seen)
 
+    def save(self, path: str) -> int:
+        """Persist this shard's set as parquet (atomic rename) — each
+        shard writes its OWN file, so a checkpoint is shard-parallel and
+        never funnels the index through the driver."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pa.table({"fp": pa.array(sorted(self.seen), pa.string())})
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return len(self.seen)
+
+    def load(self, path: str) -> int:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.exists(path):
+            col = pq.read_table(path).column("fp")
+            self.seen.update(col.to_pylist())
+        return len(self.seen)
+
 
 class IncrementalIndex:
     """Handle to a sharded seen-set.  Create once per ingest session and
@@ -73,6 +96,28 @@ class IncrementalIndex:
 
     def sizes(self) -> list[int]:
         return ray.get([s.size.remote() for s in self.shards])
+
+    def save(self, out_dir: str) -> list[int]:
+        """Checkpoint the index: one parquet per shard, written by the
+        shard actor itself (shard-parallel, atomic per file)."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        return ray.get([
+            s.save.remote(os.path.join(out_dir, f"shard-{i}.parquet"))
+            for i, s in enumerate(self.shards)])
+
+    @classmethod
+    def load(cls, out_dir: str, n_shards: int = 8) -> "IncrementalIndex":
+        """Restore a checkpointed index (shard count must match the
+        save — the fp→shard hash law depends on it)."""
+        import os
+
+        idx = cls(n_shards=n_shards)
+        ray.get([
+            s.load.remote(os.path.join(out_dir, f"shard-{i}.parquet"))
+            for i, s in enumerate(idx.shards)])
+        return idx
 
 
 def incremental_dedup(docs_ds, index: IncrementalIndex, *,

@@ -2415,3 +2415,24 @@ def test_conversion_time_percentiles(ray_session, tmp_path):
     assert got.loc[5000, "delay_s"] == 20
     assert got.loc[7500, "delay_s"] == 30
     assert got.loc[9000, "delay_s"] == 40
+
+
+def test_incremental_index_checkpoint(ray_session, tmp_path):
+    """A saved+restored index remembers everything: the restored run
+    marks all previously-seen docs dup; new docs still pass."""
+    import ray.data
+
+    from name_matching_ray.state.incremental import (IncrementalIndex,
+                                                     incremental_dedup)
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"ck doc {i}"} for i in range(10)])
+    idx = IncrementalIndex(n_shards=4)
+    incremental_dedup(docs, idx).to_pandas()
+    sizes = idx.save(str(tmp_path / "ckpt"))
+    assert sum(sizes) == 10
+    idx2 = IncrementalIndex.load(str(tmp_path / "ckpt"), n_shards=4)
+    out = incremental_dedup(docs, idx2).to_pandas()
+    assert out["is_dup"].sum() == 10
+    new = ray.data.from_items([{"doc_id": 99, "text": "brand new"}])
+    assert incremental_dedup(new, idx2).to_pandas()["is_dup"].sum() == 0
