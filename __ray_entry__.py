@@ -849,6 +849,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel timing: exact view→purchase delay percentiles over
         # converting users (distinct-delay histogram, never the users)
         "conversion_time": analytics.conversion_time,
+        # one-call curation pass: Gopher∧C4 quality gate AND exact-dedup
+        # keep-first, fused to a per-doc verdict (composed oracles)
+        "curate_corpus": lambda sf: curation.curate_corpus(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1326,6 +1329,24 @@ def oracle_sql() -> dict[str, str]:
                     WHEN s.bpt <= cuts.c2 THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM s, cuts
+    """
+    # curate_corpus: quality_gate's composed keep ∧ dedup keep-first
+    # (row_number over the frequency_cap fingerprint law at cap 1)
+    base["curate_corpus"] = f"""
+        WITH q AS (SELECT doc_id, keep AS quality_keep
+                   FROM ({base["quality_gate"]})),
+        f AS (SELECT doc_id,
+                     CASE WHEN row_number() OVER (
+                          PARTITION BY md5(regexp_replace(
+                              lower(coalesce(text, '')),
+                              '[^a-z0-9]', '', 'g'))
+                          ORDER BY doc_id) = 1
+                     THEN 1 ELSE 0 END AS dedup_keep
+              FROM documents)
+        SELECT q.doc_id, CAST(q.quality_keep AS BIGINT) AS quality_keep,
+               CAST(f.dedup_keep AS BIGINT) AS dedup_keep,
+               CAST(q.quality_keep * f.dedup_keep AS BIGINT) AS keep
+        FROM q JOIN f ON f.doc_id = q.doc_id
     """
     # pq_recall: ADC top-k vs the flat grid index, composed from the two
     # component oracles (per-query hit counts; truth size from the oracle

@@ -750,3 +750,48 @@ def export_jsonl(docs_ds, out_dir: str, *, n_shards: int = 8,
             json.dump(done, f)
         os.replace(manifest_path + ".tmp", manifest_path)
     return done
+
+
+def curate_corpus(docs_ds, *, n_buckets: int = 128):
+    """The one-call curation pass a corpus owner actually runs: Gopher ∧
+    C4-line quality gate AND exact-dedup keep-first, fused into a single
+    per-doc verdict ``(doc_id, quality_keep, dedup_keep, keep)`` —
+    ``keep = quality_keep · dedup_keep``.  Both component laws are the
+    already-oracled surfaces (``textstats.quality_gate``,
+    ``dedup.frequency_cap(cap=1)``), composed here so the end-to-end
+    keep decision itself is hash-compared, not just its parts.
+
+    Scale shape: the quality side is map-only; the dedup side is one
+    fingerprint-bucket shuffle; the two verdicts meet in one coarse
+    doc-id hash join.
+    """
+    from .dedup import frequency_cap
+    from .joins import bucket_hash_join
+    from .textstats import quality_gate
+
+    q = quality_gate(docs_ds).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "quality_keep": t.column("keep").cast(pa.int64()),
+        }), batch_format="pyarrow")
+    d = frequency_cap(docs_ds, cap=1).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "dedup_keep": t.column("keep").cast(pa.int64()),
+        }), batch_format="pyarrow")
+    j = bucket_hash_join(q, d, on="doc_id", how="inner",
+                         n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        qk = t.column("quality_keep").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dk = t.column("dedup_keep").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "quality_keep": pa.array(qk, pa.int64()),
+            "dedup_keep": pa.array(dk, pa.int64()),
+            "keep": pa.array(qk * dk, pa.int64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -2436,3 +2436,24 @@ def test_incremental_index_checkpoint(ray_session, tmp_path):
     assert out["is_dup"].sum() == 10
     new = ray.data.from_items([{"doc_id": 99, "text": "brand new"}])
     assert incremental_dedup(new, idx2).to_pandas()["is_dup"].sum() == 0
+
+
+def test_curate_corpus_composition(ray_session):
+    """keep == quality_keep AND dedup_keep: dup copies lose dedup_keep
+    (first doc_id wins), junk loses quality_keep."""
+    import ray.data
+
+    from name_matching_ray.stages.curation import curate_corpus
+
+    good = ("This is a reasonably long sentence with many common words "
+            "that the quality gate should accept without any trouble. "
+            "It continues for a while and ends properly.") * 3
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": good},              # exact dup of 1
+        {"doc_id": 3, "text": "x { junk"},        # fails quality
+    ])
+    got = curate_corpus(docs).to_pandas().set_index("doc_id")
+    assert got.loc[1, "dedup_keep"] == 1 and got.loc[2, "dedup_keep"] == 0
+    assert got.loc[3, "quality_keep"] == 0 and got.loc[3, "keep"] == 0
+    assert (got["keep"] == got["quality_keep"] * got["dedup_keep"]).all()
