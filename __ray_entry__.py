@@ -852,6 +852,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-call curation pass: Gopher∧C4 quality gate AND exact-dedup
         # keep-first, fused to a per-doc verdict (composed oracles)
         "curate_corpus": lambda sf: curation.curate_corpus(_read_docs(sf)),
+        # winnowing-dedup eval: same evaluator as minhash_recall, so the
+        # two approximate-dedup families are measured on identical terms
+        "winnow_recall": lambda sf: dedup.winnow_recall(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1347,6 +1350,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(f.dedup_keep AS BIGINT) AS dedup_keep,
                CAST(q.quality_keep * f.dedup_keep AS BIGINT) AS keep
         FROM q JOIN f ON f.doc_id = q.doc_id
+    """
+    # winnow_recall: winnow_dedup candidates vs exact-Jaccard truth —
+    # both component recipes nested verbatim (minhash_recall's shape)
+    base["winnow_recall"] = f"""
+        WITH truth AS (SELECT left_id, right_id
+                       FROM ({_ngram_jaccard_oracle(50)})),
+             found AS (SELECT left_id, right_id
+                       FROM ({base["winnow_dedup"]})),
+             h AS (SELECT COUNT(*) AS c
+                   FROM truth t JOIN found f
+                     ON f.left_id = t.left_id AND f.right_id = t.right_id)
+        SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+               CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
+               CAST((SELECT c FROM h) AS BIGINT) AS n_hit,
+               CAST((SELECT c FROM h) * 10000 //
+                    greatest((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
+                   AS recall_bp,
+               CAST((SELECT c FROM h) * 10000 //
+                    greatest((SELECT COUNT(*) FROM found), 1) AS BIGINT)
+                   AS precision_bp
     """
     # pq_recall: ADC top-k vs the flat grid index, composed from the two
     # component oracles (per-query hit counts; truth size from the oracle

@@ -1094,12 +1094,18 @@ def minhash_recall(docs_ds, *, tau100: int = 50, max_df: int = 100,
     in ONE coarse-bucketed shuffle, and the count partials collapse to
     3 scalars; nothing wider than the pair tables ever materializes.
     """
+    truth = ngram_jaccard_pairs(docs_ds, n=3, tau100=tau100, max_df=max_df)
+    found = minhash_lsh_pairs(docs_ds, tau=tau100 / 100.0, lean=True)
+    return pair_set_eval(truth, found, n_buckets=n_buckets)
+
+
+def pair_set_eval(truth, found, *, n_buckets: int = 64):
+    """Shared recall/precision evaluator for two (left_id, right_id) pair
+    tables: side-flagged union → one coarse-bucket flag-merge shuffle →
+    3 scalars → one summary row (minhash_recall / winnow_recall)."""
     import pandas as pd
 
     from ..pipelines.analytics import _bucket_tag
-
-    truth = ngram_jaccard_pairs(docs_ds, n=3, tau100=tau100, max_df=max_df)
-    found = minhash_lsh_pairs(docs_ds, tau=tau100 / 100.0, lean=True)
 
     def flag(is_t: int, is_f: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -1196,3 +1202,17 @@ def dup_by_source(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def winnow_recall(docs_ds, *, tau100: int = 50, min_shared: int = 2,
+                  max_df: int = 64, n_buckets: int = 64):
+    """Eval harness for the MOSS fingerprint-join dedup: recall/precision
+    of :func:`winnow_dedup`'s candidate pairs against the exact
+    n-gram-Jaccard ≥ tau truth — same evaluator as minhash_recall, so
+    the two approximate-dedup families are measured on identical terms.
+    One row: ``(n_true, n_found, n_hit, recall_bp, precision_bp)``.
+    """
+    truth = ngram_jaccard_pairs(docs_ds, n=3, tau100=tau100, max_df=100)
+    found = winnow_dedup(docs_ds, min_shared=min_shared, max_df=max_df) \
+        .select_columns(["left_id", "right_id"])
+    return pair_set_eval(truth, found, n_buckets=n_buckets)
