@@ -86,3 +86,62 @@ def bucket_hash_join(left, right, *, on: str, how: str = "inner",
     # union SUMS block counts (CLAUDE.md) — repartition before the groupby
     return both.repartition(max(32, n_buckets // 2)) \
         .groupby("_jb").map_groups(merge, batch_format="pandas")
+
+
+def broadcast_join(left, right, *, on: str, how: str = "inner",
+                   max_rows: int = 5_000_000):
+    """Broadcast hash join — the small-side twin of
+    :func:`bucket_hash_join`: the right side is collected once, shipped
+    via ``ray.put``, and probed inside ``map_batches`` (no shuffle at
+    all).  The guarded default (``max_rows``) refuses to broadcast a big
+    side instead of silently melting the object store — callers with a
+    big right side want the bucketed join.
+
+    ``how`` ∈ {"inner", "left", "semi", "anti"}.  Same disjoint-column
+    contract as the bucketed join; output equality with it is
+    pytest-tested for every mode.
+    """
+    import pandas as pd
+
+    import ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    existence = how in ("semi", "anti")
+    lcols = [c for c in left.schema().names if c != on]
+    rcols = [] if existence else \
+        [c for c in right.schema().names if c != on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint: {overlap}")
+
+    if existence:
+        right = right.map_batches(
+            lambda df: pa.Table.from_pandas(
+                df[[on]].drop_duplicates(), preserve_index=False),
+            batch_format="pandas")
+    n = right.count()
+    if n > max_rows:
+        raise ValueError(
+            f"broadcast side has {n} rows > max_rows={max_rows}; use "
+            f"bucket_hash_join for a big right side")
+    rdf = right.to_pandas()
+    bc = ray.put(rdf)
+
+    class Probe:
+        def __init__(self):
+            self.r = ray.get(bc)
+            self.keys = set(self.r[on]) if existence else None
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            if existence:
+                mask = df[on].isin(self.keys)
+                out = df[mask if how == "semi" else ~mask]
+            else:
+                out = df.merge(self.r, on=on, how=how)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ..util import default_pool
+
+    return left.map_batches(Probe, batch_format="pandas",
+                            concurrency=default_pool())

@@ -2457,3 +2457,29 @@ def test_curate_corpus_composition(ray_session):
     assert got.loc[1, "dedup_keep"] == 1 and got.loc[2, "dedup_keep"] == 0
     assert got.loc[3, "quality_keep"] == 0 and got.loc[3, "keep"] == 0
     assert (got["keep"] == got["quality_keep"] * got["dedup_keep"]).all()
+
+
+def test_broadcast_join_equals_bucketed(ray_session):
+    """broadcast_join == bucket_hash_join on every mode; the size guard
+    refuses oversized broadcast sides and names the alternative."""
+    import pytest
+    import ray.data
+
+    from name_matching_ray.stages.joins import (broadcast_join,
+                                                bucket_hash_join)
+
+    left = ray.data.from_items(
+        [{"k": i % 7, "a": f"l{i}"} for i in range(40)])
+    right = ray.data.from_items(
+        [{"k": 1, "b": 10}, {"k": 3, "b": 30}, {"k": 99, "b": 99}])
+
+    for how in ("inner", "left", "semi", "anti"):
+        b1 = broadcast_join(left, right, on="k", how=how).to_pandas()
+        b2 = bucket_hash_join(left, right, on="k", how=how).to_pandas()
+        cols = sorted(b1.columns)
+        c1 = b1[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        c2 = b2[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        assert c1.equals(c2), how
+
+    with pytest.raises(ValueError, match="bucket_hash_join"):
+        broadcast_join(left, right, on="k", max_rows=2)
