@@ -2473,13 +2473,22 @@ def test_broadcast_join_equals_bucketed(ray_session):
     right = ray.data.from_items(
         [{"k": 1, "b": 10}, {"k": 3, "b": 30}, {"k": 99, "b": 99}])
 
+    import pandas as pd
+
+    def canon(df, cols):
+        out = df[cols].copy()
+        for c in cols:
+            out[c] = out[c].map(
+                lambda x: "" if pd.isna(x)
+                else str(int(x)) if isinstance(x, (int, float))
+                and float(x) == int(float(x)) else str(x))
+        return out.sort_values(cols).reset_index(drop=True)
+
     for how in ("inner", "left", "semi", "anti"):
         b1 = broadcast_join(left, right, on="k", how=how).to_pandas()
         b2 = bucket_hash_join(left, right, on="k", how=how).to_pandas()
         cols = sorted(b1.columns)
-        c1 = b1[cols].astype(str).sort_values(cols).reset_index(drop=True)
-        c2 = b2[cols].astype(str).sort_values(cols).reset_index(drop=True)
-        assert c1.equals(c2), how
+        assert canon(b1, cols).equals(canon(b2, cols)), how
 
     with pytest.raises(ValueError, match="bucket_hash_join"):
         broadcast_join(left, right, on="k", max_rows=2)
