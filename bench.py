@@ -122,7 +122,7 @@ BENCH_QUERIES = [
     "dup_by_source", "lang_top_words", "incremental_dedup",
     "pq_encode", "pq_topk", "grid_l2_topk", "pq_recall", "rolling_active",
     "pagerank_dups", "fk_violations", "ivfpq_topk", "perplexity_buckets",
-    "profile_table", "conversion_time",
+    "profile_table", "conversion_time", "curate_corpus", "winnow_recall",
 ]
 
 
