@@ -1087,7 +1087,11 @@ def nation_revenue(sf_dir: str):
     BEFORE the join (the combiner-before-shuffle rule: the join input is
     one row per (batch, custkey), not per order), joined to customer on
     the coarse-bucket hash join, re-aggregated per nation (tiny), and
-    the 25-row nation dim joins last.  All money in integer cents.
+    the 25-row nation dim joins last — via :func:`~..stages.joins.
+    broadcast_join` (shuffling a 25-row table through a distributed sort
+    is the documented small-sf latency trap; the broadcast twin is the
+    right plan for a dim that size and cut ~5 s at sf0.1).  All money in
+    integer cents.
     """
     from ray.data.aggregate import Sum
 
@@ -1119,8 +1123,10 @@ def nation_revenue(sf_dir: str):
         .groupby("n_nationkey").aggregate(
             Sum("revenue_c", alias_name="revenue_c"),
             Sum("n_orders", alias_name="n_orders"))
+    from ..stages.joins import broadcast_join
+
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    out = bucket_hash_join(per_nat, nation, on="n_nationkey", how="inner")
+    out = broadcast_join(per_nat, nation, on="n_nationkey", how="inner")
 
     import pyarrow.compute as _pc
 

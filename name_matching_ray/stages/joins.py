@@ -120,12 +120,13 @@ def broadcast_join(left, right, *, on: str, how: str = "inner",
             lambda df: pa.Table.from_pandas(
                 df[[on]].drop_duplicates(), preserve_index=False),
             batch_format="pandas")
-    n = right.count()
-    if n > max_rows:
+    # one collect serves both the guard and the broadcast (a separate
+    # count() would execute the right-side plan twice)
+    rdf = right.to_pandas(limit=max_rows + 1)
+    if len(rdf) > max_rows:
         raise ValueError(
-            f"broadcast side has {n} rows > max_rows={max_rows}; use "
+            f"broadcast side exceeds max_rows={max_rows}; use "
             f"bucket_hash_join for a big right side")
-    rdf = right.to_pandas()
     bc = ray.put(rdf)
 
     class Probe:
