@@ -121,8 +121,14 @@ def broadcast_join(left, right, *, on: str, how: str = "inner",
                 df[[on]].drop_duplicates(), preserve_index=False),
             batch_format="pandas")
     # one collect serves both the guard and the broadcast (a separate
-    # count() would execute the right-side plan twice)
-    rdf = right.to_pandas(limit=max_rows + 1)
+    # count() would execute the right-side plan twice); Ray's own
+    # to_pandas limit error is re-raised with the alternative named
+    try:
+        rdf = right.to_pandas(limit=max_rows + 1)
+    except ValueError as e:
+        raise ValueError(
+            f"broadcast side exceeds max_rows={max_rows}; use "
+            f"bucket_hash_join for a big right side") from e
     if len(rdf) > max_rows:
         raise ValueError(
             f"broadcast side exceeds max_rows={max_rows}; use "
