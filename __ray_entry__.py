@@ -382,6 +382,42 @@ def _substring_dedup(sf_dir: str):
         k=8)
 
 
+def _cluster_size_hist(sf_dir: str):
+    """Near-dup cluster size histogram: one row per observed transitive-
+    cluster size ``(cluster_size, n_clusters, n_docs)`` — dup_size_hist's
+    fuzzy-family sibling, over the shared _near_dup_clusters closure.
+    Per-batch partial counts per cluster label → one Sum shuffle (labels
+    are hash-uniform doc ids) → per-batch size-histogram partials → a
+    tiny Sum over ≤ |distinct sizes| keys."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    cc = _near_dup_clusters(sf_dir)
+
+    def part(df: pd.DataFrame) -> pa.Table:
+        c = df.groupby("cluster_id").size()
+        return pa.table({
+            "cluster_id": pa.array(c.index.to_numpy(), pa.int64()),
+            "n": pa.array(c.to_numpy(), pa.int64())})
+
+    sizes = cc.map_batches(part, batch_format="pandas") \
+        .groupby("cluster_id").aggregate(Sum("n", alias_name="n"))
+
+    def hist(df: pd.DataFrame) -> pa.Table:
+        c = df.groupby("n").size()
+        sz = c.index.to_numpy()
+        return pa.table({
+            "cluster_size": pa.array(sz, pa.int64()),
+            "n_clusters": pa.array(c.to_numpy(), pa.int64()),
+            "n_docs": pa.array(sz * c.to_numpy(), pa.int64())})
+
+    return sizes.map_batches(hist, batch_format="pandas") \
+        .groupby("cluster_size").aggregate(
+            Sum("n_clusters", alias_name="n_clusters"),
+            Sum("n_docs", alias_name="n_docs"))
+
+
 def _cc_keep(cc, *, id_out: str = "doc_id"):
     """Shared canonical-representative rule over a (doc_id, cluster_id)
     closure table: ``keep = 1`` iff the node IS its cluster's min-id label
@@ -855,6 +891,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing-dedup eval: same evaluator as minhash_recall, so the
         # two approximate-dedup families are measured on identical terms
         "winnow_recall": lambda sf: dedup.winnow_recall(_read_docs(sf)),
+        # near-dup TRANSITIVE-cluster size distribution (the dup_size_hist
+        # of the fuzzy family; closure shared with dedup_keep_list)
+        "cluster_size_hist": _cluster_size_hist,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1350,6 +1389,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(f.dedup_keep AS BIGINT) AS dedup_keep,
                CAST(q.quality_keep * f.dedup_keep AS BIGINT) AS keep
         FROM q JOIN f ON f.doc_id = q.doc_id
+    """
+    # cluster_size_hist: the keep-list recursive closure regrouped by size
+    base["cluster_size_hist"] = f"""
+        WITH cl AS (SELECT doc_id, cluster_id
+                    FROM ({base["dedup_keep_list"]})),
+             c AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
+        SELECT sz AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sz * count(*) AS BIGINT) AS n_docs
+        FROM c GROUP BY sz
     """
     # winnow_recall: winnow_dedup candidates vs exact-Jaccard truth —
     # both component recipes nested verbatim (minhash_recall's shape)

@@ -2492,3 +2492,14 @@ def test_broadcast_join_equals_bucketed(ray_session):
 
     with pytest.raises(ValueError, match="bucket_hash_join"):
         broadcast_join(left, right, on="k", max_rows=2)
+
+
+def test_cluster_size_hist_conservation(ray_session):
+    """Σ n_docs == corpus size; planted chains collapse transitively into
+    one cluster of the chain length."""
+    import __ray_entry__ as ent
+
+    out = ent._cluster_size_hist("/root/testdata/sf0.001").to_pandas()
+    assert out["n_docs"].sum() == 500
+    assert (out["n_docs"] == out["cluster_size"] * out["n_clusters"]).all()
+    assert out["cluster_size"].min() >= 1
