@@ -894,6 +894,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup TRANSITIVE-cluster size distribution (the dup_size_hist
         # of the fuzzy family; closure shared with dedup_keep_list)
         "cluster_size_hist": _cluster_size_hist,
+        # per-source corpus-LM fit (which crawl is OOD — unigram_bits
+        # rolled up per source, integer bits/kilotoken)
+        "source_surprisal": lambda sf: textstats.source_surprisal(
+            _read_docs_source(sf), vocab=2048),
+        # GROUPING-SETS rollup (nation × status + both margins + total in
+        # one result; coarse levels derived from the finest tiny aggregate)
+        "revenue_rollup": analytics.revenue_rollup,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1389,6 +1396,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(f.dedup_keep AS BIGINT) AS dedup_keep,
                CAST(q.quality_keep * f.dedup_keep AS BIGINT) AS keep
         FROM q JOIN f ON f.doc_id = q.doc_id
+    """
+    # source_surprisal: the unigram_bits recipe rolled up per source
+    base["source_surprisal"] = f"""
+        WITH u AS (SELECT doc_id, n_tok, bits
+                   FROM ({base["unigram_bits"]})),
+             s AS (SELECT doc_id, source FROM documents)
+        SELECT s.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(u.n_tok) AS BIGINT) AS n_tok,
+               CAST(sum(u.bits) AS BIGINT) AS bits,
+               CAST(sum(u.bits) * 1000
+                    // greatest(sum(u.n_tok), 1) AS BIGINT)
+                   AS bits_per_kilotoken
+        FROM u JOIN s ON s.doc_id = u.doc_id
+        GROUP BY s.source
     """
     # cluster_size_hist: the keep-list recursive closure regrouped by size
     base["cluster_size_hist"] = f"""
@@ -3397,6 +3419,22 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM (VALUES (CAST(2500 AS BIGINT)), (CAST(5000 AS BIGINT)),
                          (CAST(7500 AS BIGINT)), (CAST(9000 AS BIGINT)))
                  AS q(q_bp)
+        """,
+        # revenue_rollup: GROUPING SETS with GROUPING()-driven 'ALL'
+        # markers — the engine derives margins from the finest aggregate.
+        "revenue_rollup": """
+            SELECT CASE WHEN GROUPING(n.n_name) = 1
+                        THEN 'ALL' ELSE n.n_name END AS nation,
+                   CASE WHEN GROUPING(o.o_orderstatus) = 1
+                        THEN 'ALL' ELSE o.o_orderstatus END AS status,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY GROUPING SETS ((n.n_name, o.o_orderstatus),
+                                    (n.n_name), (o.o_orderstatus), ())
         """,
         # fk_violations: three NOT EXISTS probes — the anti-join law.
         "fk_violations": """

@@ -123,7 +123,7 @@ BENCH_QUERIES = [
     "pq_encode", "pq_topk", "grid_l2_topk", "pq_recall", "rolling_active",
     "pagerank_dups", "fk_violations", "ivfpq_topk", "perplexity_buckets",
     "profile_table", "conversion_time", "curate_corpus", "winnow_recall",
-    "cluster_size_hist",
+    "cluster_size_hist", "source_surprisal", "revenue_rollup",
 ]
 
 

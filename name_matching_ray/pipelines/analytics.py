@@ -1649,3 +1649,93 @@ def conversion_time(sf_dir: str, *, from_type: str = "view",
         .groupby("_one").map_groups(
             lambda g: cuts(g.drop(columns=["_one"])),
             batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# rollup / grouping-sets aggregate
+# ---------------------------------------------------------------------------
+
+def revenue_rollup(sf_dir: str):
+    """GROUPING-SETS rollup: revenue by (nation, status), (nation),
+    (status) and grand total in ONE result — the OLAP cube slice every BI
+    layer asks an engine for.  Rolled-up dimensions render as ``'ALL'``
+    (== SQL ``CASE WHEN GROUPING(col) = 1``).
+
+    Scale shape: ONE pass computes the finest-grain partials (per-batch
+    (nation, status) cents/orders after a broadcast customer→nation
+    probe), one Sum shuffle over ≤ |nations|·|statuses| keys, and the
+    three coarser levels are derived from that TINY aggregate in a single
+    final group — a rollup never needs more than the finest shuffle.
+    """
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import default_pool
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_of = dict(zip(
+        cust["c_custkey"].to_numpy(),
+        cust["c_nationkey"].map(
+            dict(zip(nat["n_nationkey"], nat["n_name"]))).to_numpy()))
+    bc = ray.put(nation_of)
+
+    ords = _read(sf_dir, "orders",
+                 ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    class Partial:
+        def __init__(self):
+            self.nation_of = ray.get(bc)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({
+                "nation": df["o_custkey"].map(self.nation_of),
+                "status": df["o_orderstatus"],
+                "revenue_c": _cents(df["o_totalprice"].to_numpy()),
+                "n_orders": np.int64(1),
+            })
+            g = out.groupby(["nation", "status"], as_index=False)[
+                ["revenue_c", "n_orders"]].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = ords.map_batches(Partial, batch_format="pandas",
+                            concurrency=default_pool()) \
+        .groupby(["nation", "status"]).aggregate(
+            Sum("revenue_c", alias_name="revenue_c"),
+            Sum("n_orders", alias_name="n_orders"))
+
+    def rollup(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"nation": pa.array([], pa.string()),
+                             "status": pa.array([], pa.string()),
+                             "revenue_c": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        frames = [g[["nation", "status", "revenue_c", "n_orders"]]]
+        by_n = g.groupby("nation", as_index=False)[
+            ["revenue_c", "n_orders"]].sum().assign(status="ALL")
+        by_s = g.groupby("status", as_index=False)[
+            ["revenue_c", "n_orders"]].sum().assign(nation="ALL")
+        tot = pd.DataFrame([{
+            "nation": "ALL", "status": "ALL",
+            "revenue_c": g["revenue_c"].sum(),
+            "n_orders": g["n_orders"].sum()}])
+        out = pd.concat(frames + [by_n, by_s, tot], ignore_index=True)
+        return pa.table({
+            "nation": pa.array(out["nation"].to_numpy(), pa.string()),
+            "status": pa.array(out["status"].to_numpy(), pa.string()),
+            "revenue_c": pa.array(out["revenue_c"].to_numpy(np.int64),
+                                  pa.int64()),
+            "n_orders": pa.array(out["n_orders"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    return fine.map_batches(
+        lambda df: pa.Table.from_pandas(df.assign(_one=np.int64(0)),
+                                        preserve_index=False),
+        batch_format="pandas") \
+        .groupby("_one").map_groups(
+            lambda g: rollup(g.drop(columns=["_one"])),
+            batch_format="pandas")

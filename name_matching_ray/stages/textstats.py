@@ -2544,3 +2544,61 @@ def perplexity_buckets(docs_ds, *, vocab: int = 2048,
         })
 
     return withbpt.map_batches(tag, batch_format="pyarrow")
+
+
+# --- per-source corpus-model fit -------------------------------------------
+
+def source_surprisal(docs_ds, *, vocab: int = 2048, text_col: str = "text",
+                     group_col: str = "source", id_col: str = "doc_id"):
+    """Which crawl is out-of-distribution: per-source aggregate corpus-LM
+    surprisal ``(source, n_docs, n_tok, bits, bits_per_kilotoken)`` with
+    ``bits_per_kilotoken = bits·1000 // max(n_tok, 1)`` — the
+    unigram_bits law rolled up per source.  A source whose text the
+    corpus model finds expensive is the one to inspect (or
+    temperature-downweight) first.
+
+    Scale shape: unigram_bits' two passes + map-only scoring, then one
+    Sum shuffle over ≤ |sources| keys (per-batch partials).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    scored = unigram_bits(docs_ds, vocab=vocab, text_col=text_col,
+                          id_col=id_col)
+    # re-attach source: unigram_bits output carries only (id, n_tok,
+    # bits) — score from the source-bearing input instead would need a
+    # second text pass, so join the (tiny-per-batch) id→source map via
+    # per-batch partial sums after a bucket join
+    from ..pipelines.analytics import _grouped_sum
+    from .joins import bucket_hash_join
+
+    src = docs_ds.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            group_col: t.column(group_col)}),
+        batch_format="pyarrow")
+    j = bucket_hash_join(scored, src, on=id_col, how="inner")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(group_col, as_index=False).agg(
+            n_docs=(id_col, "size"), n_tok=("n_tok", "sum"),
+            bits=("bits", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _grouped_sum(j, [group_col], partial,
+                       ["n_docs", "n_tok", "bits"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        bits = t.column("bits").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ntok = t.column("n_tok").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "source": t.column(group_col).cast(pa.string()),
+            "n_docs": t.column("n_docs").cast(pa.int64()),
+            "n_tok": pa.array(ntok, pa.int64()),
+            "bits": pa.array(bits, pa.int64()),
+            "bits_per_kilotoken": pa.array(
+                bits * 1000 // np.maximum(ntok, 1), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

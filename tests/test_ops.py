@@ -2503,3 +2503,42 @@ def test_cluster_size_hist_conservation(ray_session):
     assert out["n_docs"].sum() == 500
     assert (out["n_docs"] == out["cluster_size"] * out["n_clusters"]).all()
     assert out["cluster_size"].min() >= 1
+
+
+def test_revenue_rollup_margins_consistent(ray_session):
+    """Margins are exact sums of the finest level; the grand total
+    appears once; every (nation,status) cell sums into both margins."""
+    import __ray_entry__ as ent
+
+    out = ent.queries()["revenue_rollup"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    fine = out[(out["nation"] != "ALL") & (out["status"] != "ALL")]
+    by_n = out[(out["nation"] != "ALL") & (out["status"] == "ALL")]
+    tot = out[(out["nation"] == "ALL") & (out["status"] == "ALL")]
+    assert len(tot) == 1
+    assert tot.iloc[0]["revenue_c"] == fine["revenue_c"].sum()
+    assert tot.iloc[0]["n_orders"] == fine["n_orders"].sum()
+    m = fine.groupby("nation")["revenue_c"].sum()
+    for _, r in by_n.iterrows():
+        assert r["revenue_c"] == m[r["nation"]]
+
+
+def test_source_surprisal_rollup(ray_session):
+    """Per-source bits are the exact sums of per-doc unigram_bits."""
+    import ray.data
+
+    from name_matching_ray.stages.textstats import (source_surprisal,
+                                                    unigram_bits)
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"common words here {i % 3}",
+          "source": f"s{i % 2}"} for i in range(12)])
+    per_doc = unigram_bits(docs, vocab=64).to_pandas()
+    got = source_surprisal(docs, vocab=64).to_pandas() \
+        .set_index("source")
+    for s in ("s0", "s1"):
+        ids = [i for i in range(12) if f"s{i % 2}" == s]
+        sub = per_doc[per_doc["doc_id"].isin(ids)]
+        assert got.loc[s, "bits"] == sub["bits"].sum()
+        assert got.loc[s, "n_tok"] == sub["n_tok"].sum()
+        assert got.loc[s, "n_docs"] == len(ids)
