@@ -901,6 +901,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GROUPING-SETS rollup (nation × status + both margins + total in
         # one result; coarse levels derived from the finest tiny aggregate)
         "revenue_rollup": analytics.revenue_rollup,
+        # first-order Markov event-type transitions (LAG law per user,
+        # one sort per bucket, row-normalized on the tiny matrix)
+        "event_transitions": analytics.event_transitions,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3435,6 +3438,26 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY GROUPING SETS ((n.n_name, o.o_orderstatus),
                                     (n.n_name), (o.o_orderstatus), ())
+        """,
+        # event_transitions: LAG over (user; ts, event_id), row-normalized
+        # in basis points over each from_type's outgoing total.
+        "event_transitions": """
+            WITH t AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events),
+            c AS (
+                SELECT prev AS from_type, event_type AS to_type,
+                       count(*) AS n
+                FROM t WHERE prev IS NOT NULL
+                GROUP BY 1, 2),
+            tot AS (SELECT from_type, sum(n) AS tn FROM c GROUP BY 1)
+            SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+                   CAST(c.n * 10000 // greatest(tot.tn, 1) AS BIGINT)
+                       AS p_bp
+            FROM c JOIN tot ON tot.from_type = c.from_type
         """,
         # fk_violations: three NOT EXISTS probes — the anti-join law.
         "fk_violations": """

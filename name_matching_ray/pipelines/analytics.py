@@ -1739,3 +1739,71 @@ def revenue_rollup(sf_dir: str):
         .groupby("_one").map_groups(
             lambda g: rollup(g.drop(columns=["_one"])),
             batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (behavior modeling)
+# ---------------------------------------------------------------------------
+
+def event_transitions(sf_dir: str, *, n_buckets: int = 256):
+    """First-order Markov transition matrix over event types: for every
+    consecutive pair within a user's stream (ordered ``(ts, event_id)`` —
+    event_dedup's law), count ``from_type → to_type`` and report
+    ``(from_type, to_type, n, p_bp)`` with ``p_bp = n·10⁴ //
+    Σ_to n(from)`` — the behavior-model input and the funnel's
+    unordered cousin.  A user's first event has no predecessor.
+
+    Scale shape: users hash-bucketed, ONE vectorized sort + shift per
+    bucket (no per-key groups), per-bucket pair counts → one Sum shuffle
+    over ≤ |types|² keys; the row-normalization runs on that tiny table
+    in a single final group.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        if len(g) < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = uid[1:] == uid[:-1]
+        c = pd.DataFrame({"from_type": et[:-1][same],
+                          "to_type": et[1:][same]}) \
+            .groupby(["from_type", "to_type"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    agg = _bucket_tag(ds, ["user_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas") \
+        .groupby(["from_type", "to_type"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def normalize(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "p_bp": pa.array([], pa.int64())})
+        tot = g.groupby("from_type")["n"].transform("sum") \
+            .to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        return pa.table({
+            "from_type": pa.array(g["from_type"].to_numpy(), pa.string()),
+            "to_type": pa.array(g["to_type"].to_numpy(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "p_bp": pa.array(n * 10_000 // np.maximum(tot, 1), pa.int64()),
+        })
+
+    return agg.map_batches(
+        lambda df: pa.Table.from_pandas(df.assign(_one=np.int64(0)),
+                                        preserve_index=False),
+        batch_format="pandas") \
+        .groupby("_one").map_groups(
+            lambda g: normalize(g.drop(columns=["_one"])),
+            batch_format="pandas")

@@ -2542,3 +2542,35 @@ def test_source_surprisal_rollup(ray_session):
         assert got.loc[s, "bits"] == sub["bits"].sum()
         assert got.loc[s, "n_tok"] == sub["n_tok"].sum()
         assert got.loc[s, "n_docs"] == len(ids)
+
+
+def test_event_transitions_lag_law(ray_session, tmp_path):
+    """Transitions never straddle users; firsts have no predecessor;
+    p_bp row-normalizes over each from_type's outgoing total."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import event_transitions
+
+    b = np.datetime64("2026-01-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")
+    rows = [(1, 1, "a", b), (2, 1, "b", b + s), (3, 1, "a", b + 2 * s),
+            (4, 2, "a", b), (5, 2, "a", b + s),
+            (6, 3, "c", b)]
+    t = pa.table({
+        "event_id": [r[0] for r in rows],
+        "user_id": [r[1] for r in rows],
+        "event_type": [r[2] for r in rows],
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = event_transitions(str(tmp_path)).to_pandas() \
+        .set_index(["from_type", "to_type"])
+    assert got.loc[("a", "b"), "n"] == 1
+    assert got.loc[("a", "a"), "n"] == 1
+    assert got.loc[("b", "a"), "n"] == 1
+    assert len(got) == 3                   # u3's lone 'c' emits nothing
+    # a has 2 outgoing: a->b and a->a each 5000 bp
+    assert got.loc[("a", "b"), "p_bp"] == 5000
+    assert got.loc[("b", "a"), "p_bp"] == 10000
