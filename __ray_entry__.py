@@ -904,6 +904,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first-order Markov event-type transitions (LAG law per user,
         # one sort per bucket, row-normalized on the tiny matrix)
         "event_transitions": analytics.event_transitions,
+        # per-IVF-cell farthest member (embedding QA; int8-grid L2 to the
+        # assigned centroid is itself hash-compared)
+        "cluster_outliers": lambda sf: annsearch.cluster_outliers(
+            _read_emb(sf), annsearch.fixed_centroids(8, 64)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1007,6 +1011,52 @@ def _ivf_topk_oracle() -> str:
                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
               FROM s)
         WHERE rn <= 10
+    """
+
+
+def _cluster_outliers_oracle() -> str:
+    """DuckDB replica of :func:`annsearch.cluster_outliers`: the SAME fixed
+    centroids inlined; assignment is the shared argmax-cosine CTE; the
+    distance is the int8-grid L2 with BOTH sides quantized by the
+    floor(x·127+0.5) law; ties → lowest vec_id."""
+    cent = annsearch.fixed_centroids(8, 64)
+    rows = ",\n".join(
+        f"({ci}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for ci, c in enumerate(cent)
+    )
+    return f"""
+        WITH cent(cid, cvec) AS (VALUES {rows}),
+        asg AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.cvec)
+                        DESC, c.cid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+            WHERE rn = 1),
+        q AS (
+            SELECT vec_id, g.i - 1 AS dim,
+                   CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 127 + 0.5)
+                        AS BIGINT) AS code
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) AS g(i)),
+        ccode AS (
+            SELECT c.cid, g.i - 1 AS dim,
+                   CAST(floor(CAST(cvec[g.i] AS DOUBLE) * 127 + 0.5)
+                        AS BIGINT) AS code
+            FROM cent c, UNNEST(generate_series(1, len(cvec))) AS g(i)),
+        d AS (
+            SELECT a.vec_id, a.cid,
+                   SUM((q.code - cc.code) * (q.code - cc.code)) AS dist
+            FROM asg a
+            JOIN q ON q.vec_id = a.vec_id
+            JOIN ccode cc ON cc.cid = a.cid AND cc.dim = q.dim
+            GROUP BY 1, 2)
+        SELECT cid AS cluster, vec_id, CAST(dist AS BIGINT) AS dist
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY cid ORDER BY dist DESC, vec_id) AS rn
+              FROM d)
+        WHERE rn = 1
     """
 
 
@@ -1502,6 +1552,7 @@ def _oracle_sql_base() -> dict[str, str]:
     return {
         "ivf_topk": _ivf_topk_oracle(),
         "cluster_stats": _cluster_stats_oracle(),
+        "cluster_outliers": _cluster_outliers_oracle(),
         "semantic_keep_list": _semantic_keep_list_oracle(),
         "srp_dedup": _srp_oracle(),
         "minhash_dedup": _minhash_oracle(),

@@ -1010,3 +1010,63 @@ def ivfpq_topk(ds, centroids: np.ndarray, query_ids: list[int],
         .drop_columns(["partition"])
     return pq_topk(ds, query_ids, codebook_ids, k=k, m=m, id_col=id_col,
                    vec_col=vec_col, search_ds=sub)
+
+
+def cluster_outliers(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", concurrency=None):
+    """Per-cluster outlier audit: for every IVF cell, the member FARTHEST
+    from its centroid — the embedding-QA surface that flags mislabeled /
+    garbage vectors cluster by cluster.  Assignment is the shared
+    argmax-cosine law (ivf_partition / cluster_stats); the distance is
+    the exact int8-grid L2 ``Σ(v_code − c_code)²`` (both sides quantized
+    with the floor(x·127+0.5) law), so the reported distance itself is
+    hash-comparable.  Ties → lowest vec_id.
+
+    Output: ``(cluster, vec_id, dist)`` — one row per non-empty cell.
+
+    Scale shape: map-only assign+distance with per-batch per-cluster
+    argmax partials (≤ |cells| rows per batch), one tiny per-cluster
+    merge.
+    """
+    import pandas as pd
+
+    import ray
+
+    ccodes = _quantize127(centroids.astype(np.float64)).astype(np.int64)
+    bc = ray.put((centroids, ccodes))
+
+    class Local:
+        def __init__(self):
+            self.cent, self.ccodes = ray.get(bc)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _mat(batch.column(vec_col))
+            if not len(m):
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64())})
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            part = (_unit(m) @ self.cent.T).argmax(axis=1)
+            v = _quantize127(m).astype(np.int64)
+            d = ((v - self.ccodes[part]) ** 2).sum(axis=1)
+            g = pd.DataFrame({"cluster": part.astype(np.int64),
+                              id_col: ids, "dist": d}) \
+                .sort_values(["cluster", "dist", id_col],
+                             ascending=[True, False, True],
+                             kind="mergesort") \
+                .groupby("cluster", sort=False).head(1)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["dist", id_col], ascending=[False, True],
+                          kind="mergesort").head(1)
+        return pa.table({
+            "cluster": pa.array(g["cluster"].to_numpy(np.int64),
+                                pa.int64()),
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "dist": pa.array(g["dist"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(Local, batch_format="pyarrow",
+                          concurrency=concurrency or default_pool()) \
+        .groupby("cluster").map_groups(merge, batch_format="pandas")

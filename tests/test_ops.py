@@ -2574,3 +2574,28 @@ def test_event_transitions_lag_law(ray_session, tmp_path):
     # a has 2 outgoing: a->b and a->a each 5000 bp
     assert got.loc[("a", "b"), "p_bp"] == 5000
     assert got.loc[("b", "a"), "p_bp"] == 10000
+
+
+def test_cluster_outliers_planted(ray_session):
+    """A vector equal to a centroid can't be its cell's outlier when a
+    far vector shares the cell; distances are exact grid L2."""
+    import numpy as np
+    import ray.data
+
+    from name_matching_ray.stages.annsearch import (_quantize127,
+                                                    cluster_outliers)
+
+    cent = np.zeros((2, 4)); cent[0, 0] = 1.0; cent[1, 1] = 1.0
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],     # == centroid 0 -> dist 0
+        2: [0.9, 0.0, 0.3, 0.3],     # cell 0, off-center
+        3: [0.0, 1.0, 0.0, 0.0],     # == centroid 1
+    }
+    ds = ray.data.from_items(
+        [{"vec_id": k, "embedding": v} for k, v in vecs.items()])
+    got = cluster_outliers(ds, cent).to_pandas().set_index("cluster")
+    assert got.loc[0, "vec_id"] == 2
+    v = _quantize127(np.array(vecs[2])).astype(np.int64)
+    c = _quantize127(cent[0]).astype(np.int64)
+    assert got.loc[0, "dist"] == ((v - c) ** 2).sum()
+    assert got.loc[1, "vec_id"] == 3 and got.loc[1, "dist"] == 0
