@@ -908,6 +908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # assigned centroid is itself hash-compared)
         "cluster_outliers": lambda sf: annsearch.cluster_outliers(
             _read_emb(sf), annsearch.fixed_centroids(8, 64)),
+        # fixed-width order-value histogram (all-integer cents buckets)
+        "value_histogram": analytics.value_histogram,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3489,6 +3491,18 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY GROUPING SETS ((n.n_name, o.o_orderstatus),
                                     (n.n_name), (o.o_orderstatus), ())
+        """,
+        # value_histogram: fixed-width integer-cents buckets.
+        "value_histogram": """
+            WITH c AS (
+                SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders)
+            SELECT cents // 100000 AS bucket,
+                   CAST((cents // 100000) * 100000 AS BIGINT) AS lo_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM c GROUP BY cents // 100000
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

@@ -124,7 +124,7 @@ BENCH_QUERIES = [
     "pagerank_dups", "fk_violations", "ivfpq_topk", "perplexity_buckets",
     "profile_table", "conversion_time", "curate_corpus", "winnow_recall",
     "cluster_size_hist", "source_surprisal", "revenue_rollup",
-    "event_transitions", "cluster_outliers",
+    "event_transitions", "cluster_outliers", "value_histogram",
 ]
 
 

@@ -1807,3 +1807,50 @@ def event_transitions(sf_dir: str, *, n_buckets: int = 256):
         .groupby("_one").map_groups(
             lambda g: normalize(g.drop(columns=["_one"])),
             batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# fixed-width value histogram
+# ---------------------------------------------------------------------------
+
+def value_histogram(sf_dir: str, *, bucket_cents: int = 100_000):
+    """Fixed-width histogram of order values (the distribution panel
+    behind every dashboard): bucket = ``cents // bucket_cents``, one row
+    per non-empty bucket ``(bucket, lo_cents, n_orders, sum_cents)``.
+    All-integer law (cents = floor(x·100+0.5)).
+
+    Scale shape: per-batch bucket partials (≤ |buckets-in-batch| rows) →
+    one Sum shuffle over ≤ |distinct buckets| keys — the driver never
+    sees a row, only the shuffle does, and bucket cardinality is bounded
+    by the value range, not the row count.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    w = np.int64(bucket_cents)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cents = _cents(df["o_totalprice"].to_numpy())
+        b = cents // w
+        g = pd.DataFrame({"bucket": b, "n_orders": np.int64(1),
+                          "sum_cents": cents}) \
+            .groupby("bucket", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_cents", alias_name="sum_cents"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(b, pa.int64()),
+            "lo_cents": pa.array(b * w, pa.int64()),
+            "n_orders": t.column("n_orders").cast(pa.int64()),
+            "sum_cents": t.column("sum_cents").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
