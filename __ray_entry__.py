@@ -910,6 +910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_emb(sf), annsearch.fixed_centroids(8, 64)),
         # fixed-width order-value histogram (all-integer cents buckets)
         "value_histogram": analytics.value_histogram,
+        # per-nation supplier balances (closes warehouse table coverage)
+        "supplier_balance": analytics.supplier_balance,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3503,6 +3505,21 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_orders,
                    CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM c GROUP BY cents // 100000
+        """,
+        # supplier_balance: integer cents incl. negatives (floor law is
+        # identical for negative doubles on both sides).
+        "supplier_balance": """
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(CAST(floor(s.s_acctbal * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS bal_cents,
+                   CAST(sum(CASE WHEN CAST(floor(s.s_acctbal * 100 + 0.5)
+                                      AS BIGINT) < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_negative
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

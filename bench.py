@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "profile_table", "conversion_time", "curate_corpus", "winnow_recall",
     "cluster_size_hist", "source_surprisal", "revenue_rollup",
     "event_transitions", "cluster_outliers", "value_histogram",
+    "supplier_balance",
 ]
 
 

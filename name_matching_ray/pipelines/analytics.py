@@ -1854,3 +1854,51 @@ def value_histogram(sf_dir: str, *, bucket_cents: int = 100_000):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# supplier account-balance report (closes table coverage)
+# ---------------------------------------------------------------------------
+
+def supplier_balance(sf_dir: str):
+    """Per-nation supplier report ``(n_name, n_suppliers, bal_cents,
+    n_negative)`` — the last unexercised warehouse table (supplier) under
+    the oracle.  Integer cents; negative balances counted (TPC-H plants
+    them).  Broadcast the 25-row nation dim; per-batch partials → one
+    Sum shuffle over ≤ |nations| keys.
+    """
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(np.int64),
+                       nat["n_name"]))
+    bc = ray.put(name_of)
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    class Partial:
+        def __init__(self):
+            self.name_of = ray.get(bc)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            cents = _cents(df["s_acctbal"].to_numpy())
+            g = pd.DataFrame({
+                "n_name": df["s_nationkey"].astype(np.int64)
+                .map(self.name_of),
+                "n_suppliers": np.int64(1),
+                "bal_cents": cents,
+                "n_negative": (cents < 0).astype(np.int64),
+            }).groupby("n_name", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..util import default_pool
+
+    return ds.map_batches(Partial, batch_format="pandas",
+                          concurrency=default_pool()) \
+        .groupby("n_name").aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("bal_cents", alias_name="bal_cents"),
+            Sum("n_negative", alias_name="n_negative"))

@@ -2599,3 +2599,28 @@ def test_cluster_outliers_planted(ray_session):
     c = _quantize127(cent[0]).astype(np.int64)
     assert got.loc[0, "dist"] == ((v - c) ** 2).sum()
     assert got.loc[1, "vec_id"] == 3 and got.loc[1, "dist"] == 0
+
+
+def test_supplier_balance_negatives(ray_session, tmp_path):
+    """Negative balances floor under the same cents law and count into
+    n_negative; nation names resolve through the broadcast dim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import supplier_balance
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": ["ALPHA", "BETA"],
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": ["a", "b", "c"],
+        "s_nationkey": pa.array([0, 0, 1], pa.int32()),
+        "s_acctbal": pa.array([10.01, -2.005, 5.0], pa.float64()),
+    }), tmp_path / "supplier.parquet")
+    got = supplier_balance(str(tmp_path)).to_pandas().set_index("n_name")
+    # -2.005*100 = -200.49999... +0.5 -> floor(-199.99..) = -200
+    assert got.loc["ALPHA", "bal_cents"] == 1001 - 200
+    assert got.loc["ALPHA", "n_negative"] == 1
+    assert got.loc["BETA", "n_suppliers"] == 1
