@@ -581,6 +581,45 @@ def _incremental_dedup(sf_dir: str):
     return incremental_dedup(_read_docs(sf_dir), IncrementalIndex(8))
 
 
+def _incremental_dedup_counts(sf_dir: str):
+    """The streaming dedup's keep-COUNT law under a real SQL oracle: WHICH
+    doc survives is arrival-order (not SQL-expressible), but HOW MANY is
+    exact — one keeper per distinct fingerprint against a fresh index, so
+    n_keep == COUNT(DISTINCT md5(...)).  One row:
+    ``(n_docs, n_keep, n_dup)``."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from name_matching_ray.state.incremental import (IncrementalIndex,
+                                                     incremental_dedup)
+
+    tagged = incremental_dedup(_read_docs(sf_dir), IncrementalIndex(8))
+
+    def part(t: pa.Table) -> pa.Table:
+        dup = t.column("is_dup").to_numpy(zero_copy_only=False)
+        return pa.table({"_one": pa.array([0], pa.int64()),
+                         "n_docs": pa.array([len(dup)], pa.int64()),
+                         "n_dup": pa.array([int(dup.sum())], pa.int64())})
+
+    seed = rd.from_arrow(pa.table({"_one": pa.array([0], pa.int64()),
+                                   "n_docs": pa.array([0], pa.int64()),
+                                   "n_dup": pa.array([0], pa.int64())}))
+    agg = tagged.map_batches(part, batch_format="pyarrow").union(seed) \
+        .groupby("_one").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                   Sum("n_dup", alias_name="n_dup"))
+
+    def final(t: pa.Table) -> pa.Table:
+        nd = t.column("n_docs")
+        dup = t.column("n_dup")
+        import pyarrow.compute as pc
+        return pa.table({"n_docs": nd,
+                         "n_keep": pc.subtract(nd, dup),
+                         "n_dup": dup})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 def _search_topk(sf_dir: str):
     """Sparse retrieval: integer tf-idf proxy + per-query top-10."""
     return textstats.search_topk(_read_docs(sf_dir),
@@ -912,6 +951,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": analytics.value_histogram,
         # per-nation supplier balances (closes warehouse table coverage)
         "supplier_balance": analytics.supplier_balance,
+        # streaming-dedup keep-COUNT law (one keeper per distinct
+        # fingerprint) — the SQL-expressible half of incremental_dedup,
+        # so the actor-index path gets a real DuckDB oracle row
+        "incremental_dedup_counts": _incremental_dedup_counts,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3520,6 +3563,21 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM supplier s
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             GROUP BY n.n_name
+        """,
+        # incremental_dedup_counts: the streaming dedup's keep-COUNT law —
+        # exactly one keeper per distinct fingerprint (fresh index), so
+        # n_keep = COUNT(DISTINCT md5(...)).  coalesce(text, '') matches
+        # the Ray fingerprint law (NULL text ⇒ md5('')); bare NULLs would
+        # silently vanish from COUNT(DISTINCT).
+        "incremental_dedup_counts": """
+            WITH fp AS (
+                SELECT md5(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g')) AS f
+                FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT f) AS BIGINT) AS n_keep,
+                   CAST(count(*) - count(DISTINCT f) AS BIGINT) AS n_dup
+            FROM fp
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

@@ -35,18 +35,10 @@ def _read(sf_dir: str, table: str, columns: list[str]):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _key_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
-    """Combined uint64 hash over key COLUMNS (FNV-style mix per column).
-
-    Hashing each column separately and mixing avoids the ambiguity of a
-    string join (keys containing the separator would collide group-wise).
-    """
-    h = np.zeros(len(df), np.uint64)
-    for k in keys:
-        hk = pd.util.hash_pandas_object(df[k], index=False).to_numpy()
-        with np.errstate(over="ignore"):
-            h = h * np.uint64(1099511628211) + hk
-    return h
+# the engine-wide bucket law lives in util.key_hash / util.bucket_hash —
+# one definition so a pipeline and its in-bucket kernel can never drift
+from ..util import bucket_hash as _bucket_hash
+from ..util import key_hash as _key_hash
 
 
 def _grouped_sum(ds, keys: list[str], partial_fn, value_cols: list[str],
@@ -320,8 +312,7 @@ def _bucket_tag(ds, keys: list[str], n_buckets: int, out_col: str = "_ub"):
     100k+ keys — measured on rolling_user_value / dedup / cluster)."""
     def tag(df: pd.DataFrame) -> pa.Table:
         return pa.Table.from_pandas(
-            df.assign(**{out_col: (_key_hash(df, keys) % n_buckets)
-                         .astype(np.int64)}),
+            df.assign(**{out_col: _bucket_hash(df, n_buckets, keys=keys)}),
             preserve_index=False,
         )
 
@@ -476,9 +467,8 @@ def rolling_user_value(sf_dir: str, window_minutes: int = 30,
         return _rolling_salted(ds, win, salt_span_minutes, n_buckets)
 
     def tag(df: pd.DataFrame) -> pa.Table:
-        h = pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
         return pa.Table.from_pandas(
-            df.assign(_ub=(h % n_buckets).astype(np.int64)),
+            df.assign(_ub=_bucket_hash(df["user_id"], n_buckets)),
             preserve_index=False,
         )
 
@@ -577,9 +567,8 @@ def windowed_counts_watermark(sf_dir: str, *, window_minutes: int = 60,
     wm = np.timedelta64(watermark_minutes * 60, "s")
 
     def tag(df: pd.DataFrame) -> pa.Table:
-        h = pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
         return pa.Table.from_pandas(
-            df.assign(_ub=(h % n_buckets).astype(np.int64)),
+            df.assign(_ub=_bucket_hash(df["user_id"], n_buckets)),
             preserve_index=False,
         )
 
@@ -1250,7 +1239,14 @@ def funnel_counts(sf_dir: str, *, stages: tuple[str, ...] = FUNNEL_STAGES,
     parts = _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
                         ["user_id"], n_buckets) \
         .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
-    agg = parts.groupby("stage_idx").aggregate(
+    # degenerate-corpus parity: the oracle's VALUES list emits every
+    # stage row even when no user qualifies — seed zero-count partials
+    # so the Sum always yields the fixed |stages| rows.
+    import ray.data as rd
+    seed = rd.from_arrow(pa.table({
+        "stage_idx": pa.array(range(k), pa.int64()),
+        "n_users": pa.array([0] * k, pa.int64())}))
+    agg = parts.union(seed).groupby("stage_idx").aggregate(
         Sum("n_users", alias_name="n_users"))
 
     names = list(stages)
@@ -1614,9 +1610,17 @@ def conversion_time(sf_dir: str, *, from_type: str = "view",
         return pa.table({"delay_s": pa.array(v, pa.int64()),
                          "c": pa.array(c.astype(np.int64), pa.int64())})
 
+    # degenerate-corpus parity: with zero converting users the oracle
+    # still emits one row per percentile (NULL delay_s) — a zero-count
+    # seed keeps the final group alive without perturbing the histogram
+    # (c=0 merges into a real delay-0 row or adds a cum-neutral value).
+    import ray.data as rd
+    seed = rd.from_arrow(pa.table({"delay_s": pa.array([0], pa.int64()),
+                                   "c": pa.array([0], pa.int64())}))
     hist = _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
                        ["user_id"], n_buckets) \
         .groupby("_ub").map_groups(per_bucket, batch_format="pandas") \
+        .union(seed) \
         .groupby("delay_s").aggregate(Sum("c", alias_name="c"))
 
     qlist = list(q_bps)
@@ -1636,7 +1640,9 @@ def conversion_time(sf_dir: str, *, from_type: str = "view",
             if n:
                 out.append(int(vs[int((cum * 10_000 >= q * n).argmax())]))
             else:
-                out.append(0)
+                # zero converting users: the oracle's scalar subquery
+                # returns NULL per percentile — match it exactly.
+                out.append(None)
         return pa.table({
             "q_bp": pa.array(qlist, pa.int64()),
             "delay_s": pa.array(out, pa.int64()),
@@ -1669,40 +1675,43 @@ def revenue_rollup(sf_dir: str):
     """
     import pandas as pd
 
-    import ray
     from ray.data.aggregate import Sum
 
-    from ..util import default_pool
+    from ..stages.joins import broadcast_join
+
+    # 25-row nation dim captured in the closure; the customer→nation
+    # probe goes through the GUARDED broadcast_join (one collect serves
+    # guard + broadcast) instead of an unguarded full to_pandas() —
+    # above max_rows it refuses loudly and the caller switches to
+    # bucket_hash_join, per the repo's broadcast pattern.
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-        .to_pandas()
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nation_of = dict(zip(
-        cust["c_custkey"].to_numpy(),
-        cust["c_nationkey"].map(
-            dict(zip(nat["n_nationkey"], nat["n_name"]))).to_numpy()))
-    bc = ray.put(nation_of)
+        .map_batches(
+            lambda df: pa.table({
+                "o_custkey": pa.Array.from_pandas(df["c_custkey"]),
+                "nation": pa.Array.from_pandas(
+                    df["c_nationkey"].map(nmap), type=pa.string()),
+            }),
+            batch_format="pandas")
 
     ords = _read(sf_dir, "orders",
                  ["o_custkey", "o_orderstatus", "o_totalprice"])
+    joined = broadcast_join(ords, cust, on="o_custkey", how="inner")
 
-    class Partial:
-        def __init__(self):
-            self.nation_of = ray.get(bc)
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            "nation": df["nation"],
+            "status": df["o_orderstatus"],
+            "revenue_c": _cents(df["o_totalprice"].to_numpy()),
+            "n_orders": np.int64(1),
+        })
+        g = out.groupby(["nation", "status"], as_index=False)[
+            ["revenue_c", "n_orders"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-        def __call__(self, df: pd.DataFrame) -> pa.Table:
-            out = pd.DataFrame({
-                "nation": df["o_custkey"].map(self.nation_of),
-                "status": df["o_orderstatus"],
-                "revenue_c": _cents(df["o_totalprice"].to_numpy()),
-                "n_orders": np.int64(1),
-            })
-            g = out.groupby(["nation", "status"], as_index=False)[
-                ["revenue_c", "n_orders"]].sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
-
-    fine = ords.map_batches(Partial, batch_format="pandas",
-                            concurrency=default_pool()) \
+    fine = joined.map_batches(partial, batch_format="pandas") \
         .groupby(["nation", "status"]).aggregate(
             Sum("revenue_c", alias_name="revenue_c"),
             Sum("n_orders", alias_name="n_orders"))

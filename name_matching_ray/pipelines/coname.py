@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import bucket_hash
+
 from ..functions.coname_legacy import (
     _WS,
     legacy_match,
@@ -90,8 +92,7 @@ def coname_corpus_words(base_ds, *, order_col: str = "row_order",
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[order_col, gvkey_col, name_col]].copy()
-        out["_ub"] = pd.util.hash_pandas_object(
-            df[gvkey_col], index=False).to_numpy() % n_buckets
+        out["_ub"] = bucket_hash(df[gvkey_col], n_buckets)
         return out
 
     def bucket_items(g: pd.DataFrame) -> pa.Table:

@@ -579,7 +579,11 @@ def ivf_topk(ds, centroids: np.ndarray, query_ids: list[int], k: int, *,
     """
     parted = ivf_partition(ds, centroids, id_col=id_col, vec_col=vec_col)
     qids, qmat = load_query_matrix(ds, query_ids, id_col=id_col, vec_col=vec_col)
-    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    # stable sort: tied cosines (duplicate/zero vectors or centroids)
+    # must probe the LOWEST centroid id first, matching the oracle's
+    # ORDER BY cos DESC, icid tie-break.
+    probes = np.argsort(-(qmat @ centroids.T), axis=1,
+                        kind='stable')[:, :nprobe]
     wanted = sorted({int(p) for row in probes for p in row})
     sub = parted.filter(expr=_in_expr("partition", wanted))
     return ann_topk(sub, query_ids, k, id_col=id_col, vec_col=vec_col,
@@ -1004,7 +1008,11 @@ def ivfpq_topk(ds, centroids: np.ndarray, query_ids: list[int],
     parted = ivf_partition(ds, centroids, id_col=id_col, vec_col=vec_col)
     _qids, qmat = load_query_matrix(ds, query_ids, id_col=id_col,
                                     vec_col=vec_col)
-    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    # stable sort: tied cosines (duplicate/zero vectors or centroids)
+    # must probe the LOWEST centroid id first, matching the oracle's
+    # ORDER BY cos DESC, icid tie-break.
+    probes = np.argsort(-(qmat @ centroids.T), axis=1,
+                        kind='stable')[:, :nprobe]
     wanted = sorted({int(p) for row in probes for p in row})
     sub = parted.filter(expr=_in_expr("partition", wanted)) \
         .drop_columns(["partition"])

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..util import default_pool
+from ..util import bucket_hash, default_pool
 import pandas as pd
 import pyarrow as pa
 
@@ -102,17 +102,43 @@ def _driver_union_find(edges_ds, nodes_ds):
     lbl_ref = ray.put(labels)
 
     class Attach:
+        """Vectorized label attach: the edge-derived relabel map is tiny,
+        but the node set can be the whole corpus — no per-row Python loop
+        here.  Integer ids take a numpy searchsorted lookup (exact at any
+        id magnitude); other types fall back to a pandas object-dtype
+        ``Series.map`` (object dtype on purpose: an int64→float64 NaN
+        detour would corrupt ids above 2^53)."""
+
         def __init__(self):
-            self.labels = ray.get(lbl_ref)
+            labels = ray.get(lbl_ref)
+            self.labels = labels
+            self.ks = self.vs = None
+            if labels:
+                ks = np.asarray(list(labels.keys()))
+                if np.issubdtype(ks.dtype, np.integer):
+                    order = np.argsort(ks, kind="stable")
+                    self.ks = ks[order]
+                    self.vs = np.asarray(list(labels.values()))[order]
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_pylist()
-            lbl = self.labels
-            return pa.table({
-                "doc_id": t.column("doc_id"),
-                "cluster_id": pa.array([lbl.get(i, i) for i in ids],
-                                       t.column("doc_id").type),
-            })
+            col = t.column("doc_id")
+            if not self.labels:
+                return pa.table({"doc_id": col,
+                                 "cluster_id": col.cast(col.type)})
+            if self.ks is not None and pa.types.is_integer(col.type):
+                ids = col.to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.ks, ids)
+                pos[pos >= len(self.ks)] = 0
+                hit = self.ks[pos] == ids
+                out = ids.copy()
+                out[hit] = self.vs[pos[hit]]
+                cluster = pa.array(out).cast(col.type)
+            else:
+                s = col.to_pandas().astype(object)
+                mapped = s.map(self.labels)
+                cluster = pa.Array.from_pandas(
+                    mapped.where(mapped.notna(), s), type=col.type)
+            return pa.table({"doc_id": col, "cluster_id": cluster})
 
     return nodes_ds.map_batches(Attach, batch_format="pyarrow",
                                 concurrency=default_pool())
@@ -157,9 +183,6 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
     # (a groupby("node") built one tiny pandas group per node per iteration,
     # the exact 100k+-tiny-groups pathology this repo hit elsewhere)
 
-    def _bucket_of(s: pd.Series) -> np.ndarray:
-        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
-        return (h % n_buckets).astype(np.int64)
 
     def to_adj(batch: pd.DataFrame) -> pa.Table:
         node = pd.concat([batch["left_doc_id"], batch["right_doc_id"]],
@@ -169,7 +192,7 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
         return pa.table({
             "node": pa.array(node, idt),
             "nbr": pa.array(nbr, idt),
-            "bucket": pa.array(_bucket_of(node), pa.int64()),
+            "bucket": pa.array(bucket_hash(node, n_buckets), pa.int64()),
         })
 
     adj = edges_ds.map_batches(to_adj, batch_format="pandas").materialize()
@@ -200,7 +223,7 @@ def connected_components(edges_ds, nodes_ds, *, max_iters: int = 25,
                 "node": pa.array(g["node"], idt),
                 "nbr": pa.nulls(len(g), idt),
                 "label": pa.array(g["label"], idt),
-                "bucket": pa.array(_bucket_of(g["node"]), pa.int64()),
+                "bucket": pa.array(bucket_hash(g["node"], n_buckets), pa.int64()),
             }),
             batch_format="pandas",
         )

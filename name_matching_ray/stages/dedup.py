@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..util import default_pool
+from ..util import bucket_hash, default_pool
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -602,9 +602,6 @@ def _minhash_lean(sigs, *, num_perm: int, bands: int, min_agree: int,
             concurrency=default_pool(),
         )
 
-    def _jbucket(s: pd.Series) -> np.ndarray:
-        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
-        return (h % n_buckets).astype(np.int64)
 
     sig_type = pa.list_(pa.int64(), num_perm)
 
@@ -616,7 +613,7 @@ def _minhash_lean(sigs, *, num_perm: int, bands: int, min_agree: int,
                 cols["sig_l"] = pa.array(df["sig_l"], sig_type)
             cols["_key"] = pa.array(df[join_key], pa.int64())
             cols["_sig"] = pa.nulls(len(df), sig_type)
-            cols["_jb"] = pa.array(_jbucket(df[join_key]), pa.int64())
+            cols["_jb"] = pa.array(bucket_hash(df[join_key], n_buckets), pa.int64())
             return pa.table(cols)
 
         def tag_sigs(df: pd.DataFrame) -> pa.Table:
@@ -626,7 +623,7 @@ def _minhash_lean(sigs, *, num_perm: int, bands: int, min_agree: int,
                 cols["sig_l"] = pa.nulls(len(df), sig_type)
             cols["_key"] = pa.array(df[id_col], pa.int64())
             cols["_sig"] = pa.array(df["sig"], sig_type)
-            cols["_jb"] = pa.array(_jbucket(df[id_col]), pa.int64())
+            cols["_jb"] = pa.array(bucket_hash(df[id_col], n_buckets), pa.int64())
             return pa.table(cols)
 
         return tag_pairs, tag_sigs

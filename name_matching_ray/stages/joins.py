@@ -20,10 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-
-def _bucket_of(keys: pd.Series, n_buckets: int) -> np.ndarray:
-    h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
-    return (h % np.uint64(n_buckets)).astype(np.int64)
+from ..util import bucket_hash
 
 
 def bucket_hash_join(left, right, *, on: str, how: str = "inner",
@@ -57,20 +54,31 @@ def bucket_hash_join(left, right, *, on: str, how: str = "inner",
                 df[[on]].drop_duplicates(), preserve_index=False),
             batch_format="pandas")
 
-    def tag(side: int, own: list[str], other: list[str]):
+    # peer-side columns are padded with TYPED Arrow nulls (pa.nulls with
+    # the peer schema's type), not object-dtype pandas columns — the
+    # tagged blocks stay Arrow-native and both union branches carry
+    # identical per-column types.
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+
+    def tag(side: int, own: list[str], other: list[str],
+            own_types: dict, other_types: dict):
         def fn(df: pd.DataFrame) -> pa.Table:
-            out = {on: df[on], "_jb": _bucket_of(df[on], n_buckets),
-                   "_side": np.full(len(df), side, np.int8)}
+            n = len(df)
+            out = {on: pa.Array.from_pandas(df[on], type=ltypes[on]),
+                   "_jb": pa.array(bucket_hash(df[on], n_buckets)),
+                   "_side": pa.array(np.full(n, side, np.int8))}
             for c in own:
-                out[c] = df[c]
+                out[c] = pa.Array.from_pandas(df[c], type=own_types[c])
             for c in other:
-                out[c] = pd.Series([None] * len(df), dtype=object)
-            return pa.Table.from_pandas(pd.DataFrame(out),
-                                        preserve_index=False)
+                out[c] = pa.nulls(n, other_types[c])
+            return pa.table(out)
         return fn
 
-    both = left.map_batches(tag(0, lcols, rcols), batch_format="pandas") \
-        .union(right.map_batches(tag(1, rcols, lcols),
+    both = left.map_batches(tag(0, lcols, rcols, ltypes, rtypes),
+                            batch_format="pandas") \
+        .union(right.map_batches(tag(1, rcols, lcols, rtypes, ltypes),
                                  batch_format="pandas"))
 
     def merge(g: pd.DataFrame) -> pa.Table:

@@ -2,12 +2,16 @@
 actor-pool ``map_batches`` stages over opaque ``binary``/``media_ref`` spans.
 
 The interleaved-docs schema (BASELINE.json input_hint) carries media as
-``spans.kind in ("image","audio",...)`` with a ``media_ref`` URI.  The image/
-audio codec libraries are NOT in this container, so the actual byte decode is
-STUBBED: :class:`MediaDecoder` raises ``NotImplementedError`` unless
-``fake=True``, in which case it produces a *deterministic* fake decode
-(hash-seeded features) — the Ray-side plumbing (schema, actor pool, batch
-sizing, output layout) is real and tested either way.
+``spans.kind in ("image","audio",...)`` with a ``media_ref`` URI.  The
+compressed-codec libraries (PIL/ffmpeg) are NOT in this container, so real
+decode support is limited to the UNCOMPRESSED formats implemented here in
+pure numpy: binary PPM/PGM images and PCM WAV audio
+(:func:`decode_ppm` / :func:`decode_wav`).  ``MediaDecoder(fake=False)``
+reads the ``media_ref`` (``file://`` or plain path) and decodes those for
+real; compressed formats and video raise ``NotImplementedError``.
+``fake=True`` (the synth-corpus default) produces a *deterministic*
+hash-seeded pseudo-decode — the Ray-side plumbing (schema, actor pool,
+batch sizing, output layout) is identical either way and tested on both.
 
 Scale notes: media batches are large-payload — keep ``batch_size`` small
 (default 64) and let per-actor state hold the (stubbed) model.  Output rows
@@ -58,12 +62,98 @@ def explode_media_spans(batch: pa.Table) -> pa.Table:
     })
 
 
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) -> float32 grayscale (H, W)
+    in [0, 1].  Pure numpy — no codec library.  Header grammar per the
+    netpbm spec: magic, then width/height/maxval as whitespace-separated
+    ASCII ints with ``#`` comments allowed between tokens, one whitespace
+    byte, then the raw raster (1 or 2 bytes/sample by maxval)."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            f"unsupported image magic {data[:2]!r}: only binary PPM (P6) "
+            "and PGM (P5) decode without codec libraries")
+    rgb = data[:2] == b"P6"
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = tokens
+    wide = maxval > 255
+    dtype = np.dtype(">u2") if wide else np.uint8
+    n = w * h * (3 if rgb else 1)
+    raster = np.frombuffer(data, dtype=dtype, count=n, offset=pos)
+    img = raster.astype(np.float32) / np.float32(maxval)
+    if rgb:
+        # ITU-R BT.601 luma — the fixed gray law both tests and any
+        # SQL-side re-derivation can reproduce exactly
+        img = img.reshape(h, w, 3) @ np.array([0.299, 0.587, 0.114],
+                                              np.float32)
+    else:
+        img = img.reshape(h, w)
+    return img
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """PCM WAV (8/16-bit, any channel count) -> float32 mono samples in
+    [-1, 1].  Pure numpy RIFF walk — no codec library.  Non-PCM encodings
+    (format tag != 1) raise."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE file")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PCM WAV decodes without codec libraries "
+            f"(format tag {tag}, {bits}-bit)")
+    if bits == 16:
+        s = np.frombuffer(raw, dtype="<i2",
+                          count=len(raw) // 2).astype(np.float32) / 32768.0
+    else:
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    if n_ch > 1:
+        s = s[:len(s) - len(s) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return s
+
+
+def _resize_nearest(img: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-neighbor resize to (size, size) — index sampling only."""
+    h, w = img.shape
+    yi = np.minimum((np.arange(size) * h) // size, h - 1)
+    xi = np.minimum((np.arange(size) * w) // size, w - 1)
+    return img[np.ix_(yi, xi)]
+
+
 class MediaDecoder:
     """Actor-pool stage: decode + resize + frame-sample + feature-extract.
 
     ``fake=True`` → deterministic hash-seeded pseudo-decode (testable without
-    codec libraries).  ``fake=False`` → NotImplementedError at decode time
-    (codec libs are not installed in this environment).
+    codec libraries).  ``fake=False`` → REAL decode of the uncompressed
+    formats (binary PPM/PGM images, PCM WAV audio) read from the
+    ``media_ref`` path; compressed formats and video raise
+    ``NotImplementedError`` (codec libs are not in this environment).
     """
 
     def __init__(self, fake: bool = True, target_size: int = 64,
@@ -74,12 +164,40 @@ class MediaDecoder:
         # model-load stand-in: done ONCE per actor, never per batch
         self.projection = np.linspace(0.0, 1.0, 8, dtype=np.float32)
 
+    def _decode_real(self, kind: str,
+                     ref: str) -> tuple[int, int, int, np.ndarray]:
+        if kind not in ("image", "audio"):
+            raise NotImplementedError(
+                f"real decode for kind={kind!r} requires codec libraries "
+                "(PIL/ffmpeg) that are not in this environment; supported "
+                "real kinds: image (PPM/PGM), audio (PCM WAV)")
+        path = ref[7:] if ref.startswith("file://") else ref
+        with open(path, "rb") as f:
+            data = f.read()
+        if kind == "image":
+            img = decode_ppm(data)
+            h, w = img.shape
+            small = _resize_nearest(img, self.target_size)
+            # 8-dim feature = mean gray of 8 horizontal strips of the
+            # resized image (fixed, reproducible law)
+            feat = np.array([s.mean() for s in np.array_split(small, 8)],
+                            np.float32)
+            return w, h, 1, feat
+        if kind == "audio":
+            s = decode_wav(data)
+            n = len(s) - len(s) % 8
+            if n:
+                seg = s[:n].reshape(8, -1)
+                feat = np.sqrt((seg * seg).mean(axis=1)).astype(np.float32)
+            else:
+                feat = np.zeros(8, np.float32)
+            # 8-dim feature = RMS energy of 8 equal time segments
+            return -1, -1, 1, feat
+        raise AssertionError("unreachable: kind gate above")
+
     def _decode(self, kind: str, ref: str) -> tuple[int, int, int, np.ndarray]:
         if not self.fake:
-            raise NotImplementedError(
-                "real media decode requires codec libraries (PIL/ffmpeg) "
-                "that are not available in this environment; pass fake=True"
-            )
+            return self._decode_real(kind, ref)
         h = hashlib.blake2b(f"{kind}:{ref}".encode(), digest_size=16).digest()
         rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
         if kind == "image":

@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import default_pool
+from ..util import bucket_hash, default_pool
 
 
 def _explode_tokens(batch: pa.Table, text_col: str):
@@ -395,8 +395,7 @@ def _tfidf_topk_join(docs_ds, tf_partial, *, k: int, min_df: int,
     import pandas as pd
 
     def _tb(s: pd.Series) -> np.ndarray:
-        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
-        return (h % n_buckets).astype(np.int64)
+        return bucket_hash(s, n_buckets)
 
     tf_rows = docs_ds.map_batches(tf_partial, batch_format="pyarrow")
 
@@ -480,10 +479,8 @@ def inverted_index(docs_ds, *, cap: int = 32, min_df: int = 1,
         g = df.groupby("token", sort=False)
         pdfc = g.size()                       # per-batch distinct-doc count
         capped = g.head(cap)
-        h = pd.util.hash_pandas_object(
-            pd.Index(pdfc.index), index=False).to_numpy() % n_buckets
-        hb_post = pd.util.hash_pandas_object(
-            capped["token"], index=False).to_numpy() % n_buckets
+        h = bucket_hash(pd.Index(pdfc.index), n_buckets)
+        hb_post = bucket_hash(capped["token"], n_buckets)
         return pa.table({
             "token": pa.array(
                 np.concatenate([capped["token"].to_numpy(),
@@ -1136,8 +1133,7 @@ def _pmi_bigrams_join(docs_ds, wc_ds, *, k: int, min_count: int,
     import pandas as pd
 
     def _wb(s: pd.Series) -> np.ndarray:
-        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
-        return (h % n_buckets).astype(np.int64)
+        return bucket_hash(s, n_buckets)
 
     bc = bigram_counts(docs_ds, text_col=text_col) \
         .filter(expr=f"c_xy >= {min_count}")

@@ -3,6 +3,46 @@
 from __future__ import annotations
 
 
+def key_hash(df, keys: list[str]):
+    """Combined uint64 hash over key COLUMNS (FNV-style mix per column).
+
+    Hashing each column separately and mixing avoids the ambiguity of a
+    string join (keys containing the separator would collide group-wise —
+    and Ray's groupby strips NUL bytes from string keys, so separator
+    joins are doubly unsafe; see CLAUDE.md).  For a single key the mix is
+    the identity, so this equals the plain per-series law.
+    """
+    import numpy as np
+    import pandas as pd
+
+    h = np.zeros(len(df), np.uint64)
+    for k in keys:
+        hk = pd.util.hash_pandas_object(df[k], index=False).to_numpy()
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(1099511628211) + hk
+    return h
+
+
+def bucket_hash(data, n_buckets: int, keys: list[str] | None = None):
+    """THE coarse-bucket law: ``hash(keys) % n_buckets`` as int64.
+
+    One definition for every bucketed shuffle in the engine (joins, dedup,
+    cluster, analytics, textstats) so a pipeline and its in-bucket kernel
+    can never silently drift apart.  ``data`` is a Series/Index (keys
+    omitted) or a DataFrame with ``keys`` naming the hash columns.  The
+    hash is ``pd.util.hash_pandas_object`` — process-stable fixed-key
+    siphash, identical across workers with no seed plumbing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if keys is not None:
+        h = key_hash(data, keys)
+    else:
+        h = pd.util.hash_pandas_object(data, index=False).to_numpy()
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
 def default_pool(lo: int = 1, floor: int = 8) -> tuple[int, int]:
     """Actor-pool ``concurrency`` that follows the cluster.
 

@@ -320,10 +320,11 @@ def test_media_features_deterministic_and_stub_raises(ray_session):
     m1 = out.sort_values(["doc_id", "span_idx"]).feature.tolist()
     m2 = out2.sort_values(["doc_id", "span_idx"]).feature.tolist()
     assert all((a == b).all() for a, b in zip(m1, m2))
-    # the real decode path is an explicit stub
+    # kinds without a pure-numpy decoder (video, compressed) stay an
+    # explicit stub; image/audio real decode is tests/test_multimodal_real
     dec = MediaDecoder(fake=False)
     with pytest.raises(NotImplementedError):
-        dec._decode("image", "media://x/y")
+        dec._decode("video", "media://x/y")
 
 
 def test_cluster_hybrid_paths_agree(ray_session):
