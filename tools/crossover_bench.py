@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+import pyarrow as pa
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SIZES = [int(s) for s in os.environ.get(
@@ -28,11 +30,15 @@ SIZES = [int(s) for s in os.environ.get(
 REPS = int(os.environ.get("GRAFT_CROSSOVER_REPS", "2"))
 
 
-def _steal_pct() -> float:
+def _stat_ticks() -> tuple[int, int]:
     with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    return 100.0 * vals[7] / max(1, sum(vals))
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return vals[7], sum(vals)
+
+
+def _window_steal(s0: tuple[int, int], s1: tuple[int, int]) -> float:
+    """steal% OVER THE WINDOW (delta ticks), not since-boot cumulative."""
+    return 100.0 * (s1[0] - s0[0]) / max(1, s1[1] - s0[1])
 
 
 def _consume(res) -> int:
@@ -55,12 +61,40 @@ def main():
     from name_matching_ray.stages.curation import cross_dedup
     from name_matching_ray.stages.dedup import minhash_lsh_pairs
     from name_matching_ray.stages.textstats import pmi_bigrams, tfidf_topk
-    from name_matching_ray.synth import write_synth_docs
+
+    def write_tiled_docs(path: str, n_docs: int):
+        """Tile the real sf0.1 documents table to n_docs rows.
+
+        Every token in copy c gets a ``_c<c>`` suffix, so cross-copy
+        similarity is ZERO: the near-dup cluster structure (and thus pair
+        volume) scales LINEARLY with corpus size instead of quadratically
+        in the copy count, and the token vocabulary grows linearly — the
+        exact open-vocab dimension the graded bucket-join plans exist for.
+        Deterministic (pure function of the committed testdata)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        base = pq.read_table("/root/testdata/sf0.1/documents.parquet",
+                             columns=["doc_id", "text"])
+        nb = base.num_rows
+        parts = []
+        for c in range((n_docs + nb - 1) // nb):
+            sfx = f"_c{c}"
+            txt = pc.replace_substring(base.column("text"), " ", sfx + " ")
+            txt = pc.binary_join_element_wise(txt, sfx, "")
+            parts.append(pa.table({
+                "doc_id": pc.add(base.column("doc_id"), c * nb),
+                "text": txt,
+            }))
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(pa.concat_tables(parts).slice(0, n_docs),
+                       os.path.join(path, "docs.parquet"))
 
     def read_docs(path):
         import ray.data
 
-        return ray.data.read_parquet(path, columns=["doc_id", "text"])
+        return ray.data.read_parquet(path, columns=["doc_id", "text"]) \
+            .repartition(64)
 
     def ref_slice(docs):
         # every 7th doc, same idiom as __ray_entry__._ref_slice
@@ -106,16 +140,16 @@ def main():
     for n_docs in SIZES:
         path = f"/tmp/crossover_docs_{n_docs}"
         if not os.path.exists(path):
-            write_synth_docs(path, n_docs)
+            write_tiled_docs(path, n_docs)
         for op, spec in PLANS.items():
             for plan in ("graded", "twin"):
                 best, steals = None, []
                 for _ in range(REPS):
-                    s0 = _steal_pct()
+                    s0 = _stat_ticks()
                     t0 = time.perf_counter()
                     rows = _consume(spec[plan](read_docs(path)))
                     dt = time.perf_counter() - t0
-                    steals.append(round(_steal_pct() - s0, 3))
+                    steals.append(round(_window_steal(s0, _stat_ticks()), 3))
                     best = dt if best is None else min(best, dt)
                 key = f"{op}@{n_docs}"
                 results["plans"].setdefault(key, {})[plan] = {
