@@ -955,6 +955,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fingerprint) — the SQL-expressible half of incremental_dedup,
         # so the actor-index path gets a real DuckDB oracle row
         "incremental_dedup_counts": _incremental_dedup_counts,
+        # TPC-H Q3 shape: customer(segment) semi⋈ orders(date<cut) ⋈
+        # lineitem-partials(shipdate>cut), per-order revenue top-10 —
+        # the 3-table-join + combiner + local-topk composition demo
+        "shipping_priority": analytics.shipping_priority,
+        # token-blocking budget (ER planning): block-size histogram +
+        # s*(s-1)/2 pair budget per size — the pass run before choosing
+        # a blocking key / stop-key cap
+        "token_blocking_budget": lambda sf: textstats.token_blocking_budget(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3578,6 +3587,42 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(count(DISTINCT f) AS BIGINT) AS n_keep,
                    CAST(count(*) - count(DISTINCT f) AS BIGINT) AS n_dup
             FROM fp
+        """,
+        # shipping_priority: Q3 shape; per-line cents law identical to
+        # pricing_summary's sum_disc_c; top-10 tie-break on orderkey.
+        "shipping_priority": """
+            WITH li AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0 - l_discount)*100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS revenue_c
+                FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+                GROUP BY l_orderkey)
+            SELECT o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+                   o.o_orderpriority, li.revenue_c
+            FROM li
+            JOIN orders o ON o.o_orderkey = li.o_orderkey
+            WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND o.o_custkey IN (SELECT c_custkey FROM customer
+                                  WHERE c_mktsegment = 'BUILDING')
+            ORDER BY li.revenue_c DESC, o.o_orderkey LIMIT 10
+        """,
+        # token_blocking_budget: tokenizer law shared with word_counts;
+        # distinct (doc, token) -> block sizes -> histogram + s*(s-1)//2
+        # pair budget (DuckDB // = floor division, same as numpy).
+        "token_blocking_budget": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, word FROM (
+                    SELECT doc_id,
+                           UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS word
+                    FROM documents) t
+                WHERE word <> ''),
+            blocks AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS block_size
+                FROM toks GROUP BY word)
+            SELECT block_size, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(COUNT(*) * (block_size*(block_size-1)//2) AS BIGINT) AS pairs_c
+            FROM blocks GROUP BY block_size
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

@@ -1911,3 +1911,89 @@ def supplier_balance(sf_dir: str):
             Sum("n_suppliers", alias_name="n_suppliers"),
             Sum("bal_cents", alias_name="bal_cents"),
             Sum("n_negative", alias_name="n_negative"))
+
+
+# ---------------------------------------------------------------------------
+# shipping priority (TPC-H Q3 shape): 3-table join + per-order revenue top-k
+# ---------------------------------------------------------------------------
+
+def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
+                      cut_date: str = "1998-06-01", k: int = 10):
+    """Top-k open orders of one market segment by outstanding lineitem
+    revenue (TPC-H Q3 shape): customer(segment) ⋈ orders(date < cut) ⋈
+    lineitem(shipdate > cut), grouped per order, top-k by revenue.
+
+    Scale plan: both fact tables are filtered in the FIRST map over the
+    pruned-column read; lineitem revenue is pre-aggregated per orderkey
+    inside map_batches BEFORE any shuffle (combiner rule — the join input
+    is one row per (batch, orderkey), not per lineitem); the customer
+    side flows through the generic :func:`~..stages.joins.bucket_hash_join`
+    as a SEMI join (only distinct custkeys of one segment move); the
+    final top-k is local-topk partials + a single-group merge — no global
+    sort.  Money in integer cents, per-line law identical to
+    pricing_summary's sum_disc_c: floor(extprice*(1-disc)*100+0.5).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import bucket_hash_join
+
+    cut = np.datetime64(cut_date)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        df = df[df["l_shipdate"].to_numpy() > cut]
+        g = (pd.DataFrame({
+                "o_orderkey": df["l_orderkey"].to_numpy(),
+                "revenue_c": _cents((df["l_extendedprice"] *
+                                     (1.0 - df["l_discount"])).to_numpy()),
+             }).groupby("o_orderkey", as_index=False)["revenue_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_po = li.map_batches(li_part, batch_format="pandas")
+
+    ords = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_orderpriority"])
+
+    def ord_filter(df: pd.DataFrame) -> pa.Table:
+        df = df[df["o_orderdate"].to_numpy() < cut]
+        out = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "order_day": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            "o_orderpriority": df["o_orderpriority"],
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ords_f = ords.map_batches(ord_filter, batch_format="pandas")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .filter(expr=f"c_mktsegment == '{segment}'") \
+        .map_batches(
+            lambda df: pa.table({
+                "o_custkey": pa.Array.from_pandas(df["c_custkey"],
+                                                  type=pa.int64())}),
+            batch_format="pandas")
+
+    ords_seg = bucket_hash_join(ords_f, cust, on="o_custkey", how="semi")
+    j = bucket_hash_join(li_po, ords_seg, on="o_orderkey", how="inner")
+
+    per_order = j.groupby(["o_orderkey", "order_day", "o_orderpriority"]) \
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+
+    cols = ["o_orderkey", "order_day", "o_orderpriority", "revenue_c"]
+
+    def local_topk(df: pd.DataFrame) -> pa.Table:
+        top = df.sort_values(["revenue_c", "o_orderkey"],
+                             ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(top[cols].reset_index(drop=True),
+                                    preserve_index=False)
+
+    # single-group merge: ≤ k rows per block reach it (topk_orders idiom)
+    return per_order.map_batches(local_topk, batch_format="pandas") \
+        .map_batches(lambda d: d.assign(_g=0), batch_format="pandas") \
+        .groupby("_g").map_groups(
+            lambda d: local_topk(d.drop(columns="_g")),
+            batch_format="pandas")

@@ -81,6 +81,14 @@ def bucket_hash_join(left, right, *, on: str, how: str = "inner",
         .union(right.map_batches(tag(1, rcols, lcols, rtypes, ltypes),
                                  batch_format="pandas"))
 
+    # the group block reaches merge through pandas, where an int column
+    # holding the peer side's typed nulls degrades to float64 — rebuild
+    # the output with the KNOWN Arrow types (NaN→null under from_pandas).
+    # Caveat shared by any pandas merge kernel: int64 keys above 2^53
+    # would lose precision on that float detour; ids here are far below.
+    out_types = {on: ltypes[on], **{c: ltypes[c] for c in lcols},
+                 **{c: rtypes[c] for c in rcols}}
+
     def merge(g: pd.DataFrame) -> pa.Table:
         lf = g[g["_side"] == 0][[on] + lcols]
         rt = g[g["_side"] == 1][[on] + rcols]
@@ -89,7 +97,8 @@ def bucket_hash_join(left, right, *, on: str, how: str = "inner",
             out = lf[mask if how == "semi" else ~mask]
         else:
             out = lf.merge(rt, on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.table({c: pa.Array.from_pandas(out[c], type=out_types[c])
+                         for c in out.columns})
 
     # union SUMS block counts (CLAUDE.md) — repartition before the groupby
     return both.repartition(max(32, n_buckets // 2)) \

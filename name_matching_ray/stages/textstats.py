@@ -2598,3 +2598,69 @@ def source_surprisal(docs_ds, *, vocab: int = 2048, text_col: str = "text",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token-blocking budget (ER planning): block-size histogram + pair budget
+# ---------------------------------------------------------------------------
+
+def token_blocking_budget(docs_ds, *, text_col: str = "text"):
+    """Token-blocking candidate-budget estimator — the ER planning pass
+    run BEFORE committing to a blocking key: every distinct lowercase
+    token is a block key, block size = number of distinct docs containing
+    it, and the comparison budget of a block of size s is s*(s-1)/2.
+    Output histogram: one row per distinct block size with
+    ``(block_size, n_blocks, pairs_c)`` — from which any stop-key cap
+    policy (and the resulting candidate count) is a driver-side sum.
+
+    Scale plan: docs are whole within a batch, so distinct (doc, token)
+    is BATCH-LOCAL (``drop_duplicates`` per batch, no global dedup
+    shuffle); the vocabulary-wide groupby ships one row per distinct
+    token per batch (combiner rule); the histogram groupby ships one row
+    per distinct block size per block.  ``pairs_c`` is int64 — a single
+    block would need >4.3e9 docs to overflow, far beyond any sane
+    blocking key.  Tokenizer law shared with word_counts (lowercase,
+    RE2 ``\\s+`` split, ``''`` dropped, NULL text contributes nothing).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def tok_part(batch: pa.Table) -> pa.Table:
+        doc_idx, flat, _ = _explode_tokens(batch, text_col)
+        df = pd.DataFrame({"d": doc_idx,
+                           "t": flat.to_pandas().astype(object)})
+        df = df[df["t"].notna() & (df["t"] != "")]
+        g = df.drop_duplicates().groupby("t", as_index=False).size()
+        return pa.table({
+            "token": pa.array(g["t"], pa.string()),
+            "c": pa.array(g["size"].to_numpy().astype(np.int64)),
+        })
+
+    per_tok = docs_ds.map_batches(tok_part, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("c", alias_name="block_size"))
+
+    def hist_part(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("block_size", as_index=False).size()
+        return pa.table({
+            "block_size": pa.array(
+                g["block_size"].to_numpy().astype(np.int64)),
+            "n_blocks": pa.array(g["size"].to_numpy().astype(np.int64)),
+        })
+
+    hist = per_tok.map_batches(hist_part, batch_format="pandas") \
+        .groupby("block_size").aggregate(Sum("n_blocks",
+                                             alias_name="n_blocks"))
+
+    def final(t: pa.Table) -> pa.Table:
+        bs = t.column("block_size").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nb = t.column("n_blocks").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "block_size": pa.array(bs),
+            "n_blocks": pa.array(nb),
+            "pairs_c": pa.array(nb * (bs * (bs - 1) // 2)),
+        })
+
+    return hist.map_batches(final, batch_format="pyarrow")

@@ -2625,3 +2625,82 @@ def test_supplier_balance_negatives(ray_session, tmp_path):
     assert got.loc["ALPHA", "bal_cents"] == 1001 - 200
     assert got.loc["ALPHA", "n_negative"] == 1
     assert got.loc["BETA", "n_suppliers"] == 1
+
+
+def test_token_blocking_budget_distinct_and_nulls(ray_session, tmp_path):
+    """Within-doc token repeats count ONCE per doc (distinct doc,token);
+    NULL text contributes nothing; pair budget = n_blocks * s*(s-1)//2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from name_matching_ray.stages.textstats import token_blocking_budget
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # "acme" in docs 1,2,3 (twice in doc 1 -> still one); "corp" in
+        # docs 1,2; "zeta" only in doc 3; doc 4 NULL
+        "text": pa.array(["acme acme  corp", "acme corp", "acme zeta", None],
+                         pa.string()),
+    }), tmp_path / "docs.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "docs.parquet"))
+    got = token_blocking_budget(ds).to_pandas() \
+        .sort_values("block_size").reset_index(drop=True)
+    # block sizes: acme=3, corp=2, zeta=1
+    assert got.to_dict("records") == [
+        {"block_size": 1, "n_blocks": 1, "pairs_c": 0},
+        {"block_size": 2, "n_blocks": 1, "pairs_c": 1},
+        {"block_size": 3, "n_blocks": 1, "pairs_c": 3},
+    ]
+
+
+def test_shipping_priority_filters_and_tiebreak(ray_session, tmp_path):
+    """Only the target segment's customers, orders strictly before the
+    cut, lineitems strictly after it; revenue ties break on orderkey."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import shipping_priority
+
+    ts = lambda s: pd.Timestamp(s)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_mktsegment": ["BUILDING", "MACHINERY"],
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 1], pa.int64()),
+        "o_orderdate": pa.array(
+            [ts("1998-01-01"), ts("1998-01-02"), ts("1998-01-03"),
+             ts("1998-06-01")],  # 13: ON the cut -> excluded (strict <)
+            pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "1-URGENT"],
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12, 13], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 150.0, 999.0, 10.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array(
+            [ts("1998-07-01"), ts("1998-06-01"),  # 2nd ON cut -> excluded
+             ts("1998-07-01"), ts("1998-07-01"), ts("1998-07-01")],
+            pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    got = shipping_priority(str(tmp_path)).to_pandas() \
+        .reset_index(drop=True)
+    # order 12 is MACHINERY (semi-join drops), 13 is on the cut date;
+    # orders 10 and 11 both net 100.00 and 150.00... 10: only the
+    # 1998-07-01 line counts (100.0); 11: 150.0
+    assert list(got["o_orderkey"]) == [11, 10]
+    assert list(got["revenue_c"]) == [15000, 10000]
+    assert list(got["order_day"]) == ["1998-01-02", "1998-01-01"]
+    # tie-break: equal revenues order by orderkey ascending
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 11], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 100.0]),
+        "l_discount": pa.array([0.0, 0.0]),
+        "l_shipdate": pa.array([ts("1998-07-01")] * 2, pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    got = shipping_priority(str(tmp_path)).to_pandas()
+    assert list(got["o_orderkey"]) == [10, 11]

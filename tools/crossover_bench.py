@@ -28,6 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SIZES = [int(s) for s in os.environ.get(
     "GRAFT_CROSSOVER_SIZES", "5000,50000,200000").split(",")]
 REPS = int(os.environ.get("GRAFT_CROSSOVER_REPS", "2"))
+# comma-list to restrict the op set (e.g. re-run one pair at a larger
+# size without paying for the rest); empty = all
+OPS = [s for s in os.environ.get("GRAFT_CROSSOVER_OPS", "").split(",") if s]
+OUT = os.environ.get("GRAFT_CROSSOVER_OUT", "crossover_r5.json")
 
 
 def _stat_ticks() -> tuple[int, int]:
@@ -135,6 +139,8 @@ def main():
             "twin_name": "broadcast",
         },
     }
+    if OPS:
+        PLANS = {k: v for k, v in PLANS.items() if k in OPS}
 
     results = {"sizes": SIZES, "reps": REPS, "plans": {}}
     for n_docs in SIZES:
@@ -172,7 +178,7 @@ def main():
         print(f"{op}: graded/twin ratio by size {SIZES} -> {trend}")
 
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH", "crossover_r5.json")
+        os.path.abspath(__file__))), "BENCH", OUT)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)
