@@ -1542,7 +1542,15 @@ def profile_table(sf_dir: str, *, table: str = "orders",
 
     from ..stages.joins import bucket_hash_join
 
-    j = bucket_hash_join(scalars, dist, on="column", how="inner")
+    # explicit types: both inputs are aggregate outputs, and a
+    # Dataset.schema() probe on an un-executed AllToAll runs it to
+    # limit 1 (a full shuffle just for column names)
+    j = bucket_hash_join(
+        scalars, dist, on="column", how="inner",
+        left_types={"column": pa.string(), "n_rows": pa.int64(),
+                    "n_nulls": pa.int64(), "min_v": pa.string(),
+                    "max_v": pa.string()},
+        right_types={"column": pa.string(), "n_distinct": pa.int64()})
 
     def finish(df: pd.DataFrame) -> pa.Table:
         return pa.table({
@@ -1977,11 +1985,32 @@ def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
                                                   type=pa.int64())}),
             batch_format="pandas")
 
-    ords_seg = bucket_hash_join(ords_f, cust, on="o_custkey", how="semi")
-    j = bucket_hash_join(li_po, ords_seg, on="o_orderkey", how="inner")
+    # explicit types everywhere: ords_seg is a shuffle output, and
+    # Dataset.schema() on an un-executed AllToAll EXECUTES it to limit 1
+    # (a full sort to read column names — measured ~2 s here, unbounded
+    # at scale).  The semi join preserves the left schema, so we know it.
+    ords_t = {"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+              "order_day": pa.string(), "o_orderpriority": pa.string()}
+    ords_seg = bucket_hash_join(
+        ords_f, cust, on="o_custkey", how="semi",
+        left_types=ords_t, right_types={"o_custkey": pa.int64()})
+    j = bucket_hash_join(
+        li_po, ords_seg, on="o_orderkey", how="inner",
+        left_types={"o_orderkey": pa.int64(), "revenue_c": pa.int64()},
+        right_types=ords_t)
 
-    per_order = j.groupby(["o_orderkey", "order_day", "o_orderpriority"]) \
-        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    # the per-order Sum needs NO shuffle: the aggregate key IS the join
+    # key, so every orderkey's partial rows are already co-located in one
+    # join-bucket block; batch_size=None keeps blocks whole (a split
+    # batch would emit two partials for one order — wrong without a
+    # groupby).  Saves one full AllToAll vs groupby().aggregate(Sum).
+    def sum_per_order(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby(["o_orderkey", "order_day", "o_orderpriority"],
+                        as_index=False)["revenue_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = j.map_batches(sum_per_order, batch_format="pandas",
+                              batch_size=None)
 
     cols = ["o_orderkey", "order_day", "o_orderpriority", "revenue_c"]
 

@@ -331,8 +331,13 @@ def pagerank_dupgraph(docs_ds, *, iters: int = 2, scale: int = 1_000_000,
             .rename(columns={"size": "d"}), preserve_index=False),
         ["d"],
     )
-    # edges with the source degree attached (static across iterations)
-    ed = bucket_hash_join(edges, deg, on="u", how="inner") \
+    # edges with the source degree attached (static across iterations);
+    # explicit types — deg is an aggregate output and a schema probe on
+    # an un-executed AllToAll runs it to limit 1
+    _i64 = pa.int64()
+    ed = bucket_hash_join(edges, deg, on="u", how="inner",
+                          left_types={"u": _i64, "v": _i64},
+                          right_types={"u": _i64, "d": _i64}) \
         .repartition(n_blocks).materialize()
 
     pr = deg.map_batches(
@@ -352,7 +357,9 @@ def pagerank_dupgraph(docs_ds, *, iters: int = 2, scale: int = 1_000_000,
                     "v": t.column("v").cast(pa.int64()),
                     "d": t.column("d").cast(pa.int64()),
                 }), batch_format="pyarrow"),
-            pr, on="u", how="inner")
+            pr, on="u", how="inner",
+            left_types={"u": _i64, "v": _i64, "d": _i64},
+            right_types={"u": _i64, "pr": _i64})
 
         def contrib(df: pd.DataFrame) -> pa.Table:
             c = df["pr"].to_numpy(np.int64) // df["d"].to_numpy(np.int64)

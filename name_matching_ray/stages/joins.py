@@ -24,7 +24,9 @@ from ..util import bucket_hash
 
 
 def bucket_hash_join(left, right, *, on: str, how: str = "inner",
-                     n_buckets: int = 128):
+                     n_buckets: int = 128,
+                     left_types: dict | None = None,
+                     right_types: dict | None = None):
     """Distributed hash join of two Datasets on column ``on``.
 
     ``how`` ∈ {"inner", "left", "semi", "anti"}.  For inner/left,
@@ -41,10 +43,24 @@ def bucket_hash_join(left, right, *, on: str, how: str = "inner",
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
 
+    # ``left_types``/``right_types`` ({col: pa.DataType}, in column
+    # order) bypass the Dataset.schema() probes below.  That matters
+    # when an input is itself a shuffle output (e.g. a join fed into a
+    # join): .schema() on an un-executed AllToAll pipeline EXECUTES it
+    # to limit 1 — a full sort just to read the column names.  Callers
+    # chaining joins should thread the types they already know.
     existence = how in ("semi", "anti")
-    lcols = [c for c in left.schema().names if c != on]
-    rcols = [] if existence else \
-        [c for c in right.schema().names if c != on]
+
+    def _types_of(ds, given):
+        if given is not None:
+            return dict(given)
+        s = ds.schema()
+        return {n: t for n, t in zip(s.names, s.types)}
+
+    ltypes = _types_of(left, left_types)
+    rtypes = _types_of(right, right_types)
+    lcols = [c for c in ltypes if c != on]
+    rcols = [] if existence else [c for c in rtypes if c != on]
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"non-key columns must be disjoint: {overlap}")
@@ -58,9 +74,6 @@ def bucket_hash_join(left, right, *, on: str, how: str = "inner",
     # the peer schema's type), not object-dtype pandas columns — the
     # tagged blocks stay Arrow-native and both union branches carry
     # identical per-column types.
-    lschema, rschema = left.schema(), right.schema()
-    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
-    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
 
     def tag(side: int, own: list[str], other: list[str],
             own_types: dict, other_types: dict):
