@@ -1115,7 +1115,10 @@ def nation_revenue(sf_dir: str):
     from ..stages.joins import broadcast_join
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    out = broadcast_join(per_nat, nation, on="n_nationkey", how="inner")
+    # left_cols bypasses the schema probe on per_nat (an aggregate
+    # output — probing it executes the whole join+aggregate to limit 1)
+    out = broadcast_join(per_nat, nation, on="n_nationkey", how="inner",
+                         left_cols=["n_nationkey", "revenue_c", "n_orders"])
 
     import pyarrow.compute as _pc
 

@@ -119,7 +119,8 @@ def bucket_hash_join(left, right, *, on: str, how: str = "inner",
 
 
 def broadcast_join(left, right, *, on: str, how: str = "inner",
-                   max_rows: int = 5_000_000):
+                   max_rows: int = 5_000_000,
+                   left_cols: list[str] | None = None):
     """Broadcast hash join — the small-side twin of
     :func:`bucket_hash_join`: the right side is collected once, shipped
     via ``ray.put``, and probed inside ``map_batches`` (no shuffle at
@@ -138,7 +139,10 @@ def broadcast_join(left, right, *, on: str, how: str = "inner",
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
     existence = how in ("semi", "anti")
-    lcols = [c for c in left.schema().names if c != on]
+    # left_cols bypasses the left.schema() probe — on a shuffle-output
+    # left it would execute the pipeline to limit 1 (see bucket_hash_join)
+    lcols = [c for c in (left_cols if left_cols is not None
+                         else left.schema().names) if c != on]
     rcols = [] if existence else \
         [c for c in right.schema().names if c != on]
     overlap = set(lcols) & set(rcols)
