@@ -964,6 +964,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a blocking key / stop-key cap
         "token_blocking_budget": lambda sf: textstats.token_blocking_budget(
             _read_docs(sf)),
+        # windowed co-occurrence (skip-gram) counts — the word2vec/GloVe
+        # preprocessing table (all lags formed positionally per batch;
+        # only (pair, count) partials enter the one Sum shuffle)
+        "skipgram_counts": lambda sf: textstats.skipgram_counts(
+            _read_docs(sf), window=3, min_count=5),
+        # keep-BEST exact dedup: longest copy wins (ties -> lowest id) —
+        # the curation policy when copies differ by truncation; per-batch
+        # argmax partials, coarse-bucket combine
+        "dedup_keep_longest": lambda sf: dedup.dedup_keep_longest(
+            _read_docs(sf)),
+        # RFM customer segmentation (recency/frequency/monetary + the
+        # composite 4..1 grid code) — global scalar ref date + per-batch
+        # multi-aggregate partials, all-integer law
+        "rfm_segments": analytics.rfm_segments,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3623,6 +3637,68 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT block_size, CAST(COUNT(*) AS BIGINT) AS n_blocks,
                    CAST(COUNT(*) * (block_size*(block_size-1)//2) AS BIGINT) AS pairs_c
             FROM blocks GROUP BY block_size
+        """,
+        # skipgram_counts: ordered pairs (t[i], t[i+d]), d in 1..3, inside
+        # one document; tokens are the lowercase \S+ matches (never '').
+        "skipgram_counts": r"""
+            WITH tok AS (SELECT regexp_extract_all(lower(text), '\S+') AS t
+                         FROM documents),
+            pairs AS (SELECT t[i] AS w1, t[i+d] AS w2
+                      FROM tok, unnest([1, 2, 3]) AS dd(d),
+                           unnest(range(1, len(t) + 1 - d)) AS u(i))
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_sg
+            FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= 5
+        """,
+        # dedup_keep_longest: keep-BEST per fingerprint — longest text,
+        # ties -> lowest doc_id; NULL text reads as '' on both sides.
+        "dedup_keep_longest": """
+            WITH f AS (SELECT doc_id,
+                   md5(regexp_replace(lower(coalesce(text, '')),
+                                      '[^a-z0-9]', '', 'g')) AS fingerprint,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS keep_len
+                FROM documents),
+            r AS (SELECT *,
+                   row_number() OVER (PARTITION BY fingerprint
+                                      ORDER BY keep_len DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY fingerprint) AS nd
+                FROM f)
+            SELECT fingerprint, doc_id AS keep_id, keep_len,
+                   CAST(nd AS BIGINT) AS n_dups
+            FROM r WHERE rn = 1
+        """,
+        # rfm_segments: global max order date scalar; cents/days laws and
+        # the fixed 4..1 scoring grid match analytics._RFM_* exactly.
+        "rfm_segments": """
+            WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS ts,
+                              CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            g AS (SELECT MAX(ts) AS gmax FROM o),
+            c AS (SELECT o_custkey, MAX(ts) AS last_ts,
+                         CAST(COUNT(*) AS BIGINT) AS frequency,
+                         CAST(SUM(cents) AS BIGINT) AS monetary_cents
+                  FROM o GROUP BY o_custkey)
+            SELECT c.o_custkey,
+                   CAST((g.gmax - c.last_ts) // 86400000000 AS BIGINT)
+                       AS recency_days,
+                   c.frequency, c.monetary_cents,
+                   CAST(
+                     (CASE WHEN (g.gmax - c.last_ts) // 86400000000 <= 180
+                               THEN 4
+                           WHEN (g.gmax - c.last_ts) // 86400000000 <= 365
+                               THEN 3
+                           WHEN (g.gmax - c.last_ts) // 86400000000 <= 730
+                               THEN 2
+                           ELSE 1 END) * 100
+                     + (CASE WHEN c.frequency >= 12 THEN 4
+                             WHEN c.frequency >= 8 THEN 3
+                             WHEN c.frequency >= 4 THEN 2 ELSE 1 END) * 10
+                     + (CASE WHEN c.monetary_cents >= 300000000 THEN 4
+                             WHEN c.monetary_cents >= 200000000 THEN 3
+                             WHEN c.monetary_cents >= 100000000 THEN 2
+                             ELSE 1 END)
+                   AS BIGINT) AS rfm
+            FROM c CROSS JOIN g
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "minhash_recall", "group_sample", "temperature_mix", "dedup_lines",
     "dup_by_source", "lang_top_words", "incremental_dedup",
     "incremental_dedup_counts", "shipping_priority", "token_blocking_budget",
+    "skipgram_counts", "dedup_keep_longest", "rfm_segments",
     "pq_encode", "pq_topk", "grid_l2_topk", "pq_recall", "rolling_active",
     "pagerank_dups", "fk_violations", "ivfpq_topk", "perplexity_buckets",
     "profile_table", "conversion_time", "curate_corpus", "winnow_recall",

@@ -1180,6 +1180,96 @@ def decay_sum(sf_dir: str, *, halflife_days: int = 7):
 
 
 # ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+# fixed integer scoring grid (documented constants, shared with the SQL
+# oracle): score 4..1 by recency/frequency/monetary thresholds
+_RFM_R_DAYS = (180, 365, 730)          # <=180d -> 4, <=365 -> 3, <=730 -> 2
+_RFM_F = (12, 8, 4)                    # >=12 orders -> 4, >=8 -> 3, >=4 -> 2
+_RFM_M_CENTS = (300_000_000, 200_000_000, 100_000_000)
+
+
+def _rfm_score(x: np.ndarray, cuts: tuple[int, int, int],
+               ascending: bool) -> np.ndarray:
+    """4/3/2/1 against three cut points; ``ascending=True`` means smaller
+    is better (recency), else larger is better (frequency/monetary)."""
+    a, b, c = (np.int64(v) for v in cuts)
+    if ascending:
+        return np.where(x <= a, 4, np.where(x <= b, 3,
+                        np.where(x <= c, 2, 1))).astype(np.int64)
+    return np.where(x >= a, 4, np.where(x >= b, 3,
+                    np.where(x >= c, 2, 1))).astype(np.int64)
+
+
+def rfm_segments(sf_dir: str, *, n_buckets: int = 64):
+    """RFM customer segmentation — the classic CRM feature table: per
+    customer ``recency_days`` (days since last order, against the corpus
+    max order date), ``frequency`` (order count), ``monetary_cents``
+    (total spend in integer cents) and the composite ``rfm`` code
+    (r·100 + f·10 + m, each scored 4..1 on the fixed grid above).
+
+    All-integer law: cents = floor(price·100 + 0.5) per order; days =
+    floor microsecond diff / 86400e6 — both reproducible in SQL.
+
+    Scale shape: the global reference date is ONE tiny ``max()``
+    aggregate (a scalar, same as decay_sum); per-batch partials reduce to
+    (customer, last_ts, n, cents) so the shuffle carries one row per
+    (batch, customer); customers are combined in coarse hash buckets and
+    scored vectorized in the same pass — nothing but the scalar ever
+    reaches the driver.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+    gmax_us = np.int64(pd.Timestamp(ds.max("o_orderdate")).value // 1000)
+    us_per_day = np.int64(86_400_000_000)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ts_us = df["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "last_ts": ts_us,
+            "frequency": np.int64(1),
+            "monetary_cents": _cents(df["o_totalprice"].to_numpy()),
+        }).groupby("o_custkey", as_index=False).agg(
+            last_ts=("last_ts", "max"), frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "recency_days": pa.array([], pa.int64()),
+                             "frequency": pa.array([], pa.int64()),
+                             "monetary_cents": pa.array([], pa.int64()),
+                             "rfm": pa.array([], pa.int64())})
+        c = g.groupby("o_custkey", as_index=False).agg(
+            last_ts=("last_ts", "max"), frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+        rec = (gmax_us - c["last_ts"].to_numpy(np.int64)) // us_per_day
+        freq = c["frequency"].to_numpy(np.int64)
+        mon = c["monetary_cents"].to_numpy(np.int64)
+        rfm = (_rfm_score(rec, _RFM_R_DAYS, True) * 100
+               + _rfm_score(freq, _RFM_F, False) * 10
+               + _rfm_score(mon, _RFM_M_CENTS, False))
+        return pa.table({
+            "o_custkey": pa.array(c["o_custkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "recency_days": pa.array(rec, pa.int64()),
+            "frequency": pa.array(freq, pa.int64()),
+            "monetary_cents": pa.array(mon, pa.int64()),
+            "rfm": pa.array(rfm, pa.int64()),
+        })
+
+    return _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
+                       ["o_custkey"], n_buckets) \
+        .groupby("_ub").map_groups(combine, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # ordered funnel (product analytics)
 # ---------------------------------------------------------------------------
 

@@ -87,6 +87,79 @@ def dup_size_hist(docs_ds, *, text_col: str = "text", id_col: str = "doc_id"):
             Sum("n_docs", alias_name="n_docs"))
 
 
+def dedup_keep_longest(docs_ds, *, text_col: str = "text",
+                       id_col: str = "doc_id", n_buckets: int = 256):
+    """Keep-BEST exact dedup: one keeper per fingerprint group, chosen by
+    longest text (ties → lowest doc_id) — the curation policy when copies
+    differ by truncation/boilerplate and "first by id" would keep the
+    worst copy.  Output one row per distinct fingerprint:
+    ``(fingerprint, keep_id, keep_len, n_dups)``.
+
+    Laws shared with the SQL oracle: fingerprint = exact_dedup's
+    md5-of-lower-alnum-collapse; ``keep_len`` = character length, both
+    over ``coalesce(text, '')`` (NULL text reads as '' on BOTH sides).
+
+    Scale shape: each batch pre-reduces to its LOCAL best + count per
+    fingerprint (the argmax is associative), so the shuffle carries one
+    row per (batch, distinct-fp) — never the corpus; fingerprints are
+    then co-located by a coarse ``bucket_hash`` key (~n_buckets Ray
+    groups, md5 keys are uniform) and the same vectorized
+    sort-and-take-first combine runs once per bucket.
+    """
+    import pandas as pd
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["keep_len", "keep_id"],
+                            ascending=[False, True], kind="mergesort")
+        n = df.groupby("fingerprint", sort=False)["n_dups"].sum()
+        best = df.drop_duplicates("fingerprint", keep="first")
+        return best.drop(columns=["n_dups"]).merge(
+            n, left_on="fingerprint", right_index=True)
+
+    def _emit(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "fingerprint": pa.array(df["fingerprint"].to_numpy(),
+                                    pa.string()),
+            "keep_id": pa.array(df["keep_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "keep_len": pa.array(df["keep_len"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_dups": pa.array(df["n_dups"].to_numpy(np.int64),
+                               pa.int64()),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = fingerprint_batch(batch, text_col=text_col, id_col=id_col)
+        ln = pc.utf8_length(
+            pc.fill_null(pc.cast(batch.column(text_col), pa.string()), ""))
+        df = pd.DataFrame({
+            "fingerprint": t.column("fingerprint")
+                            .to_numpy(zero_copy_only=False),
+            "keep_id": np.asarray(
+                batch.column(id_col).to_numpy(zero_copy_only=False),
+                np.int64),
+            "keep_len": np.asarray(
+                ln.to_numpy(zero_copy_only=False), np.int64),
+            "n_dups": np.ones(len(t), np.int64),
+        })
+        best = _reduce(df)
+        out = _emit(best)
+        return out.append_column(
+            "_ub", pa.array(bucket_hash(best["fingerprint"], n_buckets),
+                            pa.int64()))
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        if not len(g):  # map_groups can hand an empty block (CLAUDE.md)
+            return pa.table({"fingerprint": pa.array([], pa.string()),
+                             "keep_id": pa.array([], pa.int64()),
+                             "keep_len": pa.array([], pa.int64()),
+                             "n_dups": pa.array([], pa.int64())})
+        return _emit(_reduce(g))
+
+    return docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_ub").map_groups(combine, batch_format="pandas")
+
+
 def frequency_cap(docs_ds, *, cap: int = 2, text_col: str = "text",
                   id_col: str = "doc_id", n_buckets: int = 256):
     """Soft dedup / duplicate frequency capping: keep at most ``cap``

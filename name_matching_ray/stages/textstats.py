@@ -1031,6 +1031,66 @@ def bigram_counts(docs_ds, *, text_col: str = "text"):
         .groupby(["w1", "w2"]).aggregate(Sum("c_xy", alias_name="c_xy"))
 
 
+def skipgram_counts(docs_ds, *, window: int = 3, min_count: int = 5,
+                    text_col: str = "text"):
+    """Windowed co-occurrence (skip-gram) counts — the word2vec/GloVe
+    preprocessing table: for every ordered token pair ``(t[i], t[i+d])``
+    with ``1 <= d <= window`` inside one document, count occurrences and
+    keep pairs with corpus count >= ``min_count``.
+
+    Law (shared with the SQL oracle): tokens are the lowercase ``\\S+``
+    matches in document order (never empty); pairs keep their direction
+    (left context, right context) and sum over all distances — the
+    standard asymmetric-window co-occurrence law.
+
+    Scale shape: all ``window`` distance lags are formed positionally on
+    the SAME flattened token array per batch (one boolean doc-boundary
+    mask per lag, no per-row loop), partial-counted with ``value_counts``
+    so only (pair, count) rows enter the single groupby-Sum shuffle; the
+    ``min_count`` filter runs after the Sum (a global-count predicate).
+    Output volume is O(filtered co-occurrence vocabulary), never O(corpus
+    positions).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_idx, flat, _offsets = _explode_tokens(batch, text_col)
+        # drop '' FIRST (split artifacts at string edges) so distance d is
+        # measured over the real token sequence, matching the oracle's
+        # regexp_extract_all('\S+') list indices
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(keep)
+        flat = flat.take(pa.array(idx, pa.int64()))
+        di = doc_idx[idx]
+        m = len(di)
+        joined_lags = []
+        for d in range(1, window + 1):
+            if m <= d:
+                break
+            j = np.flatnonzero(di[:-d] == di[d:])
+            if not len(j):
+                continue
+            w1 = flat.take(pa.array(j, pa.int64()))
+            w2 = flat.take(pa.array(j + d, pa.int64()))
+            joined_lags.append(
+                pc.binary_join_element_wise(w1, w2, "\x1f"))
+        if not joined_lags:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_sg": pa.array([], pa.int64())})
+        vc = pa.chunked_array(joined_lags).value_counts()
+        parts = pc.split_pattern(vc.field("values"), "\x1f")
+        return pa.table({
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+            "c_sg": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    return docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("c_sg", alias_name="c_sg")) \
+        .filter(expr=f"c_sg >= {min_count}")
+
+
 def pmi_bigrams(docs_ds, *, k: int = 20, min_count: int = 5,
                 text_col: str = "text", broadcast: bool | None = None,
                 broadcast_threshold: int = 2_000_000):

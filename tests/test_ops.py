@@ -2704,3 +2704,87 @@ def test_shipping_priority_filters_and_tiebreak(ray_session, tmp_path):
     }), tmp_path / "lineitem.parquet")
     got = shipping_priority(str(tmp_path)).to_pandas()
     assert list(got["o_orderkey"]) == [10, 11]
+
+
+def test_skipgram_counts_window_directions_and_doc_boundary(ray_session):
+    """Pairs keep direction, sum over distances 1..window, never cross a
+    document boundary; leading/trailing whitespace split artifacts do not
+    shift the distance; min_count filters on the GLOBAL count."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import skipgram_counts
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["  The cat sat on the mat ", "the cat the cat the cat"],
+    }))
+    got = skipgram_counts(ds, window=3, min_count=2).to_pandas() \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+    # hand-counted over both docs (see doc 2: (the,cat) d1 x3 + d3 x2,
+    # doc 1: d1 x1, d2 x0, d3 x0 -> 6 total; direction matters)
+    assert got.to_dict("records") == [
+        {"w1": "cat", "w2": "cat", "c_sg": 2},
+        {"w1": "cat", "w2": "the", "c_sg": 4},
+        {"w1": "the", "w2": "cat", "c_sg": 6},
+        {"w1": "the", "w2": "the", "c_sg": 2},
+    ]
+
+
+def test_dedup_keep_longest_length_then_id(ray_session):
+    """The keeper is the LONGEST raw text per fingerprint group (character
+    length, before normalization); ties break to the lowest doc_id; null
+    and '' text coalesce into one zero-length group."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.dedup import dedup_keep_longest
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([5, 3, 9, 2, 1, 4, 6], pa.int64()),
+        "text": ["hello", "Hello!!", "h e l l o",   # one fp group
+                 "abc", "ABC",                       # tie on length 3
+                 None, ""],                          # coalesced group
+    }))
+    got = dedup_keep_longest(ds).to_pandas().set_index("keep_id")
+    assert got.loc[9, "keep_len"] == 9 and got.loc[9, "n_dups"] == 3
+    assert got.loc[1, "keep_len"] == 3 and got.loc[1, "n_dups"] == 2
+    assert got.loc[4, "keep_len"] == 0 and got.loc[4, "n_dups"] == 2
+    assert len(got) == 3
+
+
+def test_rfm_segments_grid_and_recency(ray_session, tmp_path):
+    """Recency is measured against the corpus max order date; the 4..1
+    grid scores compose as r*100 + f*10 + m; cents law is per-order
+    floor(x*100+0.5) summed."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import rfm_segments
+
+    ts = pd.Timestamp
+    rows = []
+    # cust 1: 12 orders ending ON the corpus max -> r4 f4; 25_000_000
+    # cents each -> 300_000_000 -> m4 -> rfm 444
+    for i in range(12):
+        rows.append((1, ts("2000-01-01") - pd.Timedelta(days=i),
+                     250_000.0))
+    # cust 2: 1 stale order -> r1 f1 m1 -> 111
+    rows.append((2, ts("1997-06-01"), 10.0))
+    # cust 3: 4 orders, last 306 days back -> r3 f2; 4 x 50_000_000
+    # cents = 200_000_000 -> m3 -> 323
+    for i in range(4):
+        rows.append((3, ts("1999-03-01") - pd.Timedelta(days=i),
+                     500_000.0))
+    cust, date, price = zip(*rows)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderdate": pa.array(list(date), pa.timestamp("us")),
+        "o_totalprice": pa.array(price, pa.float64()),
+    }), tmp_path / "orders.parquet")
+    got = rfm_segments(str(tmp_path)).to_pandas().set_index("o_custkey")
+    assert got.loc[1, "rfm"] == 444 and got.loc[1, "recency_days"] == 0
+    assert got.loc[2, "rfm"] == 111
+    assert got.loc[3, "rfm"] == 323 and got.loc[3, "recency_days"] == 306
+    assert got.loc[3, "monetary_cents"] == 200_000_000
