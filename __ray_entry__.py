@@ -23,7 +23,8 @@ from name_matching_ray.pipelines.linkage import (
 )
 from name_matching_ray.sources.docs_source import documents_as_interleaved
 from name_matching_ray.stages import (annsearch, blocking, chunking, cluster,
-                                      curation, dedup, sketches, textstats)
+                                      curation, dedup, erblock, sketches,
+                                      textstats)
 from name_matching_ray.stages.multimodal import media_features
 
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -978,6 +979,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composite 4..1 grid code) — global scalar ref date + per-batch
         # multi-aggregate partials, all-integer law
         "rfm_segments": analytics.rfm_segments,
+        # sorted-neighborhood blocking (SNM): global (key, id) rank via
+        # per-prefix offsets, window pairs via rank-chunk boundary
+        # replication — the classic ER candidate generator
+        "snm_pairs": lambda sf: erblock.snm_pairs(_read_docs(sf)),
+        # blocking-scheme quality vs exact-dup truth — pairs completeness
+        # and candidate budget from GROUP SIZES only (no pair materialized)
+        "blocking_quality": lambda sf: erblock.blocking_quality(
+            _read_docs(sf)),
+        # edit-distance (Levenshtein<=k) similarity join inside first-token
+        # blocks with a hard block-size cap (stop-key law in SQL too)
+        "edit_block_pairs": lambda sf: erblock.edit_block_pairs(
+            _read_docs(sf)),
+        # ER survivorship: modal-attribute golden record per customer
+        # (ties -> lexicographically smallest; deterministic fusion rule)
+        "golden_record": analytics.golden_record,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3699,6 +3715,93 @@ def _oracle_sql_base() -> dict[str, str]:
                              ELSE 1 END)
                    AS BIGINT) AS rfm
             FROM c CROSS JOIN g
+        """,
+        # snm_pairs: rank = ROW_NUMBER() OVER (ORDER BY key, doc_id) where
+        # key = first 16 chars of the alnum-collapsed lowercase text
+        # (NULL -> ''); pairs within 3 ranks, gap recorded.
+        "snm_pairs": """
+            WITH k AS (SELECT doc_id,
+                    substr(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'),
+                           1, 16) AS key
+                 FROM documents),
+            r AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY key, doc_id) AS rn
+                  FROM k)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+        """,
+        # blocking_quality: every metric is sum over C(n,2) of group sizes;
+        # block key = first \\S+ token of lower(text) ('' = no block);
+        # truth = exact_dedup fingerprint equality.
+        "blocking_quality": r"""
+            WITH fk AS (SELECT
+                    md5(regexp_replace(lower(coalesce(text, '')),
+                                       '[^a-z0-9]', '', 'g')) AS fp,
+                    coalesce(regexp_extract_all(lower(coalesce(text, '')),
+                                                '\S+')[1], '') AS key
+                 FROM documents),
+            tp AS (SELECT SUM(c*(c-1)//2) AS v FROM
+                   (SELECT COUNT(*) c FROM fk GROUP BY fp)),
+            cp AS (SELECT coalesce(SUM(c*(c-1)//2), 0) AS v FROM
+                   (SELECT COUNT(*) c FROM fk WHERE key != '' GROUP BY key)),
+            tc AS (SELECT coalesce(SUM(c*(c-1)//2), 0) AS v FROM
+                   (SELECT COUNT(*) c FROM fk WHERE key != ''
+                    GROUP BY fp, key)),
+            n AS (SELECT COUNT(*) AS docs,
+                         COUNT(*) FILTER (key != '') AS keyed FROM fk)
+            SELECT CAST(n.docs AS BIGINT) AS n_docs,
+                   CAST(n.keyed AS BIGINT) AS n_keyed,
+                   CAST(tp.v AS BIGINT) AS n_true_pairs,
+                   CAST(cp.v AS BIGINT) AS n_cand_pairs,
+                   CAST(tc.v AS BIGINT) AS n_true_cand,
+                   CAST(CASE WHEN tp.v = 0 THEN 10000
+                        ELSE tc.v * 10000 // tp.v END AS BIGINT) AS pc_bp
+            FROM n, tp, cp, tc
+        """,
+        # edit_block_pairs: first-token blocks capped at 64 rows (stop-key
+        # law on BOTH sides), levenshtein <= 2 on the 24-char collapsed
+        # prefix (pure ASCII: byte distance == codepoint distance).
+        "edit_block_pairs": r"""
+            WITH k AS (SELECT doc_id,
+                    coalesce(regexp_extract_all(lower(coalesce(text, '')),
+                                                '\S+')[1], '') AS key,
+                    substr(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'),
+                           1, 24) AS s
+                 FROM documents),
+            b AS (SELECT *, COUNT(*) OVER (PARTITION BY key) AS bs
+                  FROM k WHERE key != '')
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                   CAST(levenshtein(a.s, c.s) AS BIGINT) AS lev
+            FROM b a JOIN b c
+              ON a.key = c.key AND a.doc_id < c.doc_id
+            WHERE a.bs <= 64 AND levenshtein(a.s, c.s) <= 2
+        """,
+        # golden_record: modal priority/status per customer, ties -> the
+        # lexicographically smallest value; meta aggregates joined in.
+        "golden_record": """
+            WITH p AS (SELECT o_custkey, o_orderpriority AS v, COUNT(*) c
+                       FROM orders GROUP BY 1, 2),
+            pr AS (SELECT o_custkey, v,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY c DESC, v) AS rn
+                   FROM p),
+            s AS (SELECT o_custkey, o_orderstatus AS v, COUNT(*) c
+                  FROM orders GROUP BY 1, 2),
+            sr AS (SELECT o_custkey, v,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY c DESC, v) AS rn
+                   FROM s),
+            m AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                         MAX(epoch_us(o_orderdate)) AS last_ts_us
+                  FROM orders GROUP BY 1)
+            SELECT m.o_custkey, pr.v AS top_priority, sr.v AS top_status,
+                   m.n_orders, CAST(m.last_ts_us AS BIGINT) AS last_ts_us
+            FROM m
+            JOIN pr ON pr.o_custkey = m.o_custkey AND pr.rn = 1
+            JOIN sr ON sr.o_custkey = m.o_custkey AND sr.rn = 1
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

@@ -1270,6 +1270,80 @@ def rfm_segments(sf_dir: str, *, n_buckets: int = 64):
 
 
 # ---------------------------------------------------------------------------
+# golden record (ER survivorship)
+# ---------------------------------------------------------------------------
+
+def golden_record(sf_dir: str, *, n_buckets: int = 64):
+    """ER survivorship: fuse each entity's records into one canonical
+    ("golden") row — per customer the MODAL order priority and status
+    (ties → lexicographically smallest value, the deterministic
+    survivorship rule), plus ``n_orders`` and ``last_ts_us`` (latest order
+    date in epoch µs).  The standard master-data step after clustering:
+    many records per entity in, one authoritative record out.
+
+    Scale shape: per-batch partials reduce to one row per (customer,
+    priority, status) — priorities×statuses is a small constant, so the
+    shuffle carries O(constant) rows per (batch, customer); customers are
+    combined in coarse hash buckets where the two modal margins and the
+    meta aggregates all derive vectorized from the SAME count table.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderpriority", "o_orderstatus",
+                "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ts_us = df["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "prio": df["o_orderpriority"],
+            "status": df["o_orderstatus"],
+            "c": np.int64(1),
+            "last_ts_us": ts_us,
+        }).groupby(["o_custkey", "prio", "status"], as_index=False).agg(
+            c=("c", "sum"), last_ts_us=("last_ts_us", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _modal(cc: pd.DataFrame, col: str, out: str) -> pd.DataFrame:
+        m = cc.groupby(["o_custkey", col], as_index=False)["c"].sum() \
+            .sort_values(["o_custkey", "c", col],
+                         ascending=[True, False, True], kind="mergesort")
+        m = m.drop_duplicates("o_custkey", keep="first")
+        return m[["o_custkey", col]].rename(columns={col: out})
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "top_priority": pa.array([], pa.string()),
+                             "top_status": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "last_ts_us": pa.array([], pa.int64())})
+        cc = g.groupby(["o_custkey", "prio", "status"], as_index=False) \
+            .agg(c=("c", "sum"), last_ts_us=("last_ts_us", "max"))
+        meta = cc.groupby("o_custkey", as_index=False).agg(
+            n_orders=("c", "sum"), last_ts_us=("last_ts_us", "max"))
+        out = meta.merge(_modal(cc, "prio", "top_priority"),
+                         on="o_custkey") \
+            .merge(_modal(cc, "status", "top_status"), on="o_custkey")
+        return pa.table({
+            "o_custkey": pa.array(out["o_custkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "top_priority": pa.array(out["top_priority"], pa.string()),
+            "top_status": pa.array(out["top_status"], pa.string()),
+            "n_orders": pa.array(out["n_orders"].to_numpy(np.int64),
+                                 pa.int64()),
+            "last_ts_us": pa.array(out["last_ts_us"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    return _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
+                       ["o_custkey"], n_buckets) \
+        .groupby("_ub").map_groups(combine, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # ordered funnel (product analytics)
 # ---------------------------------------------------------------------------
 

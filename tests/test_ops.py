@@ -2788,3 +2788,122 @@ def test_rfm_segments_grid_and_recency(ray_session, tmp_path):
     assert got.loc[2, "rfm"] == 111
     assert got.loc[3, "rfm"] == 323 and got.loc[3, "recency_days"] == 306
     assert got.loc[3, "monetary_cents"] == 200_000_000
+
+
+def test_snm_pairs_boundary_replication_and_order(ray_session):
+    """Pairs must form across rank-chunk boundaries (boundary replication)
+    and across prefix-group edges; order is (key, doc_id) with ties broken
+    by id; gap records the rank distance."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import snm_pairs
+
+    # 10 docs whose collapsed keys sort as a0 < a0 < a1 < b0 < ... (two
+    # ties on 'a0' -> id order) spread over several input blocks; chunk=4
+    # forces pairs to span chunk boundaries, window=2.
+    texts = ["A-0!", "a 0", "a1", "b0", "b1", "b2", "c0", "c1", "d0", "d1"]
+    ids = [7, 3, 1, 2, 9, 4, 5, 6, 8, 0]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": texts,
+    })).repartition(4)
+    got = snm_pairs(ds, window=2, chunk=4).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # sorted (key, id): a0/3, a0/7, a1/1, b0/2, b1/9, b2/4, c0/5, c1/6,
+    # d0/8, d1/0 -> ranks 1..10; window-2 pairs = (r, r+1), (r, r+2)
+    order = [3, 7, 1, 2, 9, 4, 5, 6, 8, 0]
+    want = set()
+    for i in range(10):
+        for d in (1, 2):
+            if i + d < 10:
+                want.add((order[i], order[i + d], d))
+    assert set(map(tuple, got[["id_a", "id_b", "gap"]].to_numpy())) == want
+    assert len(got) == len(want)
+
+
+def test_blocking_quality_group_size_math(ray_session):
+    """Metrics from group sizes: same-fp-different-first-token pairs are
+    true-but-missed; keyless docs (empty/whitespace/null) never enter the
+    candidate side; pc_bp floors."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import blocking_quality
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "text": ["ab c", "a bc",          # same fp, DIFFERENT first token
+                 "x y", "x z", "x y",     # key 'x': C(3,2)=3 cand; 1 true
+                 None, "   "],            # keyless; same fp ('' collapse)
+    }))
+    got = blocking_quality(ds).to_pandas().iloc[0]
+    assert got["n_docs"] == 7 and got["n_keyed"] == 5
+    # true pairs: {ab c, a bc}=1, {x y, x y}=1, {None, '   '}=1 -> 3
+    assert got["n_true_pairs"] == 3
+    assert got["n_cand_pairs"] == 3      # only the 'x' block
+    assert got["n_true_cand"] == 1       # the x-y duplicate pair
+    assert got["pc_bp"] == 3333          # floor(1e4/3)
+
+
+def test_edit_block_pairs_cap_and_distance(ray_session):
+    """Distance runs on the collapsed 24-char prefix; pairs beyond lev 2
+    drop; blocks above max_block drop entirely."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import edit_block_pairs
+
+    rows = [
+        (1, "acme corporation"),     # key 'acme', s 'acmecorporation'
+        (2, "acme corp"),            # lev vs 1 = 7 -> dropped
+        (3, "acme corporatio"),      # lev vs 1 = 1, vs 2 = 6
+        (4, "acme c0rporation"),     # lev vs 1 = 1, vs 3 = 2
+        (5, "zeta w"),               # singleton block -> nothing
+    ]
+    # a capped block: 5 identical docs under key 'big' with max_block=4
+    rows += [(10 + i, "big same") for i in range(5)]
+    ids, texts = zip(*rows)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": list(texts),
+    }))
+    got = edit_block_pairs(ds, k=2, max_block=4).to_pandas()
+    pairs = {(int(a), int(b)): int(d) for a, b, d in
+             got[["id_a", "id_b", "lev"]].to_numpy()}
+    assert pairs == {(1, 3): 1, (1, 4): 1, (3, 4): 2}
+
+
+def test_golden_record_modal_tiebreak(ray_session, tmp_path):
+    """Modal attribute wins; count ties break to the lexicographically
+    smallest value; last_ts_us is the max order date in epoch us."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import golden_record
+
+    ts = pd.Timestamp
+    rows = [
+        # cust 1: prio 2-URGENT x2 vs 1-HIGH x2 (tie -> '1-HIGH'),
+        # status F x3 vs O x1 -> 'F'
+        (1, "2-URGENT", "F", ts("2000-01-05")),
+        (1, "2-URGENT", "F", ts("2000-01-04")),
+        (1, "1-HIGH", "F", ts("2000-01-03")),
+        (1, "1-HIGH", "O", ts("2000-01-06")),
+        # cust 2: single order
+        (2, "3-MEDIUM", "P", ts("1999-07-01")),
+    ]
+    cust, prio, status, date = zip(*rows)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderpriority": pa.array(prio, pa.string()),
+        "o_orderstatus": pa.array(status, pa.string()),
+        "o_orderdate": pa.array(list(date), pa.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    got = golden_record(str(tmp_path)).to_pandas().set_index("o_custkey")
+    assert got.loc[1, "top_priority"] == "1-HIGH"
+    assert got.loc[1, "top_status"] == "F"
+    assert got.loc[1, "n_orders"] == 4
+    assert got.loc[1, "last_ts_us"] == ts("2000-01-06").value // 1000
+    assert got.loc[2, "top_priority"] == "3-MEDIUM"
