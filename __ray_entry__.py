@@ -994,6 +994,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ER survivorship: modal-attribute golden record per customer
         # (ties -> lexicographically smallest; deterministic fusion rule)
         "golden_record": analytics.golden_record,
+        # meta-blocking: CBS-weighted candidate graph, mean-weight edge
+        # pruning (integer cross-multiplied); df-capped token blocks
+        "meta_blocking_pairs": lambda sf: erblock.meta_blocking_pairs(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3760,13 +3764,14 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE tc.v * 10000 // tp.v END AS BIGINT) AS pc_bp
             FROM n, tp, cp, tc
         """,
-        # edit_block_pairs: first-token blocks capped at 64 rows (stop-key
-        # law on BOTH sides), levenshtein <= 2 on the 24-char collapsed
-        # prefix (pure ASCII: byte distance == codepoint distance).
-        "edit_block_pairs": r"""
+        # edit_block_pairs: 8-char collapse-prefix blocks capped at 64
+        # rows (stop-key law on BOTH sides), levenshtein <= 2 on the
+        # 24-char collapsed prefix (ASCII: byte dist == codepoint dist).
+        "edit_block_pairs": """
             WITH k AS (SELECT doc_id,
-                    coalesce(regexp_extract_all(lower(coalesce(text, '')),
-                                                '\S+')[1], '') AS key,
+                    substr(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'),
+                           1, 8) AS key,
                     substr(regexp_replace(lower(coalesce(text, '')),
                                           '[^a-z0-9]', '', 'g'),
                            1, 24) AS s
@@ -3802,6 +3807,29 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM m
             JOIN pr ON pr.o_custkey = m.o_custkey AND pr.rn = 1
             JOIN sr ON sr.o_custkey = m.o_custkey AND sr.rn = 1
+        """,
+        # meta_blocking_pairs: blocks = distinct word TRIGRAMS; CBS weight
+        # = number of shared blocks with df in [2, 100]; prune w below the
+        # mean over candidate pairs (w * n_pairs >= sum_w, integer
+        # cross-multiply).
+        "meta_blocking_pairs": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(lower(coalesce(text, '')),
+                                       '\S+') AS tl
+                 FROM documents),
+            dt AS (SELECT DISTINCT doc_id,
+                    tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS t
+                   FROM tok, unnest(range(1, len(tl) - 1)) AS u(i)),
+            df AS (SELECT t, COUNT(*) c FROM dt GROUP BY t),
+            keep AS (SELECT dt.doc_id, dt.t FROM dt JOIN df USING (t)
+                     WHERE df.c BETWEEN 2 AND 100),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(COUNT(*) AS BIGINT) AS w
+                  FROM keep a JOIN keep b
+                    ON a.t = b.t AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            s AS (SELECT COUNT(*) np, COALESCE(SUM(w), 0) sw FROM p)
+            SELECT id_a, id_b, w FROM p, s WHERE w * s.np >= s.sw
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

@@ -300,6 +300,135 @@ def blocking_quality(docs_ds, *, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# meta-blocking (weighted edge pruning)
+# ---------------------------------------------------------------------------
+
+def meta_blocking_pairs(docs_ds, *, max_df: int = 100, n_buckets: int = 256,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Meta-blocking with CBS weights and global mean pruning: every
+    distinct word TRIGRAM (three consecutive lowercase tokens) is a
+    block; a candidate pair's weight is the number of blocks it co-occurs
+    in (Common Blocks Scheme); pairs whose weight is below the mean over
+    all candidate pairs are pruned (the standard Weighted Edge Pruning
+    rule).  Blocks with document frequency outside [2, ``max_df``] are
+    discarded first (singleton blocks pair nothing; stop-shingle blocks
+    are the quadratic skew source).  Output ``(id_a, id_b, w)`` — the
+    pruned candidate graph that a matcher then scores.  The mean test is
+    integer cross-multiplied (``w · n_pairs >= Σw``) so the DuckDB oracle
+    matches exactly.  Trigram blocks (not single tokens) because
+    single-token blocks on a closed vocabulary are ALL stop blocks — the
+    same reason ngram_jaccard shingles.
+
+    Scale shape: trigrams form positionally on the flattened token array
+    (one doc-boundary mask, no row loop); distinct (doc, trigram) rows
+    are batch-local (docs whole in batch); trigram groups co-locate by
+    ``bucket_hash`` so the df filter sees EXACT global frequencies
+    in-bucket; per-bucket self-merge pre-combines pair counts before the
+    one pair shuffle (coarse pbucket groups); the two pruning scalars
+    come from per-batch partials over the weight table — only two numbers
+    reach the driver, and the weight table is materialized ONCE for its
+    two consumers (scalar pass + filter), the pmi_bigrams pattern.
+    """
+    import pandas as pd
+
+    from .textstats import _explode_tokens
+
+    def tok_part(batch: pa.Table) -> pa.Table:
+        doc_idx, flat, _ = _explode_tokens(batch, text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # '' drops FIRST so trigram adjacency runs over the real token
+        # sequence (the skipgram_counts law)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(keep)
+        flat = flat.take(pa.array(idx, pa.int64()))
+        di = doc_idx[idx]
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "_tb": pa.array([], pa.int64())})
+        if len(di) < 3:
+            return empty
+        j = np.flatnonzero((di[:-2] == di[1:-1]) & (di[:-2] == di[2:]))
+        if not len(j):
+            return empty
+        g3 = pc.binary_join_element_wise(
+            flat.take(pa.array(j, pa.int64())),
+            flat.take(pa.array(j + 1, pa.int64())),
+            flat.take(pa.array(j + 2, pa.int64())), " ")
+        df = pd.DataFrame({"doc_id": ids[di[j]],
+                           "token": g3.to_pandas().astype(object)})
+        df = df.drop_duplicates()
+        t = pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+            "token": pa.array(df["token"], pa.string()),
+        })
+        return t.append_column(
+            "_tb", pa.array(bucket_hash(df["token"], n_buckets), pa.int64()))
+
+    def emit_pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64()),
+                          "_pb": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        # token groups are whole in this bucket -> in-bucket counts ARE
+        # the global document frequencies
+        vc = g["token"].value_counts()
+        ok = vc[(vc >= 2) & (vc <= max_df)].index
+        g = g[g["token"].isin(ok)][["doc_id", "token"]]
+        if g.empty:
+            return empty
+        m = g.merge(g, on="token", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return empty
+        agg = m.groupby(["doc_id_a", "doc_id_b"], as_index=False) \
+            .agg(w=("token", "size"))
+        a = agg["doc_id_a"].to_numpy(np.int64)
+        b = agg["doc_id_b"].to_numpy(np.int64)
+        pb = ((a * np.int64(1_000_003) + b) % n_buckets).astype(np.int64)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64()),
+                         "w": pa.array(agg["w"].to_numpy(np.int64),
+                                       pa.int64()),
+                         "_pb": pa.array(pb, pa.int64())})
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["id_a", "id_b"], as_index=False)["w"].sum()
+        return pa.table({
+            "id_a": pa.array(agg["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(agg["id_b"].to_numpy(np.int64), pa.int64()),
+            "w": pa.array(agg["w"].to_numpy(np.int64), pa.int64()),
+        })
+
+    weights = docs_ds.map_batches(tok_part, batch_format="pyarrow") \
+        .groupby("_tb").map_groups(emit_pairs, batch_format="pandas") \
+        .groupby("_pb").map_groups(combine, batch_format="pandas") \
+        .materialize()  # two consumers below — don't recompute the graph
+
+    def scal_part(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        return pa.table({"_one": pa.array([0], pa.int64()),
+                         "np_": pa.array([len(w)], pa.int64()),
+                         "sw": pa.array([int(w.sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    sc = weights.map_batches(scal_part, batch_format="pyarrow") \
+        .groupby("_one").aggregate(Sum("np_", alias_name="np_"),
+                                   Sum("sw", alias_name="sw")).to_pandas()
+    n_pairs = int(sc["np_"].iloc[0]) if len(sc) else 0
+    sw = int(sc["sw"].iloc[0]) if len(sc) else 0
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.multiply(pc.cast(t.column("w"), pa.int64()), n_pairs), sw)
+        return t.filter(keep)
+
+    return weights.map_batches(prune, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # edit-distance join within blocks
 # ---------------------------------------------------------------------------
 
@@ -337,17 +466,20 @@ def _levenshtein(a: str, b: str, k: int) -> int:
     return min(prev[lb], big)
 
 
-def edit_block_pairs(docs_ds, *, k: int = 2, pfx_chars: int = 24,
-                     max_block: int = 64, n_buckets: int = 256,
-                     text_col: str = "text", id_col: str = "doc_id"):
-    """Edit-distance similarity join inside first-token blocks: candidate
-    pairs share the first lowercase ``\\S+`` token, blocks larger than
-    ``max_block`` are dropped entirely (the stop-key law — enforced in the
-    SQL oracle too), and a pair survives iff
+def edit_block_pairs(docs_ds, *, k: int = 2, key_chars: int = 8,
+                     pfx_chars: int = 24, max_block: int = 64,
+                     n_buckets: int = 256, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Edit-distance similarity join inside prefix blocks: candidate
+    pairs share the first ``key_chars`` chars of the alnum-collapsed
+    lowercase text (an exact-prefix blocking key — first-TOKEN keys on a
+    closed vocabulary are all stop blocks), blocks larger than
+    ``max_block`` are dropped entirely (the stop-key law — enforced in
+    the SQL oracle too), and a pair survives iff
     ``levenshtein(s_a, s_b) <= k`` where ``s`` is the first ``pfx_chars``
     chars of the alnum-collapsed text (pure ASCII, so Python codepoint
     distance == DuckDB's byte distance).  Output ``(id_a, id_b, lev)``
-    with ``id_a < id_b``.
+    with ``id_a < id_b``.  Docs whose collapse is empty join no block.
 
     Scale shape: blocks co-locate via coarse ``bucket_hash`` groups (no
     per-key map_groups); work per block is capped at C(max_block, 2)
@@ -358,9 +490,9 @@ def edit_block_pairs(docs_ds, *, k: int = 2, pfx_chars: int = 24,
     import pandas as pd
 
     def keyed(batch: pa.Table) -> pa.Table:
-        key = _first_token(batch.column(text_col))
         s = pc.utf8_slice_codeunits(_collapse(batch.column(text_col)),
                                     0, pfx_chars)
+        key = pc.utf8_slice_codeunits(s, 0, key_chars)
         t = pa.table({"doc_id": batch.column(id_col), "key": key, "s": s})
         t = t.filter(pc.not_equal(t.column("key"), ""))
         return t.append_column(

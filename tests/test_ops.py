@@ -2847,21 +2847,22 @@ def test_blocking_quality_group_size_math(ray_session):
 
 
 def test_edit_block_pairs_cap_and_distance(ray_session):
-    """Distance runs on the collapsed 24-char prefix; pairs beyond lev 2
-    drop; blocks above max_block drop entirely."""
+    """Distance runs on the collapsed 24-char prefix; the block key is
+    the first 8 collapse chars; pairs beyond lev 2 drop; blocks above
+    max_block drop entirely."""
     import pyarrow as pa
     import ray.data
 
     from name_matching_ray.stages.erblock import edit_block_pairs
 
     rows = [
-        (1, "acme corporation"),     # key 'acme', s 'acmecorporation'
+        (1, "acme corporation"),     # key 'acmecorp', s 'acmecorporation'
         (2, "acme corp"),            # lev vs 1 = 7 -> dropped
         (3, "acme corporatio"),      # lev vs 1 = 1, vs 2 = 6
-        (4, "acme c0rporation"),     # lev vs 1 = 1, vs 3 = 2
+        (4, "acme corporati0n"),     # lev vs 1 = 1, vs 3 = 2
         (5, "zeta w"),               # singleton block -> nothing
     ]
-    # a capped block: 5 identical docs under key 'big' with max_block=4
+    # a capped block: 5 identical docs under key 'bigsame' with max_block=4
     rows += [(10 + i, "big same") for i in range(5)]
     ids, texts = zip(*rows)
     ds = ray.data.from_arrow(pa.table({
@@ -2907,3 +2908,29 @@ def test_golden_record_modal_tiebreak(ray_session, tmp_path):
     assert got.loc[1, "n_orders"] == 4
     assert got.loc[1, "last_ts_us"] == ts("2000-01-06").value // 1000
     assert got.loc[2, "top_priority"] == "3-MEDIUM"
+
+
+def test_meta_blocking_cbs_weight_and_mean_prune(ray_session):
+    """CBS weight counts shared df-capped TRIGRAM blocks; singleton and
+    stop-shingle blocks contribute nothing; edges below the mean weight
+    prune (w * n_pairs >= sum_w, the floor-free integer law)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import meta_blocking_pairs
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["a b c d", "a b c e", "a b c d e", "x y z w"],
+    })).repartition(2)
+    # trigram df: 'a b c'=3, 'b c d'=2 (kept); all others singletons.
+    # weights: (1,2)=1, (1,3)=2 ['a b c','b c d'], (2,3)=1 -> mean 4/3;
+    # keep w*3 >= 4 -> only (1,3).
+    got = meta_blocking_pairs(ds).to_pandas()
+    assert got[["id_a", "id_b", "w"]].to_records(index=False).tolist() \
+        == [(1, 3, 2)]
+    # stop-shingle check: with max_df=2 'a b c' (df 3) is a stop block ->
+    # (1,3) falls to w=1 ['b c d']; (1,2)/(2,3) vanish -> mean 1, kept.
+    got2 = meta_blocking_pairs(ds, max_df=2).to_pandas()
+    assert got2[["id_a", "id_b", "w"]].to_records(index=False).tolist() \
+        == [(1, 3, 1)]
