@@ -82,7 +82,10 @@ def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
     partition the sorted key space contiguously, so local rank + offset IS
     the global rank; pass 3 re-buckets by dense rank chunk (each chunk's
     first ``window`` rows replicated into the previous bucket so boundary
-    pairs form locally), and pairs form positionally inside each chunk.  No stage materializes the corpus on the driver; the skew
+    pairs form locally), and pairs form positionally inside each chunk.
+    The keyed projection is deliberately recomputed for pass 2 rather
+    than materialized — re-reading a 3-column projection streams, while
+    pinning a corpus-sized intermediate in the object store does not.  No stage materializes the corpus on the driver; the skew
     unit is one prefix group (raise ``prefix_len`` to split hot prefixes).
     """
     import pandas as pd
@@ -116,7 +119,6 @@ def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
     counts = counts.sort_values("pfx", kind="mergesort")
     offs = np.concatenate([[0], counts["c"].to_numpy(np.int64).cumsum()])
     offset_of = dict(zip(counts["pfx"], offs[:-1]))
-    n_total = int(offs[-1])
 
     # pass 2: rank within each prefix group (one task per prefix — the
     # documented skew unit), local order (key, id) + the prefix offset.
@@ -181,7 +183,6 @@ def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
             "id_b": pa.array(np.concatenate(ib), pa.int64()),
             "gap": pa.array(np.concatenate(gp), pa.int64())})
 
-    _ = n_total  # (kept for clarity: ranks run 1..n_total)
     return ranked.map_batches(to_chunks, batch_format="pyarrow") \
         .groupby("_cb").map_groups(pair_chunk, batch_format="pandas")
 
