@@ -278,8 +278,20 @@ def blocking_quality(docs_ds, *, text_col: str = "text",
 
     def final(dfs: list[pd.DataFrame]) -> pa.Table:
         tc, tp, cp = dfs
+        if not len(tc):
+            # degenerate empty corpus: the oracle's scalar CTEs still emit
+            # ONE row — zero counts, NULL n_true_pairs/pc_bp (SUM over an
+            # empty group is NULL in SQL; conversion_time precedent).
+            return pa.table({
+                "n_docs": pa.array([0], pa.int64()),
+                "n_keyed": pa.array([0], pa.int64()),
+                "n_true_pairs": pa.array([None], pa.int64()),
+                "n_cand_pairs": pa.array([0], pa.int64()),
+                "n_true_cand": pa.array([0], pa.int64()),
+                "pc_bp": pa.array([None], pa.int64()),
+            })
         n_true = int(tp["n_true_pairs"].iloc[0]) if len(tp) else 0
-        n_tc = int(tc["n_true_cand"].iloc[0]) if len(tc) else 0
+        n_tc = int(tc["n_true_cand"].iloc[0])
         pc_bp = 10_000 if n_true == 0 else n_tc * 10_000 // n_true
         return pa.table({
             "n_docs": pa.array([int(tc["n_docs"].iloc[0])], pa.int64()),

@@ -2934,3 +2934,21 @@ def test_meta_blocking_cbs_weight_and_mean_prune(ray_session):
     got2 = meta_blocking_pairs(ds, max_df=2).to_pandas()
     assert got2[["id_a", "id_b", "w"]].to_records(index=False).tolist() \
         == [(1, 3, 1)]
+
+
+def test_blocking_quality_empty_corpus(ray_session):
+    """Degenerate empty corpus still yields the oracle's single row:
+    zero counts with NULL n_true_pairs / pc_bp (SQL SUM-over-empty)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import blocking_quality
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    got = blocking_quality(ds).to_pandas()
+    assert len(got) == 1
+    assert got["n_docs"].iloc[0] == 0 and got["n_cand_pairs"].iloc[0] == 0
+    assert got["n_true_pairs"].isna().iloc[0] and got["pc_bp"].isna().iloc[0]
