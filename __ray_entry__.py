@@ -998,6 +998,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pruning (integer cross-multiplied); df-capped token blocks
         "meta_blocking_pairs": lambda sf: erblock.meta_blocking_pairs(
             _read_docs(sf)),
+        # SNM blocking evaluation: pairs completeness of the rank window
+        # vs exact-dup truth (fingerprint rides the rank chunks — no pair
+        # table is joined back)
+        "snm_recall": lambda sf: erblock.snm_recall(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3830,6 +3834,36 @@ def _oracle_sql_base() -> dict[str, str]:
                   GROUP BY 1, 2),
             s AS (SELECT COUNT(*) np, COALESCE(SUM(w), 0) sw FROM p)
             SELECT id_a, id_b, w FROM p, s WHERE w * s.np >= s.sw
+        """,
+        # snm_recall: SNM window hits vs the exact-dup truth; same rank
+        # law as snm_pairs, same C(n,2) truth law as blocking_quality.
+        "snm_recall": """
+            WITH k AS (SELECT doc_id,
+                    substr(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'),
+                           1, 16) AS key,
+                    md5(regexp_replace(lower(coalesce(text, '')),
+                                       '[^a-z0-9]', '', 'g')) AS fp
+                 FROM documents),
+            r AS (SELECT doc_id, fp,
+                    row_number() OVER (ORDER BY key, doc_id) AS rn
+                  FROM k),
+            p AS (SELECT a.fp AS fa, b.fp AS fb
+                  FROM r a JOIN r b
+                    ON b.rn > a.rn AND b.rn <= a.rn + 3),
+            ch AS (SELECT COUNT(*) AS cand,
+                          COALESCE(SUM(CASE WHEN fa = fb THEN 1 ELSE 0
+                                       END), 0) AS hit
+                   FROM p),
+            tp AS (SELECT COALESCE(SUM(c*(c-1)//2), 0) AS v FROM
+                   (SELECT COUNT(*) c FROM k GROUP BY fp))
+            SELECT CAST(tp.v AS BIGINT) AS n_true_pairs,
+                   CAST(ch.cand AS BIGINT) AS n_cand,
+                   CAST(ch.hit AS BIGINT) AS n_hit,
+                   CAST(CASE WHEN tp.v = 0 THEN 10000
+                        ELSE ch.hit * 10000 // tp.v END AS BIGINT)
+                       AS recall_bp
+            FROM tp, ch
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

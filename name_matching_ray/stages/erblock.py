@@ -63,6 +63,102 @@ def _first_token(text: pa.ChunkedArray | pa.Array) -> pa.Array:
 # sorted-neighborhood blocking
 # ---------------------------------------------------------------------------
 
+def _snm_ranked_chunks(docs_ds, *, window: int, key_len: int,
+                       prefix_len: int, chunk: int, text_col: str,
+                       id_col: str, payload_fn=None):
+    """Shared SNM rank machinery (passes 1-3 of the snm_pairs docstring):
+    global rank by (key, id) via per-prefix offsets, then dense rank
+    chunks with each chunk's first ``window`` rows replicated into the
+    PREVIOUS bucket (non-primary) so boundary pairs form locally.
+    Returns a dataset with (doc_id, rn, _cb, _pri [, pl]); ``payload_fn``
+    optionally attaches a per-row string payload column ``pl`` (e.g. the
+    fingerprint, for snm_recall) that rides through rank and chunk.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    if window >= chunk:
+        raise ValueError("window must be < chunk")
+    with_pl = payload_fn is not None
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(_collapse(batch.column(text_col)),
+                                      0, key_len)
+        cols = {
+            "doc_id": batch.column(id_col),
+            "key": key,
+            "pfx": pc.utf8_slice_codeunits(key, 0, prefix_len),
+        }
+        if with_pl:
+            cols["pl"] = payload_fn(batch)
+        return pa.table(cols)
+
+    keyed_ds = docs_ds.map_batches(keyed, batch_format="pyarrow")
+
+    # pass 1: per-prefix counts -> lexicographic cumulative offsets.
+    # |prefixes| <= 37^prefix_len (a CONSTANT), so the driver collect is
+    # bounded regardless of corpus size.
+    def pfx_part(t: pa.Table) -> pa.Table:
+        vc = t.column("pfx").combine_chunks().value_counts()
+        return pa.table({"pfx": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = keyed_ds.map_batches(pfx_part, batch_format="pyarrow") \
+        .groupby("pfx").aggregate(Sum("c", alias_name="c")).to_pandas()
+    counts = counts.sort_values("pfx", kind="mergesort")
+    offs = np.concatenate([[0], counts["c"].to_numpy(np.int64).cumsum()])
+    offset_of = dict(zip(counts["pfx"], offs[:-1]))
+
+    # pass 2: rank within each prefix group (one task per prefix — the
+    # documented skew unit), local order (key, id) + the prefix offset.
+    def rank_group(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            cols = {"doc_id": pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64())}
+            if with_pl:
+                cols["pl"] = pa.array([], pa.string())
+            return pa.table(cols)
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        base = offset_of[g["pfx"].iloc[0]]
+        rn = np.arange(1, len(g) + 1, dtype=np.int64) + base
+        cols = {
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "rn": pa.array(rn, pa.int64()),
+        }
+        if with_pl:
+            cols["pl"] = pa.array(g["pl"], pa.string())
+        return pa.table(cols)
+
+    ranked = keyed_ds.groupby("pfx").map_groups(
+        rank_group, batch_format="pandas")
+
+    # pass 3: dense rank chunks with backward boundary replication — a
+    # primary near a chunk's END needs the next chunk's first ``window``
+    # rows as right partners, so rows at a chunk START are REPLICATED
+    # into the PREVIOUS bucket (non-primary).
+    def to_chunks(t: pa.Table) -> pa.Table:
+        rn = t.column("rn").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        cb = rn // chunk
+        rep = ((rn % chunk) < window) & (rn >= chunk)
+        is_primary = np.concatenate(
+            [np.ones(len(rn), bool), np.zeros(int(rep.sum()), bool)])
+        cols = {
+            "doc_id": pa.array(np.concatenate([ids, ids[rep]]), pa.int64()),
+            "rn": pa.array(np.concatenate([rn, rn[rep]]), pa.int64()),
+            "_cb": pa.array(np.concatenate([cb, cb[rep] - 1]), pa.int64()),
+            "_pri": pa.array(is_primary, pa.bool_()),
+        }
+        if with_pl:
+            pl = t.column("pl").combine_chunks()
+            cols["pl"] = pa.concat_arrays(
+                [pl, pl.take(pa.array(np.flatnonzero(rep), pa.int64()))])
+        return pa.table(cols)
+
+    return ranked.map_batches(to_chunks, batch_format="pyarrow")
+
+
 def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
               prefix_len: int = 2, chunk: int = 4096,
               text_col: str = "text", id_col: str = "doc_id"):
@@ -85,79 +181,15 @@ def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
     pairs form locally), and pairs form positionally inside each chunk.
     The keyed projection is deliberately recomputed for pass 2 rather
     than materialized — re-reading a 3-column projection streams, while
-    pinning a corpus-sized intermediate in the object store does not.  No stage materializes the corpus on the driver; the skew
-    unit is one prefix group (raise ``prefix_len`` to split hot prefixes).
+    pinning a corpus-sized intermediate in the object store does not.
+    No stage materializes the corpus on the driver; the skew unit is one
+    prefix group (raise ``prefix_len`` to split hot prefixes).
     """
     import pandas as pd
 
-    from ray.data.aggregate import Sum
-
-    if window >= chunk:
-        raise ValueError("window must be < chunk")
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        key = pc.utf8_slice_codeunits(_collapse(batch.column(text_col)),
-                                      0, key_len)
-        return pa.table({
-            "doc_id": batch.column(id_col),
-            "key": key,
-            "pfx": pc.utf8_slice_codeunits(key, 0, prefix_len),
-        })
-
-    keyed_ds = docs_ds.map_batches(keyed, batch_format="pyarrow")
-
-    # pass 1: per-prefix counts -> lexicographic cumulative offsets.
-    # |prefixes| <= 37^prefix_len (a CONSTANT), so the driver collect is
-    # bounded regardless of corpus size.
-    def pfx_part(t: pa.Table) -> pa.Table:
-        vc = t.column("pfx").combine_chunks().value_counts()
-        return pa.table({"pfx": vc.field("values"),
-                         "c": pc.cast(vc.field("counts"), pa.int64())})
-
-    counts = keyed_ds.map_batches(pfx_part, batch_format="pyarrow") \
-        .groupby("pfx").aggregate(Sum("c", alias_name="c")).to_pandas()
-    counts = counts.sort_values("pfx", kind="mergesort")
-    offs = np.concatenate([[0], counts["c"].to_numpy(np.int64).cumsum()])
-    offset_of = dict(zip(counts["pfx"], offs[:-1]))
-
-    # pass 2: rank within each prefix group (one task per prefix — the
-    # documented skew unit), local order (key, id) + the prefix offset.
-    def rank_group(g: pd.DataFrame) -> pa.Table:
-        if not len(g):
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "rn": pa.array([], pa.int64())})
-        g = g.sort_values(["key", "doc_id"], kind="mergesort")
-        base = offset_of[g["pfx"].iloc[0]]
-        rn = np.arange(1, len(g) + 1, dtype=np.int64) + base
-        return pa.table({
-            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
-            "rn": pa.array(rn, pa.int64()),
-        })
-
-    ranked = keyed_ds.groupby("pfx").map_groups(
-        rank_group, batch_format="pandas")
-
-    # pass 3: chunked pair formation with boundary replication — a row at
-    # rank rn lives in chunk rn//chunk; a primary near a chunk's END needs
-    # the next chunk's first ``window`` rows as right partners, so rows at
-    # a chunk START are REPLICATED into the PREVIOUS bucket (non-primary).
-    def to_chunks(t: pa.Table) -> pa.Table:
-        rn = t.column("rn").to_numpy(zero_copy_only=False)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        cb = rn // chunk
-        rep = ((rn % chunk) < window) & (rn >= chunk)
-        out_rn = np.concatenate([rn, rn[rep]])
-        out_id = np.concatenate([ids, ids[rep]])
-        out_cb = np.concatenate([cb, cb[rep] - 1])
-        # primary rows form pairs; replicas only serve as right partners
-        is_primary = np.concatenate(
-            [np.ones(len(rn), bool), np.zeros(int(rep.sum()), bool)])
-        return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "rn": pa.array(out_rn, pa.int64()),
-            "_cb": pa.array(out_cb, pa.int64()),
-            "_pri": pa.array(is_primary, pa.bool_()),
-        })
+    chunks = _snm_ranked_chunks(docs_ds, window=window, key_len=key_len,
+                                prefix_len=prefix_len, chunk=chunk,
+                                text_col=text_col, id_col=id_col)
 
     def pair_chunk(g: pd.DataFrame) -> pa.Table:
         if not len(g):
@@ -183,8 +215,102 @@ def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
             "id_b": pa.array(np.concatenate(ib), pa.int64()),
             "gap": pa.array(np.concatenate(gp), pa.int64())})
 
-    return ranked.map_batches(to_chunks, batch_format="pyarrow") \
-        .groupby("_cb").map_groups(pair_chunk, batch_format="pandas")
+    return chunks.groupby("_cb").map_groups(pair_chunk,
+                                            batch_format="pandas")
+
+
+def snm_recall(docs_ds, *, window: int = 3, key_len: int = 16,
+               prefix_len: int = 2, chunk: int = 4096,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """SNM blocking evaluation against the exact-duplicate truth: one row
+    ``(n_true_pairs, n_cand, n_hit, recall_bp)`` where ``n_cand`` is the
+    number of SNM window candidates (snm_pairs' law, same parameters),
+    ``n_hit`` counts candidates whose two docs share a fingerprint, and
+    ``recall_bp = n_hit · 10⁴ // n_true_pairs`` (10000 when there are no
+    true pairs) — the pairs-completeness of sorted-neighborhood blocking,
+    the companion to blocking_quality's token-blocking metric.
+
+    Scale shape: the fingerprint rides through the SNM rank machinery as
+    a payload column, so hits are counted INSIDE the rank chunks (no pair
+    table is ever joined back to fingerprints); the truth denominator is
+    the blocking_quality group-size law; three scalars reach the driver.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .textstats import fingerprint_batch
+
+    def fp_payload(batch: pa.Table) -> pa.Array:
+        col = fingerprint_batch(batch, text_col=text_col, id_col=id_col) \
+            .column("fingerprint")
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+
+    chunks = _snm_ranked_chunks(docs_ds, window=window, key_len=key_len,
+                                prefix_len=prefix_len, chunk=chunk,
+                                text_col=text_col, id_col=id_col,
+                                payload_fn=fp_payload)
+
+    def hit_chunk(g: pd.DataFrame) -> pa.Table:
+        cand = hit = 0
+        if len(g):
+            g = g.sort_values("rn", kind="mergesort")
+            rn = g["rn"].to_numpy(np.int64)
+            fp = g["pl"].to_numpy()
+            pri = g["_pri"].to_numpy(bool)
+            prn = rn[pri]
+            pfp = fp[pri]
+            for d in range(1, window + 1):
+                j = np.searchsorted(rn, prn + d)
+                ok = j < len(rn)
+                ok[ok] = rn[j[ok]] == prn[ok] + d
+                cand += int(ok.sum())
+                hit += int((pfp[ok] == fp[j[ok]]).sum())
+        return pa.table({"_one": pa.array([0], pa.int64()),
+                         "n_cand": pa.array([cand], pa.int64()),
+                         "n_hit": pa.array([hit], pa.int64())})
+
+    cand_hits = chunks.groupby("_cb").map_groups(
+        hit_chunk, batch_format="pandas") \
+        .groupby("_one").aggregate(Sum("n_cand", alias_name="n_cand"),
+                                   Sum("n_hit", alias_name="n_hit")) \
+        .to_pandas()
+
+    # truth denominator: sum C(n,2) over fingerprint groups (the
+    # blocking_quality law — per-batch fp counts, one narrow shuffle)
+    def fp_part(batch: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(batch, text_col=text_col, id_col=id_col) \
+            .column("fingerprint").combine_chunks()
+        vc = fp.value_counts()
+        return pa.table({"fp": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    def pair_part(df: pd.DataFrame) -> pa.Table:
+        c = df["c"].to_numpy(np.int64)
+        return pa.table({"_one": pa.array([0], pa.int64()),
+                         "n_true_pairs": pa.array(
+                             [int((c * (c - 1) // 2).sum())], pa.int64())})
+
+    truth = docs_ds.map_batches(fp_part, batch_format="pyarrow") \
+        .groupby("fp").aggregate(Sum("c", alias_name="c")) \
+        .map_batches(pair_part, batch_format="pandas") \
+        .groupby("_one").aggregate(
+            Sum("n_true_pairs", alias_name="n_true_pairs")).to_pandas()
+
+    n_true = int(truth["n_true_pairs"].iloc[0]) if len(truth) else 0
+    n_cand = int(cand_hits["n_cand"].iloc[0]) if len(cand_hits) else 0
+    n_hit = int(cand_hits["n_hit"].iloc[0]) if len(cand_hits) else 0
+    recall_bp = 10_000 if n_true == 0 else n_hit * 10_000 // n_true
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n_true_pairs": pa.array([n_true], pa.int64()),
+        "n_cand": pa.array([n_cand], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "recall_bp": pa.array([recall_bp], pa.int64()),
+    }))
 
 
 # ---------------------------------------------------------------------------

@@ -2952,3 +2952,41 @@ def test_blocking_quality_empty_corpus(ray_session):
     assert len(got) == 1
     assert got["n_docs"].iloc[0] == 0 and got["n_cand_pairs"].iloc[0] == 0
     assert got["n_true_pairs"].isna().iloc[0] and got["pc_bp"].isna().iloc[0]
+
+
+def test_snm_recall_window_hits(ray_session):
+    """Hits count window candidates sharing a fingerprint — including
+    across chunk boundaries; the denominator is the exact-dup C(n,2)
+    truth even when a true pair falls OUTSIDE the window."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import snm_recall
+
+    # keys sort as: aa/1, aa/2, ab/3, ac/4, zz/9 — fp(aa1)==fp(aa2)
+    # (adjacent, hit) and fp(ac)==fp(zz) (true pair, rank gap 1 with
+    # window 1... place it out of window instead)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 9], pa.int64()),
+        "text": ["aa", "a-a", "ab", "zz top", "zz-top"],
+    }))
+    # collapse: aa, aa, ab, zztop, zztop -> order 1,2,3,4,9
+    # truth: {1,2} and {4,9} -> 2 true pairs
+    # window=1 pairs: (1,2) hit, (2,3), (3,4), (4,9) hit -> cand 4, hit 2
+    got = snm_recall(ds, window=1, chunk=4).to_pandas().iloc[0]
+    assert got["n_true_pairs"] == 2 and got["n_cand"] == 4
+    assert got["n_hit"] == 2 and got["recall_bp"] == 10_000
+    # window=1, chunk=2: boundary replication must still find (4,9)
+    # (ranks 4,5 straddle the chunk edge)
+    got2 = snm_recall(ds, window=1, chunk=2).to_pandas().iloc[0]
+    assert got2["n_hit"] == 2
+    # a true pair beyond the window: three copies of fp 'aa' rank
+    # adjacently (ranks 1,2,3) -> window-1 hits (1,2) and (2,9) but NOT
+    # (1,9) at gap 2; C(3,2)=3 true pairs -> recall floor(2e4/3) = 6666
+    ds3 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 5, 6, 9], pa.int64()),
+        "text": ["aa", "a-a", "ab", "ac", "a a"],
+    }))
+    got3 = snm_recall(ds3, window=1, chunk=4).to_pandas().iloc[0]
+    assert got3["n_true_pairs"] == 3 and got3["n_hit"] == 2
+    assert got3["recall_bp"] == 6666
