@@ -457,6 +457,16 @@ def _split_by_cluster(sf_dir: str):
     return split_by_cluster(_near_dup_clusters(sf_dir), train_bp=9000)
 
 
+def _cluster_golden_record(sf_dir: str):
+    """The full ER chain as one pipeline: ngram near-dup pairs → the
+    shared _near_dup_clusters transitive closure → cluster_survivorship
+    fusion (keep-longest + modal lang/source golden record per cluster).
+    The whole composition sits under ONE recursive-CTE oracle."""
+    attrs = _read_table(sf_dir, "documents",
+                        ["doc_id", "text", "lang", "source"])
+    return erblock.cluster_survivorship(_near_dup_clusters(sf_dir), attrs)
+
+
 def _coname_legacy(sf_dir: str):
     """Legacy coname matcher (reference coname.py) over planted synthetic
     name tables at the sf's document scale: corpus-word gates from the base
@@ -1002,6 +1012,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vs exact-dup truth (fingerprint rides the rank chunks — no pair
         # table is joined back)
         "snm_recall": lambda sf: erblock.snm_recall(_read_docs(sf)),
+        # the FULL ER chain under one oracle: near-dup pairs -> transitive
+        # closure -> survivorship fusion (golden record per cluster)
+        "cluster_golden_record": _cluster_golden_record,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3864,6 +3877,68 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE ch.hit * 10000 // tp.v END AS BIGINT)
                        AS recall_bp
             FROM tp, ch
+        """,
+        # cluster_golden_record: the dedup_keep_list closure CTE + the
+        # survivorship laws (keep = longest text then lowest id; modal
+        # lang/source with count ties -> smallest value, NULLS LAST).
+        "cluster_golden_record": """
+            WITH RECURSIVE tok AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+            cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                   FROM reach GROUP BY node),
+            attr AS (SELECT cc.cluster_id, d.doc_id,
+                        CAST(length(coalesce(d.text, '')) AS BIGINT) AS ln,
+                        d.lang, d.source
+                     FROM documents d JOIN cc ON cc.doc_id = d.doc_id),
+            k AS (SELECT cluster_id, doc_id, ln,
+                    row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY ln DESC, doc_id) AS rn
+                  FROM attr),
+            lr AS (SELECT cluster_id, lang,
+                    row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY c DESC, lang) AS rn
+                   FROM (SELECT cluster_id, lang, COUNT(*) c
+                         FROM attr GROUP BY 1, 2)),
+            sr AS (SELECT cluster_id, source,
+                    row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY c DESC, source) AS rn
+                   FROM (SELECT cluster_id, source, COUNT(*) c
+                         FROM attr GROUP BY 1, 2)),
+            nm AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+                   FROM attr GROUP BY 1)
+            SELECT nm.cluster_id, k.doc_id AS keep_id, k.ln AS keep_len,
+                   lr.lang AS top_lang, sr.source AS top_source,
+                   nm.n_members
+            FROM nm
+            JOIN k ON k.cluster_id = nm.cluster_id AND k.rn = 1
+            JOIN lr ON lr.cluster_id = nm.cluster_id AND lr.rn = 1
+            JOIN sr ON sr.cluster_id = nm.cluster_id AND sr.rn = 1
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

@@ -123,7 +123,7 @@ BENCH_QUERIES = [
     "incremental_dedup_counts", "shipping_priority", "token_blocking_budget",
     "skipgram_counts", "dedup_keep_longest", "rfm_segments",
     "snm_pairs", "blocking_quality", "edit_block_pairs", "golden_record",
-    "meta_blocking_pairs", "snm_recall",
+    "meta_blocking_pairs", "snm_recall", "cluster_golden_record",
     "pq_encode", "pq_topk", "grid_l2_topk", "pq_recall", "rolling_active",
     "pagerank_dups", "fk_violations", "ivfpq_topk", "perplexity_buckets",
     "profile_table", "conversion_time", "curate_corpus", "winnow_recall",

@@ -439,6 +439,100 @@ def blocking_quality(docs_ds, *, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# cluster survivorship (golden record over ER clusters)
+# ---------------------------------------------------------------------------
+
+def cluster_survivorship(cc_ds, attr_ds, *, id_col: str = "doc_id",
+                         cluster_col: str = "cluster_id",
+                         n_buckets: int = 64, cc_types: dict | None = None):
+    """Survivorship over ER clusters — the fusion step after transitive
+    closure: one golden row per cluster with ``keep_id`` (longest text,
+    ties → lowest id: the dedup_keep_longest rule), modal ``top_lang`` /
+    ``top_source`` (count ties → lexicographically smallest, NULL sorting
+    last — SQL NULLS LAST), ``keep_len`` and ``n_members``.  Compose with
+    ``connected_components`` for the full chain: near-dup pairs →
+    closure → golden record.
+
+    Scale shape: labels attach to attributes via ONE bucket_hash_join on
+    the id (thread ``cc_types`` so the closure pipeline isn't probed for
+    its schema — the Dataset.schema()-executes-AllToAll trap); clusters
+    then co-locate in coarse hash buckets where the keep row, both modal
+    margins and the member count all derive vectorized from the same
+    frame.  Nothing reaches the driver.
+    """
+    import pandas as pd
+
+    from .joins import bucket_hash_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(pc.fill_null(
+            pc.cast(batch.column("text"), pa.string()), ""))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "keep_len": pc.cast(ln, pa.int64()),
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+        })
+
+    attrs = attr_ds.map_batches(prep, batch_format="pyarrow")
+    joined = bucket_hash_join(
+        cc_ds, attrs, on=id_col, how="inner",
+        left_types=cc_types or {id_col: pa.int64(),
+                                cluster_col: pa.int64()},
+        right_types={id_col: pa.int64(), "keep_len": pa.int64(),
+                     "lang": pa.string(), "source": pa.string()})
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            df.assign(_cb=bucket_hash(df[cluster_col], n_buckets)),
+            preserve_index=False)
+
+    def _modal(g: pd.DataFrame, col: str, out: str) -> pd.DataFrame:
+        m = g.groupby([cluster_col, col], dropna=False,
+                      as_index=False).size()
+        # count ties -> smallest value; NULL sorts last (SQL NULLS LAST)
+        m = m.sort_values([cluster_col, "size", col],
+                          ascending=[True, False, True],
+                          na_position="last", kind="mergesort")
+        m = m.drop_duplicates(cluster_col, keep="first")
+        return m[[cluster_col, col]].rename(columns={col: out})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({
+                "cluster_id": pa.array([], pa.int64()),
+                "keep_id": pa.array([], pa.int64()),
+                "keep_len": pa.array([], pa.int64()),
+                "top_lang": pa.array([], pa.string()),
+                "top_source": pa.array([], pa.string()),
+                "n_members": pa.array([], pa.int64()),
+            })
+        k = g.sort_values([cluster_col, "keep_len", id_col],
+                          ascending=[True, False, True], kind="mergesort") \
+            .drop_duplicates(cluster_col, keep="first")
+        n = g.groupby(cluster_col, as_index=False).size() \
+            .rename(columns={"size": "n_members"})
+        out = k[[cluster_col, id_col, "keep_len"]] \
+            .merge(_modal(g, "lang", "top_lang"), on=cluster_col) \
+            .merge(_modal(g, "source", "top_source"), on=cluster_col) \
+            .merge(n, on=cluster_col)
+        return pa.table({
+            "cluster_id": pa.array(out[cluster_col].to_numpy(np.int64),
+                                   pa.int64()),
+            "keep_id": pa.array(out[id_col].to_numpy(np.int64), pa.int64()),
+            "keep_len": pa.array(out["keep_len"].to_numpy(np.int64),
+                                 pa.int64()),
+            "top_lang": pa.array(out["top_lang"], pa.string()),
+            "top_source": pa.array(out["top_source"], pa.string()),
+            "n_members": pa.array(out["n_members"].to_numpy(np.int64),
+                                  pa.int64()),
+        })
+
+    return joined.map_batches(tag, batch_format="pandas") \
+        .groupby("_cb").map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # meta-blocking (weighted edge pruning)
 # ---------------------------------------------------------------------------
 

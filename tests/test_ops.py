@@ -2990,3 +2990,36 @@ def test_snm_recall_window_hits(ray_session):
     got3 = snm_recall(ds3, window=1, chunk=4).to_pandas().iloc[0]
     assert got3["n_true_pairs"] == 3 and got3["n_hit"] == 2
     assert got3["recall_bp"] == 6666
+
+
+def test_cluster_survivorship_keep_and_modal_laws(ray_session):
+    """Keep = longest text then lowest id; modal attributes break count
+    ties to the smallest value with NULL sorting last, but a strict NULL
+    majority wins (SQL GROUP BY keeps NULL — pandas dropna would not)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import cluster_survivorship
+
+    cc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "cluster_id": pa.array([1, 1, 1, 4, 5, 5, 7, 7], pa.int64()),
+    }))
+    attrs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "text": ["aaaa", "bbbbbb", "cc", "dd", "e", "f", "g", "h"],
+        "lang": ["en", None, "en", "fr", None, None, "de", "ar"],
+        "source": ["s1", "s2", "s2", "s9", "s3", "s4", "s5", "s5"],
+    }))
+    got = cluster_survivorship(cc, attrs).to_pandas() \
+        .set_index("cluster_id")
+    # cluster 1: keep doc 2 (len 6); lang en x2 beats NULL x1; source s2 x2
+    assert got.loc[1, "keep_id"] == 2 and got.loc[1, "keep_len"] == 6
+    assert got.loc[1, "top_lang"] == "en"
+    assert got.loc[1, "top_source"] == "s2" and got.loc[1, "n_members"] == 3
+    # cluster 5: NULL lang majority -> top_lang NULL; source tie s3/s4 -> s3
+    import pandas as pd
+    assert pd.isna(got.loc[5, "top_lang"])
+    assert got.loc[5, "top_source"] == "s3"
+    # cluster 7: lang tie de/ar (1 each) -> 'ar' (smallest); len tie 1 -> id 7
+    assert got.loc[7, "top_lang"] == "ar" and got.loc[7, "keep_id"] == 7
