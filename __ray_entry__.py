@@ -1012,6 +1012,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vs exact-dup truth (fingerprint rides the rank chunks — no pair
         # table is joined back)
         "snm_recall": lambda sf: erblock.snm_recall(_read_docs(sf)),
+        # multi-pass SNM: forward + reversed-key passes, unordered union
+        # with per-pair pass count (prefix-corrupted dups need pass 2)
+        "snm_multi_pairs": lambda sf: erblock.snm_multi_pairs(
+            _read_docs(sf)),
         # the FULL ER chain under one oracle: near-dup pairs -> transitive
         # closure -> survivorship fusion (golden record per cluster)
         "cluster_golden_record": _cluster_golden_record,
@@ -3877,6 +3881,33 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE ch.hit * 10000 // tp.v END AS BIGINT)
                        AS recall_bp
             FROM tp, ch
+        """,
+        # snm_multi_pairs: two rank passes (key; reversed collapse),
+        # LEAST/GREATEST-normalized union, COUNT(*) = pass count (a pair
+        # appears at most once per pass).
+        "snm_multi_pairs": """
+            WITH k AS (SELECT doc_id,
+                    regexp_replace(lower(coalesce(text, '')),
+                                   '[^a-z0-9]', '', 'g') AS c
+                 FROM documents),
+            r1 AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY substr(c, 1, 16), doc_id)
+                        AS rn
+                   FROM k),
+            r2 AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY substr(reverse(c), 1, 16),
+                                       doc_id) AS rn
+                   FROM k),
+            p AS (
+                SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                       GREATEST(a.doc_id, b.doc_id) AS id_b
+                FROM r1 a JOIN r1 b ON b.rn > a.rn AND b.rn <= a.rn + 3
+                UNION ALL
+                SELECT LEAST(a.doc_id, b.doc_id),
+                       GREATEST(a.doc_id, b.doc_id)
+                FROM r2 a JOIN r2 b ON b.rn > a.rn AND b.rn <= a.rn + 3)
+            SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_passes
+            FROM p GROUP BY 1, 2
         """,
         # cluster_golden_record: the dedup_keep_list closure CTE + the
         # survivorship laws (keep = longest text then lowest id; modal

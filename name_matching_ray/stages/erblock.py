@@ -65,7 +65,8 @@ def _first_token(text: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 def _snm_ranked_chunks(docs_ds, *, window: int, key_len: int,
                        prefix_len: int, chunk: int, text_col: str,
-                       id_col: str, payload_fn=None):
+                       id_col: str, payload_fn=None,
+                       reverse_key: bool = False):
     """Shared SNM rank machinery (passes 1-3 of the snm_pairs docstring):
     global rank by (key, id) via per-prefix offsets, then dense rank
     chunks with each chunk's first ``window`` rows replicated into the
@@ -83,8 +84,10 @@ def _snm_ranked_chunks(docs_ds, *, window: int, key_len: int,
     with_pl = payload_fn is not None
 
     def keyed(batch: pa.Table) -> pa.Table:
-        key = pc.utf8_slice_codeunits(_collapse(batch.column(text_col)),
-                                      0, key_len)
+        base = _collapse(batch.column(text_col))
+        if reverse_key:
+            base = pc.utf8_reverse(base)
+        key = pc.utf8_slice_codeunits(base, 0, key_len)
         cols = {
             "doc_id": batch.column(id_col),
             "key": key,
@@ -161,7 +164,8 @@ def _snm_ranked_chunks(docs_ds, *, window: int, key_len: int,
 
 def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
               prefix_len: int = 2, chunk: int = 4096,
-              text_col: str = "text", id_col: str = "doc_id"):
+              text_col: str = "text", id_col: str = "doc_id",
+              reverse_key: bool = False):
     """Sorted Neighborhood Method candidate pairs: rows ordered globally by
     ``(key, id)`` where ``key`` is the first ``key_len`` chars of the
     alnum-collapsed lowercase text; every pair within ``window`` ranks is a
@@ -189,7 +193,8 @@ def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
 
     chunks = _snm_ranked_chunks(docs_ds, window=window, key_len=key_len,
                                 prefix_len=prefix_len, chunk=chunk,
-                                text_col=text_col, id_col=id_col)
+                                text_col=text_col, id_col=id_col,
+                                reverse_key=reverse_key)
 
     def pair_chunk(g: pd.DataFrame) -> pa.Table:
         if not len(g):
@@ -217,6 +222,64 @@ def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
 
     return chunks.groupby("_cb").map_groups(pair_chunk,
                                             batch_format="pandas")
+
+
+def snm_multi_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
+                    prefix_len: int = 2, chunk: int = 4096,
+                    n_buckets: int = 128, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Multi-pass SNM — the standard fix for single-key SNM's blind spot
+    (an error in the key's first characters teleports a record across the
+    sort order): one pass sorts on the collapse-prefix key, a second on
+    the REVERSED collapse, and the candidate set is the union.  Output
+    ``(id_a, id_b, n_passes)`` with ``id_a < id_b`` and ``n_passes`` ∈
+    {1, 2} — pairs found by both passes are the strongest candidates.
+
+    Scale shape: each pass is the full snm_pairs machinery (driver state
+    still bounded by the prefix constant); pairs are normalized to
+    unordered form per batch, the union is REPARTITIONED before grouping
+    (union sums block counts — the iterative-loop lesson), and the
+    per-pair combine runs in coarse hash buckets, never per-pair groups.
+    """
+    import pandas as pd
+
+    common = dict(window=window, key_len=key_len, prefix_len=prefix_len,
+                  chunk=chunk, text_col=text_col, id_col=id_col)
+    p1 = snm_pairs(docs_ds, **common)
+    p2 = snm_pairs(docs_ds, **common, reverse_key=True)
+
+    def norm(t: pa.Table) -> pa.Table:
+        a, b = t.column("id_a"), t.column("id_b")
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        la = lo.to_numpy(zero_copy_only=False)
+        hb = hi.to_numpy(zero_copy_only=False)
+        pb = ((la * np.int64(1_000_003) + hb) % n_buckets).astype(np.int64)
+        return pa.table({"id_a": pc.cast(lo, pa.int64()),
+                         "id_b": pc.cast(hi, pa.int64()),
+                         "_pb": pa.array(pb, pa.int64())})
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "n_passes": pa.array([], pa.int64())})
+        agg = g.groupby(["id_a", "id_b"], as_index=False).size()
+        return pa.table({
+            "id_a": pa.array(agg["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(agg["id_b"].to_numpy(np.int64), pa.int64()),
+            "n_passes": pa.array(agg["size"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    u = p1.map_batches(norm, batch_format="pyarrow") \
+        .union(p2.map_batches(norm, batch_format="pyarrow")) \
+        .repartition(max(16, 2 * ncpu))
+    return u.groupby("_pb").map_groups(combine, batch_format="pandas")
 
 
 def snm_recall(docs_ds, *, window: int = 3, key_len: int = 16,

@@ -3023,3 +3023,33 @@ def test_cluster_survivorship_keep_and_modal_laws(ray_session):
     assert got.loc[5, "top_source"] == "s3"
     # cluster 7: lang tie de/ar (1 each) -> 'ar' (smallest); len tie 1 -> id 7
     assert got.loc[7, "top_lang"] == "ar" and got.loc[7, "keep_id"] == 7
+
+
+def test_snm_multi_pairs_reverse_pass_and_pass_count(ray_session):
+    """The reversed-key pass catches a prefix-corrupted duplicate the
+    forward pass misses; pairs found by both passes count n_passes=2;
+    pairs are unordered-normalized (id_a < id_b)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import snm_multi_pairs
+
+    # forward keys: qqaaaa/1, xxaaaa/2 sort FAR apart with the z* rows
+    # between; reversed keys both end 'aaaa' -> 'aaaaqq'/'aaaaxx' rank
+    # adjacently in pass 2.
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 5, 6, 7, 8], pa.int64()),
+        "text": ["qq aaaa", "xx aaaa", "rr 11", "ss 22", "tt 33", "uu 44"],
+    }))
+    got = snm_multi_pairs(ds, window=1).to_pandas()
+    pairs = {(int(a), int(b)): int(n) for a, b, n in
+             got[["id_a", "id_b", "n_passes"]].to_numpy()}
+    # forward order (collapse): qqaaaa/1 rr11/5 ss22/6 tt33/7 uu44/8
+    # xxaaaa/2 -> window-1 pairs (1,5)(5,6)(6,7)(7,8)(8,2)
+    # reversed keys sort digits first: 11rr/5 22ss/6 33tt/7 44uu/8
+    # aaaaqq/1 aaaaxx/2 -> pairs (5,6)(6,7)(7,8)(8,1)(1,2)
+    assert pairs[(1, 2)] == 1          # ONLY the reversed pass finds it
+    assert pairs[(5, 6)] == 2 and pairs[(6, 7)] == 2 and pairs[(7, 8)] == 2
+    assert pairs[(1, 5)] == 1 and pairs[(2, 8)] == 1 and pairs[(1, 8)] == 1
+    assert len(pairs) == 7
+    assert all(a < b for a, b in pairs)
