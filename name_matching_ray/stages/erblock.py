@@ -109,9 +109,13 @@ def _snm_ranked_chunks(docs_ds, *, window: int, key_len: int,
 
     counts = keyed_ds.map_batches(pfx_part, batch_format="pyarrow") \
         .groupby("pfx").aggregate(Sum("c", alias_name="c")).to_pandas()
-    counts = counts.sort_values("pfx", kind="mergesort")
-    offs = np.concatenate([[0], counts["c"].to_numpy(np.int64).cumsum()])
-    offset_of = dict(zip(counts["pfx"], offs[:-1]))
+    if counts.empty:  # empty corpus: the aggregate loses its columns
+        offset_of = {}
+    else:
+        counts = counts.sort_values("pfx", kind="mergesort")
+        offs = np.concatenate([[0],
+                               counts["c"].to_numpy(np.int64).cumsum()])
+        offset_of = dict(zip(counts["pfx"], offs[:-1]))
 
     # pass 2: rank within each prefix group (one task per prefix — the
     # documented skew unit), local order (key, id) + the prefix offset.

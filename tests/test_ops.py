@@ -3053,3 +3053,22 @@ def test_snm_multi_pairs_reverse_pass_and_pass_count(ray_session):
     assert pairs[(1, 5)] == 1 and pairs[(2, 8)] == 1 and pairs[(1, 8)] == 1
     assert len(pairs) == 7
     assert all(a < b for a, b in pairs)
+
+
+def test_snm_ops_empty_corpus(ray_session):
+    """Empty corpus: snm_pairs yields zero rows (no crash on the empty
+    prefix-count aggregate); snm_recall yields the degenerate scalar row
+    (recall 10000 with no true pairs, the blocking_quality convention)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import snm_pairs, snm_recall
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert snm_pairs(ds).count() == 0
+    got = snm_recall(ds).to_pandas().iloc[0]
+    assert got["n_true_pairs"] == 0 and got["n_cand"] == 0
+    assert got["recall_bp"] == 10_000
