@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..util import bucket_hash, default_pool
+from ..util import bucket_hash, default_pool, pair_bucket
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -315,7 +315,7 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, tau100: int = 50,
                      n_right=("n_sh_b", "first")))
         l = agg[f"{id_col}_a"].to_numpy(np.int64)
         r = agg[f"{id_col}_b"].to_numpy(np.int64)
-        pb = ((l * np.int64(1_000_003) + r) % n_pair_buckets).astype(np.int64)
+        pb = pair_bucket(l, r, n_pair_buckets)
         return pa.table({
             "left_id": pa.array(l, pa.int64()),
             "right_id": pa.array(r, pa.int64()),
@@ -972,7 +972,7 @@ def cross_near_dedup(docs_ds, ref_ds, *, n: int = 3, tau100: int = 50,
         # shuffle (vs (l,r)-keyed combine + a second doc-keyed pass).  Skew
         # is bounded: a doc's pair count <= n_sh * max_df by the stop-shingle
         # guard, so no single left key can explode a bucket.
-        pb = ((l * np.int64(1_000_003)) % n_pair_buckets).astype(np.int64)
+        pb = pair_bucket(l, n_buckets=n_pair_buckets)
         return pa.table({
             "left_id": pa.array(l, pa.int64()),
             "ref_id": pa.array(r, pa.int64()),
@@ -1103,8 +1103,7 @@ def winnow_dedup(docs_ds, *, k: int = 5, w: int = 4, min_shared: int = 2,
                      n_right=("n_fp_b", "first")))
         l = agg[f"{id_col}_a"].to_numpy(np.int64)
         r = agg[f"{id_col}_b"].to_numpy(np.int64)
-        pb = ((l * np.int64(1_000_003) + r) % n_pair_buckets) \
-            .astype(np.int64)
+        pb = pair_bucket(l, r, n_pair_buckets)
         return pa.table({
             "left_id": pa.array(l, pa.int64()),
             "right_id": pa.array(r, pa.int64()),

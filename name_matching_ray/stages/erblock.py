@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import bucket_hash
+from ..util import bucket_hash, pair_bucket
 
 # lowercase + strip non-alnum: the exact_dedup fingerprint collapse law
 # (== DuckDB regexp_replace(lower(coalesce(text,'')),'[^a-z0-9]','','g'))
@@ -63,10 +63,55 @@ def _first_token(text: pa.ChunkedArray | pa.Array) -> pa.Array:
 # sorted-neighborhood blocking
 # ---------------------------------------------------------------------------
 
+def _prefix_offsets(counts) -> dict:
+    """(pfx, c) count frame -> {prefix: cumulative offset} in
+    lexicographic prefix order (pandas codepoint sort == SQL binary
+    collation on the ASCII collapse alphabet).  Empty-safe: an empty
+    aggregate loses its columns in to_pandas."""
+    if counts.empty:
+        return {}
+    counts = counts.sort_values("pfx", kind="mergesort")
+    offs = np.concatenate([[0], counts["c"].to_numpy(np.int64).cumsum()])
+    return dict(zip(counts["pfx"], offs[:-1]))
+
+
+def _multi_pass_offsets(docs_ds, *, key_len: int, prefix_len: int,
+                        text_col: str):
+    """One corpus scan → per-prefix count tables for BOTH the forward and
+    the reversed collapse keys (tagged ``rev`` ∈ {0,1}), split into the
+    two {prefix: offset} dicts — snm_multi_pairs pays one read for its
+    two pass-1s instead of two.  Driver state stays ≤ 2·37^prefix_len."""
+    from ray.data.aggregate import Sum
+
+    def pfx_part(t: pa.Table) -> pa.Table:
+        base = _collapse(t.column(text_col))
+        out = []
+        for rev in (0, 1):
+            b = pc.utf8_reverse(base) if rev else base
+            key = pc.utf8_slice_codeunits(b, 0, key_len)
+            pfx = pc.utf8_slice_codeunits(key, 0, prefix_len)
+            vc = pfx.value_counts()
+            out.append(pa.table({
+                "rev": pa.array(np.full(len(vc), rev, np.int64)),
+                "pfx": vc.field("values"),
+                "c": pc.cast(vc.field("counts"), pa.int64())}))
+        return pa.concat_tables(out)
+
+    counts = docs_ds.map_batches(pfx_part, batch_format="pyarrow") \
+        .groupby(["rev", "pfx"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    if counts.empty:
+        return {}, {}
+    return (_prefix_offsets(counts.loc[counts["rev"] == 0,
+                                       ["pfx", "c"]]),
+            _prefix_offsets(counts.loc[counts["rev"] == 1,
+                                       ["pfx", "c"]]))
+
+
 def _snm_ranked_chunks(docs_ds, *, window: int, key_len: int,
                        prefix_len: int, chunk: int, text_col: str,
                        id_col: str, payload_fn=None,
-                       reverse_key: bool = False):
+                       reverse_key: bool = False, offsets=None):
     """Shared SNM rank machinery (passes 1-3 of the snm_pairs docstring):
     global rank by (key, id) via per-prefix offsets, then dense rank
     chunks with each chunk's first ``window`` rows replicated into the
@@ -74,6 +119,8 @@ def _snm_ranked_chunks(docs_ds, *, window: int, key_len: int,
     Returns a dataset with (doc_id, rn, _cb, _pri [, pl]); ``payload_fn``
     optionally attaches a per-row string payload column ``pl`` (e.g. the
     fingerprint, for snm_recall) that rides through rank and chunk.
+    ``offsets`` (a {prefix: cumulative-offset} dict) skips pass 1 —
+    snm_multi_pairs aggregates BOTH passes' count tables in one scan.
     """
     import pandas as pd
 
@@ -107,15 +154,12 @@ def _snm_ranked_chunks(docs_ds, *, window: int, key_len: int,
         return pa.table({"pfx": vc.field("values"),
                          "c": pc.cast(vc.field("counts"), pa.int64())})
 
-    counts = keyed_ds.map_batches(pfx_part, batch_format="pyarrow") \
-        .groupby("pfx").aggregate(Sum("c", alias_name="c")).to_pandas()
-    if counts.empty:  # empty corpus: the aggregate loses its columns
-        offset_of = {}
+    if offsets is not None:
+        offset_of = offsets
     else:
-        counts = counts.sort_values("pfx", kind="mergesort")
-        offs = np.concatenate([[0],
-                               counts["c"].to_numpy(np.int64).cumsum()])
-        offset_of = dict(zip(counts["pfx"], offs[:-1]))
+        counts = keyed_ds.map_batches(pfx_part, batch_format="pyarrow") \
+            .groupby("pfx").aggregate(Sum("c", alias_name="c")).to_pandas()
+        offset_of = _prefix_offsets(counts)
 
     # pass 2: rank within each prefix group (one task per prefix — the
     # documented skew unit), local order (key, id) + the prefix offset.
@@ -169,7 +213,7 @@ def _snm_ranked_chunks(docs_ds, *, window: int, key_len: int,
 def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
               prefix_len: int = 2, chunk: int = 4096,
               text_col: str = "text", id_col: str = "doc_id",
-              reverse_key: bool = False):
+              reverse_key: bool = False, offsets=None):
     """Sorted Neighborhood Method candidate pairs: rows ordered globally by
     ``(key, id)`` where ``key`` is the first ``key_len`` chars of the
     alnum-collapsed lowercase text; every pair within ``window`` ranks is a
@@ -198,7 +242,7 @@ def snm_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
     chunks = _snm_ranked_chunks(docs_ds, window=window, key_len=key_len,
                                 prefix_len=prefix_len, chunk=chunk,
                                 text_col=text_col, id_col=id_col,
-                                reverse_key=reverse_key)
+                                reverse_key=reverse_key, offsets=offsets)
 
     def pair_chunk(g: pd.DataFrame) -> pa.Table:
         if not len(g):
@@ -239,8 +283,9 @@ def snm_multi_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
     ``(id_a, id_b, n_passes)`` with ``id_a < id_b`` and ``n_passes`` ∈
     {1, 2} — pairs found by both passes are the strongest candidates.
 
-    Scale shape: each pass is the full snm_pairs machinery (driver state
-    still bounded by the prefix constant); pairs are normalized to
+    Scale shape: both passes' pass-1 prefix counts come from ONE corpus
+    scan (_multi_pass_offsets; driver state still bounded by the prefix
+    constant); pairs are normalized to
     unordered form per batch, the union is REPARTITIONED before grouping
     (union sums block counts — the iterative-loop lesson), and the
     per-pair combine runs in coarse hash buckets, never per-pair groups.
@@ -249,8 +294,10 @@ def snm_multi_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
 
     common = dict(window=window, key_len=key_len, prefix_len=prefix_len,
                   chunk=chunk, text_col=text_col, id_col=id_col)
-    p1 = snm_pairs(docs_ds, **common)
-    p2 = snm_pairs(docs_ds, **common, reverse_key=True)
+    off_fwd, off_rev = _multi_pass_offsets(
+        docs_ds, key_len=key_len, prefix_len=prefix_len, text_col=text_col)
+    p1 = snm_pairs(docs_ds, **common, offsets=off_fwd)
+    p2 = snm_pairs(docs_ds, **common, reverse_key=True, offsets=off_rev)
 
     def norm(t: pa.Table) -> pa.Table:
         a, b = t.column("id_a"), t.column("id_b")
@@ -258,7 +305,7 @@ def snm_multi_pairs(docs_ds, *, window: int = 3, key_len: int = 16,
         hi = pc.max_element_wise(a, b)
         la = lo.to_numpy(zero_copy_only=False)
         hb = hi.to_numpy(zero_copy_only=False)
-        pb = ((la * np.int64(1_000_003) + hb) % n_buckets).astype(np.int64)
+        pb = pair_bucket(la, hb, n_buckets)
         return pa.table({"id_a": pc.cast(lo, pa.int64()),
                          "id_b": pc.cast(hi, pa.int64()),
                          "_pb": pa.array(pb, pa.int64())})
@@ -686,7 +733,7 @@ def meta_blocking_pairs(docs_ds, *, max_df: int = 100, n_buckets: int = 256,
             .agg(w=("token", "size"))
         a = agg["doc_id_a"].to_numpy(np.int64)
         b = agg["doc_id_b"].to_numpy(np.int64)
-        pb = ((a * np.int64(1_000_003) + b) % n_buckets).astype(np.int64)
+        pb = pair_bucket(a, b, n_buckets)
         return pa.table({"id_a": pa.array(a, pa.int64()),
                          "id_b": pa.array(b, pa.int64()),
                          "w": pa.array(agg["w"].to_numpy(np.int64),

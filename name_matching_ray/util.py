@@ -43,6 +43,24 @@ def bucket_hash(data, n_buckets: int, keys: list[str] | None = None):
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
+def pair_bucket(left, right=None, n_buckets: int = 256):
+    """THE coarse pair-bucket law: ``(l·1_000_003 + r) % n_buckets`` as
+    int64 (``r`` omitted → a left-keyed bucket).  One definition for every
+    pair-combine shuffle (ngram/cross-near-dup/winnow pair counts,
+    meta-blocking, multi-pass SNM) so two stages that must co-locate the
+    same pair can never silently drift.  int64 overflow wraps (numpy C
+    semantics) identically everywhere, and ``%`` of a positive divisor is
+    non-negative, so the bucket id is always a valid group key.
+    """
+    import numpy as np
+
+    l = np.asarray(left, np.int64)
+    h = l * np.int64(1_000_003)
+    if right is not None:
+        h = h + np.asarray(right, np.int64)
+    return (h % np.int64(n_buckets)).astype(np.int64)
+
+
 def default_pool(lo: int = 1, floor: int = 8) -> tuple[int, int]:
     """Actor-pool ``concurrency`` that follows the cluster.
 
