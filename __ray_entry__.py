@@ -1019,6 +1019,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the FULL ER chain under one oracle: near-dup pairs -> transitive
         # closure -> survivorship fusion (golden record per cluster)
         "cluster_golden_record": _cluster_golden_record,
+        # Fellegi-Sunter probabilistic linkage scores: per-field agreement
+        # weights bit_length(T // sum C(n_v,2)) from the value-count pass,
+        # same-nation gap-<=5 candidate pairs, score histogram out
+        "fs_match_scores": lambda sf: erblock.fs_match_scores(
+            _read_table(sf, "customer",
+                        ["c_custkey", "c_name", "c_nationkey",
+                         "c_mktsegment", "c_acctbal"])),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -3970,6 +3977,51 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN k ON k.cluster_id = nm.cluster_id AND k.rn = 1
             JOIN lr ON lr.cluster_id = nm.cluster_id AND lr.rn = 1
             JOIN sr ON sr.cluster_id = nm.cluster_id AND sr.rn = 1
+        """,
+        # fs_match_scores: Fellegi-Sunter agreement weights w_f =
+        # bit_length(T // A_f) (length(bin(x)) == int.bit_length for
+        # x >= 1); candidates = same nation, 0 < id gap <= 5; fields
+        # seg / name-tens-char / $1000 cents bucket (floor via float div
+        # is exact: |cents| < 2^50).
+        "fs_match_scores": """
+            WITH c AS (
+                SELECT c_custkey AS id, c_nationkey AS nat,
+                       coalesce(c_mktsegment, '') AS seg,
+                       right(left(coalesce(c_name, ''),
+                                  length(coalesce(c_name, '')) - 1), 1) AS ten,
+                       CAST(floor(CAST(floor(coalesce(c_acctbal, 0)*100 + 0.5)
+                                       AS BIGINT) / 100000.0) AS BIGINT) AS bal
+                FROM customer),
+            t AS (SELECT COUNT(*)*(COUNT(*)-1)//2 AS t FROM c),
+            a AS (
+                SELECT 'seg' AS f, SUM(cnt*(cnt-1)//2) AS a
+                FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY seg)
+                UNION ALL
+                SELECT 'ten', SUM(cnt*(cnt-1)//2)
+                FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY ten)
+                UNION ALL
+                SELECT 'bal', SUM(cnt*(cnt-1)//2)
+                FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY bal)),
+            w AS (
+                SELECT f, CASE WHEN a > 0 THEN length(bin(t // a))
+                               WHEN t > 0 THEN length(bin(t))
+                               ELSE 0 END AS w
+                FROM a, t),
+            scored AS (
+                SELECT (CASE WHEN x.seg = y.seg
+                             THEN (SELECT w FROM w WHERE f = 'seg')
+                             ELSE 0 END
+                      + CASE WHEN x.ten = y.ten
+                             THEN (SELECT w FROM w WHERE f = 'ten')
+                             ELSE 0 END
+                      + CASE WHEN x.bal = y.bal
+                             THEN (SELECT w FROM w WHERE f = 'bal')
+                             ELSE 0 END) AS score
+                FROM c x JOIN c y
+                  ON x.nat = y.nat AND y.id > x.id AND y.id <= x.id + 5)
+            SELECT CAST(score AS BIGINT) AS score,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM scored GROUP BY score
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

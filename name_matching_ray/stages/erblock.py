@@ -869,3 +869,129 @@ def edit_block_pairs(docs_ds, *, k: int = 2, key_chars: int = 8,
 
     return docs_ds.map_batches(keyed, batch_format="pyarrow") \
         .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic match scores
+# ---------------------------------------------------------------------------
+
+def fs_match_scores(cust_ds, *, gap: int = 5, chunk: int = 8192):
+    """Fellegi–Sunter-style probabilistic linkage scores over the customer
+    table: candidate pairs are same-nation rows within ``gap`` custkeys
+    (a cheap deterministic blocker), and each pair's score is the sum of
+    per-field agreement weights ``w_f = bit_length(T // A_f)`` — the
+    integer log-odds proxy (the unigram_bits bit-length law) where ``T``
+    is the total pair count C(N,2) and ``A_f = Σ_v C(n_v,2)`` the number
+    of random pairs agreeing on field ``f`` (the u-probability numerator
+    of Fellegi & Sunter 1969).  Rarer-to-agree fields earn higher
+    weights.  Fields: ``seg`` = c_mktsegment (5 values), ``ten`` = the
+    tens-digit char of c_name (last char after dropping the final one —
+    10 values), ``bal`` = floor(cents/1e5) account-balance $1000 bucket
+    (the repo cents law, ~12 values).
+    Output: one row per distinct score — ``(score, n_pairs)``.
+
+    Scale shape: the weight pass collects only (field, value, count)
+    partials whose cardinality is value-range bounded (5 segments, 10
+    digit chars, ~12 balance buckets — constants, not data-bounded);
+    pair formation buckets rows by (nat, custkey // chunk) with rows
+    whose ``custkey % chunk < gap`` replicated into the PREVIOUS bucket
+    as non-primary right-partners (the SNM backward-replication law, in
+    key-value space), so every kernel is O(chunk) and the shuffle ships
+    histogram partials, never pairs.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    FIELDS = ("seg", "ten", "bal")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        cents = np.floor(
+            df["c_acctbal"].fillna(0.0).to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({
+            "id": df["c_custkey"].to_numpy(np.int64),
+            "nat": df["c_nationkey"].to_numpy(np.int64),
+            "seg": df["c_mktsegment"].fillna("").astype(str),
+            "ten": df["c_name"].fillna("").astype(str).str[-2:-1],
+            "bal": cents // np.int64(100_000),
+        })
+
+    fields_ds = cust_ds.map_batches(prep, batch_format="pandas")
+
+    # weight pass: (field, value) counts — driver state bounded by field
+    # cardinality constants, the prefix-offset argument.
+    def vc_part(df: pd.DataFrame) -> pa.Table:
+        fs, vs, cs = [], [], []
+        for f in FIELDS:
+            vc = df[f].astype(str).value_counts()
+            fs += [f] * len(vc)
+            vs += [str(v) for v in vc.index]
+            cs += [int(c) for c in vc.to_numpy()]
+        return pa.table({"f": pa.array(fs, pa.string()),
+                         "v": pa.array(vs, pa.string()),
+                         "c": pa.array(cs, pa.int64())})
+
+    counts = fields_ds.map_batches(vc_part, batch_format="pandas") \
+        .groupby(["f", "v"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    if counts.empty:
+        return rd.from_arrow(pa.table({"score": pa.array([], pa.int64()),
+                                       "n_pairs": pa.array([], pa.int64())}))
+    n_total = int(counts.loc[counts["f"] == "seg", "c"].sum())
+    t_pairs = n_total * (n_total - 1) // 2
+    weights = {}
+    for f in FIELDS:
+        c = counts.loc[counts["f"] == f, "c"].to_numpy(np.int64)
+        a_f = int((c * (c - 1) // 2).sum())
+        if a_f > 0:
+            weights[f] = (t_pairs // a_f).bit_length()
+        else:
+            weights[f] = t_pairs.bit_length() if t_pairs > 0 else 0
+    w_seg, w_ten, w_bal = (weights[f] for f in FIELDS)
+
+    # pair pass: bucket by (nat, id // chunk); backward boundary
+    # replication of rows with id % chunk < gap (right-partners only).
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy(np.int64)
+        cb = ids // chunk
+        rep = ((ids % chunk) < gap) & (cb > 0)
+        out = pd.concat([df.assign(_cb=cb, _pri=True),
+                         df.loc[rep].assign(_cb=cb[rep] - 1, _pri=False)],
+                        ignore_index=True)
+        return out
+
+    def score_kernel(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"score": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        g = g.sort_values("id", kind="mergesort")
+        ids = g["id"].to_numpy(np.int64)
+        pri = g["_pri"].to_numpy(bool)
+        seg = pd.factorize(g["seg"])[0]
+        ten = pd.factorize(g["ten"])[0]
+        bal = g["bal"].to_numpy(np.int64)
+        pidx = np.flatnonzero(pri)
+        pid = ids[pidx]
+        lo = np.searchsorted(ids, pid + 1, "left")
+        hi = np.searchsorted(ids, pid + gap, "right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table({"score": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        li = np.repeat(pidx, cnt)
+        starts = cnt.cumsum() - cnt
+        ri = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(starts, cnt))
+        sc = (w_seg * (seg[li] == seg[ri]).astype(np.int64)
+              + w_ten * (ten[li] == ten[ri]).astype(np.int64)
+              + w_bal * (bal[li] == bal[ri]).astype(np.int64))
+        v, c = np.unique(sc, return_counts=True)
+        return pa.table({"score": pa.array(v, pa.int64()),
+                         "n_pairs": pa.array(c.astype(np.int64), pa.int64())})
+
+    return fields_ds.map_batches(tag, batch_format="pandas") \
+        .groupby(["nat", "_cb"]).map_groups(score_kernel,
+                                            batch_format="pandas") \
+        .groupby("score").aggregate(Sum("n_pairs", alias_name="n_pairs"))

@@ -3072,3 +3072,47 @@ def test_snm_ops_empty_corpus(ray_session):
     got = snm_recall(ds).to_pandas().iloc[0]
     assert got["n_true_pairs"] == 0 and got["n_cand"] == 0
     assert got["recall_bp"] == 10_000
+
+
+def test_fs_match_scores_weights_boundary_and_edges(ray_session):
+    """Fellegi-Sunter scores: (a) weights follow the bit_length(T // A_f)
+    law on a hand-computable table; (b) pairs crossing the id//chunk
+    boundary still form (backward replication); (c) negative balances
+    floor-divide toward -inf (numpy // == the SQL floor-div law); (d) an
+    empty corpus yields zero rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import fs_match_scores
+
+    def cust(rows):
+        return ray.data.from_arrow(pa.table({
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([r[1] for r in rows], pa.string()),
+            "c_nationkey": pa.array([r[2] for r in rows], pa.int64()),
+            "c_mktsegment": pa.array([r[3] for r in rows], pa.string()),
+            "c_acctbal": pa.array([r[4] for r in rows], pa.float64()),
+        }))
+
+    # 4 rows, one nation.  N=4, T=6.
+    #   seg: all 'A'            -> A_seg=6, w_seg=bit_length(6//6)=1
+    #   ten: tens chars 0,0,1,1 -> A_ten=2, w_ten=bit_length(3)=2
+    #   bal: all distinct $1000 buckets, A_bal=0 -> w_bal=bit_length(6)=3
+    # chunk=8: ids 6,7 in bucket 0; 8,9 in bucket 1; 8 replicates back
+    # (8 % 8 = 0 < gap) so pair (7,8) forms across the boundary.
+    # names '..x06'..'..x09': tens char is the '0'/'1' before the last.
+    ds = cust([(6, "x06", 3, "A", 1000.00),
+               (7, "x07", 3, "A", 2000.00),
+               (8, "x18", 3, "A", 3000.00),
+               (9, "x19", 3, "A", -999.00)])  # cents -99900 // 1e5 = -1
+    got = fs_match_scores(ds, gap=5, chunk=8).to_pandas() \
+        .sort_values("score").reset_index(drop=True)
+    # pairs (id gap <= 5, same nation): (6,7)(6,8)(6,9)(7,8)(7,9)(8,9)
+    #   seg agrees on all 6 (+1); ten agrees on (6,7) and (8,9) (+2);
+    #   bal never agrees (all buckets distinct: 1,2,3,-1) -> scores:
+    #   (6,7)=3 (8,9)=3 others=1
+    assert got.to_dict("list") == {"score": [1, 3], "n_pairs": [4, 2]}
+
+    empty = cust([])
+    assert fs_match_scores(empty).to_pandas().empty
