@@ -1026,6 +1026,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_table(sf, "customer",
                         ["c_custkey", "c_name", "c_nationkey",
                          "c_mktsegment", "c_acctbal"])),
+        # prefix-filter exact set-similarity join (AllPairs/PPJoin): the
+        # cap-FREE tau-Jaccard join — docs index only their p rarest
+        # shingles; every candidate verified on the full md5 sets
+        "ppjoin_pairs": lambda sf: dedup.ppjoin_pairs(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4022,6 +4026,32 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # ppjoin_pairs: the exact no-cap tau-Jaccard join over word
+        # 4-gram shingles (prefix filtering is a candidate-generation
+        # strategy, invisible to the output law).
+        "ppjoin_pairs": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3] AS s
+                FROM tok, UNNEST(generate_series(1, len(w) - 3)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT c.left_id, c.right_id, CAST(c.inter AS BIGINT) AS inter,
+                   CAST(sa.n_sh AS BIGINT) AS n_left,
+                   CAST(sb.n_sh AS BIGINT) AS n_right
+            FROM cand c
+            JOIN sizes sa ON sa.doc_id = c.left_id
+            JOIN sizes sb ON sb.doc_id = c.right_id
+            WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*50
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

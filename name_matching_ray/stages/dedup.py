@@ -359,6 +359,204 @@ def ngram_jaccard_pairs(docs_ds, *, n: int = 3, tau100: int = 50,
 
 
 # ---------------------------------------------------------------------------
+# prefix-filter exact set-similarity join (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+class _SetRows:
+    """map_batches: one row per doc — its DISTINCT word n-gram shingles as
+    a SORTED uint64 md5-low64 array packed into one binary blob (survives
+    the pandas merge inside bucket_hash_join, unlike a list column).
+    Docs with no shingle are dropped (they cannot reach any τ > 0)."""
+
+    def __init__(self, n: int = 4, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.n, self.text_col, self.id_col = n, text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_hs = [], []
+        for i, t in zip(ids, texts):
+            sh = _doc_shingles(t, self.n)
+            if not sh:
+                continue
+            hs = np.sort(_hash_shingles_u64(sh))
+            out_id.append(i)
+            out_hs.append(hs.tobytes())
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.int64()),
+            "hs": pa.array(out_hs, pa.binary()),
+        })
+
+
+def ppjoin_pairs(docs_ds, *, n: int = 4, tau100: int = 50,
+                 n_buckets: int = 256, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Exact Jaccard-≥τ near-dup pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008) —
+    the cap-free counterpart of :func:`ngram_jaccard_pairs`: no stop
+    shingle is ever dropped, so the output is the EXACT τ-threshold
+    join, yet hot shingles cannot explode the candidate set because a
+    doc only indexes its ``p = n_sh − ceil(τ·n_sh) + 1`` globally
+    RAREST shingles (ascending document frequency, md5 tie-break).
+    Prefix-filter guarantee: two sets with Jaccard ≥ τ overlap in ≥
+    ``α = ceil(τ·min_size)`` shingles, and any two sets overlapping
+    that much must share a shingle inside their (size−α+1)-prefixes
+    under any common total order — so prefix co-occurrence is a
+    candidate SUPERSET, and every candidate is verified exactly on the
+    full sets.  Output (left_id, right_id, inter, n_left, n_right),
+    the ngram_jaccard_pairs schema, with ``inter`` the TRUE distinct
+    intersection (no cap-survivor asterisk).
+
+    Scale shape: df is computed IN-BUCKET from the shingle-colocated
+    (doc, shingle) rows (the _tfidf_topk_join trick — no separate df
+    table, no extra scan); prefix selection is one doc-bucketed pass
+    (vectorized rank-within-doc, no per-doc groups); candidates form
+    per shingle bucket and dedup in coarse pair buckets; verification
+    attaches each side's packed shingle-hash set blob via two
+    bucket_hash_joins (ids+blobs move, never the pair×shingle rows).
+    """
+    import pandas as pd
+
+    from .joins import bucket_hash_join
+
+    ex = docs_ds.map_batches(
+        ExplodeShingles,
+        fn_constructor_kwargs={"n": n, "text_col": text_col,
+                               "id_col": id_col, "n_buckets": n_buckets},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+    # pass 1 (shingle buckets): attach df to every (doc, shingle) row —
+    # rows of one shingle are co-located, so value_counts IS the df.
+    def attach_df(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64()),
+                             "df": pa.array([], pa.int64()),
+                             "n_sh": pa.array([], pa.int64()),
+                             "_db": pa.array([], pa.int64())})
+        df = g["shingle"].map(g["shingle"].value_counts()).to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "h": pa.array(_hash_shingles_u64(g["shingle"].tolist()),
+                          pa.uint64()),
+            "df": pa.array(df, pa.int64()),
+            "n_sh": pa.array(g["n_sh"].to_numpy(np.int64), pa.int64()),
+            "_db": pa.array(bucket_hash(pd.Series(ids), n_buckets),
+                            pa.int64()),
+        })
+
+    with_df = ex.groupby("bucket").map_groups(attach_df,
+                                              batch_format="pandas")
+
+    # pass 2 (doc buckets): per-doc ascending (df, h) rank; keep the
+    # first p = n_sh - ceil(tau*n_sh) + 1 rows as the indexed prefix.
+    def select_prefix(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "_sb": pa.array([], pa.int64())})
+        g = g.sort_values(["doc_id", "df", "h"], kind="mergesort")
+        n_sh = g["n_sh"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        # rank within doc: positions minus each doc's start offset
+        starts = np.flatnonzero(np.concatenate([[True], ids[1:] != ids[:-1]]))
+        rank = np.arange(len(g)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(g)]])))
+        alpha = (tau100 * n_sh + 99) // 100
+        keep = rank < (n_sh - alpha + 1)
+        h = g["h"].to_numpy()[keep]
+        ids = ids[keep]
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "_sb": pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                            pa.int64()),
+        })
+
+    prefix = with_df.groupby("_db").map_groups(select_prefix,
+                                               batch_format="pandas")
+
+    # pass 3 (shingle buckets over prefix rows): candidate pairs from
+    # prefix co-occurrence; pass 4 dedups in coarse pair buckets.
+    def emit_cand(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "_pb": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]][["doc_id_a", "doc_id_b"]]             .drop_duplicates()
+        if m.empty:
+            return empty
+        l = m["doc_id_a"].to_numpy(np.int64)
+        r = m["doc_id_b"].to_numpy(np.int64)
+        return pa.table({"left_id": pa.array(l, pa.int64()),
+                         "right_id": pa.array(r, pa.int64()),
+                         "_pb": pa.array(pair_bucket(l, r, n_buckets),
+                                         pa.int64())})
+
+    def dedup_cand(g: pd.DataFrame) -> pa.Table:
+        m = g[["left_id", "right_id"]].drop_duplicates()
+        return pa.table({
+            "left_id": pa.array(m["left_id"].to_numpy(np.int64), pa.int64()),
+            "right_id": pa.array(m["right_id"].to_numpy(np.int64),
+                                 pa.int64())})
+
+    cand = prefix.groupby("_sb").map_groups(emit_cand,
+                                            batch_format="pandas")         .groupby("_pb").map_groups(dedup_cand, batch_format="pandas")
+
+    # verification: attach both sides' packed sets, intersect exactly.
+    sets_ds = docs_ds.map_batches(
+        _SetRows,
+        fn_constructor_kwargs={"n": n, "text_col": text_col,
+                               "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+    sets_l = sets_ds.map_batches(
+        lambda t: t.rename_columns(["left_id", "hs_l"]),
+        batch_format="pyarrow")
+    sets_r = sets_ds.map_batches(
+        lambda t: t.rename_columns(["right_id", "hs_r"]),
+        batch_format="pyarrow")
+    j = bucket_hash_join(
+        cand, sets_l, on="left_id", n_buckets=n_buckets,
+        left_types={"left_id": pa.int64(), "right_id": pa.int64()},
+        right_types={"left_id": pa.int64(), "hs_l": pa.binary()})
+    j = bucket_hash_join(
+        j, sets_r, on="right_id", n_buckets=n_buckets,
+        left_types={"left_id": pa.int64(), "right_id": pa.int64(),
+                    "hs_l": pa.binary()},
+        right_types={"right_id": pa.int64(), "hs_r": pa.binary()})
+
+    def verify(t: pa.Table) -> pa.Table:
+        hl = t.column("hs_l").to_pylist()
+        hr = t.column("hs_r").to_pylist()
+        li = t.column("left_id").to_numpy(zero_copy_only=False)
+        ri = t.column("right_id").to_numpy(zero_copy_only=False)
+        ol, orr, oi, na, nb = [], [], [], [], []
+        for a, b, bl, br in zip(li, ri, hl, hr):
+            xa = np.frombuffer(bl, np.uint64)
+            xb = np.frombuffer(br, np.uint64)
+            inter = int(np.intersect1d(xa, xb, assume_unique=True).size)
+            if inter * 100 >= (len(xa) + len(xb) - inter) * tau100:
+                ol.append(int(a)); orr.append(int(b)); oi.append(inter)
+                na.append(len(xa)); nb.append(len(xb))
+        return pa.table({
+            "left_id": pa.array(ol, pa.int64()),
+            "right_id": pa.array(orr, pa.int64()),
+            "inter": pa.array(oi, pa.int64()),
+            "n_left": pa.array(na, pa.int64()),
+            "n_right": pa.array(nb, pa.int64())})
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

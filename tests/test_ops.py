@@ -3116,3 +3116,39 @@ def test_fs_match_scores_weights_boundary_and_edges(ray_session):
 
     empty = cust([])
     assert fs_match_scores(empty).to_pandas().empty
+
+
+def test_ppjoin_pairs_hot_shingle_exactness(ray_session):
+    """ppjoin_pairs is the cap-FREE exact tau-Jaccard join: a duplicate
+    pair whose shingles are all HOT (df > ngram_jaccard's max_df) is
+    found by ppjoin but invisible to the stop-shingle-capped index; the
+    prefix filter is output-invariant (verified candidates only)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.dedup import ngram_jaccard_pairs, \
+        ppjoin_pairs
+
+    # docs 1..4 identical -> every shingle has df 4 > max_df 3; docs
+    # 5/6 share a rare tail.  Word 4-grams, tau 0.5.
+    hot = "alpha beta gamma delta epsilon"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": [hot, hot, hot, hot,
+                 "one two three four five", "one two three four six"],
+    }))
+    pp = ppjoin_pairs(ds, n=4, tau100=50).to_pandas()
+    got = {(int(a), int(b)) for a, b in pp[["left_id", "right_id"]].to_numpy()}
+    # hot docs: all 6 pairs at J=1; docs 5/6 share 'one two three four'
+    # (J = 1/3 < 0.5 -> excluded)
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert (pp["inter"] == 2).all() and (pp["n_left"] == 2).all()
+
+    nj = ngram_jaccard_pairs(ds, n=4, tau100=50, max_df=3).to_pandas()
+    assert len(nj) == 0  # the capped index drops every hot shingle
+
+    # empty corpus: no rows, no crash
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert ppjoin_pairs(empty).to_pandas().empty
