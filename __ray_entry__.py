@@ -467,6 +467,16 @@ def _cluster_golden_record(sf_dir: str):
     return erblock.cluster_survivorship(_near_dup_clusters(sf_dir), attrs)
 
 
+def _cluster_pair_eval(sf_dir: str):
+    """Pairwise precision/recall/F1 of the shared near-dup transitive
+    closure (_near_dup_clusters: ngram n=3 tau 10% df<=100 -> connected
+    components) against the exact-dup fingerprint truth — the end-to-end
+    clustering scorecard next to the per-stage evals (blocking_quality,
+    snm_recall, minhash_recall)."""
+    return erblock.cluster_pair_eval(_near_dup_clusters(sf_dir),
+                                     _read_docs(sf_dir))
+
+
 def _coname_legacy(sf_dir: str):
     """Legacy coname matcher (reference coname.py) over planted synthetic
     name tables at the sf's document scale: corpus-word gates from the base
@@ -1030,6 +1040,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cap-FREE tau-Jaccard join — docs index only their p rarest
         # shingles; every candidate verified on the full md5 sets
         "ppjoin_pairs": lambda sf: dedup.ppjoin_pairs(_read_docs(sf)),
+        # pairwise P/R/F1 of the near-dup closure vs exact-dup truth —
+        # all three pair sums from ONE (cluster, fp) count table
+        "cluster_pair_eval": _cluster_pair_eval,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4052,6 +4065,73 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.left_id
             JOIN sizes sb ON sb.doc_id = c.right_id
             WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*50
+        """,
+        # cluster_pair_eval: the cluster_golden_record closure CTE + the
+        # pair-counting decomposition (tp / pred / true from group sizes).
+        "cluster_pair_eval": r"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+            cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                   FROM reach GROUP BY node),
+            fp AS (SELECT doc_id,
+                          md5(regexp_replace(lower(coalesce(text, '')),
+                                             '[^a-z0-9]', '', 'g')) AS f
+                   FROM documents),
+            m AS (SELECT cc.cluster_id, fp.f
+                  FROM cc JOIN fp ON fp.doc_id = cc.doc_id),
+            pred AS (SELECT SUM(c*(c-1)//2) AS p
+                     FROM (SELECT COUNT(*) AS c FROM m GROUP BY cluster_id)),
+            tru AS (SELECT SUM(c*(c-1)//2) AS t
+                    FROM (SELECT COUNT(*) AS c FROM fp GROUP BY f)),
+            tpc AS (SELECT SUM(c*(c-1)//2) AS tp
+                    FROM (SELECT COUNT(*) AS c FROM m
+                          GROUP BY cluster_id, f)),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            met AS (
+                SELECT CASE WHEN p = 0 THEN 10000
+                            ELSE tp*10000 // p END AS p_bp,
+                       CASE WHEN t = 0 THEN 10000
+                            ELSE tp*10000 // t END AS r_bp
+                FROM pred, tru, tpc)
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CAST(p AS BIGINT) AS n_pred_pairs,
+                   CAST(t AS BIGINT) AS n_true_pairs,
+                   CAST(tp AS BIGINT) AS n_tp,
+                   CAST(p_bp AS BIGINT) AS precision_bp,
+                   CAST(r_bp AS BIGINT) AS recall_bp,
+                   CAST(CASE WHEN p_bp + r_bp > 0
+                             THEN 2*p_bp*r_bp // (p_bp + r_bp)
+                             ELSE 0 END AS BIGINT) AS f1_bp
+            FROM nd, pred, tru, tpc, met
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

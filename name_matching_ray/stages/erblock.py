@@ -553,6 +553,135 @@ def blocking_quality(docs_ds, *, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# pairwise clustering evaluation (precision / recall / F1 vs exact truth)
+# ---------------------------------------------------------------------------
+
+def cluster_pair_eval(cc_ds, docs_ds, *, id_col: str = "doc_id",
+                      cluster_col: str = "cluster_id",
+                      text_col: str = "text", n_buckets: int = 128,
+                      cc_types: dict | None = None):
+    """Pairwise evaluation of an entity clustering against the exact-dup
+    fingerprint truth: ``n_pred_pairs`` = Σ C(n,2) over predicted
+    clusters, ``n_true_pairs`` = Σ C(n,2) over fingerprint groups,
+    ``n_tp`` = Σ C(n,2) over (cluster, fingerprint) cells — the standard
+    pair-counting decomposition (every same-cell pair is a true
+    positive).  ``precision_bp = n_tp·10⁴ // n_pred_pairs`` (10000 when
+    nothing is predicted), ``recall_bp`` likewise over the truth, and
+    ``f1_bp = 2·p·r // (p + r)`` (0 when both are 0).  One row out.
+    Completes the eval family: blocking_quality / snm_recall measure
+    candidate RECALL of a blocker; this scores the END clustering on
+    both axes.
+
+    Scale shape: cluster labels join fingerprints via ONE
+    bucket_hash_join on the id (thread ``cc_types`` — the
+    Dataset.schema()-executes-AllToAll trap); ONE (cluster, fp) count
+    table then serves all three Σ C(n,2) sums (the blocking_quality
+    group-size trick — no pair is ever materialized); the two margins
+    are narrow count-table shuffles.  Three scalars reach the driver.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import bucket_hash_join
+    from .textstats import fingerprint_batch
+
+    fp_ds = docs_ds.map_batches(
+        lambda b: fingerprint_batch(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+
+    if cc_types is None:
+        cc_types = {id_col: pa.int64(), cluster_col: pa.int64()}
+    j = bucket_hash_join(cc_ds, fp_ds, on=id_col, n_buckets=n_buckets,
+                         left_types=cc_types,
+                         right_types={id_col: pa.int64(),
+                                      "fingerprint": pa.string()})
+
+    def cf_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({cluster_col: pa.array([], pa.int64()),
+                             "fingerprint": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        g = df.groupby([cluster_col, "fingerprint"], as_index=False).size()
+        return pa.table({
+            cluster_col: pa.array(g[cluster_col].to_numpy(np.int64),
+                                  pa.int64()),
+            "fingerprint": pa.array(g["fingerprint"], pa.string()),
+            "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    cf = j.map_batches(cf_part, batch_format="pandas")         .groupby([cluster_col, "fingerprint"])         .aggregate(Sum("c", alias_name="c"))
+
+    # tp + doc count straight off the (cluster, fp) cells; the two
+    # margins need one more narrow shuffle each over the count table.
+    def tp_part(df: pd.DataFrame) -> pa.Table:
+        c = df["c"].to_numpy(np.int64) if len(df) else np.array([], np.int64)
+        return pa.table({
+            "_one": pa.array([0], pa.int64()),
+            "n_docs": pa.array([int(c.sum())], pa.int64()),
+            "n_tp": pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
+        })
+
+    scal_tp = cf.map_batches(tp_part, batch_format="pandas")         .groupby("_one").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                   Sum("n_tp", alias_name="n_tp"))
+
+    def _margin_pairs(group_col: str, out: str):
+        def margin(df: pd.DataFrame) -> pa.Table:
+            if not len(df):
+                return pa.table({group_col: pa.array([], pa.int64()
+                                 if group_col == cluster_col
+                                 else pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            g = df.groupby(group_col, as_index=False)["c"].sum()
+            return pa.table({
+                group_col: pa.array(g[group_col]),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            })
+
+        def pairs(df: pd.DataFrame) -> pa.Table:
+            c = df["c"].to_numpy(np.int64) if len(df)                 else np.array([], np.int64)
+            return pa.table({
+                "_one": pa.array([0], pa.int64()),
+                out: pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
+            })
+
+        return cf.map_batches(margin, batch_format="pandas")             .groupby(group_col).aggregate(Sum("c", alias_name="c"))             .map_batches(pairs, batch_format="pandas")             .groupby("_one").aggregate(Sum(out, alias_name=out))
+
+    pred = _margin_pairs(cluster_col, "n_pred_pairs")
+    tru = _margin_pairs("fingerprint", "n_true_pairs")
+
+    tp_df, pred_df, tru_df = (scal_tp.to_pandas(), pred.to_pandas(),
+                              tru.to_pandas())
+    if not len(tp_df):
+        # empty corpus: the oracle's scalar CTEs still emit one row —
+        # zero docs, NULL counts/metrics (SUM over empty is SQL NULL).
+        return rd.from_arrow(pa.table({
+            "n_docs": pa.array([0], pa.int64()),
+            "n_pred_pairs": pa.array([None], pa.int64()),
+            "n_true_pairs": pa.array([None], pa.int64()),
+            "n_tp": pa.array([None], pa.int64()),
+            "precision_bp": pa.array([None], pa.int64()),
+            "recall_bp": pa.array([None], pa.int64()),
+            "f1_bp": pa.array([None], pa.int64()),
+        }))
+    n_tp = int(tp_df["n_tp"].iloc[0])
+    n_pred = int(pred_df["n_pred_pairs"].iloc[0]) if len(pred_df) else 0
+    n_true = int(tru_df["n_true_pairs"].iloc[0]) if len(tru_df) else 0
+    p_bp = 10_000 if n_pred == 0 else n_tp * 10_000 // n_pred
+    r_bp = 10_000 if n_true == 0 else n_tp * 10_000 // n_true
+    f1_bp = 2 * p_bp * r_bp // (p_bp + r_bp) if p_bp + r_bp > 0 else 0
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([int(tp_df["n_docs"].iloc[0])], pa.int64()),
+        "n_pred_pairs": pa.array([n_pred], pa.int64()),
+        "n_true_pairs": pa.array([n_true], pa.int64()),
+        "n_tp": pa.array([n_tp], pa.int64()),
+        "precision_bp": pa.array([p_bp], pa.int64()),
+        "recall_bp": pa.array([r_bp], pa.int64()),
+        "f1_bp": pa.array([f1_bp], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
 # cluster survivorship (golden record over ER clusters)
 # ---------------------------------------------------------------------------
 

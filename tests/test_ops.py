@@ -3152,3 +3152,52 @@ def test_ppjoin_pairs_hot_shingle_exactness(ray_session):
         "doc_id": pa.array([], pa.int64()),
         "text": pa.array([], pa.string())}))
     assert ppjoin_pairs(empty).to_pandas().empty
+
+
+def test_cluster_pair_eval_pair_counting_laws(ray_session):
+    """Pair-counting P/R/F1: an over-merged clustering loses precision,
+    not recall; all-singleton predictions are vacuously precise (10000)
+    with zero recall against existing true pairs; empty corpus emits the
+    degenerate NULL row."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import cluster_pair_eval
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # fp groups: {1,2} ('a b'=='A-b' collapse 'ab'), {3}, {4}
+        "text": ["a b", "A-b", "c", "d"],
+    }))
+    # over-merged: one predicted cluster {1,2,3}, singleton {4}
+    # pred pairs C(3,2)=3; true pairs 1; tp 1 -> p=3333, r=10000,
+    # f1 = 2*3333*10000 // 13333 = 4999
+    cc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "cluster_id": pa.array([1, 1, 1, 4], pa.int64()),
+    }))
+    row = cluster_pair_eval(cc, docs).to_pandas().iloc[0]
+    assert (row["n_pred_pairs"], row["n_true_pairs"], row["n_tp"]) == (3, 1, 1)
+    assert (row["precision_bp"], row["recall_bp"], row["f1_bp"]) \
+        == (3333, 10000, 4999)
+
+    # all singletons: pred pairs 0 -> precision 10000 (vacuous), recall 0
+    cc1 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "cluster_id": pa.array([1, 2, 3, 4], pa.int64()),
+    }))
+    row = cluster_pair_eval(cc1, docs).to_pandas().iloc[0]
+    assert (row["precision_bp"], row["recall_bp"], row["f1_bp"]) \
+        == (10000, 0, 0)
+
+    # empty corpus: one degenerate row, NULL metrics
+    e = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    ec = pa.table({"doc_id": pa.array([], pa.int64()),
+                   "cluster_id": pa.array([], pa.int64())})
+    row = cluster_pair_eval(ray.data.from_arrow(ec),
+                            ray.data.from_arrow(e)).to_pandas().iloc[0]
+    import pandas as pd
+
+    assert row["n_docs"] == 0 and pd.isna(row["precision_bp"]) \
+        and pd.isna(row["f1_bp"])
