@@ -1043,6 +1043,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pairwise P/R/F1 of the near-dup closure vs exact-dup truth —
         # all three pair sums from ONE (cluster, fp) count table
         "cluster_pair_eval": _cluster_pair_eval,
+        # canopy clustering (deterministic lowest-id-center law): cheap
+        # shingle-overlap distance, centers have no lower neighbor,
+        # docs take the lowest covering center (orphans keep themselves)
+        "canopy_assign": lambda sf: erblock.canopy_assign(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4132,6 +4136,43 @@ def _oracle_sql_base() -> dict[str, str]:
                              THEN 2*p_bp*r_bp // (p_bp + r_bp)
                              ELSE 0 END AS BIGINT) AS f1_bp
             FROM nd, pred, tru, tpc, met
+        """,
+        # canopy_assign: ngram co-occurrence >= t1 pairs (df-capped),
+        # centers = no lower neighbor, assignment = lowest covering
+        # center, orphans self-assigned.
+        "canopy_assign": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY 1, 2),
+            p AS (SELECT left_id, right_id FROM cand WHERE inter >= 3),
+            centers AS (
+                SELECT doc_id FROM documents
+                WHERE doc_id NOT IN (SELECT right_id FROM p)),
+            cover AS (
+                SELECT right_id AS d, left_id AS c FROM p
+                UNION ALL SELECT left_id, right_id FROM p),
+            cc AS (
+                SELECT d, MIN(c) AS canopy FROM cover
+                WHERE c IN (SELECT doc_id FROM centers) GROUP BY d)
+            SELECT doc.doc_id,
+                   CAST(coalesce(cc.canopy, doc.doc_id) AS BIGINT)
+                       AS canopy_id
+            FROM documents doc LEFT JOIN cc ON cc.d = doc.doc_id
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

@@ -553,6 +553,115 @@ def blocking_quality(docs_ds, *, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# canopy clustering (cheap-distance pre-grouping)
+# ---------------------------------------------------------------------------
+
+def canopy_assign(docs_ds, *, n: int = 3, t1: int = 3, max_df: int = 100,
+                  n_buckets: int = 128, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Canopy clustering (McCallum, Nigam & Ungar 2000) with a
+    DETERMINISTIC center law replacing the paper's arrival-order greedy
+    pick: the cheap distance is shared word n-gram shingles (df-capped,
+    the ngram_jaccard candidate law), ``ov(a,b) >= t1`` means "within
+    the loose threshold", and
+
+    * ``centers`` = docs with NO lower-id doc within t1 (so no two
+      centers are within t1 of each other — the canopy invariant);
+    * every doc is assigned ``canopy_id`` = the LOWEST center within
+      t1 of it, or itself when none covers it (centers cover
+      themselves; a non-center whose neighbors are all non-centers
+      becomes its own degenerate canopy).
+
+    Output: (doc_id, canopy_id) — the cheap pre-grouping that an
+    expensive pairwise matcher then runs inside.
+
+    Scale shape: overlap pairs reuse the full ngram_jaccard machinery
+    (stop-shingle df cap bounds per-shingle fan-out; tau 0 keeps every
+    co-occurring pair, then the t1 floor filters); centers come from
+    ONE bucketed anti-join (docs minus distinct right-side ids — the
+    "has a lower neighbor" set); cover assignment is a semi-join on
+    the center set plus a bucketed min-combine; a final left join
+    fills orphans with their own id.  Nothing reaches the driver.
+    """
+    import pandas as pd
+
+    from .dedup import ngram_jaccard_pairs
+    from .joins import bucket_hash_join
+    from ..util import bucket_hash
+
+    pairs = ngram_jaccard_pairs(docs_ds, n=n, tau100=0, max_df=max_df,
+                                text_col=text_col, id_col=id_col)
+
+    def floor_filter(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("inter"), t1)
+        out = t.filter(keep)
+        return pa.table({"left_id": out.column("left_id"),
+                         "right_id": out.column("right_id")})
+
+    p = pairs.map_batches(floor_filter, batch_format="pyarrow")
+
+    ids = docs_ds.map_batches(
+        lambda t: pa.table({id_col: pc.cast(t.column(id_col), pa.int64())}),
+        batch_format="pyarrow")
+
+    # centers: docs with no lower-id neighbor == docs never on the
+    # RIGHT of an ordered pair (anti-join against distinct right ids).
+    rights = p.map_batches(
+        lambda t: pa.table({id_col: t.column("right_id")}),
+        batch_format="pyarrow")
+    centers = bucket_hash_join(
+        ids, rights, on=id_col, how="anti", n_buckets=n_buckets,
+        left_types={id_col: pa.int64()}, right_types={id_col: pa.int64()})
+
+    # cover edges (d, c) in both orientations; keep only center c.
+    def orient(t: pa.Table) -> pa.Table:
+        l, r = t.column("left_id"), t.column("right_id")
+        return pa.table({
+            "d": pa.concat_arrays([r.combine_chunks(), l.combine_chunks()]),
+            "c": pa.concat_arrays([l.combine_chunks(), r.combine_chunks()]),
+        })
+
+    cover = p.map_batches(orient, batch_format="pyarrow")         .map_batches(lambda t: t.rename_columns(["d", id_col]),
+                     batch_format="pyarrow")
+    cover = bucket_hash_join(
+        cover, centers.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col)}),
+            batch_format="pyarrow"),
+        on=id_col, how="semi", n_buckets=n_buckets,
+        left_types={"d": pa.int64(), id_col: pa.int64()},
+        right_types={id_col: pa.int64()})
+
+    # min covering center per doc, bucketed (never per-doc groups).
+    def tag_d(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_b=bucket_hash(df["d"], n_buckets))
+
+    def min_center(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "canopy_id": pa.array([], pa.int64())})
+        m = g.groupby("d", as_index=False)[id_col].min()
+        return pa.table({
+            "d": pa.array(m["d"].to_numpy(np.int64), pa.int64()),
+            "canopy_id": pa.array(m[id_col].to_numpy(np.int64), pa.int64()),
+        })
+
+    assigned = cover.map_batches(tag_d, batch_format="pandas")         .groupby("_b").map_groups(min_center, batch_format="pandas")         .map_batches(lambda t: t.rename_columns([id_col, "canopy_id"]),
+                     batch_format="pyarrow")
+
+    out = bucket_hash_join(
+        ids, assigned, on=id_col, how="left", n_buckets=n_buckets,
+        left_types={id_col: pa.int64()},
+        right_types={id_col: pa.int64(), "canopy_id": pa.int64()})
+
+    def fill_self(t: pa.Table) -> pa.Table:
+        cid = pc.coalesce(pc.cast(t.column("canopy_id"), pa.int64()),
+                          pc.cast(t.column(id_col), pa.int64()))
+        return pa.table({id_col: t.column(id_col), "canopy_id": cid})
+
+    return out.map_batches(fill_self, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # pairwise clustering evaluation (precision / recall / F1 vs exact truth)
 # ---------------------------------------------------------------------------
 

@@ -3201,3 +3201,41 @@ def test_cluster_pair_eval_pair_counting_laws(ray_session):
 
     assert row["n_docs"] == 0 and pd.isna(row["precision_bp"]) \
         and pd.isna(row["f1_bp"])
+
+
+def test_canopy_assign_center_and_orphan_laws(ray_session):
+    """Canopy invariants on a crafted chain: centers have no lower
+    neighbor (so no two centers are within t1), docs take the LOWEST
+    covering center even when it has a higher id than an uncovering
+    lower neighbor, and docs with no covering center keep themselves."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import canopy_assign
+
+    # trigram overlap, t1=2, df cap high.  Construct:
+    #   doc1 = 'a b c d e'   doc2 = 'a b c d x' (ov(1,2) = 2: 'a b c','b c d')
+    #   doc3 = 'c d x y z'   (ov(2,3) = 1 'c d x' -> NOT within t1;
+    #                         ov(1,3) = 0)
+    # centers: 1 (no lower), 3 (only neighbor 2 is not lower? ov(2,3)<t1
+    # so 3 has NO neighbor at all -> center).  2 covered by 1.
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b c d e", "a b c d x", "c d x y z"],
+    }))
+    got = canopy_assign(ds, n=3, t1=2, max_df=100).to_pandas() \
+        .set_index("doc_id")["canopy_id"].to_dict()
+    assert got == {1: 1, 2: 1, 3: 3}
+
+    # orphan law: 4 covered only by NON-center 5?  chain 4<5<6 where
+    # ov(4,5)>=t1, ov(5,6)>=t1, ov(4,6)<t1: centers={4}; 5 -> 4;
+    # 6's only neighbor 5 is not a center -> 6 keeps itself.
+    ds2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([4, 5, 6], pa.int64()),
+        "text": ["p q r s t", "p q r s u v w", "s u v w x"],
+    }))
+    # ov(4,5): 'p q r','q r s' = 2 >= 2; ov(5,6): 's u v','u v w' = 2;
+    # ov(4,6): 0
+    got2 = canopy_assign(ds2, n=3, t1=2, max_df=100).to_pandas() \
+        .set_index("doc_id")["canopy_id"].to_dict()
+    assert got2 == {4: 4, 5: 4, 6: 6}
