@@ -1171,9 +1171,13 @@ def fs_match_scores(cust_ds, *, gap: int = 5, chunk: int = 8192):
                          "v": pa.array(vs, pa.string()),
                          "c": pa.array(cs, pa.int64())})
 
+    # per-batch partials collect straight to the driver (<= blocks × ~30
+    # rows) and merge in pandas — an AllToAll over a cardinality-bounded
+    # table would be pure fixed latency.
     counts = fields_ds.map_batches(vc_part, batch_format="pandas") \
-        .groupby(["f", "v"]).aggregate(Sum("c", alias_name="c")) \
         .to_pandas()
+    if not counts.empty:
+        counts = counts.groupby(["f", "v"], as_index=False)["c"].sum()
     if counts.empty:
         return rd.from_arrow(pa.table({"score": pa.array([], pa.int64()),
                                        "n_pairs": pa.array([], pa.int64())}))
@@ -1229,7 +1233,17 @@ def fs_match_scores(cust_ds, *, gap: int = 5, chunk: int = 8192):
         return pa.table({"score": pa.array(v, pa.int64()),
                          "n_pairs": pa.array(c.astype(np.int64), pa.int64())})
 
-    return fields_ds.map_batches(tag, batch_format="pandas") \
+    # per-kernel histograms are <= n_kernels × Σw rows — merge on the
+    # driver instead of paying a third AllToAll for a ~10-row output.
+    hist = fields_ds.map_batches(tag, batch_format="pandas") \
         .groupby(["nat", "_cb"]).map_groups(score_kernel,
                                             batch_format="pandas") \
-        .groupby("score").aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        .to_pandas()
+    if hist.empty:
+        return rd.from_arrow(pa.table({"score": pa.array([], pa.int64()),
+                                       "n_pairs": pa.array([], pa.int64())}))
+    hist = hist.groupby("score", as_index=False)["n_pairs"].sum()
+    return rd.from_arrow(pa.table({
+        "score": pa.array(hist["score"].to_numpy(np.int64), pa.int64()),
+        "n_pairs": pa.array(hist["n_pairs"].to_numpy(np.int64), pa.int64()),
+    }))
