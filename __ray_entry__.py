@@ -1047,6 +1047,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shingle-overlap distance, centers have no lower neighbor,
         # docs take the lowest covering center (orphans keep themselves)
         "canopy_assign": lambda sf: erblock.canopy_assign(_read_docs(sf)),
+        # phonetic (Soundex) blocking: typo-tolerant candidate pairs
+        # within shared Soundex keys of the leading letters, stop-key
+        # cap on block size (enforced in SQL too)
+        "phonetic_block_pairs": lambda sf: erblock.phonetic_block_pairs(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4173,6 +4178,31 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(coalesce(cc.canopy, doc.doc_id) AS BIGINT)
                        AS canopy_id
             FROM documents doc LEFT JOIN cc ON cc.d = doc.doc_id
+        """,
+        # phonetic_block_pairs: Soundex (h/w-as-vowel variant) via
+        # translate + 4 chained replaces per digit (RE2 lacks
+        # backreferences; the 10-letter input cap bounds runs so
+        # ceil(10/2^4)=1); stop-key blocks > 64 dropped whole.
+        "phonetic_block_pairs": """
+            WITH k AS (
+                SELECT doc_id,
+                       CASE WHEN s = '' THEN ''
+                            ELSE upper(substr(s,1,1)) ||
+                                 rpad(substr(replace(substr(code,2),'0',''),
+                                             1,3),3,'0')
+                       END AS key
+                FROM (SELECT doc_id,
+                             substr(regexp_replace(lower(coalesce(text,'')),
+                                                   '[^a-z]','','g'),
+                                    1,10) AS s,
+                             replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(translate(substr(regexp_replace(lower(coalesce(text,'')),'[^a-z]','','g'),1,10), 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202'),'00','0'),'00','0'),'00','0'),'00','0'),'11','1'),'11','1'),'11','1'),'11','1'),'22','2'),'22','2'),'22','2'),'22','2'),'33','3'),'33','3'),'33','3'),'33','3'),'44','4'),'44','4'),'44','4'),'44','4'),'55','5'),'55','5'),'55','5'),'55','5'),'66','6'),'66','6'),'66','6'),'66','6') AS code
+                      FROM documents)),
+            ok AS (
+                SELECT key FROM k WHERE key <> ''
+                GROUP BY key HAVING COUNT(*) BETWEEN 2 AND 64)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.key
+            FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+            WHERE a.key IN (SELECT key FROM ok)
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

@@ -1110,6 +1110,89 @@ def edit_block_pairs(docs_ds, *, k: int = 2, key_chars: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# phonetic (Soundex) blocking
+# ---------------------------------------------------------------------------
+
+_SOUNDEX_MAP = str.maketrans(
+    "abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202")
+_SOUNDEX_DEDUP = None  # compiled lazily (regex import at module scope is
+# cheap but keeps the worker-import path lean like the other lazy bits)
+
+
+def soundex_key(text: str | None) -> str:
+    """American Soundex of the first 10 LETTERS of the text (the h/w-as-
+    vowel simplified variant: h and w separate duplicate codes, like
+    vowels — the common simplified implementation).  '' when the text
+    has no ASCII letter.  The 10-letter cap bounds code runs so the SQL
+    twin can dedup adjacent repeats with FOUR chained ``replace`` calls
+    per digit (RE2 has no backreferences): ceil(10/2⁴) = 1."""
+    import re
+
+    global _SOUNDEX_DEDUP
+    if _SOUNDEX_DEDUP is None:
+        _SOUNDEX_DEDUP = re.compile(r"(.)\1+")
+    s = re.sub(r"[^a-z]", "", (text or "").lower())[:10]
+    if not s:
+        return ""
+    code = _SOUNDEX_DEDUP.sub(r"\1", s.translate(_SOUNDEX_MAP))
+    return s[0].upper() + (code[1:].replace("0", "") + "000")[:3]
+
+
+def phonetic_block_pairs(docs_ds, *, max_block: int = 64,
+                         n_buckets: int = 256, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Phonetic blocking — the classic typo-tolerant ER blocker: docs
+    sharing a Soundex key (of the leading letters) are candidate pairs.
+    Complements edit_block_pairs (exact-prefix blocks + Levenshtein):
+    Soundex merges spelling variants the prefix key separates
+    ('smith'/'smyth' → S530).  Blocks larger than ``max_block`` are
+    dropped whole (the stop-key law, enforced in SQL too).  Output
+    ``(id_a, id_b, key)`` with ``id_a < id_b``; empty keys block
+    nothing.
+
+    Scale shape: identical to edit_block_pairs — key computed per batch
+    (tiny per-doc work: ≤10 translated chars), blocks co-locate via
+    coarse bucket_hash groups (never per-key map_groups), per-block
+    work capped at C(max_block, 2) pair emissions.
+    """
+    import pandas as pd
+
+    def keyed(df: pd.DataFrame) -> pa.Table:
+        key = df[text_col].map(soundex_key)
+        t = pd.DataFrame({"doc_id": df[id_col].to_numpy(np.int64),
+                          "key": key})
+        t = t[t["key"] != ""]
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy(np.int64), pa.int64()),
+            "key": pa.array(t["key"], pa.string()),
+            "_ub": pa.array(bucket_hash(t["key"], n_buckets), pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        ia, ib, ks = [], [], []
+        if len(g):
+            for key, blk in g.groupby("key", sort=False):
+                n = len(blk)
+                if n < 2 or n > max_block:
+                    continue
+                ids = np.sort(blk["doc_id"].to_numpy(np.int64))
+                iu, ju = np.triu_indices(n, k=1)
+                ia.append(ids[iu]); ib.append(ids[ju])
+                ks.extend([key] * len(iu))
+        if not ia:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(ia), pa.int64()),
+            "id_b": pa.array(np.concatenate(ib), pa.int64()),
+            "key": pa.array(ks, pa.string())})
+
+    return docs_ds.map_batches(keyed, batch_format="pandas") \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Fellegi–Sunter probabilistic match scores
 # ---------------------------------------------------------------------------
 

@@ -3239,3 +3239,35 @@ def test_canopy_assign_center_and_orphan_laws(ray_session):
     got2 = canopy_assign(ds2, n=3, t1=2, max_df=100).to_pandas() \
         .set_index("doc_id")["canopy_id"].to_dict()
     assert got2 == {4: 4, 5: 4, 6: 6}
+
+
+def test_phonetic_block_pairs_soundex_law(ray_session):
+    """Soundex blocking: classic vectors pair ('robert'/'rupert' R163,
+    'smith'/'smyth' S530), the h/w-as-vowel variant separates duplicate
+    codes across h ('ashcraft' A226 here, not classic A261), oversize
+    blocks drop whole, letterless docs block nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import phonetic_block_pairs, \
+        soundex_key
+
+    assert soundex_key("robert") == "R163" == soundex_key("rupert")
+    assert soundex_key("smith") == "S530" == soundex_key("smyth")
+    assert soundex_key("ashcraft") == "A226"   # variant law (h separates)
+    assert soundex_key("123") == "" and soundex_key(None) == ""
+    assert soundex_key("pfister") == "P236"    # adjacent dup collapses
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "text": ["robert jones", "rupert x", "smith", "smyth",
+                 "42 99", "aaa", "aah"],
+    }))
+    got = phonetic_block_pairs(ds, max_block=64).to_pandas()
+    pairs = {(int(a), int(b)): k for a, b, k in
+             got[["id_a", "id_b", "key"]].to_numpy()}
+    # 6 'aaa' -> A000, 7 'aah' -> A000 (h vowel-like, drops)
+    assert pairs == {(1, 2): "R163", (3, 4): "S530", (6, 7): "A000"}
+
+    # stop-key: with max_block=1 every block is oversize -> no pairs
+    assert phonetic_block_pairs(ds, max_block=1).to_pandas().empty
