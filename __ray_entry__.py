@@ -1052,6 +1052,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cap on block size (enforced in SQL too)
         "phonetic_block_pairs": lambda sf: erblock.phonetic_block_pairs(
             _read_docs(sf)),
+        # multi-blocker cascade: SNM(1) + edit-prefix(2) + Soundex(4)
+        # union with per-pair provenance bitmask (OR == sum of bits)
+        "blocking_cascade": lambda sf: erblock.blocking_cascade(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1467,6 +1471,20 @@ def _minhash_oracle() -> str:
                CAST(agree * 100 // 128 AS BIGINT) AS est_sim_pct
         FROM ag WHERE agree >= 64
     """
+
+
+
+def _soundex_sql() -> str:
+    """The phonetic_block_pairs key expression (chained-replace Soundex)
+    — ONE builder so blocking_cascade's oracle can never drift from the
+    standalone one."""
+    rep = ("translate(substr(regexp_replace(lower(coalesce(text,'')),"
+           "'[^a-z]','','g'),1,10), 'abcdefghijklmnopqrstuvwxyz',"
+           " '01230120022455012623010202')")
+    for d in "0123456":
+        for _ in range(4):
+            rep = f"replace({rep},'{d}{d}','{d}')"
+    return rep
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4203,6 +4221,60 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.key
             FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
             WHERE a.key IN (SELECT key FROM ok)
+        """,
+        # blocking_cascade: the three component laws verbatim, UNION ALL
+        # with bit constants, per-pair SUM (== bitwise OR: each blocker
+        # emits a pair at most once).
+        "blocking_cascade": f"""
+            WITH sk AS (SELECT doc_id,
+                    substr(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'),
+                           1, 16) AS key
+                 FROM documents),
+            sr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY key, doc_id) AS rn
+                   FROM sk),
+            p1 AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                          GREATEST(a.doc_id, b.doc_id) AS id_b
+                   FROM sr a JOIN sr b
+                     ON b.rn > a.rn AND b.rn <= a.rn + 3),
+            ek AS (SELECT doc_id,
+                    substr(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'),
+                           1, 8) AS key,
+                    substr(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'),
+                           1, 24) AS s
+                 FROM documents),
+            eb AS (SELECT *, COUNT(*) OVER (PARTITION BY key) AS bs
+                   FROM ek WHERE key != ''),
+            p2 AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+                   FROM eb a JOIN eb c
+                     ON a.key = c.key AND a.doc_id < c.doc_id
+                   WHERE a.bs <= 64 AND levenshtein(a.s, c.s) <= 2),
+            pk AS (SELECT doc_id,
+                       CASE WHEN s = '' THEN ''
+                            ELSE upper(substr(s,1,1)) ||
+                                 rpad(substr(replace(substr(code,2),
+                                                     '0',''),1,3),3,'0')
+                       END AS key
+                   FROM (SELECT doc_id,
+                                substr(regexp_replace(
+                                    lower(coalesce(text,'')),
+                                    '[^a-z]','','g'),1,10) AS s,
+                                {_soundex_sql()} AS code
+                         FROM documents)),
+            pok AS (SELECT key FROM pk WHERE key <> ''
+                    GROUP BY key HAVING COUNT(*) BETWEEN 2 AND 64),
+            p3 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM pk a JOIN pk b
+                     ON a.key = b.key AND a.doc_id < b.doc_id
+                   WHERE a.key IN (SELECT key FROM pok)),
+            u AS (SELECT id_a, id_b, 1 AS bit FROM p1
+                  UNION ALL SELECT id_a, id_b, 2 FROM p2
+                  UNION ALL SELECT id_a, id_b, 4 FROM p3)
+            SELECT id_a, id_b, CAST(SUM(bit) AS BIGINT) AS src_mask
+            FROM u GROUP BY 1, 2
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

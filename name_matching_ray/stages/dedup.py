@@ -481,33 +481,30 @@ def ppjoin_pairs(docs_ds, *, n: int = 4, tau100: int = 50,
                                                batch_format="pandas")
 
     # pass 3 (shingle buckets over prefix rows): candidate pairs from
-    # prefix co-occurrence; pass 4 dedups in coarse pair buckets.
+    # prefix co-occurrence, deduped IN-bucket; the rare cross-bucket
+    # duplicate (a pair sharing >= 2 prefix shingles in different
+    # buckets) rides through the joins and dedups in the verify kernel
+    # instead — all instances of one pair co-locate in the second
+    # join's right_id bucket block, so a whole-block drop_duplicates
+    # there replaces a whole extra AllToAll here.
     def emit_cand(g: pd.DataFrame) -> pa.Table:
         empty = pa.table({"left_id": pa.array([], pa.int64()),
-                          "right_id": pa.array([], pa.int64()),
-                          "_pb": pa.array([], pa.int64())})
+                          "right_id": pa.array([], pa.int64())})
         if not len(g):
             return empty
         m = g.merge(g, on="h", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]][["doc_id_a", "doc_id_b"]]             .drop_duplicates()
+        m = m[m["doc_id_a"] < m["doc_id_b"]][["doc_id_a", "doc_id_b"]]
+        m = m.drop_duplicates()
         if m.empty:
             return empty
-        l = m["doc_id_a"].to_numpy(np.int64)
-        r = m["doc_id_b"].to_numpy(np.int64)
-        return pa.table({"left_id": pa.array(l, pa.int64()),
-                         "right_id": pa.array(r, pa.int64()),
-                         "_pb": pa.array(pair_bucket(l, r, n_buckets),
-                                         pa.int64())})
-
-    def dedup_cand(g: pd.DataFrame) -> pa.Table:
-        m = g[["left_id", "right_id"]].drop_duplicates()
         return pa.table({
-            "left_id": pa.array(m["left_id"].to_numpy(np.int64), pa.int64()),
-            "right_id": pa.array(m["right_id"].to_numpy(np.int64),
+            "left_id": pa.array(m["doc_id_a"].to_numpy(np.int64),
+                                pa.int64()),
+            "right_id": pa.array(m["doc_id_b"].to_numpy(np.int64),
                                  pa.int64())})
 
     cand = prefix.groupby("_sb").map_groups(emit_cand,
-                                            batch_format="pandas")         .groupby("_pb").map_groups(dedup_cand, batch_format="pandas")
+                                            batch_format="pandas")
 
     # verification: attach both sides' packed sets, intersect exactly.
     sets_ds = docs_ds.map_batches(
@@ -534,6 +531,12 @@ def ppjoin_pairs(docs_ds, *, n: int = 4, tau100: int = 50,
         right_types={"right_id": pa.int64(), "hs_r": pa.binary()})
 
     def verify(t: pa.Table) -> pa.Table:
+        # cross-bucket candidate duplicates co-locate here (same
+        # right_id bucket => same block; batch_size=None keeps blocks
+        # whole) — dedup before the per-pair intersections.
+        t = pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(["left_id", "right_id"]),
+            preserve_index=False) if t.num_rows else t
         hl = t.column("hs_l").to_pylist()
         hr = t.column("hs_r").to_pylist()
         li = t.column("left_id").to_numpy(zero_copy_only=False)
@@ -553,7 +556,8 @@ def ppjoin_pairs(docs_ds, *, n: int = 4, tau100: int = 50,
             "n_left": pa.array(na, pa.int64()),
             "n_right": pa.array(nb, pa.int64())})
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow",
+                         batch_size=None)
 
 
 # ---------------------------------------------------------------------------

@@ -1330,3 +1330,86 @@ def fs_match_scores(cust_ds, *, gap: int = 5, chunk: int = 8192):
         "score": pa.array(hist["score"].to_numpy(np.int64), pa.int64()),
         "n_pairs": pa.array(hist["n_pairs"].to_numpy(np.int64), pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# multi-blocker cascade (union with provenance)
+# ---------------------------------------------------------------------------
+
+def blocking_cascade(docs_ds, *, n_buckets: int = 128,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Multi-blocker union — how production ER systems actually block:
+    no single blocker catches every duplicate shape, so the candidate
+    set is the UNION of complementary blockers, with per-pair
+    provenance.  Components (their exact standalone laws):
+
+    * bit 1 — :func:`snm_pairs` (sorted neighborhood, window 3): catches
+      shared-prefix variants;
+    * bit 2 — :func:`edit_block_pairs` (Levenshtein≤2 in 8-char prefix
+      blocks): catches small typos past the SNM window;
+    * bit 4 — :func:`phonetic_block_pairs` (Soundex): catches spelling
+      variants that break the prefix entirely ('smith'/'smyth').
+
+    Output ``(id_a, id_b, src_mask)`` with ``id_a < id_b`` and
+    ``src_mask`` the bitwise OR of the finding blockers (each component
+    emits a pair at most once, so OR == SUM of the bits) — pairs with
+    multiple bits are the strongest candidates, and the mask is the
+    per-blocker audit trail.
+
+    Scale shape: each component keeps its own documented shape; the
+    union is REPARTITIONED before grouping (union sums block counts —
+    the iterative-loop lesson) and combined in coarse pair buckets
+    (util.pair_bucket), never per-pair groups.
+    """
+    import pandas as pd
+
+    import ray
+    from ..util import pair_bucket
+
+    def norm_snm(t: pa.Table) -> pa.Table:
+        a, b = t.column("id_a"), t.column("id_b")
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        return pa.table({"id_a": pc.cast(lo, pa.int64()),
+                         "id_b": pc.cast(hi, pa.int64()),
+                         "bit": pa.array(np.full(t.num_rows, 1, np.int64))})
+
+    def tag_bit(bit):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "id_a": pc.cast(t.column("id_a"), pa.int64()),
+                "id_b": pc.cast(t.column("id_b"), pa.int64()),
+                "bit": pa.array(np.full(t.num_rows, bit, np.int64))})
+        return f
+
+    p1 = snm_pairs(docs_ds, text_col=text_col, id_col=id_col) \
+        .map_batches(norm_snm, batch_format="pyarrow")
+    p2 = edit_block_pairs(docs_ds, text_col=text_col, id_col=id_col) \
+        .map_batches(tag_bit(2), batch_format="pyarrow")
+    p3 = phonetic_block_pairs(docs_ds, text_col=text_col, id_col=id_col) \
+        .map_batches(tag_bit(4), batch_format="pyarrow")
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_pb", pa.array(pair_bucket(a, b, n_buckets), pa.int64()))
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "src_mask": pa.array([], pa.int64())})
+        m = g.groupby(["id_a", "id_b"], as_index=False)["bit"].sum()
+        return pa.table({
+            "id_a": pa.array(m["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(m["id_b"].to_numpy(np.int64), pa.int64()),
+            "src_mask": pa.array(m["bit"].to_numpy(np.int64), pa.int64())})
+
+    return p1.union(p2).union(p3) \
+        .repartition(max(16, 2 * ncpu)) \
+        .map_batches(add_pb, batch_format="pyarrow") \
+        .groupby("_pb").map_groups(combine, batch_format="pandas")

@@ -3271,3 +3271,31 @@ def test_phonetic_block_pairs_soundex_law(ray_session):
 
     # stop-key: with max_block=1 every block is oversize -> no pairs
     assert phonetic_block_pairs(ds, max_block=1).to_pandas().empty
+
+
+def test_blocking_cascade_provenance_mask(ray_session):
+    """The cascade mask records WHICH blockers found each pair: an
+    identical pair carries all three bits (7); a Soundex-only variant
+    ('smith'/'smyth' share S530 but differ in the first collapse chars
+    beyond lev 2... use a phonetic-equal, prefix-distant pair) carries
+    only bit 4; pairs are unordered (id_a < id_b)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import blocking_cascade
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 5, 6], pa.int64()),
+        "text": ["acme corporation", "acme corporation",   # identical
+                 "smith", "smyth"],                        # S530 both
+    }))
+    got = blocking_cascade(ds).to_pandas()
+    m = {(int(a), int(b)): int(k) for a, b, k in
+         got[["id_a", "id_b", "src_mask"]].to_numpy()}
+    # (1,2): SNM-adjacent (bit 1) + same 8-prefix lev 0 (bit 2) +
+    # same soundex (bit 4) = 7.
+    assert m[(1, 2)] == 7
+    # (5,6): smith/smyth -> SNM ranks adjacent too (bit 1); 8-prefix
+    # keys 'smith'/'smyth' DIFFER -> no bit 2; soundex equal -> bit 4.
+    assert m[(5, 6)] == 5
+    assert all(a < b for a, b in m)
