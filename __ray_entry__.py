@@ -4201,7 +4201,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # translate + 4 chained replaces per digit (RE2 lacks
         # backreferences; the 10-letter input cap bounds runs so
         # ceil(10/2^4)=1); stop-key blocks > 64 dropped whole.
-        "phonetic_block_pairs": """
+        "phonetic_block_pairs": f"""
             WITH k AS (
                 SELECT doc_id,
                        CASE WHEN s = '' THEN ''
@@ -4213,7 +4213,7 @@ def _oracle_sql_base() -> dict[str, str]:
                              substr(regexp_replace(lower(coalesce(text,'')),
                                                    '[^a-z]','','g'),
                                     1,10) AS s,
-                             replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(translate(substr(regexp_replace(lower(coalesce(text,'')),'[^a-z]','','g'),1,10), 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202'),'00','0'),'00','0'),'00','0'),'00','0'),'11','1'),'11','1'),'11','1'),'11','1'),'22','2'),'22','2'),'22','2'),'22','2'),'33','3'),'33','3'),'33','3'),'33','3'),'44','4'),'44','4'),'44','4'),'44','4'),'55','5'),'55','5'),'55','5'),'55','5'),'66','6'),'66','6'),'66','6'),'66','6') AS code
+                             {_soundex_sql()} AS code
                       FROM documents)),
             ok AS (
                 SELECT key FROM k WHERE key <> ''
