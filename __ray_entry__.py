@@ -1056,6 +1056,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # TPC-H Q10 shape: revenue lost to returned items per customer,
+        # top-20 — per-orderkey combiner, custkey partials folded in the
+        # join buckets, broadcast nation dim, local-topk merge
+        "returned_revenue": lambda sf: analytics.returned_revenue(sf),
+        # TPC-H Q4 shape: EXISTS(late lineitem) as a per-order MAX fold;
+        # 5-row priority histogram driver-merged from block partials
+        "order_priority_counts": lambda sf: analytics.order_priority_counts(
+            sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4275,6 +4283,40 @@ def _oracle_sql_base() -> dict[str, str]:
                   UNION ALL SELECT id_a, id_b, 4 FROM p3)
             SELECT id_a, id_b, CAST(SUM(bit) AS BIGINT) AS src_mask
             FROM u GROUP BY 1, 2
+        """,
+        # returned_revenue: TPC-H Q10 shape — per-LINE cents floor (the
+        # _cents law, identical IEEE op order), summed per customer over
+        # returned items, nation name via left-join coalesce (the Ray
+        # side's broadcast-map miss -> '' fill).
+        "returned_revenue": """
+            WITH rev AS (
+                SELECT o.o_custkey AS c_custkey,
+                       SUM(CAST(FLOOR(l.l_extendedprice*(1.0 - l.l_discount)*100 + 0.5)
+                                AS BIGINT)) AS revenue_c
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY o.o_custkey)
+            SELECT c.c_custkey,
+                   coalesce(c.c_name, '') AS c_name,
+                   coalesce(n.n_name, '') AS n_name,
+                   CAST(rev.revenue_c AS BIGINT) AS revenue_c
+            FROM rev
+            JOIN customer c ON c.c_custkey = rev.c_custkey
+            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY rev.revenue_c DESC, c.c_custkey LIMIT 20
+        """,
+        # order_priority_counts: TPC-H Q4 shape — EXISTS(shipdate >
+        # orderdate + 60 days) == max(shipdate) > cutoff (the Ray fold).
+        "order_priority_counts": """
+            SELECT coalesce(o_orderpriority, '') AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_late
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1
         """,
         # event_transitions: LAG over (user; ts, event_id), row-normalized
         # in basis points over each from_type's outgoing total.

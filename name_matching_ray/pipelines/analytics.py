@@ -2193,3 +2193,164 @@ def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
         .groupby("_g").map_groups(
             lambda d: local_topk(d.drop(columns="_g")),
             batch_format="pandas")
+
+
+def returned_revenue(sf_dir: str, *, flag: str = "R", k: int = 20):
+    """Top-k customers by revenue lost to returned items (TPC-H Q10
+    shape): lineitem(returnflag) ⋈ orders ⋈ customer, revenue summed per
+    customer, nation name attached from the broadcast 25-row dim.
+
+    Scale plan: lineitem revenue is pre-aggregated per orderkey inside
+    map_batches BEFORE the shuffle (combiner); the orders join folds to
+    per-CUSTKEY partials inside the join-bucket blocks (join key ==
+    orderkey co-locates each order's rows, so the custkey partial is one
+    row per (bucket, custkey)); the customer join then finalizes the
+    per-custkey sum in ITS buckets (aggregate key == join key — no extra
+    AllToAll); nation is a broadcast probe; top-k is local partials + a
+    single-group merge.  Money in integer cents (the _cents law).
+    """
+    from ..stages.joins import bucket_hash_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"])
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        df = df[df["l_returnflag"].astype(str).to_numpy() == flag]
+        g = (pd.DataFrame({
+                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "revenue_c": _cents((df["l_extendedprice"] *
+                                     (1.0 - df["l_discount"])).to_numpy()),
+             }).groupby("o_orderkey", as_index=False)["revenue_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_po = li.map_batches(li_part, batch_format="pandas")
+
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = bucket_hash_join(
+        li_po, ords, on="o_orderkey", how="inner",
+        left_types={"o_orderkey": pa.int64(), "revenue_c": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()})
+
+    # per-custkey PARTIAL inside the orderkey-bucket blocks: custkey is
+    # not the join key, so this is a combiner (≤ one row per bucket ×
+    # custkey), finalized by the next join's custkey co-location.
+    def cust_partial(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby("o_custkey", as_index=False)["revenue_c"].sum()
+               .rename(columns={"o_custkey": "c_custkey"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = j1.map_batches(cust_partial, batch_format="pandas",
+                              batch_size=None)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"]) \
+        .map_batches(
+            lambda df: pa.table({
+                "c_custkey": pa.Array.from_pandas(df["c_custkey"],
+                                                  type=pa.int64()),
+                "c_name": pa.Array.from_pandas(
+                    df["c_name"].fillna("").astype(str), type=pa.string()),
+                "n_name": pa.Array.from_pandas(
+                    df["c_nationkey"].map(nmap).fillna("").astype(str),
+                    type=pa.string()),
+            }),
+            batch_format="pandas")
+
+    j2 = bucket_hash_join(
+        per_cust, cust, on="c_custkey", how="inner",
+        left_types={"c_custkey": pa.int64(), "revenue_c": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "c_name": pa.string(),
+                     "n_name": pa.string()})
+
+    cols = ["c_custkey", "c_name", "n_name", "revenue_c"]
+
+    # finalize per custkey (join key == aggregate key, rows co-located;
+    # batch_size=None keeps the bucket block whole) then local top-k.
+    def fold_topk(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["c_custkey", "c_name", "n_name"],
+                       as_index=False)["revenue_c"].sum()
+        top = g.sort_values(["revenue_c", "c_custkey"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(top[cols].reset_index(drop=True),
+                                    preserve_index=False)
+
+    def merge_topk(df: pd.DataFrame) -> pa.Table:
+        top = df.sort_values(["revenue_c", "c_custkey"],
+                             ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(top[cols].reset_index(drop=True),
+                                    preserve_index=False)
+
+    return j2.map_batches(fold_topk, batch_format="pandas",
+                          batch_size=None) \
+        .map_batches(lambda d: d.assign(_g=0), batch_format="pandas") \
+        .groupby("_g").map_groups(
+            lambda d: merge_topk(d.drop(columns="_g")),
+            batch_format="pandas")
+
+
+def order_priority_counts(sf_dir: str, *, late_days: int = 60):
+    """Orders with at least one LATE lineitem (shipdate > orderdate +
+    ``late_days``), counted per order priority (TPC-H Q4 shape — the
+    EXISTS semi-join expressed as a max-fold).
+
+    Scale plan: ``EXISTS(shipdate > cutoff)`` ≡ ``max(shipdate) >
+    cutoff``, so lineitem collapses to a per-orderkey MAX partial inside
+    map_batches before the shuffle; the orders join folds the partials
+    (join key == fold key, co-located) and tests the predicate in the
+    bucket block; the 5-value priority histogram collects per-block
+    partials straight to the driver (cardinality-bounded — no AllToAll
+    for a 5-row output).
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_max(df: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({
+                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "max_ship": df["l_shipdate"].to_numpy("datetime64[us]"),
+             }).groupby("o_orderkey", as_index=False)["max_ship"].max())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_po = li.map_batches(li_max, batch_format="pandas")
+
+    ords = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = bucket_hash_join(
+        ords, li_po, on="o_orderkey", how="inner",
+        left_types={"o_orderkey": pa.int64(),
+                    "o_orderdate": pa.timestamp("us"),
+                    "o_orderpriority": pa.string()},
+        right_types={"o_orderkey": pa.int64(),
+                     "max_ship": pa.timestamp("us")})
+
+    lag = np.timedelta64(late_days, "D").astype("timedelta64[us]")
+
+    def late_hist(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_orderkey", as_index=False).agg(
+            max_ship=("max_ship", "max"),
+            o_orderdate=("o_orderdate", "first"),
+            o_orderpriority=("o_orderpriority", "first"))
+        late = g[g["max_ship"].to_numpy("datetime64[us]") >
+                 (g["o_orderdate"].to_numpy("datetime64[us]") + lag)]
+        vc = late["o_orderpriority"].fillna("").astype(str).value_counts()
+        return pa.table({
+            "o_orderpriority": pa.array([str(v) for v in vc.index],
+                                        pa.string()),
+            "n_late": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    hist = j.map_batches(late_hist, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    if hist.empty:
+        return rd.from_arrow(pa.table({
+            "o_orderpriority": pa.array([], pa.string()),
+            "n_late": pa.array([], pa.int64())}))
+    hist = hist.groupby("o_orderpriority", as_index=False)["n_late"].sum() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(hist, preserve_index=False))

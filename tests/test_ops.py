@@ -3299,3 +3299,74 @@ def test_blocking_cascade_provenance_mask(ray_session):
     # keys 'smith'/'smyth' DIFFER -> no bit 2; soundex equal -> bit 4.
     assert m[(5, 6)] == 5
     assert all(a < b for a, b in m)
+
+
+def test_returned_revenue_flag_filter_and_tiebreak(ray_session, tmp_path):
+    """Only 'R' lines count; revenue ties break on custkey asc; a customer
+    whose orders have no returned line emits no row; nation-map miss
+    fills ''."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import returned_revenue
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int32()),
+        "n_name": ["ALGERIA"],
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": ["Cust#1", "Cust#2", "Cust#3"],
+        # custkey 2 points at a nation absent from the dim -> n_name ''
+        "c_nationkey": pa.array([0, 7, 0], pa.int32()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 25.0, 100.0, 5.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        # cust 1: one R line (100) + one N line (ignored); cust 2: one R
+        # line (100) -> tie with cust 1, custkey breaks it; cust 3: N only
+        "l_returnflag": ["R", "N", "R", "N"],
+    }), tmp_path / "lineitem.parquet")
+    got = returned_revenue(str(tmp_path)).to_pandas().reset_index(drop=True)
+    assert list(got["c_custkey"]) == [1, 2]
+    assert list(got["revenue_c"]) == [10000, 10000]
+    assert list(got["n_name"]) == ["ALGERIA", ""]
+    assert list(got["c_name"]) == ["Cust#1", "Cust#2"]
+
+
+def test_order_priority_counts_strict_boundary(ray_session, tmp_path):
+    """shipdate exactly AT orderdate+60d does NOT qualify (strict >);
+    one late line among many is enough; orders without lineitems drop."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import order_priority_counts
+
+    ts = lambda s: pd.Timestamp(s)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(
+            [ts("2000-01-01"), ts("2000-01-01"), ts("2000-01-01")],
+            pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"],
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_shipdate": pa.array(
+            [ts("2000-01-02"),
+             ts("2000-03-02"),   # orderdate+61d -> late
+             ts("2000-03-01"),   # exactly +60d -> NOT late (strict >)
+             ts("2000-03-02")],
+            pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    got = order_priority_counts(str(tmp_path)).to_pandas()
+    got = got.sort_values("o_orderpriority").reset_index(drop=True)
+    assert list(got["o_orderpriority"]) == ["1-URGENT", "2-HIGH"]
+    assert list(got["n_late"]) == [1, 1]
