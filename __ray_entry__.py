@@ -1056,6 +1056,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # group linkage: entity == its SET of linked items (supplier ->
+        # distinct parts); per-entity argmax partner by Jaccard (a fixed
+        # threshold degenerates as the catalog grows), stop-item df cap
+        "group_linkage": lambda sf: erblock.group_linkage_best(
+            _read_table(sf, "lineitem", ["l_suppkey", "l_partkey"])),
         # TPC-H Q10 shape: revenue lost to returned items per customer,
         # top-20 — per-orderkey combiner, custkey partials folded in the
         # join buckets, broadcast nation dim, local-topk merge
@@ -4283,6 +4288,40 @@ def _oracle_sql_base() -> dict[str, str]:
                   UNION ALL SELECT id_a, id_b, 4 FROM p3)
             SELECT id_a, id_b, CAST(SUM(bit) AS BIGINT) AS src_mask
             FROM u GROUP BY 1, 2
+        """,
+        # group_linkage: distinct item sets per entity; co-occurrence only
+        # over items with df <= 35 (stop-item law, both sides); argmax
+        # partner by jac_bp = inter*1e4 // (n_self+n_best-inter), partner
+        # id breaks ties.  Sizes count ALL items; inter counts survivors.
+        "group_linkage": """
+            WITH sp AS (
+                SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                FROM lineitem
+                WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+            sizes AS (SELECT s, COUNT(*) AS n FROM sp GROUP BY s),
+            ok_p AS (SELECT p FROM sp GROUP BY p HAVING COUNT(*) <= 35),
+            cand AS (
+                SELECT a.s AS s1, b.s AS s2, COUNT(*) AS inter
+                FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+                WHERE a.p IN (SELECT p FROM ok_p)
+                GROUP BY 1, 2),
+            sym AS (SELECT s1 AS s, s2 AS t, inter FROM cand
+                    UNION ALL SELECT s2, s1, inter FROM cand),
+            scored AS (
+                SELECT sym.s, sym.t, sym.inter, x.n AS n_self,
+                       y.n AS n_best,
+                       sym.inter*10000 // (x.n + y.n - sym.inter) AS jac_bp
+                FROM sym
+                JOIN sizes x ON x.s = sym.s
+                JOIN sizes y ON y.s = sym.t)
+            SELECT s AS s_suppkey, t AS best_suppkey,
+                   CAST(inter AS BIGINT) AS inter,
+                   CAST(n_self AS BIGINT) AS n_self,
+                   CAST(n_best AS BIGINT) AS n_best,
+                   CAST(jac_bp AS BIGINT) AS jac_bp
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY s ORDER BY jac_bp DESC, t) = 1
         """,
         # returned_revenue: TPC-H Q10 shape — per-LINE cents floor (the
         # _cents law, identical IEEE op order), summed per customer over

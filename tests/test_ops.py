@@ -3370,3 +3370,49 @@ def test_order_priority_counts_strict_boundary(ray_session, tmp_path):
     got = got.sort_values("o_orderpriority").reset_index(drop=True)
     assert list(got["o_orderpriority"]) == ["1-URGENT", "2-HIGH"]
     assert list(got["n_late"]) == [1, 1]
+
+
+def test_group_linkage_best_cap_ties_and_nulls(ray_session):
+    """Stop items (df > max_df) pair nobody but still count in sizes;
+    jac ties break on lowest partner id; NULL ids drop; duplicate
+    (id, item) rows dedup; an entity sharing only stop items emits no
+    row."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import group_linkage_best
+
+    rows = []
+    # suppliers 1,2,3 share part 100 (df=3 > cap 2 -> stopped).
+    for s in (1, 2, 3):
+        rows.append((s, 100))
+    # 1 and 2 also share parts 101,102 (df=2 each, survive).
+    for p in (101, 102):
+        rows.append((1, p)); rows.append((2, p))
+    # 1 and 3 share part 103; 2 and 3 share part 104 -> for supplier 3
+    # both partners have inter=1 and SAME sizes -> tie, partner 1 wins.
+    rows.append((1, 103)); rows.append((3, 103))
+    rows.append((2, 104)); rows.append((3, 104))
+    # supplier 4 has ONLY the stop item -> no candidate -> absent.
+    rows.append((4, 100))
+    # duplicate row must not double-count inter
+    rows.append((1, 101))
+    df = pd.DataFrame(rows, columns=["l_suppkey", "l_partkey"])
+    # a NULL id row drops entirely
+    df = pd.concat([df, pd.DataFrame({"l_suppkey": [pd.NA],
+                                      "l_partkey": [101]})],
+                   ignore_index=True)
+    ds = rd.from_pandas(df)
+    got = group_linkage_best(ds, max_df=2).to_pandas() \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    # sizes: 1 -> {100,101,102,103} = 4; 2 -> {100,101,102,104} = 4;
+    # 3 -> {100,103,104} = 3
+    assert list(got["s_suppkey"]) == [1, 2, 3]
+    # 1<->2 inter=2 (101,102), jac = 2e4 // (4+4-2) = 3333
+    row1 = got[got["s_suppkey"] == 1].iloc[0]
+    assert (row1["best_suppkey"], row1["inter"], row1["jac_bp"]) == (2, 2, 3333)
+    # 3: 1 and 2 both inter=1, union 4+3-1=6 -> 1666 each; partner 1 wins
+    row3 = got[got["s_suppkey"] == 3].iloc[0]
+    assert (row3["best_suppkey"], row3["inter"], row3["jac_bp"]) == (1, 1, 1666)
+    assert 4 not in set(got["s_suppkey"])
