@@ -1056,6 +1056,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # symmetric-best 1-1 matching over the FS scores: (l, r) kept iff
+        # each is the other's rank-1 partner (score desc, id asc) — the
+        # many-to-many -> 1-1 ER post-step
+        "fs_mutual_best": lambda sf: erblock.fs_mutual_best(
+            _read_table(sf, "customer",
+                        ["c_custkey", "c_name", "c_nationkey",
+                         "c_mktsegment", "c_acctbal"])),
         # group linkage: entity == its SET of linked items (supplier ->
         # distinct parts); per-entity argmax partner by Jaccard (a fixed
         # threshold degenerates as the catalog grows), stop-item df cap
@@ -1089,6 +1096,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 _STOP_ALT = "|".join(textstats.STOPWORDS)
+
+
+def _fs_scored_cte() -> str:
+    """The shared Fellegi–Sunter CTE chain (erblock._fs_weight_pass +
+    the gap-5 candidate blocker): fields → total/agreement pair counts →
+    bit-length weights → scored candidate pairs (l, r, score).  Spliced
+    after WITH by the fs_match_scores / fs_mutual_best oracles."""
+    return """c AS (
+                SELECT c_custkey AS id, c_nationkey AS nat,
+                       coalesce(c_mktsegment, '') AS seg,
+                       right(left(coalesce(c_name, ''),
+                                  length(coalesce(c_name, '')) - 1), 1) AS ten,
+                       CAST(floor(CAST(floor(coalesce(c_acctbal, 0)*100 + 0.5)
+                                       AS BIGINT) / 100000.0) AS BIGINT) AS bal
+                FROM customer),
+            t AS (SELECT COUNT(*)*(COUNT(*)-1)//2 AS t FROM c),
+            a AS (
+                SELECT 'seg' AS f, SUM(cnt*(cnt-1)//2) AS a
+                FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY seg)
+                UNION ALL
+                SELECT 'ten', SUM(cnt*(cnt-1)//2)
+                FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY ten)
+                UNION ALL
+                SELECT 'bal', SUM(cnt*(cnt-1)//2)
+                FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY bal)),
+            w AS (
+                SELECT f, CASE WHEN a > 0 THEN length(bin(t // a))
+                               WHEN t > 0 THEN length(bin(t))
+                               ELSE 0 END AS w
+                FROM a, t),
+            scored AS (
+                SELECT x.id AS l, y.id AS r,
+                       (CASE WHEN x.seg = y.seg
+                             THEN (SELECT w FROM w WHERE f = 'seg')
+                             ELSE 0 END
+                      + CASE WHEN x.ten = y.ten
+                             THEN (SELECT w FROM w WHERE f = 'ten')
+                             ELSE 0 END
+                      + CASE WHEN x.bal = y.bal
+                             THEN (SELECT w FROM w WHERE f = 'bal')
+                             ELSE 0 END) AS score
+                FROM c x JOIN c y
+                  ON x.nat = y.nat AND y.id > x.id AND y.id <= x.id + 5)"""
 
 
 def _pii_oracle() -> str:
@@ -4039,46 +4089,28 @@ def _oracle_sql_base() -> dict[str, str]:
         # bit_length(T // A_f) (length(bin(x)) == int.bit_length for
         # x >= 1); candidates = same nation, 0 < id gap <= 5; fields
         # seg / name-tens-char / $1000 cents bucket (floor via float div
-        # is exact: |cents| < 2^50).
-        "fs_match_scores": """
-            WITH c AS (
-                SELECT c_custkey AS id, c_nationkey AS nat,
-                       coalesce(c_mktsegment, '') AS seg,
-                       right(left(coalesce(c_name, ''),
-                                  length(coalesce(c_name, '')) - 1), 1) AS ten,
-                       CAST(floor(CAST(floor(coalesce(c_acctbal, 0)*100 + 0.5)
-                                       AS BIGINT) / 100000.0) AS BIGINT) AS bal
-                FROM customer),
-            t AS (SELECT COUNT(*)*(COUNT(*)-1)//2 AS t FROM c),
-            a AS (
-                SELECT 'seg' AS f, SUM(cnt*(cnt-1)//2) AS a
-                FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY seg)
-                UNION ALL
-                SELECT 'ten', SUM(cnt*(cnt-1)//2)
-                FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY ten)
-                UNION ALL
-                SELECT 'bal', SUM(cnt*(cnt-1)//2)
-                FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY bal)),
-            w AS (
-                SELECT f, CASE WHEN a > 0 THEN length(bin(t // a))
-                               WHEN t > 0 THEN length(bin(t))
-                               ELSE 0 END AS w
-                FROM a, t),
-            scored AS (
-                SELECT (CASE WHEN x.seg = y.seg
-                             THEN (SELECT w FROM w WHERE f = 'seg')
-                             ELSE 0 END
-                      + CASE WHEN x.ten = y.ten
-                             THEN (SELECT w FROM w WHERE f = 'ten')
-                             ELSE 0 END
-                      + CASE WHEN x.bal = y.bal
-                             THEN (SELECT w FROM w WHERE f = 'bal')
-                             ELSE 0 END) AS score
-                FROM c x JOIN c y
-                  ON x.nat = y.nat AND y.id > x.id AND y.id <= x.id + 5)
+        # is exact: |cents| < 2^50).  The c/t/a/w/scored CTE chain is
+        # shared with fs_mutual_best (_fs_scored_cte).
+        "fs_match_scores": f"""
+            WITH {_fs_scored_cte()}
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # fs_mutual_best: mutual nearest neighbors under the FS score —
+        # (l, r) kept iff r is l's (score desc, r asc) rank-1 partner AND
+        # l is r's rank-1 partner, over the same candidate set.
+        "fs_mutual_best": f"""
+            WITH {_fs_scored_cte()},
+            lb AS (SELECT l, r, score FROM scored
+                   QUALIFY row_number() OVER (
+                       PARTITION BY l ORDER BY score DESC, r) = 1),
+            rb AS (SELECT l, r FROM scored
+                   QUALIFY row_number() OVER (
+                       PARTITION BY r ORDER BY score DESC, l) = 1)
+            SELECT lb.l AS left_id, lb.r AS right_id,
+                   CAST(lb.score AS BIGINT) AS score
+            FROM lb JOIN rb ON rb.l = lb.l AND rb.r = lb.r
         """,
         # ppjoin_pairs: the exact no-cap tau-Jaccard join over word
         # 4-gram shingles (prefix filtering is a candidate-generation

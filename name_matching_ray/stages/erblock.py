@@ -1196,6 +1196,64 @@ def phonetic_block_pairs(docs_ds, *, max_block: int = 64,
 # Fellegi–Sunter probabilistic match scores
 # ---------------------------------------------------------------------------
 
+_FS_FIELDS = ("seg", "ten", "bal")
+
+
+def _fs_weight_pass(cust_ds):
+    """Shared Fellegi–Sunter pass 1 (fs_match_scores / fs_mutual_best):
+    project the comparison fields and derive the per-field agreement
+    weights ``w_f = bit_length(T // A_f)``.  Returns ``(fields_ds,
+    (w_seg, w_ten, w_bal))`` — weights ``None`` on an empty corpus.
+    Per-batch (field, value) count partials collect straight to the
+    driver (cardinality-bounded: 5 segments, 10 digit chars, ~12
+    balance buckets — an AllToAll here would be pure fixed latency).
+    """
+    import pandas as pd
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["c_acctbal"].fillna(0.0).to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({
+            "id": df["c_custkey"].to_numpy(np.int64),
+            "nat": df["c_nationkey"].to_numpy(np.int64),
+            "seg": df["c_mktsegment"].fillna("").astype(str),
+            "ten": df["c_name"].fillna("").astype(str).str[-2:-1],
+            "bal": cents // np.int64(100_000),
+        })
+
+    fields_ds = cust_ds.map_batches(prep, batch_format="pandas")
+
+    def vc_part(df: pd.DataFrame) -> pa.Table:
+        fs, vs, cs = [], [], []
+        for f in _FS_FIELDS:
+            vc = df[f].astype(str).value_counts()
+            fs += [f] * len(vc)
+            vs += [str(v) for v in vc.index]
+            cs += [int(c) for c in vc.to_numpy()]
+        return pa.table({"f": pa.array(fs, pa.string()),
+                         "v": pa.array(vs, pa.string()),
+                         "c": pa.array(cs, pa.int64())})
+
+    counts = fields_ds.map_batches(vc_part, batch_format="pandas") \
+        .to_pandas()
+    if not counts.empty:
+        counts = counts.groupby(["f", "v"], as_index=False)["c"].sum()
+    if counts.empty:
+        return fields_ds, None
+    n_total = int(counts.loc[counts["f"] == "seg", "c"].sum())
+    t_pairs = n_total * (n_total - 1) // 2
+    weights = {}
+    for f in _FS_FIELDS:
+        c = counts.loc[counts["f"] == f, "c"].to_numpy(np.int64)
+        a_f = int((c * (c - 1) // 2).sum())
+        if a_f > 0:
+            weights[f] = (t_pairs // a_f).bit_length()
+        else:
+            weights[f] = t_pairs.bit_length() if t_pairs > 0 else 0
+    return fields_ds, tuple(weights[f] for f in _FS_FIELDS)
+
+
 def fs_match_scores(cust_ds, *, gap: int = 5, chunk: int = 8192):
     """Fellegi–Sunter-style probabilistic linkage scores over the customer
     table: candidate pairs are same-nation rows within ``gap`` custkeys
@@ -1222,59 +1280,12 @@ def fs_match_scores(cust_ds, *, gap: int = 5, chunk: int = 8192):
     """
     import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    FIELDS = ("seg", "ten", "bal")
-
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        cents = np.floor(
-            df["c_acctbal"].fillna(0.0).to_numpy(np.float64) * 100.0 + 0.5
-        ).astype(np.int64)
-        return pd.DataFrame({
-            "id": df["c_custkey"].to_numpy(np.int64),
-            "nat": df["c_nationkey"].to_numpy(np.int64),
-            "seg": df["c_mktsegment"].fillna("").astype(str),
-            "ten": df["c_name"].fillna("").astype(str).str[-2:-1],
-            "bal": cents // np.int64(100_000),
-        })
-
-    fields_ds = cust_ds.map_batches(prep, batch_format="pandas")
-
-    # weight pass: (field, value) counts — driver state bounded by field
-    # cardinality constants, the prefix-offset argument.
-    def vc_part(df: pd.DataFrame) -> pa.Table:
-        fs, vs, cs = [], [], []
-        for f in FIELDS:
-            vc = df[f].astype(str).value_counts()
-            fs += [f] * len(vc)
-            vs += [str(v) for v in vc.index]
-            cs += [int(c) for c in vc.to_numpy()]
-        return pa.table({"f": pa.array(fs, pa.string()),
-                         "v": pa.array(vs, pa.string()),
-                         "c": pa.array(cs, pa.int64())})
-
-    # per-batch partials collect straight to the driver (<= blocks × ~30
-    # rows) and merge in pandas — an AllToAll over a cardinality-bounded
-    # table would be pure fixed latency.
-    counts = fields_ds.map_batches(vc_part, batch_format="pandas") \
-        .to_pandas()
-    if not counts.empty:
-        counts = counts.groupby(["f", "v"], as_index=False)["c"].sum()
-    if counts.empty:
+    fields_ds, weights = _fs_weight_pass(cust_ds)
+    if weights is None:
         return rd.from_arrow(pa.table({"score": pa.array([], pa.int64()),
                                        "n_pairs": pa.array([], pa.int64())}))
-    n_total = int(counts.loc[counts["f"] == "seg", "c"].sum())
-    t_pairs = n_total * (n_total - 1) // 2
-    weights = {}
-    for f in FIELDS:
-        c = counts.loc[counts["f"] == f, "c"].to_numpy(np.int64)
-        a_f = int((c * (c - 1) // 2).sum())
-        if a_f > 0:
-            weights[f] = (t_pairs // a_f).bit_length()
-        else:
-            weights[f] = t_pairs.bit_length() if t_pairs > 0 else 0
-    w_seg, w_ten, w_bal = (weights[f] for f in FIELDS)
+    w_seg, w_ten, w_bal = weights
 
     # pair pass: bucket by (nat, id // chunk); backward boundary
     # replication of rows with id % chunk < gap (right-partners only).
@@ -1563,3 +1574,110 @@ def group_linkage_best(ds, *, id_col: str = "l_suppkey",
             "jac_bp": pa.array(g["jac_bp"].to_numpy(np.int64), pa.int64())})
 
     return sym.groupby("_ib").map_groups(best_per_id, batch_format="pandas")
+
+
+def fs_mutual_best(cust_ds, *, gap: int = 5, chunk: int = 8192,
+                   n_buckets: int = 128):
+    """Symmetric-best one-to-one matching over the Fellegi–Sunter scores
+    (the classic ER post-step restricting a many-to-many candidate set
+    toward a 1-1 assignment): a pair (l, r) survives iff ``r`` is l's
+    best-scoring right partner AND ``l`` is r's best-scoring left
+    partner — mutual nearest neighbors under the
+    :func:`fs_match_scores` score, ties broken by lowest partner id.
+    Candidates, fields and weights are exactly fs_match_scores'
+    (same-nation, 0 < id gap <= ``gap``).  Output ``(left_id,
+    right_id, score)``.
+
+    Scale shape: a LEFT id's partners all live in its own (nat, chunk)
+    kernel (forward-looking pairs + backward boundary replication), so
+    the per-left argmax is EXACT in-kernel and globally unique; a RIGHT
+    id's partners can span its own kernel and the previous one, so
+    kernels emit per-right argmax PARTIALS (≤ 2 per right id) and the
+    combine is an associative (score desc, left asc) reduce inside
+    hash(right) buckets — where the mutual join also happens, since
+    both row kinds are bucketed by the right id (ONE AllToAll for
+    combine + join).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    empty = pa.table({"left_id": pa.array([], pa.int64()),
+                      "right_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+
+    fields_ds, weights = _fs_weight_pass(cust_ds)
+    if weights is None:
+        return rd.from_arrow(empty)
+    w_seg, w_ten, w_bal = weights
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy(np.int64)
+        cb = ids // chunk
+        rep = ((ids % chunk) < gap) & (cb > 0)
+        return pd.concat([df.assign(_cb=cb, _pri=True),
+                          df.loc[rep].assign(_cb=cb[rep] - 1, _pri=False)],
+                         ignore_index=True)
+
+    _part_schema = {"l": pa.int64(), "r": pa.int64(),
+                    "score": pa.int64(), "side": pa.string(),
+                    "_rb": pa.int64()}
+
+    def best_kernel(g: pd.DataFrame) -> pa.Table:
+        kempty = pa.table({k: pa.array([], t)
+                           for k, t in _part_schema.items()})
+        if not len(g):
+            return kempty
+        g = g.sort_values("id", kind="mergesort")
+        ids = g["id"].to_numpy(np.int64)
+        pri = g["_pri"].to_numpy(bool)
+        seg = pd.factorize(g["seg"])[0]
+        ten = pd.factorize(g["ten"])[0]
+        bal = g["bal"].to_numpy(np.int64)
+        pidx = np.flatnonzero(pri)
+        pid = ids[pidx]
+        lo = np.searchsorted(ids, pid + 1, "left")
+        hi = np.searchsorted(ids, pid + gap, "right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return kempty
+        li = np.repeat(pidx, cnt)
+        starts = cnt.cumsum() - cnt
+        ri = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(starts, cnt))
+        pairs = pd.DataFrame({
+            "l": ids[li], "r": ids[ri],
+            "score": (w_seg * (seg[li] == seg[ri]).astype(np.int64)
+                      + w_ten * (ten[li] == ten[ri]).astype(np.int64)
+                      + w_bal * (bal[li] == bal[ri]).astype(np.int64))})
+        lb = pairs.sort_values(["l", "score", "r"],
+                               ascending=[True, False, True],
+                               kind="mergesort").drop_duplicates("l")
+        rb = pairs.sort_values(["r", "score", "l"],
+                               ascending=[True, False, True],
+                               kind="mergesort").drop_duplicates("r")
+        out = pd.concat([lb.assign(side="L"), rb.assign(side="R")],
+                        ignore_index=True)
+        out["_rb"] = bucket_hash(out["r"], n_buckets)
+        return pa.Table.from_pandas(out[list(_part_schema)],
+                                    preserve_index=False)
+
+    parts = fields_ds.map_batches(tag, batch_format="pandas") \
+        .groupby(["nat", "_cb"]).map_groups(best_kernel,
+                                            batch_format="pandas")
+
+    def mutual(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        rbest = g[g["side"] == "R"] \
+            .sort_values(["r", "score", "l"],
+                         ascending=[True, False, True],
+                         kind="mergesort").drop_duplicates("r")
+        lbest = g[g["side"] == "L"]
+        m = lbest.merge(rbest[["l", "r"]], on=["l", "r"])
+        m = m.sort_values(["l", "r"], kind="mergesort")
+        return pa.table({
+            "left_id": pa.array(m["l"].to_numpy(np.int64), pa.int64()),
+            "right_id": pa.array(m["r"].to_numpy(np.int64), pa.int64()),
+            "score": pa.array(m["score"].to_numpy(np.int64), pa.int64())})
+
+    return parts.groupby("_rb").map_groups(mutual, batch_format="pandas")

@@ -3416,3 +3416,48 @@ def test_group_linkage_best_cap_ties_and_nulls(ray_session):
     row3 = got[got["s_suppkey"] == 3].iloc[0]
     assert (row3["best_suppkey"], row3["inter"], row3["jac_bp"]) == (1, 1, 1666)
     assert 4 not in set(got["s_suppkey"])
+
+
+def test_fs_mutual_best_cross_chunk_and_ties(ray_session):
+    """Right-best partials must combine across chunk kernels (a right id
+    near a chunk boundary has left partners in the previous chunk);
+    non-mutual best pairs drop; score ties break on lowest partner id."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import fs_mutual_best
+
+    # chunk=8, gap=3. ids 6,7 sit in chunk 0; ids 8,9 in chunk 1 (within
+    # gap of the boundary -> replicated back).  Same nation.  Fields via
+    # c_mktsegment; names give ten='0' everywhere; balances all 0.
+    # seg: 6:A 7:B 8:A 9:B.
+    # candidates (gap 3): (6,7) (6,8) (6,9) (7,8) (7,9) (8,9).
+    # agreements: (6,8) seg A==A; (7,9) seg B==B; others disagree all
+    # fields except ten/bal which EVERYONE shares.
+    df = pd.DataFrame({
+        "c_custkey": pd.array([6, 7, 8, 9], dtype="int64"),
+        "c_name": ["Cust#06", "Cust#07", "Cust#08", "Cust#09"],
+        "c_nationkey": pd.array([1, 1, 1, 1], dtype="int64"),
+        "c_mktsegment": ["A", "B", "A", "B"],
+        "c_acctbal": [0.0, 0.0, 0.0, 0.0],
+    })
+    got = fs_mutual_best(rd.from_pandas(df), gap=3, chunk=8).to_pandas() \
+        .sort_values("left_id").reset_index(drop=True)
+    # ten and bal agree for all pairs (constant fields); seg splits.
+    # best for 6 is 8 (seg+ten+bal), best for 8 is 6 (only left partner
+    # with seg match... lefts of 8 are 6,7; 6 agrees seg).  (6,8) is a
+    # CROSS-CHUNK pair: 8 lives in chunk 1, left 6 in chunk 0.
+    # best for 7 is 9, best for 9 is 7 (lefts of 9: 6,7,8; 7 agrees seg).
+    assert list(got["left_id"]) == [6, 7]
+    assert list(got["right_id"]) == [8, 9]
+    # non-mutual pairs like (6,7) never appear
+    assert len(got) == 2
+    # tie case: all same segment -> every pair ties on every field, so
+    # each left's best is its LOWEST right (6->7, 7->8, 8->9) and every
+    # right's best is its LOWEST left (7->6, 8->6, 9->6): only (6,7) is
+    # mutual — the tie law collapses a tied chain to its head pair.
+    df2 = df.assign(c_mktsegment=["A", "A", "A", "A"])
+    got2 = fs_mutual_best(rd.from_pandas(df2), gap=3, chunk=8).to_pandas() \
+        .sort_values("left_id").reset_index(drop=True)
+    assert (got2["left_id"].tolist(), got2["right_id"].tolist()) == ([6], [7])
