@@ -1056,6 +1056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # suffix-array blocking: one block per key suffix >= min_len —
+        # leading-typo-tolerant candidate pairs with shared-block counts
+        "suffix_blocking_pairs": lambda sf: erblock.suffix_blocking_pairs(
+            _read_docs(sf)),
         # symmetric-best 1-1 matching over the FS scores: (l, r) kept iff
         # each is the other's rank-1 partner (score desc, id asc) — the
         # many-to-many -> 1-1 ER post-step
@@ -4096,6 +4100,28 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # suffix_blocking_pairs: key = collapse[:12]; one block per suffix
+        # with length >= 6; blocks sized 2..50 pair their members; n_blocks
+        # counts the shared surviving blocks (suffix lengths are unique
+        # within a key, so each doc hits a given suffix at most once).
+        "suffix_blocking_pairs": r"""
+            WITH k AS (
+                SELECT doc_id,
+                       left(regexp_replace(lower(coalesce(text, '')),
+                                           '[^a-z0-9]', '', 'g'), 12) AS kk
+                FROM documents),
+            sfx AS (
+                SELECT doc_id, substr(kk, i, length(kk) - i + 1) AS s
+                FROM k, UNNEST(generate_series(1, length(kk) - 5)) AS g(i)
+                WHERE length(kk) >= 6),
+            ok AS (SELECT s FROM sfx GROUP BY s
+                   HAVING COUNT(*) BETWEEN 2 AND 50)
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks
+            FROM sfx a JOIN sfx b ON a.s = b.s AND a.doc_id < b.doc_id
+            WHERE a.s IN (SELECT s FROM ok)
+            GROUP BY 1, 2
         """,
         # fs_mutual_best: mutual nearest neighbors under the FS score —
         # (l, r) kept iff r is l's (score desc, r asc) rank-1 partner AND

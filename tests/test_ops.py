@@ -3461,3 +3461,42 @@ def test_fs_mutual_best_cross_chunk_and_ties(ray_session):
     got2 = fs_mutual_best(rd.from_pandas(df2), gap=3, chunk=8).to_pandas() \
         .sort_values("left_id").reset_index(drop=True)
     assert (got2["left_id"].tolist(), got2["right_id"].tolist()) == ([6], [7])
+
+
+def test_suffix_blocking_pairs_caps_and_tail_match(ray_session):
+    """A leading typo still co-blocks on the shared tail; singleton and
+    oversize blocks pair nothing; n_blocks counts shared blocks; short
+    keys (< min_len after collapse) block nothing."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import suffix_blocking_pairs
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4, 5, 6], dtype="int64"),
+        "text": [
+            "acme widgets",     # key acmewidgets
+            "xcme widgets",     # leading typo: shares suffixes from pos 2
+            "zzz unrelated",    # no shared suffix
+            "tiny",             # collapse 'tiny' < 6 chars -> no blocks
+            None,               # NULL -> '' -> nothing
+            "acme widgets",     # exact dup of 1
+        ],
+    })
+    got = suffix_blocking_pairs(rd.from_pandas(docs)).to_pandas() \
+        .sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    # keys: 1,6 = 'acmewidgets' (11 chars -> suffixes at i=0..5, all 6
+    # suffixes shared); 2 = 'xcmewidgets' shares suffixes i>=1 (5 each
+    # with 1 and 6).
+    pairs = {(l, r): n for l, r, n in
+             zip(got["left_id"], got["right_id"], got["n_blocks"])}
+    assert pairs[(1, 6)] == 6
+    assert pairs[(1, 2)] == 5 and pairs[(2, 6)] == 5
+    assert set(pairs) == {(1, 6), (1, 2), (2, 6)}
+    # oversize blocks are stop blocks: 60 copies of one text -> 0 pairs
+    many = pd.DataFrame({
+        "doc_id": pd.array(range(60), dtype="int64"),
+        "text": ["same exact text here"] * 60})
+    got2 = suffix_blocking_pairs(rd.from_pandas(many)).to_pandas()
+    assert len(got2) == 0
