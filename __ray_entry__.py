@@ -1056,6 +1056,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # threshold operating-point curve: P/R/F1 of the ngram-Jaccard
+        # near-dup law vs exact-dup truth at 5 taus — candidates generated
+        # once at min(tau), re-thresholded arithmetically
+        "dedup_threshold_sweep": lambda sf: erblock.dedup_threshold_sweep(
+            _read_docs(sf)),
         # suffix-array blocking: one block per key suffix >= min_len —
         # leading-typo-tolerant candidate pairs with shared-block counts
         "suffix_blocking_pairs": lambda sf: erblock.suffix_blocking_pairs(
@@ -4100,6 +4105,72 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # dedup_threshold_sweep: candidate pairs = the ngram_jaccard law at
+        # tau 10 (trigram shingles, df 2..100, inter over survivors); per
+        # tau, predicted = jb >= tau*100, tp = predicted AND same exact-dup
+        # fingerprint; truth = sum C(n_fp, 2).  Fixed 5-row shape; 0-denoms
+        # follow cluster_pair_eval (-> 10000).
+        "dedup_threshold_sweep": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            fp AS (SELECT doc_id,
+                          md5(regexp_replace(lower(coalesce(text, '')),
+                                             '[^a-z0-9]', '', 'g')) AS f
+                   FROM documents),
+            pe AS (
+                SELECT c.inter*10000 // (sa.n_sh + sb.n_sh - c.inter) AS jb,
+                       (fa.f = fb.f) AS eq
+                FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                JOIN fp fa ON fa.doc_id = c.left_id
+                JOIN fp fb ON fb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            taus(tau100) AS (VALUES (10), (30), (50), (70), (90)),
+            tru AS (
+                SELECT coalesce(SUM(c*(c-1)//2), 0) AS t
+                FROM (SELECT COUNT(*) AS c FROM fp GROUP BY f)),
+            agg AS (
+                SELECT t.tau100,
+                       COUNT(pe.jb) AS n_pred,
+                       coalesce(SUM(CASE WHEN pe.eq THEN 1 ELSE 0 END), 0)
+                           AS n_tp
+                FROM taus t LEFT JOIN pe ON pe.jb >= t.tau100*100
+                GROUP BY t.tau100),
+            met AS (
+                SELECT a.tau100, a.n_pred, a.n_tp,
+                       CASE WHEN a.n_pred = 0 THEN 10000
+                            ELSE a.n_tp*10000 // a.n_pred END AS p_bp,
+                       CASE WHEN tru.t = 0 THEN 10000
+                            ELSE a.n_tp*10000 // tru.t END AS r_bp
+                FROM agg a, tru)
+            SELECT CAST(tau100 AS BIGINT) AS tau100,
+                   CAST(n_pred AS BIGINT) AS n_pred,
+                   CAST(n_tp AS BIGINT) AS n_tp,
+                   CAST(p_bp AS BIGINT) AS precision_bp,
+                   CAST(r_bp AS BIGINT) AS recall_bp,
+                   CAST(CASE WHEN p_bp + r_bp > 0
+                             THEN 2*p_bp*r_bp // (p_bp + r_bp)
+                             ELSE 0 END AS BIGINT) AS f1_bp
+            FROM met
         """,
         # suffix_blocking_pairs: key = collapse[:12]; one block per suffix
         # with length >= 6; blocks sized 2..50 pair their members; n_blocks

@@ -1772,3 +1772,123 @@ def suffix_blocking_pairs(docs_ds, *, key_len: int = 12, min_len: int = 6,
                                  pa.int64())})
 
     return pairs.groupby("_pb").map_groups(combine, batch_format="pandas")
+
+
+def dedup_threshold_sweep(docs_ds, *, taus=(10, 30, 50, 70, 90),
+                          n: int = 3, max_df: int = 100,
+                          n_buckets: int = 256,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    """Threshold sweep for the near-dup matcher: pairwise precision /
+    recall / F1 (basis points) of :func:`~.dedup.ngram_jaccard_pairs`
+    against the exact-duplicate fingerprint truth, at every ``tau`` in
+    ``taus`` — the operating-point curve an ER practitioner reads
+    before picking a dedup threshold.  One row per tau: ``(tau100,
+    n_pred, n_tp, precision_bp, recall_bp, f1_bp)``; empty-corpus /
+    zero-denominator conventions follow :func:`cluster_pair_eval`
+    (0/0 → 10000).  Rows emit for EVERY tau even when nothing matches
+    (fixed-shape output — the conversion_time degenerate-parity law).
+
+    Scale shape: candidates are generated ONCE at ``min(taus)`` and
+    re-thresholded arithmetically (jac_bp is monotone — no re-join per
+    tau); fingerprints attach via two bucket joins (ids + 32-char fps
+    move, never text); the per-tau counts collapse to per-block
+    histogram partials merged on the driver (≤ |taus| rows per block),
+    and the truth total Σ C(n_fp, 2) comes from fp-bucket group sizes
+    (fp co-located ⇒ in-bucket counts are global) — no pair set is
+    ever materialized for the truth side.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from .dedup import ngram_jaccard_pairs
+    from .joins import bucket_hash_join
+    from .textstats import fingerprint_batch
+
+    taus = sorted(int(t) for t in taus)
+    pairs = ngram_jaccard_pairs(docs_ds, n=n, tau100=taus[0],
+                                max_df=max_df, text_col=text_col,
+                                id_col=id_col)
+
+    fp_ds = docs_ds.map_batches(
+        lambda b: fingerprint_batch(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+    fp_l = fp_ds.map_batches(
+        lambda t: t.rename_columns(["left_id", "fp_l"]),
+        batch_format="pyarrow")
+    fp_r = fp_ds.map_batches(
+        lambda t: t.rename_columns(["right_id", "fp_r"]),
+        batch_format="pyarrow")
+
+    pair_t = {"left_id": pa.int64(), "right_id": pa.int64(),
+              "inter": pa.int64(), "n_left": pa.int64(),
+              "n_right": pa.int64()}
+    j1 = bucket_hash_join(pairs, fp_l, on="left_id",
+                          n_buckets=n_buckets, left_types=pair_t,
+                          right_types={"left_id": pa.int64(),
+                                       "fp_l": pa.string()})
+    j2 = bucket_hash_join(j1, fp_r, on="right_id", n_buckets=n_buckets,
+                          left_types={**pair_t, "fp_l": pa.string()},
+                          right_types={"right_id": pa.int64(),
+                                       "fp_r": pa.string()})
+
+    def hist_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"tau100": pa.array([], pa.int64()),
+                             "n_pred": pa.array([], pa.int64()),
+                             "n_tp": pa.array([], pa.int64())})
+        inter = df["inter"].to_numpy(np.int64)
+        union = (df["n_left"].to_numpy(np.int64)
+                 + df["n_right"].to_numpy(np.int64) - inter)
+        jb = inter * 10000 // union
+        eq = (df["fp_l"].to_numpy() == df["fp_r"].to_numpy())
+        rows = [(t, int((jb >= t * 100).sum()),
+                 int((eq & (jb >= t * 100)).sum())) for t in taus]
+        return pa.table({
+            "tau100": pa.array([r[0] for r in rows], pa.int64()),
+            "n_pred": pa.array([r[1] for r in rows], pa.int64()),
+            "n_tp": pa.array([r[2] for r in rows], pa.int64())})
+
+    hist = j2.map_batches(hist_part, batch_format="pandas").to_pandas()
+
+    def fp_truth_part(t: pa.Table) -> pa.Table:
+        fps = t.column("fingerprint").to_pandas()
+        return pa.table({
+            "fingerprint": pa.array(fps, pa.string()),
+            "_fb": pa.array(bucket_hash(fps, n_buckets), pa.int64())})
+
+    def truth_in_bucket(g: pd.DataFrame) -> pa.Table:
+        c = (g["fingerprint"].value_counts().to_numpy(np.int64)
+             if len(g) else np.array([], np.int64))
+        return pa.table({"t": pa.array([int((c * (c - 1) // 2).sum())],
+                                       pa.int64())})
+
+    truth_parts = fp_ds.map_batches(fp_truth_part,
+                                    batch_format="pyarrow") \
+        .groupby("_fb").map_groups(truth_in_bucket,
+                                   batch_format="pandas").to_pandas()
+    n_true = int(truth_parts["t"].sum()) if len(truth_parts) else 0
+
+    if hist.empty:
+        agg = pd.DataFrame({"tau100": taus,
+                            "n_pred": [0] * len(taus),
+                            "n_tp": [0] * len(taus)})
+    else:
+        agg = hist.groupby("tau100", as_index=False)[["n_pred",
+                                                      "n_tp"]].sum()
+        agg = pd.DataFrame({"tau100": taus}).merge(
+            agg, on="tau100", how="left").fillna(0)
+
+    n_pred = agg["n_pred"].to_numpy(np.int64)
+    n_tp = agg["n_tp"].to_numpy(np.int64)
+    p_bp = np.where(n_pred == 0, 10000, n_tp * 10000 // np.maximum(n_pred, 1))
+    r_bp = (np.full(len(taus), 10000, np.int64) if n_true == 0
+            else n_tp * 10000 // n_true)
+    denom = p_bp + r_bp
+    f1_bp = np.where(denom > 0, 2 * p_bp * r_bp // np.maximum(denom, 1), 0)
+    return rd.from_arrow(pa.table({
+        "tau100": pa.array(agg["tau100"].to_numpy(np.int64), pa.int64()),
+        "n_pred": pa.array(n_pred, pa.int64()),
+        "n_tp": pa.array(n_tp, pa.int64()),
+        "precision_bp": pa.array(p_bp.astype(np.int64), pa.int64()),
+        "recall_bp": pa.array(r_bp.astype(np.int64), pa.int64()),
+        "f1_bp": pa.array(f1_bp.astype(np.int64), pa.int64())}))

@@ -3500,3 +3500,44 @@ def test_suffix_blocking_pairs_caps_and_tail_match(ray_session):
         "text": ["same exact text here"] * 60})
     got2 = suffix_blocking_pairs(rd.from_pandas(many)).to_pandas()
     assert len(got2) == 0
+
+
+def test_dedup_threshold_sweep_shape_and_monotonicity(ray_session):
+    """Fixed 5-row shape even on an empty/degenerate corpus; n_pred and
+    n_tp are non-increasing in tau; exact dups land as tp at every tau
+    they survive."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import dedup_threshold_sweep
+
+    # empty corpus: 5 rows, all-zero counts, 10000/10000 conventions
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "text": pd.array([], dtype="string")}))
+    got = dedup_threshold_sweep(empty).to_pandas() \
+        .sort_values("tau100").reset_index(drop=True)
+    assert list(got["tau100"]) == [10, 30, 50, 70, 90]
+    assert (got["n_pred"] == 0).all() and (got["n_tp"] == 0).all()
+    assert (got["precision_bp"] == 10000).all()
+    assert (got["recall_bp"] == 10000).all()
+    assert (got["f1_bp"] == 10000).all()
+
+    # two exact dups (same fp, jaccard 100%) + one near-dup pair that
+    # only clears the low taus + isolated docs
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+        "text": [base, base,
+                 base + " extra words trailing here now ok fine yes",
+                 "totally different content lives here today friends",
+                 "another unrelated string of many distinct words"],
+    })
+    got2 = dedup_threshold_sweep(rd.from_pandas(docs)).to_pandas() \
+        .sort_values("tau100").reset_index(drop=True)
+    np_, nt = got2["n_pred"].to_numpy(), got2["n_tp"].to_numpy()
+    assert (np_[:-1] >= np_[1:]).all() and (nt[:-1] >= nt[1:]).all()
+    # the exact-dup pair scores jaccard 10000 -> predicted at every tau
+    assert nt[-1] >= 1 and np_[-1] >= 1
+    # truth has exactly one fp pair -> recall at tau90 = tp/1
+    assert got2.loc[4, "recall_bp"] == nt[-1] * 10000
