@@ -1056,6 +1056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # exact cosine-tau similarity join over word-trigram TF vectors
+        # (AllPairs family) — cross over df-capped shingles, full norms,
+        # Python-int threshold (cross^2*1e4 overflows int64 on long docs)
+        "cosine_pairs": lambda sf: dedup.cosine_pairs(_read_docs(sf)),
         # threshold operating-point curve: P/R/F1 of the ngram-Jaccard
         # near-dup law vs exact-dup truth at 5 taus — candidates generated
         # once at min(tau), re-thresholded arithmetically
@@ -4105,6 +4109,38 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # cosine_pairs: TF (multiset) trigram vectors; norms over ALL
+        # shingles, cross over df<=100 survivors; HUGEINT casts make the
+        # squared comparison exact where BIGINT would overflow.
+        "cosine_pairs": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s,
+                       COUNT(*) AS c
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+                GROUP BY 1, 2),
+            norms AS (SELECT doc_id, SUM(c*c) AS n FROM sh GROUP BY doc_id),
+            ok AS (SELECT s FROM sh GROUP BY s
+                   HAVING COUNT(*) BETWEEN 1 AND 100),
+            cr AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       SUM(a.c*b.c) AS x
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                WHERE a.s IN (SELECT s FROM ok)
+                GROUP BY 1, 2)
+            SELECT cr.left_id, cr.right_id,
+                   CAST(cr.x AS BIGINT) AS cross,
+                   CAST(na.n AS BIGINT) AS n_left,
+                   CAST(nb.n AS BIGINT) AS n_right
+            FROM cr
+            JOIN norms na ON na.doc_id = cr.left_id
+            JOIN norms nb ON nb.doc_id = cr.right_id
+            WHERE CAST(cr.x AS HUGEINT)*cr.x*10000
+                  >= CAST(50 AS HUGEINT)*50*na.n*nb.n
         """,
         # dedup_threshold_sweep: candidate pairs = the ngram_jaccard law at
         # tau 10 (trigram shingles, df 2..100, inter over survivors); per

@@ -1487,3 +1487,145 @@ def winnow_recall(docs_ds, *, tau100: int = 50, min_shared: int = 2,
     found = winnow_dedup(docs_ds, min_shared=min_shared, max_df=max_df) \
         .select_columns(["left_id", "right_id"])
     return pair_set_eval(truth, found, n_buckets=n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# cosine tf-similarity join
+# ---------------------------------------------------------------------------
+
+class _ShingleCountRows:
+    """map_batches: one row per (doc, distinct shingle) with its COUNT
+    (multiset tf, unlike ExplodeShingles' distinct law) plus the doc's
+    squared norm ``n = Σc²`` — everything :func:`cosine_pairs` needs,
+    computed batch-locally (a doc's text is one row, so per-doc counts
+    need no shuffle)."""
+
+    def __init__(self, n: int = 3, n_buckets: int = 256,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.n, self.n_buckets = n, n_buckets
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_sh, out_c, out_n = [], [], [], []
+        for i, t in zip(ids, texts):
+            toks = (t or "").lower().split()
+            if len(toks) < self.n:
+                continue
+            counts: dict = {}
+            for j in range(len(toks) - self.n + 1):
+                s = " ".join(toks[j:j + self.n])
+                counts[s] = counts.get(s, 0) + 1
+            norm = sum(c * c for c in counts.values())
+            for s, c in counts.items():
+                out_id.append(i)
+                out_sh.append(s)
+                out_c.append(c)
+                out_n.append(norm)
+        import pandas as pd
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "shingle": pa.array(out_sh, pa.string()),
+            "c": pa.array(out_c, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "bucket": pa.array(bucket_hash(pd.Series(out_sh), self.n_buckets)
+                               if out_sh else np.array([], np.int64),
+                               pa.int64()),
+        })
+
+
+def cosine_pairs(docs_ds, *, n: int = 3, tau100: int = 50,
+                 max_df: int = 100, n_buckets: int = 256,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Exact cosine-≥τ similarity join over word n-gram TF vectors — the
+    cosine-measure sibling of :func:`ngram_jaccard_pairs` (AllPairs
+    family, Bayardo et al. 2007): pair kept iff ``cross² · 10⁴ ≥
+    τ² · n_left · n_right`` where ``cross = Σ c_a·c_b`` over shared
+    shingles and ``n = Σ c²`` (squared L2 norms).  Norms count EVERY
+    shingle; ``cross`` sums over shingles with document frequency ≤
+    ``max_df`` only (the stop-shingle skew law, identical in the SQL
+    oracle — same convention as ngram_jaccard_pairs' inter).  Output
+    ``(left_id, right_id, cross, n_left, n_right)``.
+
+    Scale shape: per-doc TF maps and norms are batch-local (one text =
+    one row — no shuffle to build vectors); df is computed IN the
+    shingle hash-bucket (shingle co-located ⇒ in-bucket row count is
+    global df); cross partials pre-combine per bucket and finalize in
+    coarse pair buckets — two AllToAlls, nothing quadratic (the df cap
+    bounds every per-shingle self-merge).  The threshold comparison
+    runs in PYTHON ints on the surviving pair rows: ``cross²·10⁴``
+    overflows int64 once docs pass ~10k tokens (the pmi_bigrams
+    Python-int-score lesson).
+    """
+    import pandas as pd
+
+    ex = docs_ds.map_batches(
+        _ShingleCountRows,
+        fn_constructor_kwargs={"n": n, "n_buckets": n_buckets,
+                               "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+    _part_schema = {"left_id": pa.int64(), "right_id": pa.int64(),
+                    "cross": pa.int64(), "n_left": pa.int64(),
+                    "n_right": pa.int64(), "_pb": pa.int64()}
+
+    def cross_part(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({k: pa.array([], t)
+                          for k, t in _part_schema.items()})
+        if not len(g):
+            return empty
+        df = g.groupby("shingle")["doc_id"].transform("size") \
+            .to_numpy(np.int64)
+        g = g[df <= max_df]
+        if not len(g):
+            return empty
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return empty
+        m = m.assign(xp=m["c_a"].to_numpy(np.int64)
+                     * m["c_b"].to_numpy(np.int64))
+        agg = (m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+                .agg(cross=("xp", "sum"), n_left=("n_a", "first"),
+                     n_right=("n_b", "first")))
+        l = agg["doc_id_a"].to_numpy(np.int64)
+        r = agg["doc_id_b"].to_numpy(np.int64)
+        return pa.table({
+            "left_id": pa.array(l, pa.int64()),
+            "right_id": pa.array(r, pa.int64()),
+            "cross": pa.array(agg["cross"].to_numpy(np.int64), pa.int64()),
+            "n_left": pa.array(agg["n_left"].to_numpy(np.int64),
+                               pa.int64()),
+            "n_right": pa.array(agg["n_right"].to_numpy(np.int64),
+                                pa.int64()),
+            "_pb": pa.array(pair_bucket(l, r, n_buckets), pa.int64())})
+
+    parts = ex.groupby("bucket").map_groups(cross_part,
+                                            batch_format="pandas")
+
+    out_cols = ["left_id", "right_id", "cross", "n_left", "n_right"]
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in out_cols})
+        agg = (g.groupby(["left_id", "right_id"], as_index=False)
+                .agg(cross=("cross", "sum"), n_left=("n_left", "max"),
+                     n_right=("n_right", "max")))
+        # exact integer threshold in PYTHON ints (int64-overflow safe)
+        x = agg["cross"].tolist()
+        na = agg["n_left"].tolist()
+        nb = agg["n_right"].tolist()
+        t2 = tau100 * tau100
+        keep = np.fromiter(
+            (xi * xi * 10000 >= t2 * ai * bi
+             for xi, ai, bi in zip(x, na, nb)),
+            dtype=bool, count=len(x))
+        agg = agg[keep]
+        return pa.table({c: pa.array(agg[c].to_numpy(np.int64), pa.int64())
+                         for c in out_cols})
+
+    return parts.groupby("_pb").map_groups(finalize, batch_format="pandas")

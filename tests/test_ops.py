@@ -3541,3 +3541,35 @@ def test_dedup_threshold_sweep_shape_and_monotonicity(ray_session):
     assert nt[-1] >= 1 and np_[-1] >= 1
     # truth has exactly one fp pair -> recall at tau90 = tp/1
     assert got2.loc[4, "recall_bp"] == nt[-1] * 10000
+
+
+def test_cosine_pairs_tf_weighting_and_norms(ray_session):
+    """Cosine uses COUNTS (a doc repeating a shingle twice scores
+    differently than once); norms include stop shingles even though
+    cross skips them; exact duplicate -> cosine 1 passes any tau."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.dedup import cosine_pairs
+
+    # docs 1,2: identical -> cross = n -> cosine exactly 1.
+    # doc 3 repeats the shared trigram twice -> tf weighting visible.
+    a = "red green blue"                      # 1 trigram, c=1, n=1
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        "text": [a, a, "red green blue red green blue red"],
+    })
+    got = cosine_pairs(rd.from_pandas(docs), tau100=50).to_pandas()
+    got = got.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    pairs = {(l, r): (x, nl, nr) for l, r, x, nl, nr in zip(
+        got["left_id"], got["right_id"], got["cross"],
+        got["n_left"], got["n_right"])}
+    # doc 3 trigrams: 'red green blue' x2, 'green blue red' x2,
+    # 'blue red green' x1 -> n3 = 4+4+1 = 9; cross(1,3) = 1*2 = 2.
+    # cosine(1,3) = 2/sqrt(1*9) = 0.667 >= 0.5 -> kept.
+    assert pairs[(1, 2)] == (1, 1, 1)
+    assert pairs[(1, 3)] == (2, 1, 9) and pairs[(2, 3)] == (2, 1, 9)
+    # tau 70: 0.667 < 0.7 -> (1,3) drops, exact dup stays
+    got70 = cosine_pairs(rd.from_pandas(docs), tau100=70).to_pandas()
+    keys70 = set(zip(got70["left_id"], got70["right_id"]))
+    assert keys70 == {(1, 2)}
