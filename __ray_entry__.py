@@ -1056,6 +1056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # stop-block cap sweep: PC-vs-budget curve of first-token blocking
+        # across 5 caps, all from (fp, key) group sizes — no pairs built
+        "blocking_budget_sweep": lambda sf: erblock.blocking_budget_sweep(
+            _read_docs(sf)),
         # exact cosine-tau similarity join over word-trigram TF vectors
         # (AllPairs family) — cross over df-capped shingles, full norms,
         # Python-int threshold (cross^2*1e4 overflows int64 on long docs)
@@ -4109,6 +4113,48 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # blocking_budget_sweep: same fp/key laws as blocking_quality;
+        # per cap h blocks sized 2..h survive; PC denominator = ALL true
+        # pairs; fixed 5-row shape (degenerate-parity law).
+        "blocking_budget_sweep": r"""
+            WITH fk AS (SELECT
+                    md5(regexp_replace(lower(coalesce(text, '')),
+                                       '[^a-z0-9]', '', 'g')) AS fp,
+                    coalesce(regexp_extract_all(lower(coalesce(text, '')),
+                                                '\S+')[1], '') AS key
+                 FROM documents),
+            ks AS (SELECT key, COUNT(*) AS s FROM fk
+                   WHERE key != '' GROUP BY key),
+            cells AS (SELECT fp, key, COUNT(*) AS c FROM fk
+                      WHERE key != '' GROUP BY fp, key),
+            caps(cap) AS (VALUES (10), (30), (100), (300), (1000)),
+            cand AS (
+                SELECT cap,
+                       coalesce(SUM(CASE WHEN s BETWEEN 2 AND cap
+                                         THEN 1 END), 0) AS n_blocks,
+                       coalesce(SUM(CASE WHEN s BETWEEN 2 AND cap
+                                         THEN s*(s-1)//2 END), 0)
+                           AS n_cand_pairs
+                FROM caps LEFT JOIN ks ON TRUE GROUP BY cap),
+            tcj AS (SELECT cells.c, ks.s FROM cells
+                    JOIN ks ON ks.key = cells.key),
+            tc AS (
+                SELECT cap,
+                       coalesce(SUM(CASE WHEN s BETWEEN 2 AND cap
+                                         THEN c*(c-1)//2 END), 0)
+                           AS n_true_cand
+                FROM caps LEFT JOIN tcj ON TRUE GROUP BY cap),
+            tru AS (SELECT coalesce(SUM(c*(c-1)//2), 0) AS t FROM
+                    (SELECT COUNT(*) AS c FROM fk GROUP BY fp))
+            SELECT CAST(cand.cap AS BIGINT) AS cap,
+                   CAST(cand.n_blocks AS BIGINT) AS n_blocks,
+                   CAST(cand.n_cand_pairs AS BIGINT) AS n_cand_pairs,
+                   CAST(tc.n_true_cand AS BIGINT) AS n_true_cand,
+                   CAST(CASE WHEN tru.t = 0 THEN 10000
+                             ELSE tc.n_true_cand*10000 // tru.t
+                        END AS BIGINT) AS pc_bp
+            FROM cand JOIN tc ON tc.cap = cand.cap, tru
         """,
         # cosine_pairs: TF (multiset) trigram vectors; norms over ALL
         # shingles, cross over df<=100 survivors; HUGEINT casts make the

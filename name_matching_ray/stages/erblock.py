@@ -431,6 +431,29 @@ def snm_recall(docs_ds, *, window: int = 3, key_len: int = 16,
 # blocking-scheme quality vs exact-duplicate truth
 # ---------------------------------------------------------------------------
 
+def _fp_key_part(batch: pa.Table, *, text_col: str,
+                 id_col: str) -> pa.Table:
+    """Per-batch (fingerprint, first-token key) count partial — the
+    shared input of :func:`blocking_quality` and
+    :func:`blocking_budget_sweep` (one definition so the truth and key
+    laws can never drift between the metric and its sweep)."""
+    import pandas as pd
+
+    from .textstats import fingerprint_batch
+
+    fp = fingerprint_batch(batch, text_col=text_col, id_col=id_col) \
+        .column("fingerprint")
+    key = _first_token(batch.column(text_col))
+    df = pd.DataFrame({"fp": fp.to_numpy(zero_copy_only=False),
+                       "key": key.to_numpy(zero_copy_only=False)})
+    g = df.groupby(["fp", "key"], as_index=False).size()
+    return pa.table({
+        "fp": pa.array(g["fp"], pa.string()),
+        "key": pa.array(g["key"], pa.string()),
+        "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+    })
+
+
 def blocking_quality(docs_ds, *, text_col: str = "text",
                      id_col: str = "doc_id", n_buckets: int = 64):
     """Quality metrics of the first-token blocking scheme against the
@@ -455,20 +478,9 @@ def blocking_quality(docs_ds, *, text_col: str = "text",
 
     from .textstats import fingerprint_batch
 
-    def fk_part(batch: pa.Table) -> pa.Table:
-        fp = fingerprint_batch(batch, text_col=text_col, id_col=id_col) \
-            .column("fingerprint")
-        key = _first_token(batch.column(text_col))
-        df = pd.DataFrame({"fp": fp.to_numpy(zero_copy_only=False),
-                           "key": key.to_numpy(zero_copy_only=False)})
-        g = df.groupby(["fp", "key"], as_index=False).size()
-        return pa.table({
-            "fp": pa.array(g["fp"], pa.string()),
-            "key": pa.array(g["key"], pa.string()),
-            "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
-        })
-
-    fk = docs_ds.map_batches(fk_part, batch_format="pyarrow") \
+    fk = docs_ds.map_batches(
+        lambda b: _fp_key_part(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow") \
         .groupby(["fp", "key"]).aggregate(Sum("c", alias_name="c"))
 
     # scalar partials from the (fp, key, c) table: per-fp and per-key group
@@ -1892,3 +1904,101 @@ def dedup_threshold_sweep(docs_ds, *, taus=(10, 30, 50, 70, 90),
         "precision_bp": pa.array(p_bp.astype(np.int64), pa.int64()),
         "recall_bp": pa.array(r_bp.astype(np.int64), pa.int64()),
         "f1_bp": pa.array(f1_bp.astype(np.int64), pa.int64())}))
+
+
+def blocking_budget_sweep(docs_ds, *, caps=(10, 30, 100, 300, 1000),
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n_buckets: int = 64):
+    """Stop-block cap sweep for the first-token blocking scheme: at each
+    block-size cap ``h``, blocks sized ``2..h`` survive and the row
+    reports ``(cap, n_blocks, n_cand_pairs, n_true_cand, pc_bp)`` —
+    the pairs-completeness-vs-candidate-budget trade-off curve a
+    blocking planner reads before picking the stop-key threshold
+    (the sweep sibling of :func:`blocking_quality`, which scores one
+    fixed scheme).  ``pc_bp``'s denominator is ALL true pairs (keyed
+    or not); 0-truth → 10000.  Fixed ``len(caps)``-row output shape.
+
+    Scale shape: everything derives from the (fingerprint, key) count
+    table (the group-size trick — no pair materialized): one combined
+    count shuffle, then ONE key-hash-bucket pass where each key's cells
+    co-locate, so block size, per-cap candidate sums and per-cap
+    true-candidate sums are all in-bucket partials (≤ |caps| rows per
+    bucket) merged on the driver; the truth total comes from an
+    fp-hash-bucket pass over the same table.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    caps = sorted(int(h) for h in caps)
+
+    fk = docs_ds.map_batches(
+        lambda b: _fp_key_part(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow") \
+        .groupby(["fp", "key"]).aggregate(Sum("c", alias_name="c"))
+
+    def tag_kb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["key"] != ""]
+        return df.assign(_kb=bucket_hash(df["key"], n_buckets))
+
+    def sweep_in_bucket(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"cap": pa.array([], pa.int64()),
+                             "n_blocks": pa.array([], pa.int64()),
+                             "n_cand_pairs": pa.array([], pa.int64()),
+                             "n_true_cand": pa.array([], pa.int64())})
+        ks = g.groupby("key")["c"].sum()
+        cell_tc = (g["c"].to_numpy(np.int64)
+                   * (g["c"].to_numpy(np.int64) - 1) // 2)
+        key_size = g["key"].map(ks).to_numpy(np.int64)
+        s = ks.to_numpy(np.int64)
+        rows = []
+        for h in caps:
+            live = (s >= 2) & (s <= h)
+            live_cells = (key_size >= 2) & (key_size <= h)
+            rows.append((h, int(live.sum()),
+                         int((s[live] * (s[live] - 1) // 2).sum()),
+                         int(cell_tc[live_cells].sum())))
+        return pa.table({
+            "cap": pa.array([r[0] for r in rows], pa.int64()),
+            "n_blocks": pa.array([r[1] for r in rows], pa.int64()),
+            "n_cand_pairs": pa.array([r[2] for r in rows], pa.int64()),
+            "n_true_cand": pa.array([r[3] for r in rows], pa.int64())})
+
+    sweep = fk.map_batches(tag_kb, batch_format="pandas") \
+        .groupby("_kb").map_groups(sweep_in_bucket,
+                                   batch_format="pandas").to_pandas()
+
+    def tag_fb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_fb=bucket_hash(df["fp"], n_buckets))
+
+    def truth_in_bucket(g: pd.DataFrame) -> pa.Table:
+        c = (g.groupby("fp")["c"].sum().to_numpy(np.int64)
+             if len(g) else np.array([], np.int64))
+        return pa.table({"t": pa.array([int((c * (c - 1) // 2).sum())],
+                                       pa.int64())})
+
+    tparts = fk.map_batches(tag_fb, batch_format="pandas") \
+        .groupby("_fb").map_groups(truth_in_bucket,
+                                   batch_format="pandas").to_pandas()
+    n_true = int(tparts["t"].sum()) if len(tparts) else 0
+
+    if sweep.empty:
+        agg = pd.DataFrame({"cap": caps, "n_blocks": 0,
+                            "n_cand_pairs": 0, "n_true_cand": 0})
+    else:
+        agg = sweep.groupby("cap", as_index=False).sum()
+        agg = pd.DataFrame({"cap": caps}).merge(agg, on="cap",
+                                                how="left").fillna(0)
+    tc = agg["n_true_cand"].to_numpy(np.int64)
+    pc = (np.full(len(caps), 10000, np.int64) if n_true == 0
+          else tc * 10000 // n_true)
+    return rd.from_arrow(pa.table({
+        "cap": pa.array(agg["cap"].to_numpy(np.int64), pa.int64()),
+        "n_blocks": pa.array(agg["n_blocks"].to_numpy(np.int64),
+                             pa.int64()),
+        "n_cand_pairs": pa.array(agg["n_cand_pairs"].to_numpy(np.int64),
+                                 pa.int64()),
+        "n_true_cand": pa.array(tc, pa.int64()),
+        "pc_bp": pa.array(pc.astype(np.int64), pa.int64())}))

@@ -3573,3 +3573,44 @@ def test_cosine_pairs_tf_weighting_and_norms(ray_session):
     got70 = cosine_pairs(rd.from_pandas(docs), tau100=70).to_pandas()
     keys70 = set(zip(got70["left_id"], got70["right_id"]))
     assert keys70 == {(1, 2)}
+
+
+def test_blocking_budget_sweep_monotone_and_empty(ray_session):
+    """Candidate and true-candidate counts are non-decreasing in the
+    cap; a block right AT the cap survives, one past it drops; empty
+    corpus emits the fixed 5-row shape with pc 10000."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import blocking_budget_sweep
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "text": pd.array([], dtype="string")}))
+    got = blocking_budget_sweep(empty).to_pandas()
+    assert len(got) == 5 and (got["pc_bp"] == 10000).all()
+    assert (got["n_cand_pairs"] == 0).all()
+
+    # key 'aaa': 3 docs (2 true dups) -> block size 3; key 'bbb': 11
+    # docs -> survives only at caps >= 11; caps (2, 3, 10, 11, 1000).
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(14), dtype="int64"),
+        "text": (["aaa same", "aaa same", "aaa other"]
+                 + [f"bbb doc {i}" for i in range(11)]),
+    })
+    got2 = blocking_budget_sweep(rd.from_pandas(docs),
+                                 caps=(2, 3, 10, 11, 1000)).to_pandas() \
+        .sort_values("cap").reset_index(drop=True)
+    assert list(got2["cap"]) == [2, 3, 10, 11, 1000]
+    # cap 2: 'aaa' (3) and 'bbb' (11) both too big -> nothing
+    assert got2.loc[0, "n_cand_pairs"] == 0
+    # cap 3: 'aaa' alive -> C(3,2)=3 cands, 1 true pair inside
+    assert (got2.loc[1, "n_blocks"], got2.loc[1, "n_cand_pairs"],
+            got2.loc[1, "n_true_cand"]) == (1, 3, 1)
+    # cap 10: same (bbb still too big); cap 11: bbb joins with C(11,2)=55
+    assert got2.loc[2, "n_cand_pairs"] == 3
+    assert (got2.loc[3, "n_blocks"], got2.loc[3, "n_cand_pairs"]) == (2, 58)
+    # truth total = 1 -> pc hits 10000 once 'aaa' is in
+    assert list(got2["pc_bp"]) == [0, 10000, 10000, 10000, 10000]
+    cc = got2["n_cand_pairs"].to_numpy()
+    assert (cc[1:] >= cc[:-1]).all()
