@@ -1056,6 +1056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # ECBS meta-blocking: CBS co-occurrence counts IDF-corrected by
+        # each endpoint's block count (bit-length log proxy), mean-pruned
+        "meta_blocking_ecbs": lambda sf: erblock.meta_blocking_ecbs(
+            _read_docs(sf)),
         # stop-block cap sweep: PC-vs-budget curve of first-token blocking
         # across 5 caps, all from (fp, key) group sizes — no pairs built
         "blocking_budget_sweep": lambda sf: erblock.blocking_budget_sweep(
@@ -4113,6 +4117,37 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # meta_blocking_ecbs: same blocks/CBS graph as meta_blocking_pairs;
+        # w = cbs * bl(B//nb_a) * bl(B//nb_b) with bl = length(bin(x))
+        # (the unigram_bits integer-log law), then the same mean prune.
+        "meta_blocking_ecbs": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(lower(coalesce(text, '')),
+                                       '\S+') AS tl
+                 FROM documents),
+            dt AS (SELECT DISTINCT doc_id,
+                    tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS t
+                   FROM tok, unnest(range(1, len(tl) - 1)) AS u(i)),
+            df AS (SELECT t, COUNT(*) c FROM dt GROUP BY t),
+            keep AS (SELECT dt.doc_id, dt.t FROM dt JOIN df USING (t)
+                     WHERE df.c BETWEEN 2 AND 100),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(COUNT(*) AS BIGINT) AS cbs
+                  FROM keep a JOIN keep b
+                    ON a.t = b.t AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            nb AS (SELECT doc_id, COUNT(*) AS nb FROM keep GROUP BY doc_id),
+            bt AS (SELECT COUNT(DISTINCT t) AS b FROM keep),
+            we AS (SELECT p.id_a, p.id_b,
+                          p.cbs * length(bin(bt.b // na.nb))
+                                * length(bin(bt.b // nbb.nb)) AS w
+                   FROM p
+                   JOIN nb na ON na.doc_id = p.id_a
+                   JOIN nb nbb ON nbb.doc_id = p.id_b, bt),
+            s AS (SELECT COUNT(*) np, COALESCE(SUM(w), 0) sw FROM we)
+            SELECT id_a, id_b, CAST(w AS BIGINT) AS w
+            FROM we, s WHERE w * s.np >= s.sw
         """,
         # blocking_budget_sweep: same fp/key laws as blocking_quality;
         # per cap h blocks sized 2..h survive; PC denominator = ALL true

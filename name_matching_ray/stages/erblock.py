@@ -900,6 +900,101 @@ def cluster_survivorship(cc_ds, attr_ds, *, id_col: str = "doc_id",
 # meta-blocking (weighted edge pruning)
 # ---------------------------------------------------------------------------
 
+# shared CBS trigram-block graph build (meta_blocking_pairs /
+# meta_blocking_ecbs): distinct (doc, word-trigram) rows -> df-filtered
+# blocks -> pre-combined pair weights.  One definition so the block and
+# weight laws cannot drift between the CBS and ECBS variants.
+def _mb_tok_part(batch: pa.Table, *, text_col: str, id_col: str,
+                 n_buckets: int) -> pa.Table:
+    import pandas as pd
+
+    from .textstats import _explode_tokens
+
+    doc_idx, flat, _ = _explode_tokens(batch, text_col)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    # '' drops FIRST so trigram adjacency runs over the real token
+    # sequence (the skipgram_counts law)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(keep)
+    flat = flat.take(pa.array(idx, pa.int64()))
+    di = doc_idx[idx]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "token": pa.array([], pa.string()),
+                      "_tb": pa.array([], pa.int64())})
+    if len(di) < 3:
+        return empty
+    j = np.flatnonzero((di[:-2] == di[1:-1]) & (di[:-2] == di[2:]))
+    if not len(j):
+        return empty
+    g3 = pc.binary_join_element_wise(
+        flat.take(pa.array(j, pa.int64())),
+        flat.take(pa.array(j + 1, pa.int64())),
+        flat.take(pa.array(j + 2, pa.int64())), " ")
+    df = pd.DataFrame({"doc_id": ids[di[j]],
+                       "token": g3.to_pandas().astype(object)})
+    df = df.drop_duplicates()
+    t = pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+        "token": pa.array(df["token"], pa.string()),
+    })
+    return t.append_column(
+        "_tb", pa.array(bucket_hash(df["token"], n_buckets), pa.int64()))
+
+def _mb_emit_pairs(g, *, max_df: int, n_buckets: int) -> pa.Table:
+    import pandas as pd  # noqa: F401  (pandas group input)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64()),
+                      "_pb": pa.array([], pa.int64())})
+    if not len(g):
+        return empty
+    # token groups are whole in this bucket -> in-bucket counts ARE
+    # the global document frequencies
+    vc = g["token"].value_counts()
+    ok = vc[(vc >= 2) & (vc <= max_df)].index
+    g = g[g["token"].isin(ok)][["doc_id", "token"]]
+    if g.empty:
+        return empty
+    m = g.merge(g, on="token", suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    if m.empty:
+        return empty
+    agg = m.groupby(["doc_id_a", "doc_id_b"], as_index=False) \
+        .agg(w=("token", "size"))
+    a = agg["doc_id_a"].to_numpy(np.int64)
+    b = agg["doc_id_b"].to_numpy(np.int64)
+    pb = pair_bucket(a, b, n_buckets)
+    return pa.table({"id_a": pa.array(a, pa.int64()),
+                     "id_b": pa.array(b, pa.int64()),
+                     "w": pa.array(agg["w"].to_numpy(np.int64),
+                                   pa.int64()),
+                     "_pb": pa.array(pb, pa.int64())})
+
+def _mb_combine(g) -> pa.Table:
+    agg = g.groupby(["id_a", "id_b"], as_index=False)["w"].sum()
+    return pa.table({
+        "id_a": pa.array(agg["id_a"].to_numpy(np.int64), pa.int64()),
+        "id_b": pa.array(agg["id_b"].to_numpy(np.int64), pa.int64()),
+        "w": pa.array(agg["w"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+
+def _cbs_pair_graph(docs_ds, *, max_df: int, n_buckets: int,
+                    text_col: str, id_col: str):
+    """Trigram-block CBS candidate graph ``(id_a, id_b, w)`` — the shared
+    front half of the meta-blocking variants."""
+    return docs_ds.map_batches(
+        lambda b: _mb_tok_part(b, text_col=text_col, id_col=id_col,
+                               n_buckets=n_buckets),
+        batch_format="pyarrow") \
+        .groupby("_tb").map_groups(
+            lambda g: _mb_emit_pairs(g, max_df=max_df,
+                                     n_buckets=n_buckets),
+            batch_format="pandas") \
+        .groupby("_pb").map_groups(_mb_combine, batch_format="pandas")
+
+
 def meta_blocking_pairs(docs_ds, *, max_df: int = 100, n_buckets: int = 256,
                         text_col: str = "text", id_col: str = "doc_id"):
     """Meta-blocking with CBS weights and global mean pruning: every
@@ -926,81 +1021,8 @@ def meta_blocking_pairs(docs_ds, *, max_df: int = 100, n_buckets: int = 256,
     reach the driver, and the weight table is materialized ONCE for its
     two consumers (scalar pass + filter), the pmi_bigrams pattern.
     """
-    import pandas as pd
-
-    from .textstats import _explode_tokens
-
-    def tok_part(batch: pa.Table) -> pa.Table:
-        doc_idx, flat, _ = _explode_tokens(batch, text_col)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        # '' drops FIRST so trigram adjacency runs over the real token
-        # sequence (the skipgram_counts law)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        idx = np.flatnonzero(keep)
-        flat = flat.take(pa.array(idx, pa.int64()))
-        di = doc_idx[idx]
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "token": pa.array([], pa.string()),
-                          "_tb": pa.array([], pa.int64())})
-        if len(di) < 3:
-            return empty
-        j = np.flatnonzero((di[:-2] == di[1:-1]) & (di[:-2] == di[2:]))
-        if not len(j):
-            return empty
-        g3 = pc.binary_join_element_wise(
-            flat.take(pa.array(j, pa.int64())),
-            flat.take(pa.array(j + 1, pa.int64())),
-            flat.take(pa.array(j + 2, pa.int64())), " ")
-        df = pd.DataFrame({"doc_id": ids[di[j]],
-                           "token": g3.to_pandas().astype(object)})
-        df = df.drop_duplicates()
-        t = pa.table({
-            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
-            "token": pa.array(df["token"], pa.string()),
-        })
-        return t.append_column(
-            "_tb", pa.array(bucket_hash(df["token"], n_buckets), pa.int64()))
-
-    def emit_pairs(g: pd.DataFrame) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "w": pa.array([], pa.int64()),
-                          "_pb": pa.array([], pa.int64())})
-        if not len(g):
-            return empty
-        # token groups are whole in this bucket -> in-bucket counts ARE
-        # the global document frequencies
-        vc = g["token"].value_counts()
-        ok = vc[(vc >= 2) & (vc <= max_df)].index
-        g = g[g["token"].isin(ok)][["doc_id", "token"]]
-        if g.empty:
-            return empty
-        m = g.merge(g, on="token", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        if m.empty:
-            return empty
-        agg = m.groupby(["doc_id_a", "doc_id_b"], as_index=False) \
-            .agg(w=("token", "size"))
-        a = agg["doc_id_a"].to_numpy(np.int64)
-        b = agg["doc_id_b"].to_numpy(np.int64)
-        pb = pair_bucket(a, b, n_buckets)
-        return pa.table({"id_a": pa.array(a, pa.int64()),
-                         "id_b": pa.array(b, pa.int64()),
-                         "w": pa.array(agg["w"].to_numpy(np.int64),
-                                       pa.int64()),
-                         "_pb": pa.array(pb, pa.int64())})
-
-    def combine(g: pd.DataFrame) -> pa.Table:
-        agg = g.groupby(["id_a", "id_b"], as_index=False)["w"].sum()
-        return pa.table({
-            "id_a": pa.array(agg["id_a"].to_numpy(np.int64), pa.int64()),
-            "id_b": pa.array(agg["id_b"].to_numpy(np.int64), pa.int64()),
-            "w": pa.array(agg["w"].to_numpy(np.int64), pa.int64()),
-        })
-
-    weights = docs_ds.map_batches(tok_part, batch_format="pyarrow") \
-        .groupby("_tb").map_groups(emit_pairs, batch_format="pandas") \
-        .groupby("_pb").map_groups(combine, batch_format="pandas") \
+    weights = _cbs_pair_graph(docs_ds, max_df=max_df, n_buckets=n_buckets,
+                              text_col=text_col, id_col=id_col) \
         .materialize()  # two consumers below — don't recompute the graph
 
     def scal_part(t: pa.Table) -> pa.Table:
@@ -2002,3 +2024,128 @@ def blocking_budget_sweep(docs_ds, *, caps=(10, 30, 100, 300, 1000),
                                  pa.int64()),
         "n_true_cand": pa.array(tc, pa.int64()),
         "pc_bp": pa.array(pc.astype(np.int64), pa.int64())}))
+
+
+def meta_blocking_ecbs(docs_ds, *, max_df: int = 100, n_buckets: int = 256,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """Meta-blocking with ECBS weights (Papadakis et al.'s
+    Enhanced Common Blocks Scheme) and mean pruning: the CBS count is
+    IDF-corrected by how block-prolific each endpoint is — ``w_ecbs =
+    cbs · bl(B // nb_a) · bl(B // nb_b)`` where ``B`` is the number of
+    surviving blocks, ``nb_x`` the number of surviving blocks containing
+    doc ``x``, and ``bl`` the integer bit-length log proxy (the
+    unigram_bits law: no float log near a hash-compared oracle).  Docs
+    that sit in few blocks get their co-occurrences boosted; docs that
+    sit in every block (near-stop docs) get damped.  Blocks and the CBS
+    graph are EXACTLY :func:`meta_blocking_pairs`' (shared
+    ``_cbs_pair_graph``).  Output ``(id_a, id_b, w)`` with the same
+    integer cross-multiplied mean-pruning rule, over ECBS weights.
+
+    Scale shape: the CBS graph is built once (materialized — three
+    consumers: nb attach ×2 via bucket joins, scalar pass); ``nb`` comes
+    from the SAME trigram explode via token-bucket partials (exact df
+    in-bucket) reduced per doc in ONE narrow groupby; ``B`` is the sum
+    of per-bucket distinct-survivor counts (token-partitioned ⇒
+    disjoint).  Both joins ship only (id, nb) pairs.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from .joins import bucket_hash_join
+
+    cbs = _cbs_pair_graph(docs_ds, max_df=max_df, n_buckets=n_buckets,
+                          text_col=text_col, id_col=id_col).materialize()
+
+    # per-doc surviving-block counts + per-bucket distinct-block counts,
+    # from one token-bucket pass over the same explode
+    def nb_part(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64()),
+                             "bb": pa.array([], pa.int64())})
+        vc = g["token"].value_counts()
+        ok = vc[(vc >= 2) & (vc <= max_df)].index
+        g = g[g["token"].isin(ok)]
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64()),
+                             "bb": pa.array([], pa.int64())})
+        per_doc = g.groupby("doc_id", as_index=False).size()
+        n_blocks = int(g["token"].nunique())
+        bb = np.zeros(len(per_doc), np.int64)
+        bb[0] = n_blocks  # bucket-total rides row 0 (summed once below)
+        return pa.table({
+            "doc_id": pa.array(per_doc["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "nb": pa.array(per_doc["size"].to_numpy(np.int64), pa.int64()),
+            "bb": pa.array(bb, pa.int64())})
+
+    nb_parts = docs_ds.map_batches(
+        lambda b: _mb_tok_part(b, text_col=text_col, id_col=id_col,
+                               n_buckets=n_buckets),
+        batch_format="pyarrow") \
+        .groupby("_tb").map_groups(nb_part, batch_format="pandas") \
+        .materialize()  # consumers: B scalar + nb table
+
+    b_total = int(nb_parts.sum("bb") or 0)
+    if b_total == 0:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                       "id_b": pa.array([], pa.int64()),
+                                       "w": pa.array([], pa.int64())}))
+
+    nb = nb_parts.groupby("doc_id").aggregate(Sum("nb", alias_name="nb"))
+    nb_a = nb.map_batches(
+        lambda t: pa.table({"id_a": t.column("doc_id"),
+                            "nb_a": t.column("nb")}),
+        batch_format="pyarrow")
+    nb_b = nb.map_batches(
+        lambda t: pa.table({"id_b": t.column("doc_id"),
+                            "nb_b": t.column("nb")}),
+        batch_format="pyarrow")
+
+    cbs_t = {"id_a": pa.int64(), "id_b": pa.int64(), "w": pa.int64()}
+    j1 = bucket_hash_join(cbs, nb_a, on="id_a", n_buckets=n_buckets,
+                          left_types=cbs_t,
+                          right_types={"id_a": pa.int64(),
+                                       "nb_a": pa.int64()})
+    j2 = bucket_hash_join(j1, nb_b, on="id_b", n_buckets=n_buckets,
+                          left_types={**cbs_t, "nb_a": pa.int64()},
+                          right_types={"id_b": pa.int64(),
+                                       "nb_b": pa.int64()})
+
+    def ecbs_w(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        bl_a = np.frompyfunc(lambda x: int(x).bit_length(), 1, 1)
+        wa = bl_a(b_total // df["nb_a"].to_numpy(np.int64)).astype(np.int64)
+        wb = bl_a(b_total // df["nb_b"].to_numpy(np.int64)).astype(np.int64)
+        w = df["w"].to_numpy(np.int64) * wa * wb
+        return pa.table({
+            "id_a": pa.array(df["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(df["id_b"].to_numpy(np.int64), pa.int64()),
+            "w": pa.array(w, pa.int64())})
+
+    weights = j2.map_batches(ecbs_w, batch_format="pandas").materialize()
+
+    def scal_part(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        return pa.table({"_one": pa.array([0], pa.int64()),
+                         "np_": pa.array([len(w)], pa.int64()),
+                         "sw": pa.array([int(w.sum())], pa.int64())})
+
+    sc = weights.map_batches(scal_part, batch_format="pyarrow") \
+        .groupby("_one").aggregate(Sum("np_", alias_name="np_"),
+                                   Sum("sw", alias_name="sw")).to_pandas()
+    n_pairs = int(sc["np_"].iloc[0]) if len(sc) else 0
+    sw = int(sc["sw"].iloc[0]) if len(sc) else 0
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.multiply(pc.cast(t.column("w"), pa.int64()), n_pairs), sw)
+        return t.filter(keep)
+
+    return weights.map_batches(prune, batch_format="pyarrow")

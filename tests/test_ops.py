@@ -3614,3 +3614,35 @@ def test_blocking_budget_sweep_monotone_and_empty(ray_session):
     assert list(got2["pc_bp"]) == [0, 10000, 10000, 10000, 10000]
     cc = got2["n_cand_pairs"].to_numpy()
     assert (cc[1:] >= cc[:-1]).all()
+
+
+def test_meta_blocking_ecbs_boost_and_damp(ray_session):
+    """A doc sitting in every block is damped (bl(B//nb)=1 when nb=B);
+    a doc in few blocks is boosted; the prune is over ECBS weights, not
+    CBS; empty corpus -> empty output."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import meta_blocking_ecbs
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "text": pd.array([], dtype="string")}))
+    assert len(meta_blocking_ecbs(empty).to_pandas()) == 0
+
+    # trigram blocks: docs 1,2 share 'a b c' and 'b c d'; docs 3,4 share
+    # 'x y z' only; doc 5 shares every block with 1 (same text).
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+        "text": ["a b c d", "a b c d e", "x y z w", "q x y z",
+                 "a b c d"],
+    })
+    got = meta_blocking_ecbs(rd.from_pandas(docs)).to_pandas()
+    w = {(a, b): x for a, b, x in zip(got["id_a"], got["id_b"], got["w"])}
+    # surviving blocks (df in [2,100]): 'a b c' {1,2,5}, 'b c d' {1,2,5},
+    # 'x y z' {3,4}.  B=3; nb: 1->2, 2->2, 5->2, 3->1, 4->1.
+    # cbs: (1,2)=2 (1,5)=2 (2,5)=2 (3,4)=1
+    # bl(3//2)=bl(1)=1; bl(3//1)=bl(3)=2
+    # ecbs: (1,2)=2*1*1=2, (1,5)=2, (2,5)=2, (3,4)=1*2*2=4
+    # mean*np test: sum=10, np=4 -> keep w*4 >= 10 -> w >= 2.5 -> only (3,4)
+    assert w == {(3, 4): 4}
