@@ -981,13 +981,18 @@ def _mb_combine(g) -> pa.Table:
 
 
 def _cbs_pair_graph(docs_ds, *, max_df: int, n_buckets: int,
-                    text_col: str, id_col: str):
+                    text_col: str, id_col: str, exploded=None):
     """Trigram-block CBS candidate graph ``(id_a, id_b, w)`` — the shared
-    front half of the meta-blocking variants."""
-    return docs_ds.map_batches(
-        lambda b: _mb_tok_part(b, text_col=text_col, id_col=id_col,
-                               n_buckets=n_buckets),
-        batch_format="pyarrow") \
+    front half of the meta-blocking variants.  Pass ``exploded`` (a
+    pre-built _mb_tok_part dataset) when the caller has a second
+    consumer of the explode — ECBS materializes it once instead of
+    tokenizing the corpus twice."""
+    if exploded is None:
+        exploded = docs_ds.map_batches(
+            lambda b: _mb_tok_part(b, text_col=text_col, id_col=id_col,
+                                   n_buckets=n_buckets),
+            batch_format="pyarrow")
+    return exploded \
         .groupby("_tb").map_groups(
             lambda g: _mb_emit_pairs(g, max_df=max_df,
                                      n_buckets=n_buckets),
@@ -2055,8 +2060,14 @@ def meta_blocking_ecbs(docs_ds, *, max_df: int = 100, n_buckets: int = 256,
 
     from .joins import bucket_hash_join
 
+    exploded = docs_ds.map_batches(
+        lambda b: _mb_tok_part(b, text_col=text_col, id_col=id_col,
+                               n_buckets=n_buckets),
+        batch_format="pyarrow").materialize()  # 2 consumers: graph + nb
+
     cbs = _cbs_pair_graph(docs_ds, max_df=max_df, n_buckets=n_buckets,
-                          text_col=text_col, id_col=id_col).materialize()
+                          text_col=text_col, id_col=id_col,
+                          exploded=exploded).materialize()
 
     # per-doc surviving-block counts + per-bucket distinct-block counts,
     # from one token-bucket pass over the same explode
@@ -2082,10 +2093,7 @@ def meta_blocking_ecbs(docs_ds, *, max_df: int = 100, n_buckets: int = 256,
             "nb": pa.array(per_doc["size"].to_numpy(np.int64), pa.int64()),
             "bb": pa.array(bb, pa.int64())})
 
-    nb_parts = docs_ds.map_batches(
-        lambda b: _mb_tok_part(b, text_col=text_col, id_col=id_col,
-                               n_buckets=n_buckets),
-        batch_format="pyarrow") \
+    nb_parts = exploded \
         .groupby("_tb").map_groups(nb_part, batch_format="pandas") \
         .materialize()  # consumers: B scalar + nb table
 
