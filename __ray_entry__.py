@@ -1056,6 +1056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # TPC-H Q13 shape: customers histogrammed by order count incl.
+        # the zero-order customers a plain orders groupby can't see
+        "customer_distribution": lambda sf:
+            analytics.customer_distribution(sf),
         # ECBS meta-blocking: CBS co-occurrence counts IDF-corrected by
         # each endpoint's block count (bit-length log proxy), mean-pruned
         "meta_blocking_ecbs": lambda sf: erblock.meta_blocking_ecbs(
@@ -4117,6 +4121,18 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # customer_distribution: LEFT join so zero-order customers land in
+        # the n_orders = 0 bin (COUNT(o_orderkey) counts non-null only).
+        "customer_distribution": """
+            WITH pc AS (
+                SELECT c.c_custkey, COUNT(o.o_custkey) AS n_orders
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey)
+            SELECT CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(COUNT(*) AS BIGINT) AS n_custs
+            FROM pc GROUP BY n_orders
         """,
         # meta_blocking_ecbs: same blocks/CBS graph as meta_blocking_pairs;
         # w = cbs * bl(B//nb_a) * bl(B//nb_b) with bl = length(bin(x))

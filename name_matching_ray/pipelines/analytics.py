@@ -2354,3 +2354,56 @@ def order_priority_counts(sf_dir: str, *, late_days: int = 60):
     hist = hist.groupby("o_orderpriority", as_index=False)["n_late"].sum() \
         .sort_values("o_orderpriority").reset_index(drop=True)
     return rd.from_arrow(pa.Table.from_pandas(hist, preserve_index=False))
+
+
+def customer_distribution(sf_dir: str):
+    """Distribution of customers by order count, INCLUDING zero-order
+    customers (TPC-H Q13 shape — the LEFT-join-then-histogram law that a
+    plain orders groupby cannot produce: customers with no orders only
+    exist on the dimension side).
+
+    Scale plan: orders collapse to per-batch (custkey, cnt) partials
+    before the shuffle (combiner); the customer side ships only keys;
+    the LEFT bucket join co-locates each custkey's partials with its
+    customer row, so the per-custkey fold AND the histogram partial both
+    happen inside the join-bucket block (fold key == join key), and only
+    (n_orders, n_custs) partial rows — cardinality ≤ max order count —
+    reach the driver.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def ord_part(df: pd.DataFrame) -> pa.Table:
+        vc = df["o_custkey"].value_counts()
+        return pa.table({
+            "c_custkey": pa.array(vc.index.to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    ords = _read(sf_dir, "orders", ["o_custkey"]) \
+        .map_batches(ord_part, batch_format="pandas")
+
+    j = bucket_hash_join(
+        cust, ords, on="c_custkey", how="left",
+        left_types={"c_custkey": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "cnt": pa.int64()})
+
+    def hist_part(df: pd.DataFrame) -> pa.Table:
+        g = df.assign(cnt=df["cnt"].fillna(0)) \
+            .groupby("c_custkey")["cnt"].sum()
+        vc = g.astype(np.int64).value_counts()
+        return pa.table({
+            "n_orders": pa.array(vc.index.to_numpy(np.int64), pa.int64()),
+            "n_custs": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    hist = j.map_batches(hist_part, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    if hist.empty:
+        return rd.from_arrow(pa.table({
+            "n_orders": pa.array([], pa.int64()),
+            "n_custs": pa.array([], pa.int64())}))
+    hist = hist.groupby("n_orders", as_index=False)["n_custs"].sum() \
+        .sort_values("n_orders").reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(hist, preserve_index=False))

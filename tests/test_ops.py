@@ -3646,3 +3646,24 @@ def test_meta_blocking_ecbs_boost_and_damp(ray_session):
     # ecbs: (1,2)=2*1*1=2, (1,5)=2, (2,5)=2, (3,4)=1*2*2=4
     # mean*np test: sum=10, np=4 -> keep w*4 >= 10 -> w >= 2.5 -> only (3,4)
     assert w == {(3, 4): 4}
+
+
+def test_customer_distribution_zero_bin(ray_session, tmp_path):
+    """Customers with no orders land in the 0 bin; orphan orders (no
+    matching customer) count nowhere."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import customer_distribution
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        # cust 1: 2 orders; cust 2: 1; custs 3,4: none; 99 is an orphan
+        "o_custkey": pa.array([1, 1, 2, 99], pa.int64()),
+    }), tmp_path / "orders.parquet")
+    got = customer_distribution(str(tmp_path)).to_pandas() \
+        .sort_values("n_orders").reset_index(drop=True)
+    assert list(got["n_orders"]) == [0, 1, 2]
+    assert list(got["n_custs"]) == [2, 1, 1]
