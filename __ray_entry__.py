@@ -1056,6 +1056,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # one EM re-estimation round (Splink/fastLink step): matches =
+        # score >= (sum_w+1)//2 under the current weights; per-field
+        # m/u probabilities re-estimated in basis points
+        "fs_em_round": lambda sf: erblock.fs_em_round(
+            _read_table(sf, "customer",
+                        ["c_custkey", "c_name", "c_nationkey",
+                         "c_mktsegment", "c_acctbal"])),
         # TPC-H Q13 shape: customers histogrammed by order count incl.
         # the zero-order customers a plain orders groupby can't see
         "customer_distribution": lambda sf:
@@ -1153,6 +1160,9 @@ def _fs_scored_cte() -> str:
                 FROM a, t),
             scored AS (
                 SELECT x.id AS l, y.id AS r,
+                       (x.seg = y.seg) AS eq_seg,
+                       (x.ten = y.ten) AS eq_ten,
+                       (x.bal = y.bal) AS eq_bal,
                        (CASE WHEN x.seg = y.seg
                              THEN (SELECT w FROM w WHERE f = 'seg')
                              ELSE 0 END
@@ -4121,6 +4131,50 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # fs_em_round: the shared FS CTE's per-field eq flags; matches =
+        # score >= (Sw+1)//2; m = match-agreements/matches, u =
+        # nonmatch-agreements/non-matches, bp floors; 0/0 -> 10000.
+        "fs_em_round": f"""
+            WITH {_fs_scored_cte()},
+            th AS (SELECT (SUM(w) + 1) // 2 AS t FROM w),
+            st AS (
+                SELECT f.field,
+                       COUNT(*) AS n_pairs,
+                       SUM(CASE f.field WHEN 'seg' THEN eq_seg::INT
+                                        WHEN 'ten' THEN eq_ten::INT
+                                        ELSE eq_bal::INT END) AS n_agree,
+                       SUM(CASE WHEN s.score >= th.t THEN 1 ELSE 0 END)
+                           AS n_match,
+                       SUM(CASE WHEN s.score >= th.t THEN
+                                CASE f.field WHEN 'seg' THEN eq_seg::INT
+                                             WHEN 'ten' THEN eq_ten::INT
+                                             ELSE eq_bal::INT END
+                                ELSE 0 END) AS n_match_agree
+                FROM scored s, th,
+                     (VALUES ('seg'), ('ten'), ('bal')) AS f(field)
+                GROUP BY f.field),
+            base AS (SELECT field FROM
+                     (VALUES ('seg'), ('ten'), ('bal')) AS f(field)),
+            j AS (SELECT base.field,
+                         coalesce(st.n_pairs, 0) AS n_pairs,
+                         coalesce(st.n_agree, 0) AS n_agree,
+                         coalesce(st.n_match, 0) AS n_match,
+                         coalesce(st.n_match_agree, 0) AS n_match_agree
+                  FROM base LEFT JOIN st ON st.field = base.field)
+            SELECT field,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(n_agree AS BIGINT) AS n_agree,
+                   CAST(n_match AS BIGINT) AS n_match,
+                   CAST(n_match_agree AS BIGINT) AS n_match_agree,
+                   CAST(CASE WHEN n_match = 0 THEN 10000
+                             ELSE n_match_agree*10000 // n_match
+                        END AS BIGINT) AS m_bp,
+                   CAST(CASE WHEN n_pairs - n_match = 0 THEN 10000
+                             ELSE (n_agree - n_match_agree)*10000
+                                  // (n_pairs - n_match)
+                        END AS BIGINT) AS u_bp
+            FROM j
         """,
         # customer_distribution: LEFT join so zero-order customers land in
         # the n_orders = 0 bin (COUNT(o_orderkey) counts non-null only).

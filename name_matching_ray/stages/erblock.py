@@ -2157,3 +2157,117 @@ def meta_blocking_ecbs(docs_ds, *, max_df: int = 100, n_buckets: int = 256,
         return t.filter(keep)
 
     return weights.map_batches(prune, batch_format="pyarrow")
+
+
+def fs_em_round(cust_ds, *, gap: int = 5, chunk: int = 8192):
+    """One EM re-estimation round for the Fellegi–Sunter model (the
+    Splink/fastLink expectation-maximization step, determinized): pairs
+    scoring at least half the total weight ``thresh = (Σw + 1) // 2``
+    under the CURRENT :func:`_fs_weight_pass` weights are taken as
+    matches, and per field the round re-estimates the m-probability
+    (P(agree | match) = match-agreements / matches) and u-probability
+    (P(agree | non-match) = nonmatch-agreements / non-matches) in basis
+    points.  One row per field: ``(field, n_pairs, n_agree, n_match,
+    n_match_agree, m_bp, u_bp)``; 0-denominators → 10000 (the
+    cluster_pair_eval convention).
+
+    Scale shape: the same (nat, id//chunk) kernels as fs_match_scores
+    with backward boundary replication; each kernel emits ONE 3-row
+    partial (per-field candidate/agree/match/match-agree counts), so
+    the driver merges ≤ 3·kernels bounded rows — the EM statistics are
+    pure associative sums, no pair ever leaves its kernel.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    out_schema = {"field": pa.string(), "n_pairs": pa.int64(),
+                  "n_agree": pa.int64(), "n_match": pa.int64(),
+                  "n_match_agree": pa.int64(), "m_bp": pa.int64(),
+                  "u_bp": pa.int64()}
+    empty = pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+
+    fields_ds, weights = _fs_weight_pass(cust_ds)
+    if weights is None:
+        return rd.from_arrow(empty)
+    w_seg, w_ten, w_bal = weights
+    thresh = (w_seg + w_ten + w_bal + 1) // 2
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy(np.int64)
+        cb = ids // chunk
+        rep = ((ids % chunk) < gap) & (cb > 0)
+        return pd.concat([df.assign(_cb=cb, _pri=True),
+                          df.loc[rep].assign(_cb=cb[rep] - 1, _pri=False)],
+                         ignore_index=True)
+
+    part_schema = {"field": pa.string(), "n_pairs": pa.int64(),
+                   "n_agree": pa.int64(), "n_match": pa.int64(),
+                   "n_match_agree": pa.int64()}
+
+    def em_kernel(g: pd.DataFrame) -> pa.Table:
+        kempty = pa.table({k: pa.array([], t)
+                           for k, t in part_schema.items()})
+        if not len(g):
+            return kempty
+        g = g.sort_values("id", kind="mergesort")
+        ids = g["id"].to_numpy(np.int64)
+        pri = g["_pri"].to_numpy(bool)
+        seg = pd.factorize(g["seg"])[0]
+        ten = pd.factorize(g["ten"])[0]
+        bal = g["bal"].to_numpy(np.int64)
+        pidx = np.flatnonzero(pri)
+        pid = ids[pidx]
+        lo = np.searchsorted(ids, pid + 1, "left")
+        hi = np.searchsorted(ids, pid + gap, "right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return kempty
+        li = np.repeat(pidx, cnt)
+        starts = cnt.cumsum() - cnt
+        ri = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(starts, cnt))
+        eqs = {"seg": seg[li] == seg[ri], "ten": ten[li] == ten[ri],
+               "bal": bal[li] == bal[ri]}
+        sc = (w_seg * eqs["seg"].astype(np.int64)
+              + w_ten * eqs["ten"].astype(np.int64)
+              + w_bal * eqs["bal"].astype(np.int64))
+        match = sc >= thresh
+        return pa.table({
+            "field": pa.array(list(eqs), pa.string()),
+            "n_pairs": pa.array([tot] * 3, pa.int64()),
+            "n_agree": pa.array([int(e.sum()) for e in eqs.values()],
+                                pa.int64()),
+            "n_match": pa.array([int(match.sum())] * 3, pa.int64()),
+            "n_match_agree": pa.array(
+                [int((e & match).sum()) for e in eqs.values()],
+                pa.int64())})
+
+    parts = fields_ds.map_batches(tag, batch_format="pandas") \
+        .groupby(["nat", "_cb"]).map_groups(em_kernel,
+                                            batch_format="pandas") \
+        .to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({k: pd.Series(dtype="int64" if t == pa.int64()
+                                           else "object")
+                              for k, t in part_schema.items()})
+    agg = pd.DataFrame({"field": ["seg", "ten", "bal"]}).merge(
+        parts.groupby("field", as_index=False).sum(), on="field",
+        how="left").fillna(0)
+    n_pairs = agg["n_pairs"].to_numpy(np.int64)
+    n_agree = agg["n_agree"].to_numpy(np.int64)
+    n_match = agg["n_match"].to_numpy(np.int64)
+    n_ma = agg["n_match_agree"].to_numpy(np.int64)
+    n_non = n_pairs - n_match
+    n_na = n_agree - n_ma
+    m_bp = np.where(n_match == 0, 10000,
+                    n_ma * 10000 // np.maximum(n_match, 1))
+    u_bp = np.where(n_non == 0, 10000,
+                    n_na * 10000 // np.maximum(n_non, 1))
+    return rd.from_arrow(pa.table({
+        "field": pa.array(agg["field"], pa.string()),
+        "n_pairs": pa.array(n_pairs, pa.int64()),
+        "n_agree": pa.array(n_agree, pa.int64()),
+        "n_match": pa.array(n_match, pa.int64()),
+        "n_match_agree": pa.array(n_ma, pa.int64()),
+        "m_bp": pa.array(m_bp.astype(np.int64), pa.int64()),
+        "u_bp": pa.array(u_bp.astype(np.int64), pa.int64())}))

@@ -3667,3 +3667,55 @@ def test_customer_distribution_zero_bin(ray_session, tmp_path):
         .sort_values("n_orders").reset_index(drop=True)
     assert list(got["n_orders"]) == [0, 1, 2]
     assert list(got["n_custs"]) == [2, 1, 1]
+
+
+def test_fs_em_round_counts_and_conventions(ray_session):
+    """m counts agreements among matches only, u among non-matches only;
+    empty corpus emits the fixed empty shape; an all-match corpus hits
+    the u 0/0 -> 10000 convention."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import fs_em_round
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "c_custkey": pd.array([], dtype="int64"),
+        "c_name": pd.array([], dtype="string"),
+        "c_nationkey": pd.array([], dtype="int64"),
+        "c_mktsegment": pd.array([], dtype="string"),
+        "c_acctbal": pd.array([], dtype="float64")}))
+    assert len(fs_em_round(empty).to_pandas()) == 0
+
+    # 3 identical customers (same seg/name/balance, same nation):
+    # every candidate pair agrees on every field -> all pairs are
+    # matches -> n_non = 0 -> u_bp = 10000, m_bp = 10000 with real
+    # counts behind them.
+    df = pd.DataFrame({
+        "c_custkey": pd.array([1, 2, 3], dtype="int64"),
+        "c_name": ["Cust#011", "Cust#011", "Cust#011"],
+        "c_nationkey": pd.array([7, 7, 7], dtype="int64"),
+        "c_mktsegment": ["AUTO", "AUTO", "AUTO"],
+        "c_acctbal": [10.0, 10.0, 10.0]})
+    got = fs_em_round(rd.from_pandas(df)).to_pandas() \
+        .sort_values("field").reset_index(drop=True)
+    assert list(got["field"]) == ["bal", "seg", "ten"]
+    assert (got["n_pairs"] == 3).all()           # (1,2)(1,3)(2,3)
+    assert (got["n_agree"] == 3).all()
+    assert (got["n_match"] == 3).all()
+    assert (got["m_bp"] == 10000).all() and (got["u_bp"] == 10000).all()
+
+    # split field: two pairs of dups in DIFFERENT segments + a gap-5
+    # neighbor that agrees on nothing but ten/bal partially
+    df2 = pd.DataFrame({
+        "c_custkey": pd.array([1, 2, 3, 4], dtype="int64"),
+        "c_name": ["Cust#010", "Cust#010", "Cust#020", "Cust#020"],
+        "c_nationkey": pd.array([7, 7, 7, 7], dtype="int64"),
+        "c_mktsegment": ["AUTO", "AUTO", "BIKE", "BIKE"],
+        "c_acctbal": [10.0, 10.0, 9999.0, 9999.0]})
+    got2 = fs_em_round(rd.from_pandas(df2)).to_pandas()
+    seg = got2[got2["field"] == "seg"].iloc[0]
+    # candidates: all 6 pairs (gap 5, same nation); (1,2) and (3,4)
+    # agree everywhere (matches); cross pairs agree on ten only
+    assert seg["n_pairs"] == 6 and seg["n_match"] == 2
+    assert seg["n_agree"] == 2 and seg["n_match_agree"] == 2
+    assert seg["m_bp"] == 10000 and seg["u_bp"] == 0

@@ -72,10 +72,14 @@ def main():
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    from name_matching_ray.stages.erblock import (blocking_quality,
+    from name_matching_ray.stages.dedup import cosine_pairs
+    from name_matching_ray.stages.erblock import (blocking_budget_sweep,
+                                                  blocking_quality,
                                                   edit_block_pairs,
+                                                  meta_blocking_ecbs,
                                                   meta_blocking_pairs,
-                                                  snm_pairs)
+                                                  snm_pairs,
+                                                  suffix_blocking_pairs)
 
     def read_docs(path):
         return ray.data.read_parquet(path, columns=["doc_id", "text"]) \
@@ -86,6 +90,11 @@ def main():
         "meta_blocking_pairs": meta_blocking_pairs,
         "edit_block_pairs": edit_block_pairs,
         "blocking_quality": blocking_quality,
+        # session-5 families (same linear-or-bust claim)
+        "suffix_blocking_pairs": suffix_blocking_pairs,
+        "cosine_pairs": cosine_pairs,
+        "meta_blocking_ecbs": meta_blocking_ecbs,
+        "blocking_budget_sweep": blocking_budget_sweep,
     }
 
     results = {"sizes": SIZES, "reps": REPS, "ops": {}}
