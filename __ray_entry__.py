@@ -477,6 +477,14 @@ def _cluster_pair_eval(sf_dir: str):
                                      _read_docs(sf_dir))
 
 
+def _cluster_bcubed(sf_dir: str):
+    """B³ precision/recall of the same closure vs the same truth — the
+    per-record-averaged metric beside _cluster_pair_eval's pairwise one
+    (a giant cluster can't dominate B³ the way it dominates C(n,2))."""
+    return erblock.cluster_bcubed(_near_dup_clusters(sf_dir),
+                                  _read_docs(sf_dir))
+
+
 def _coname_legacy(sf_dir: str):
     """Legacy coname matcher (reference coname.py) over planted synthetic
     name tables at the sf's document scale: corpus-word gates from the base
@@ -1056,6 +1064,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # B-cubed clustering eval: per-record-averaged P/R over the same
+        # closure + truth as cluster_pair_eval, from cell counts x margins
+        "cluster_bcubed": _cluster_bcubed,
         # one EM re-estimation round (Splink/fastLink step): matches =
         # score >= (sum_w+1)//2 under the current weights; per-field
         # m/u probabilities re-estimated in basis points
@@ -4131,6 +4142,73 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # cluster_bcubed: the cluster_pair_eval closure chain; per-record
+        # floors FIRST (k*1e4 // size), the average floors the sum.
+        "cluster_bcubed": r"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+            cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                   FROM reach GROUP BY node),
+            fp AS (SELECT doc_id,
+                          md5(regexp_replace(lower(coalesce(text, '')),
+                                             '[^a-z0-9]', '', 'g')) AS f
+                   FROM documents),
+            m AS (SELECT cc.cluster_id, fp.f
+                  FROM cc JOIN fp ON fp.doc_id = cc.doc_id),
+            cs AS (SELECT cluster_id, COUNT(*) AS s FROM m GROUP BY 1),
+            fs2 AS (SELECT f, COUNT(*) AS s FROM m GROUP BY 1),
+            per AS (SELECT cluster_id, f, COUNT(*) AS k FROM m GROUP BY 1, 2),
+            sums AS (
+                SELECT SUM(per.k * (per.k*10000 // cs.s)) AS ps,
+                       SUM(per.k * (per.k*10000 // fs2.s)) AS rs,
+                       SUM(per.k) AS n
+                FROM per
+                JOIN cs USING (cluster_id)
+                JOIN fs2 ON fs2.f = per.f),
+            met AS (
+                SELECT coalesce(n, 0) AS n,
+                       CASE WHEN coalesce(n, 0) = 0 THEN 10000
+                            ELSE ps // n END AS p_bp,
+                       CASE WHEN coalesce(n, 0) = 0 THEN 10000
+                            ELSE rs // n END AS r_bp
+                FROM sums)
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CAST(p_bp AS BIGINT) AS bcubed_p_bp,
+                   CAST(r_bp AS BIGINT) AS bcubed_r_bp,
+                   CAST(CASE WHEN p_bp + r_bp > 0
+                             THEN 2*p_bp*r_bp // (p_bp + r_bp)
+                             ELSE 0 END AS BIGINT) AS bcubed_f_bp
+            FROM met
         """,
         # fs_em_round: the shared FS CTE's per-field eq flags; matches =
         # score >= (Sw+1)//2; m = match-agreements/matches, u =

@@ -677,31 +677,15 @@ def canopy_assign(docs_ds, *, n: int = 3, t1: int = 3, max_df: int = 100,
 # pairwise clustering evaluation (precision / recall / F1 vs exact truth)
 # ---------------------------------------------------------------------------
 
-def cluster_pair_eval(cc_ds, docs_ds, *, id_col: str = "doc_id",
-                      cluster_col: str = "cluster_id",
-                      text_col: str = "text", n_buckets: int = 128,
-                      cc_types: dict | None = None):
-    """Pairwise evaluation of an entity clustering against the exact-dup
-    fingerprint truth: ``n_pred_pairs`` = Σ C(n,2) over predicted
-    clusters, ``n_true_pairs`` = Σ C(n,2) over fingerprint groups,
-    ``n_tp`` = Σ C(n,2) over (cluster, fingerprint) cells — the standard
-    pair-counting decomposition (every same-cell pair is a true
-    positive).  ``precision_bp = n_tp·10⁴ // n_pred_pairs`` (10000 when
-    nothing is predicted), ``recall_bp`` likewise over the truth, and
-    ``f1_bp = 2·p·r // (p + r)`` (0 when both are 0).  One row out.
-    Completes the eval family: blocking_quality / snm_recall measure
-    candidate RECALL of a blocker; this scores the END clustering on
-    both axes.
-
-    Scale shape: cluster labels join fingerprints via ONE
-    bucket_hash_join on the id (thread ``cc_types`` — the
-    Dataset.schema()-executes-AllToAll trap); ONE (cluster, fp) count
-    table then serves all three Σ C(n,2) sums (the blocking_quality
-    group-size trick — no pair is ever materialized); the two margins
-    are narrow count-table shuffles.  Three scalars reach the driver.
-    """
+def _cluster_fp_cells(cc_ds, docs_ds, *, id_col: str,
+                      cluster_col: str, text_col: str, n_buckets: int,
+                      cc_types: dict | None):
+    """(cluster, fingerprint, count) cell table — the shared input of
+    :func:`cluster_pair_eval` (pairwise P/R/F1) and
+    :func:`cluster_bcubed` (B³): ONE bucket join attaches fingerprints
+    to cluster labels, then per-batch cell partials aggregate in one
+    narrow shuffle."""
     import pandas as pd
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     from .joins import bucket_hash_join
@@ -731,7 +715,41 @@ def cluster_pair_eval(cc_ds, docs_ds, *, id_col: str = "doc_id",
             "c": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
         })
 
-    cf = j.map_batches(cf_part, batch_format="pandas")         .groupby([cluster_col, "fingerprint"])         .aggregate(Sum("c", alias_name="c"))
+    return j.map_batches(cf_part, batch_format="pandas") \
+        .groupby([cluster_col, "fingerprint"]) \
+        .aggregate(Sum("c", alias_name="c"))
+
+
+def cluster_pair_eval(cc_ds, docs_ds, *, id_col: str = "doc_id",
+                      cluster_col: str = "cluster_id",
+                      text_col: str = "text", n_buckets: int = 128,
+                      cc_types: dict | None = None):
+    """Pairwise evaluation of an entity clustering against the exact-dup
+    fingerprint truth: ``n_pred_pairs`` = Σ C(n,2) over predicted
+    clusters, ``n_true_pairs`` = Σ C(n,2) over fingerprint groups,
+    ``n_tp`` = Σ C(n,2) over (cluster, fingerprint) cells — the standard
+    pair-counting decomposition (every same-cell pair is a true
+    positive).  ``precision_bp = n_tp·10⁴ // n_pred_pairs`` (10000 when
+    nothing is predicted), ``recall_bp`` likewise over the truth, and
+    ``f1_bp = 2·p·r // (p + r)`` (0 when both are 0).  One row out.
+    Completes the eval family: blocking_quality / snm_recall measure
+    candidate RECALL of a blocker; this scores the END clustering on
+    both axes.
+
+    Scale shape: cluster labels join fingerprints via ONE
+    bucket_hash_join on the id (thread ``cc_types`` — the
+    Dataset.schema()-executes-AllToAll trap); ONE (cluster, fp) count
+    table then serves all three Σ C(n,2) sums (the blocking_quality
+    group-size trick — no pair is ever materialized); the two margins
+    are narrow count-table shuffles.  Three scalars reach the driver.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cf = _cluster_fp_cells(cc_ds, docs_ds, id_col=id_col,
+                           cluster_col=cluster_col, text_col=text_col,
+                           n_buckets=n_buckets, cc_types=cc_types)
 
     # tp + doc count straight off the (cluster, fp) cells; the two
     # margins need one more narrow shuffle each over the count table.
@@ -2271,3 +2289,70 @@ def fs_em_round(cust_ds, *, gap: int = 5, chunk: int = 8192):
         "n_match_agree": pa.array(n_ma, pa.int64()),
         "m_bp": pa.array(m_bp.astype(np.int64), pa.int64()),
         "u_bp": pa.array(u_bp.astype(np.int64), pa.int64())}))
+
+
+def cluster_bcubed(cc_ds, docs_ds, *, id_col: str = "doc_id",
+                   cluster_col: str = "cluster_id",
+                   text_col: str = "text", n_buckets: int = 128,
+                   cc_types: dict | None = None):
+    """B-cubed evaluation of an entity clustering against the exact-dup
+    fingerprint truth (Bagga & Baldwin 1998) — the per-RECORD-averaged
+    counterpart of :func:`cluster_pair_eval`'s pairwise metric (B³ does
+    not let one giant cluster dominate the score the way pair counting
+    does): for each record, precision = (same-cluster records sharing
+    its fingerprint) / cluster size and recall = the same over its
+    fingerprint group; scores are the record averages.  Integer law:
+    per-record basis points floor FIRST (``k·10⁴ // size``), then the
+    average floors the sum (``Σ // n``) — one row ``(n_docs,
+    bcubed_p_bp, bcubed_r_bp, bcubed_f_bp)``; an empty corpus scores
+    10000/10000 (the 0/0 convention).
+
+    Scale shape: the shared ``_cluster_fp_cells`` table (one id join +
+    one narrow aggregate); every record of a (cluster, fp) cell has the
+    SAME per-record score, so B³ needs only cell counts × margins: two
+    narrow bucket passes over the count table (cluster-hash, then
+    fp-hash — in-bucket margin sums are global) each emit one scalar
+    partial per bucket.  No record-level table is ever rebuilt.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    cf = _cluster_fp_cells(cc_ds, docs_ds, id_col=id_col,
+                           cluster_col=cluster_col, text_col=text_col,
+                           n_buckets=n_buckets, cc_types=cc_types)
+
+    def _margin_sum(key: str):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(_mb=bucket_hash(df[key], n_buckets))
+
+        def in_bucket(g: pd.DataFrame) -> pa.Table:
+            if not len(g):
+                return pa.table({"s": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            size = g.groupby(key)["c"].transform("sum") \
+                .to_numpy(np.int64)
+            k = g["c"].to_numpy(np.int64)
+            return pa.table({
+                "s": pa.array([int((k * (k * 10000 // size)).sum())],
+                              pa.int64()),
+                "n": pa.array([int(k.sum())], pa.int64())})
+
+        return cf.map_batches(tag, batch_format="pandas") \
+            .groupby("_mb").map_groups(in_bucket,
+                                       batch_format="pandas").to_pandas()
+
+    prec = _margin_sum(cluster_col)
+    rec = _margin_sum("fingerprint")
+    n = int(prec["n"].sum()) if len(prec) else 0
+    if n == 0:
+        p_bp = r_bp = f_bp = 10000
+    else:
+        p_bp = int(prec["s"].sum()) // n
+        r_bp = int(rec["s"].sum()) // n
+        f_bp = (2 * p_bp * r_bp // (p_bp + r_bp)
+                if p_bp + r_bp > 0 else 0)
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "bcubed_p_bp": pa.array([p_bp], pa.int64()),
+        "bcubed_r_bp": pa.array([r_bp], pa.int64()),
+        "bcubed_f_bp": pa.array([f_bp], pa.int64())}))

@@ -3719,3 +3719,40 @@ def test_fs_em_round_counts_and_conventions(ray_session):
     assert seg["n_pairs"] == 6 and seg["n_match"] == 2
     assert seg["n_agree"] == 2 and seg["n_match_agree"] == 2
     assert seg["m_bp"] == 10000 and seg["u_bp"] == 0
+
+
+def test_cluster_bcubed_record_average_law(ray_session):
+    """B³ is a per-record average: a wrong merge of a small pair into a
+    big cluster hurts less than under pair counting; floors happen
+    per-record first; empty corpus -> 10000s."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import cluster_bcubed
+
+    def run(cc_rows, doc_rows):
+        cc = rd.from_pandas(pd.DataFrame(cc_rows,
+                                         columns=["doc_id", "cluster_id"]))
+        docs = rd.from_pandas(pd.DataFrame(doc_rows,
+                                           columns=["doc_id", "text"]))
+        return cluster_bcubed(cc, docs).to_pandas().iloc[0]
+
+    # empty
+    r = run([], [])
+    assert (r["n_docs"], r["bcubed_p_bp"], r["bcubed_r_bp"]) \
+        == (0, 10000, 10000)
+
+    # perfect clustering: 2 dups together, singleton alone
+    r = run([(1, 1), (2, 1), (3, 3)],
+            [(1, "same text"), (2, "same text"), (3, "other")])
+    assert (r["bcubed_p_bp"], r["bcubed_r_bp"]) == (10000, 10000)
+
+    # one cluster of 3 where only 2 share a fingerprint:
+    # per-record precision: dup records 2/3 each (6666), intruder 1/3
+    # (3333) -> sum 16665 // 3 = 5555; recall perfect (each fp group
+    # fully inside the cluster).
+    r = run([(1, 1), (2, 1), (3, 1)],
+            [(1, "same text"), (2, "same text"), (3, "other")])
+    assert (r["bcubed_p_bp"], r["bcubed_r_bp"]) == (5555, 10000)
+    # f = 2pr//(p+r)
+    assert r["bcubed_f_bp"] == 2 * 5555 * 10000 // 15555
