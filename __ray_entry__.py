@@ -1064,6 +1064,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # deterministic clerical-review sample: md5('l:r') % 1e4 <
+        # rate_bp over the near-dup candidates — rerun/shard-stable audit
+        "pair_review_sample": lambda sf: erblock.pair_review_sample(
+            _read_docs(sf)),
         # B-cubed clustering eval: per-record-averaged P/R over the same
         # closure + truth as cluster_pair_eval, from cell counts x margins
         "cluster_bcubed": _cluster_bcubed,
@@ -4142,6 +4146,44 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # pair_review_sample: the ngram_jaccard tau-10 candidate law +
+        # the md5-low64 pair coin (md5_number_lower == _hash_shingles_u64).
+        "pair_review_sample": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            p AS (
+                SELECT c.left_id, c.right_id,
+                       CAST(c.inter AS BIGINT) AS inter,
+                       CAST(sa.n_sh AS BIGINT) AS n_left,
+                       CAST(sb.n_sh AS BIGINT) AS n_right,
+                       CAST(c.inter*10000 //
+                            (sa.n_sh + sb.n_sh - c.inter) AS BIGINT)
+                           AS jac_bp
+                FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10)
+            SELECT * FROM p
+            WHERE md5_number_lower(left_id || ':' || right_id)
+                  % 10000 < 500
         """,
         # cluster_bcubed: the cluster_pair_eval closure chain; per-record
         # floors FIRST (k*1e4 // size), the average floors the sum.

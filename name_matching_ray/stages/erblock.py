@@ -2356,3 +2356,43 @@ def cluster_bcubed(cc_ds, docs_ds, *, id_col: str = "doc_id",
         "bcubed_p_bp": pa.array([p_bp], pa.int64()),
         "bcubed_r_bp": pa.array([r_bp], pa.int64()),
         "bcubed_f_bp": pa.array([f_bp], pa.int64())}))
+
+
+def pair_review_sample(docs_ds, *, rate_bp: int = 500, n: int = 3,
+                       tau100: int = 10, max_df: int = 100,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministic clerical-review sample of the candidate pair set
+    (the ER practice of auditing a fixed fraction of matcher output by
+    hand): keep a near-dup candidate pair iff ``md5_low64('l:r') mod
+    10⁴ < rate_bp`` — a content-free, order-free, rerun-stable coin so
+    the SAME pairs are sampled on every run, shard layout, and engine
+    (the md5-low64 law shared with MinHash/_hash_shingles_u64).
+    Candidates are :func:`~.dedup.ngram_jaccard_pairs` at ``tau100``;
+    output is the pair schema plus ``jac_bp``.
+
+    Scale shape: the sample test is a per-batch map (no shuffle beyond
+    the candidate machinery); the coin depends only on the id pair, so
+    resampling after a resume or repartition keeps the audit set
+    byte-stable.
+    """
+    from .dedup import _hash_shingles_u64, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs_ds, n=n, tau100=tau100,
+                                max_df=max_df, text_col=text_col,
+                                id_col=id_col)
+
+    def sample(t: pa.Table) -> pa.Table:
+        l = t.column("left_id").to_numpy(zero_copy_only=False)
+        r = t.column("right_id").to_numpy(zero_copy_only=False)
+        keys = [f"{a}:{b}" for a, b in zip(l, r)]
+        h = _hash_shingles_u64(keys) % np.uint64(10000)
+        keep = h < np.uint64(rate_bp)
+        inter = t.column("inter").to_numpy(zero_copy_only=False)
+        union = (t.column("n_left").to_numpy(zero_copy_only=False)
+                 + t.column("n_right").to_numpy(zero_copy_only=False)
+                 - inter)
+        jb = inter * 10000 // union
+        out = t.append_column("jac_bp", pa.array(jb, pa.int64()))
+        return out.filter(pa.array(keep))
+
+    return pairs.map_batches(sample, batch_format="pyarrow")

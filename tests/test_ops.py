@@ -3756,3 +3756,36 @@ def test_cluster_bcubed_record_average_law(ray_session):
     assert (r["bcubed_p_bp"], r["bcubed_r_bp"]) == (5555, 10000)
     # f = 2pr//(p+r)
     assert r["bcubed_f_bp"] == 2 * 5555 * 10000 // 15555
+
+
+def test_pair_review_sample_deterministic_coin(ray_session):
+    """The sample is the md5-low64 pair coin: rerunning (or re-ordering
+    input) yields byte-identical pairs; rate 10000 keeps everything."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import pair_review_sample
+
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(20), dtype="int64"),
+        "text": [base + f" tail{i % 4}" for i in range(20)]})
+    ds = rd.from_pandas(docs)
+    full = pair_review_sample(ds, rate_bp=10000).to_pandas()
+    assert len(full) > 0
+    got1 = pair_review_sample(ds, rate_bp=2000).to_pandas() \
+        .sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    got2 = pair_review_sample(rd.from_pandas(docs.iloc[::-1]),
+                              rate_bp=2000).to_pandas() \
+        .sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got1, got2)
+    # every sampled pair satisfies the coin; every skipped one fails it
+    def coin(l, r):
+        d = hashlib.md5(f"{l}:{r}".encode()).digest()
+        return int.from_bytes(d[8:], "little") % 10000
+    sampled = set(zip(got1["left_id"], got1["right_id"]))
+    for l, r in zip(full["left_id"], full["right_id"]):
+        assert ((l, r) in sampled) == (coin(l, r) < 2000)
