@@ -1064,6 +1064,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # SNM window sweep: candidates/recall at 5 window sizes from ONE
+        # rank pass (replication sized to max window, per-gap cumsum)
+        "snm_window_sweep": lambda sf: erblock.snm_window_sweep(
+            _read_docs(sf)),
         # deterministic clerical-review sample: md5('l:r') % 1e4 <
         # rate_bp over the near-dup candidates — rerun/shard-stable audit
         "pair_review_sample": lambda sf: erblock.pair_review_sample(
@@ -4146,6 +4150,39 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # snm_window_sweep: snm_recall's rank law; per-window counts are
+        # rank-gap <= w; fixed 5-row shape, 0-truth -> 10000.
+        "snm_window_sweep": """
+            WITH k AS (SELECT doc_id,
+                    substr(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'),
+                           1, 16) AS key,
+                    md5(regexp_replace(lower(coalesce(text, '')),
+                                       '[^a-z0-9]', '', 'g')) AS fp
+                 FROM documents),
+            r AS (SELECT doc_id, fp,
+                    row_number() OVER (ORDER BY key, doc_id) AS rn
+                  FROM k),
+            p AS (SELECT b.rn - a.rn AS d,
+                         CASE WHEN a.fp = b.fp THEN 1 ELSE 0 END AS hit
+                  FROM r a JOIN r b
+                    ON b.rn > a.rn AND b.rn <= a.rn + 10),
+            wins(w) AS (VALUES (1), (2), (3), (5), (10)),
+            agg AS (SELECT wins.w,
+                           COUNT(p.d) AS n_cand,
+                           coalesce(SUM(p.hit), 0) AS n_hit
+                    FROM wins LEFT JOIN p ON p.d <= wins.w
+                    GROUP BY wins.w),
+            tp AS (SELECT coalesce(SUM(c*(c-1)//2), 0) AS v FROM
+                   (SELECT COUNT(*) c FROM k GROUP BY fp))
+            SELECT CAST(w AS BIGINT) AS window,
+                   CAST(n_cand AS BIGINT) AS n_cand,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CAST(CASE WHEN tp.v = 0 THEN 10000
+                             ELSE n_hit*10000 // tp.v
+                        END AS BIGINT) AS recall_bp
+            FROM agg, tp
         """,
         # pair_review_sample: the ngram_jaccard tau-10 candidate law +
         # the md5-low64 pair coin (md5_number_lower == _hash_shingles_u64).

@@ -2396,3 +2396,121 @@ def pair_review_sample(docs_ds, *, rate_bp: int = 500, n: int = 3,
         return out.filter(pa.array(keep))
 
     return pairs.map_batches(sample, batch_format="pyarrow")
+
+
+def _fp_truth_total(docs_ds, *, text_col: str, id_col: str) -> int:
+    """Σ C(n,2) over exact-dup fingerprint groups — the shared truth
+    denominator of the blocking evals (blocking_quality law): per-batch
+    fp count partials, one narrow groupby, one scalar out."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .textstats import fingerprint_batch
+
+    def fp_part(batch: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(batch, text_col=text_col, id_col=id_col) \
+            .column("fingerprint").combine_chunks()
+        vc = fp.value_counts()
+        return pa.table({"fp": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    def pair_part(df: pd.DataFrame) -> pa.Table:
+        c = df["c"].to_numpy(np.int64)
+        return pa.table({"_one": pa.array([0], pa.int64()),
+                         "t": pa.array([int((c * (c - 1) // 2).sum())],
+                                       pa.int64())})
+
+    truth = docs_ds.map_batches(fp_part, batch_format="pyarrow") \
+        .groupby("fp").aggregate(Sum("c", alias_name="c")) \
+        .map_batches(pair_part, batch_format="pandas") \
+        .groupby("_one").aggregate(Sum("t", alias_name="t")).to_pandas()
+    return int(truth["t"].iloc[0]) if len(truth) else 0
+
+
+def snm_window_sweep(docs_ds, *, windows=(1, 2, 3, 5, 10),
+                     key_len: int = 16, prefix_len: int = 2,
+                     chunk: int = 4096, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Window-size sweep for sorted-neighborhood blocking: at each ``w``
+    in ``windows``, report ``(window, n_cand, n_hit, recall_bp)`` — the
+    SNM operating-point curve (candidates grow ~linearly with the
+    window; recall saturates once the window spans each duplicate run),
+    the SNM sibling of :func:`blocking_budget_sweep`.  Laws are exactly
+    :func:`snm_recall`'s at each window; fixed ``len(windows)``-row
+    shape; 0-truth → 10000.
+
+    Scale shape: ONE rank pass with boundary replication sized to
+    ``max(windows)`` serves every window (rank-gap candidates at
+    distance d are counted once and cumulated per window on the
+    driver); the fingerprint rides the chunks as payload, so hits
+    count in-chunk; the truth total is the shared
+    :func:`_fp_truth_total` scalar.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    windows = sorted(int(w) for w in windows)
+    maxw = windows[-1]
+
+    from .textstats import fingerprint_batch
+
+    def fp_payload(batch: pa.Table) -> pa.Array:
+        col = fingerprint_batch(batch, text_col=text_col, id_col=id_col) \
+            .column("fingerprint")
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+
+    chunks = _snm_ranked_chunks(docs_ds, window=maxw, key_len=key_len,
+                                prefix_len=prefix_len, chunk=chunk,
+                                text_col=text_col, id_col=id_col,
+                                payload_fn=fp_payload)
+
+    def gap_chunk(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "n_cand": pa.array([], pa.int64()),
+                             "n_hit": pa.array([], pa.int64())})
+        g = g.sort_values("rn", kind="mergesort")
+        rn = g["rn"].to_numpy(np.int64)
+        fp = g["pl"].to_numpy()
+        pri = g["_pri"].to_numpy(bool)
+        prn = rn[pri]
+        pfp = fp[pri]
+        rows = []
+        for d in range(1, maxw + 1):
+            j = np.searchsorted(rn, prn + d)
+            ok = j < len(rn)
+            ok[ok] = rn[j[ok]] == prn[ok] + d
+            rows.append((d, int(ok.sum()),
+                         int((pfp[ok] == fp[j[ok]]).sum())))
+        return pa.table({
+            "d": pa.array([r[0] for r in rows], pa.int64()),
+            "n_cand": pa.array([r[1] for r in rows], pa.int64()),
+            "n_hit": pa.array([r[2] for r in rows], pa.int64())})
+
+    gaps = chunks.groupby("_cb").map_groups(gap_chunk,
+                                            batch_format="pandas") \
+        .to_pandas()
+    if gaps.empty:
+        per_d = pd.DataFrame({"d": range(1, maxw + 1),
+                              "n_cand": 0, "n_hit": 0})
+    else:
+        per_d = gaps.groupby("d", as_index=False)[["n_cand",
+                                                   "n_hit"]].sum()
+        per_d = pd.DataFrame({"d": range(1, maxw + 1)}).merge(
+            per_d, on="d", how="left").fillna(0)
+
+    n_true = _fp_truth_total(docs_ds, text_col=text_col, id_col=id_col)
+
+    cum_c = per_d["n_cand"].to_numpy(np.int64).cumsum()
+    cum_h = per_d["n_hit"].to_numpy(np.int64).cumsum()
+    n_cand = np.array([cum_c[w - 1] for w in windows], np.int64)
+    n_hit = np.array([cum_h[w - 1] for w in windows], np.int64)
+    rec = (np.full(len(windows), 10000, np.int64) if n_true == 0
+           else n_hit * 10000 // n_true)
+    return rd.from_arrow(pa.table({
+        "window": pa.array(windows, pa.int64()),
+        "n_cand": pa.array(n_cand, pa.int64()),
+        "n_hit": pa.array(n_hit, pa.int64()),
+        "recall_bp": pa.array(rec.astype(np.int64), pa.int64())}))

@@ -3789,3 +3789,31 @@ def test_pair_review_sample_deterministic_coin(ray_session):
     sampled = set(zip(got1["left_id"], got1["right_id"]))
     for l, r in zip(full["left_id"], full["right_id"]):
         assert ((l, r) in sampled) == (coin(l, r) < 2000)
+
+
+def test_snm_window_sweep_cross_chunk_and_cumsum(ray_session):
+    """A duplicate run straddling a rank-chunk boundary is fully counted
+    (backward replication sized to max(windows)); counts cumulate over
+    gap distances; recall saturates at the window spanning the run."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import snm_window_sweep
+
+    # 40 docs, chunk=16 -> rank chunks 1-16 | 17-32 | 33-40.  Six
+    # identical docs (one fp group) occupy ranks 14-19, straddling the
+    # 16|17 boundary; every other doc is unique.
+    texts = [f"k{i:02d} unique {i}" for i in range(40)]
+    for i in range(13, 19):
+        texts[i] = "k13 dup run"
+    docs = pd.DataFrame({"doc_id": pd.array(range(40), dtype="int64"),
+                         "text": texts})
+    got = snm_window_sweep(rd.from_pandas(docs), windows=(1, 2, 3, 5, 10),
+                           chunk=16).to_pandas() \
+        .sort_values("window").reset_index(drop=True)
+    # truth: C(6,2)=15 pairs at rank gaps 1..5; hits by window:
+    # w=1 -> 5, 2 -> 9, 3 -> 12, 5 -> 15 (saturated), 10 -> 15
+    assert list(got["n_hit"]) == [5, 9, 12, 15, 15]
+    assert got.loc[3, "recall_bp"] == 10000
+    # candidates: sum over gaps d<=w of (N - d), N=40
+    assert list(got["n_cand"]) == [39, 77, 114, 185, 345]
