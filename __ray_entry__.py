@@ -1064,6 +1064,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # union with per-pair provenance bitmask (OR == sum of bits)
         "blocking_cascade": lambda sf: erblock.blocking_cascade(
             _read_docs(sf)),
+        # TPC-H Q16 shape: EXACT distributed COUNT(DISTINCT supplier) per
+        # brand — dedup in hash(brand,supp) buckets, bounded driver merge
+        "brand_supplier_counts": lambda sf:
+            analytics.brand_supplier_counts(sf),
         # SNM window sweep: candidates/recall at 5 window sizes from ONE
         # rank pass (replication sized to max window, per-gap cumsum)
         "snm_window_sweep": lambda sf: erblock.snm_window_sweep(
@@ -4150,6 +4154,17 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(score AS BIGINT) AS score,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY score
+        """,
+        # brand_supplier_counts: exact COUNT DISTINCT; NULL keys dropped
+        # on the fact side (SQL join semantics), brand '' on NULL brand.
+        "brand_supplier_counts": """
+            SELECT coalesce(p.p_brand, '') AS p_brand,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS n_suppliers
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_suppkey IS NOT NULL
+            GROUP BY 1
         """,
         # snm_window_sweep: snm_recall's rank law; per-window counts are
         # rank-gap <= w; fixed 5-row shape, 0-truth -> 10000.

@@ -124,7 +124,7 @@ BENCH_QUERIES = [
     "skipgram_counts", "dedup_keep_longest", "rfm_segments",
     "snm_pairs", "blocking_quality", "edit_block_pairs", "golden_record",
     "meta_blocking_pairs", "snm_recall", "cluster_golden_record",
-    "snm_multi_pairs", "fs_match_scores", "ppjoin_pairs", "group_linkage", "fs_mutual_best", "suffix_blocking_pairs", "dedup_threshold_sweep", "cosine_pairs", "blocking_budget_sweep", "meta_blocking_ecbs", "customer_distribution", "fs_em_round", "cluster_bcubed", "pair_review_sample", "snm_window_sweep",
+    "snm_multi_pairs", "fs_match_scores", "ppjoin_pairs", "group_linkage", "fs_mutual_best", "suffix_blocking_pairs", "dedup_threshold_sweep", "cosine_pairs", "blocking_budget_sweep", "meta_blocking_ecbs", "customer_distribution", "fs_em_round", "cluster_bcubed", "pair_review_sample", "snm_window_sweep", "brand_supplier_counts",
     "cluster_pair_eval", "canopy_assign", "phonetic_block_pairs",
     "blocking_cascade", "returned_revenue", "order_priority_counts",
     "pq_encode", "pq_topk", "grid_l2_topk", "pq_recall", "rolling_active",

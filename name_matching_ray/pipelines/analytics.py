@@ -2407,3 +2407,77 @@ def customer_distribution(sf_dir: str):
     hist = hist.groupby("n_orders", as_index=False)["n_custs"].sum() \
         .sort_values("n_orders").reset_index(drop=True)
     return rd.from_arrow(pa.Table.from_pandas(hist, preserve_index=False))
+
+
+def brand_supplier_counts(sf_dir: str, *, n_buckets: int = 128):
+    """Exact distinct-supplier counts per part brand (TPC-H Q16 shape) —
+    the EXACT distributed COUNT(DISTINCT) demo beside the approximate
+    sketches (hll_registers): lineitem ⋈ part, then per brand the number
+    of distinct supplying suppliers.
+
+    Scale plan: lineitem collapses to in-batch distinct (partkey,
+    suppkey) partials before any shuffle; the part dimension joins
+    bucketed on partkey (big at scale — no broadcast); the global
+    distinct happens in hash(brand, suppkey) buckets where
+    drop_duplicates is exact (pair co-located), and each bucket emits
+    per-brand partial counts — the final brand aggregate is a
+    cardinality-bounded driver merge.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        g = df[["l_partkey", "l_suppkey"]].dropna().drop_duplicates()
+        return pa.table({
+            "p_partkey": pa.array(g["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "suppkey": pa.array(g["l_suppkey"].to_numpy(np.int64),
+                                pa.int64())})
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(li_part, batch_format="pandas")
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]) \
+        .map_batches(
+            lambda df: pa.table({
+                "p_partkey": pa.Array.from_pandas(df["p_partkey"],
+                                                  type=pa.int64()),
+                "p_brand": pa.Array.from_pandas(
+                    df["p_brand"].fillna("").astype(str),
+                    type=pa.string())}),
+            batch_format="pandas")
+
+    j = bucket_hash_join(
+        li, part, on="p_partkey", n_buckets=n_buckets,
+        left_types={"p_partkey": pa.int64(), "suppkey": pa.int64()},
+        right_types={"p_partkey": pa.int64(), "p_brand": pa.string()})
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        g = df[["p_brand", "suppkey"]].drop_duplicates()
+        return pa.table({
+            "p_brand": pa.array(g["p_brand"], pa.string()),
+            "suppkey": pa.array(g["suppkey"].to_numpy(np.int64),
+                                pa.int64()),
+            "_db": pa.array(_bucket_hash(g, n_buckets,
+                                         ["p_brand", "suppkey"]),
+                            pa.int64())})
+
+    def count_in_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["p_brand", "suppkey"])
+        vc = g["p_brand"].value_counts()
+        return pa.table({
+            "p_brand": pa.array([str(v) for v in vc.index], pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    hist = j.map_batches(tag, batch_format="pandas") \
+        .groupby("_db").map_groups(count_in_bucket,
+                                   batch_format="pandas").to_pandas()
+    if hist.empty:
+        return rd.from_arrow(pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "n_suppliers": pa.array([], pa.int64())}))
+    out = hist.groupby("p_brand", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_suppliers"}) \
+        .sort_values("p_brand").reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

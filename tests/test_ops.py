@@ -3817,3 +3817,30 @@ def test_snm_window_sweep_cross_chunk_and_cumsum(ray_session):
     assert got.loc[3, "recall_bp"] == 10000
     # candidates: sum over gaps d<=w of (N - d), N=40
     assert list(got["n_cand"]) == [39, 77, 114, 185, 345]
+
+
+def test_brand_supplier_counts_distinct_across_batches(ray_session,
+                                                       tmp_path):
+    """The same (brand, supplier) pair arriving through different parts
+    (and different batches) counts ONCE; a part never shipped adds no
+    brand row; NULL suppkey rows drop."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import brand_supplier_counts
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_brand": ["B1", "B1", "B2", "B3"],  # part 4 never shipped
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        # supplier 7 ships TWO different B1 parts -> one distinct count;
+        # supplier 8 ships part 1 twice -> one; NULL suppkey ignored
+        "l_partkey": pa.array([1, 2, 1, 1, 3, 3], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8, 8, 7, None], pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+    got = brand_supplier_counts(str(tmp_path)).to_pandas() \
+        .sort_values("p_brand").reset_index(drop=True)
+    assert list(got["p_brand"]) == ["B1", "B2"]
+    assert list(got["n_suppliers"]) == [2, 1]
