@@ -959,7 +959,7 @@ def _mb_tok_part(batch: pa.Table, *, text_col: str, id_col: str,
         "_tb", pa.array(bucket_hash(df["token"], n_buckets), pa.int64()))
 
 def _mb_emit_pairs(g, *, max_df: int, n_buckets: int) -> pa.Table:
-    import pandas as pd  # noqa: F401  (pandas group input)
+    # g arrives as a pandas DataFrame (map_groups batch_format="pandas")
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "w": pa.array([], pa.int64()),
