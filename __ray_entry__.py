@@ -485,6 +485,15 @@ def _cluster_bcubed(sf_dir: str):
                                   _read_docs(sf_dir))
 
 
+def _cluster_conflicts(sf_dir: str):
+    """Attribute-consistency audit of the shared near-dup closure: per
+    attribute (lang/source), a histogram of clusters by their distinct
+    non-null value count — n_values > 1 flags over-merges before any
+    survivorship fusion trusts the clusters."""
+    attrs = _read_table(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return erblock.cluster_conflicts(_near_dup_clusters(sf_dir), attrs)
+
+
 def _coname_legacy(sf_dir: str):
     """Legacy coname matcher (reference coname.py) over planted synthetic
     name tables at the sf's document scale: corpus-word gates from the base
@@ -1131,6 +1140,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 5-row priority histogram driver-merged from block partials
         "order_priority_counts": lambda sf: analytics.order_priority_counts(
             sf),
+        # FS agreement-pattern (gamma) frequency table — the comparison-
+        # vector counts every EM fit starts from (weight-law independent)
+        "fs_pattern_counts": lambda sf: erblock.fs_pattern_counts(
+            _read_table(sf, "customer",
+                        ["c_custkey", "c_name", "c_nationkey",
+                         "c_mktsegment", "c_acctbal"])),
+        # term-frequency-ADJUSTED FS scores (Splink tf adjustment): the
+        # agreement weight is per VALUE — rare-value agreement counts more
+        "fs_tf_scores": lambda sf: erblock.fs_tf_scores(
+            _read_table(sf, "customer",
+                        ["c_custkey", "c_name", "c_nationkey",
+                         "c_mktsegment", "c_acctbal"])),
+        # FastSS deletion-neighborhood edit join: ALL name pairs within
+        # Levenshtein 1, blocking-free and cap-free (exact vs the full
+        # cross-join oracle) — keys = the name + its 1-deletion variants
+        "deletion_join_pairs": lambda sf: erblock.deletion_join_pairs(
+            _read_table(sf, "customer", ["c_custkey", "c_name"])),
+        # TPC-H Q14 shape: promo revenue share of a shipdate year —
+        # per-partkey combiner, (partkey,flag)-only dim side, join
+        # buckets fold to <=2-row partials, Python-int basis points
+        "promo_revenue": lambda sf: analytics.promo_revenue(sf),
+        # cluster consistency audit: per-attribute histogram of clusters
+        # by distinct-value count over the near-dup closure (>1 flags
+        # over-merges; the QA pass before survivorship fusion)
+        "cluster_conflicts": _cluster_conflicts,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1153,11 +1187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _STOP_ALT = "|".join(textstats.STOPWORDS)
 
 
-def _fs_scored_cte() -> str:
-    """The shared Fellegi–Sunter CTE chain (erblock._fs_weight_pass +
-    the gap-5 candidate blocker): fields → total/agreement pair counts →
-    bit-length weights → scored candidate pairs (l, r, score).  Spliced
-    after WITH by the fs_match_scores / fs_mutual_best oracles."""
+def _fs_fields_cte() -> str:
+    """The FS comparison-field projection + total-pair-count CTEs
+    (erblock._fs_fields): spliced after WITH by every fs_* oracle."""
     return """c AS (
                 SELECT c_custkey AS id, c_nationkey AS nat,
                        coalesce(c_mktsegment, '') AS seg,
@@ -1166,7 +1198,16 @@ def _fs_scored_cte() -> str:
                        CAST(floor(CAST(floor(coalesce(c_acctbal, 0)*100 + 0.5)
                                        AS BIGINT) / 100000.0) AS BIGINT) AS bal
                 FROM customer),
-            t AS (SELECT COUNT(*)*(COUNT(*)-1)//2 AS t FROM c),
+            t AS (SELECT COUNT(*)*(COUNT(*)-1)//2 AS t FROM c)"""
+
+
+def _fs_scored_cte() -> str:
+    """The shared Fellegi–Sunter CTE chain (erblock._fs_weight_pass +
+    the gap-5 candidate blocker): fields → total/agreement pair counts →
+    bit-length weights → scored candidate pairs (l, r, score).  Spliced
+    after WITH by the fs_match_scores / fs_mutual_best / fs_em_round /
+    fs_pattern_counts oracles."""
+    return _fs_fields_cte() + """,
             a AS (
                 SELECT 'seg' AS f, SUM(cnt*(cnt-1)//2) AS a
                 FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY seg)
@@ -4348,6 +4389,90 @@ def _oracle_sql_base() -> dict[str, str]:
                         END AS BIGINT) AS u_bp
             FROM j
         """,
+        # fs_pattern_counts: the shared FS CTE's eq flags grouped as the
+        # gamma comparison-vector histogram (weight-law independent).
+        "fs_pattern_counts": f"""
+            WITH {_fs_scored_cte()}
+            SELECT CAST(eq_seg AS BIGINT) AS g_seg,
+                   CAST(eq_ten AS BIGINT) AS g_ten,
+                   CAST(eq_bal AS BIGINT) AS g_bal,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM scored GROUP BY 1, 2, 3
+        """,
+        # fs_tf_scores: per-VALUE agreement weights (Splink tf
+        # adjustment) — w(v) = length(bin(t // C(n_v,2))), singleton
+        # fallback length(bin(t)); same fields/candidates as
+        # fs_match_scores.  Agreement implies the two sides share the
+        # value, so joining the left row's value weight is exact.
+        "fs_tf_scores": f"""
+            WITH {_fs_fields_cte()},
+            vw_seg AS (
+                SELECT v, CASE WHEN a > 0 THEN length(bin(t // a))
+                               WHEN t > 0 THEN length(bin(t))
+                               ELSE 0 END AS w
+                FROM (SELECT seg AS v, COUNT(*)*(COUNT(*)-1)//2 AS a
+                      FROM c GROUP BY seg), t),
+            vw_ten AS (
+                SELECT v, CASE WHEN a > 0 THEN length(bin(t // a))
+                               WHEN t > 0 THEN length(bin(t))
+                               ELSE 0 END AS w
+                FROM (SELECT ten AS v, COUNT(*)*(COUNT(*)-1)//2 AS a
+                      FROM c GROUP BY ten), t),
+            vw_bal AS (
+                SELECT v, CASE WHEN a > 0 THEN length(bin(t // a))
+                               WHEN t > 0 THEN length(bin(t))
+                               ELSE 0 END AS w
+                FROM (SELECT bal AS v, COUNT(*)*(COUNT(*)-1)//2 AS a
+                      FROM c GROUP BY bal), t),
+            tf_scored AS (
+                SELECT (CASE WHEN x.seg = y.seg THEN ws.w ELSE 0 END
+                      + CASE WHEN x.ten = y.ten THEN wt.w ELSE 0 END
+                      + CASE WHEN x.bal = y.bal THEN wb.w ELSE 0 END)
+                       AS score
+                FROM c x JOIN c y
+                  ON x.nat = y.nat AND y.id > x.id AND y.id <= x.id + 5
+                JOIN vw_seg ws ON ws.v = x.seg
+                JOIN vw_ten wt ON wt.v = x.ten
+                JOIN vw_bal wb ON wb.v = x.bal)
+            SELECT CAST(score AS BIGINT) AS score,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM tf_scored GROUP BY 1
+        """,
+        # deletion_join_pairs: the semantic law is the plain cross-join
+        # edit-distance-<=1 predicate — the Ray side's deletion-key
+        # machinery is output-invariant (FastSS completeness for k=1).
+        # ASCII names make byte levenshtein == codepoint distance.
+        "deletion_join_pairs": """
+            SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b ON b.c_custkey > a.c_custkey
+            WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+              AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        # promo_revenue: Q14 — per-line cents floor (identical IEEE op
+        # order), PROMO share floored to basis points; zero-revenue
+        # window degenerates to the fixed (0, 0, 0) row both sides.
+        "promo_revenue": """
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(FLOOR(l_extendedprice*(1.0 - l_discount)*100
+                                  + 0.5) AS BIGINT) AS rev
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1997-01-01'
+                  AND l_shipdate <  DATE '1998-01-01'),
+            j AS (
+                SELECT li.rev, (p.p_type = 'PROMO') AS promo
+                FROM li JOIN part p ON p.p_partkey = li.l_partkey)
+            SELECT CAST(coalesce(SUM(CASE WHEN promo THEN rev ELSE 0 END),
+                                 0) AS BIGINT) AS promo_revenue_c,
+                   CAST(coalesce(SUM(rev), 0) AS BIGINT)
+                       AS total_revenue_c,
+                   CAST(CASE WHEN coalesce(SUM(rev), 0) > 0
+                             THEN SUM(CASE WHEN promo THEN rev ELSE 0 END)
+                                  * 10000 // SUM(rev)
+                             ELSE 0 END AS BIGINT) AS promo_bp
+            FROM j
+        """,
         # customer_distribution: LEFT join so zero-order customers land in
         # the n_orders = 0 bin (COUNT(o_orderkey) counts non-null only).
         "customer_distribution": """
@@ -4660,6 +4785,56 @@ def _oracle_sql_base() -> dict[str, str]:
                              THEN 2*p_bp*r_bp // (p_bp + r_bp)
                              ELSE 0 END AS BIGINT) AS f1_bp
             FROM nd, pred, tru, tpc, met
+        """,
+        # cluster_conflicts: the same closure CTE + per-cluster distinct
+        # attribute counts (COUNT(DISTINCT) ignores NULLs — all-null
+        # clusters land in the 0 bin both sides).
+        "cluster_conflicts": r"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+            cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                   FROM reach GROUP BY node),
+            m AS (SELECT cc.cluster_id, d.lang, d.source
+                  FROM cc JOIN documents d ON d.doc_id = cc.doc_id),
+            per AS (
+                SELECT cluster_id, 'lang' AS attr,
+                       COUNT(DISTINCT lang) AS nv
+                FROM m GROUP BY cluster_id
+                UNION ALL
+                SELECT cluster_id, 'source', COUNT(DISTINCT source)
+                FROM m GROUP BY cluster_id)
+            SELECT attr, CAST(nv AS BIGINT) AS n_values,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM per GROUP BY 1, 2
         """,
         # canopy_assign: ngram co-occurrence >= t1 pairs (df-capped),
         # centers = no lower neighbor, assignment = lowest covering

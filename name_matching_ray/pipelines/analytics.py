@@ -2481,3 +2481,74 @@ def brand_supplier_counts(sf_dir: str, *, n_buckets: int = 128):
         .rename(columns={"n": "n_suppliers"}) \
         .sort_values("p_brand").reset_index(drop=True)
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def promo_revenue(sf_dir: str, *, start: str = "1997-01-01",
+                  end: str = "1998-01-01"):
+    """Promotion revenue share (TPC-H Q14 shape): of the lineitem
+    revenue shipped in ``[start, end)``, what fraction came from PROMO
+    parts — one row ``(promo_revenue_c, total_revenue_c, promo_bp)``
+    with the share floored to basis points.
+
+    Scale plan: the shipdate filter runs in the FIRST map over the
+    pruned 4-column read; revenue is pre-aggregated per partkey inside
+    map_batches BEFORE any shuffle (combiner — the join input is one
+    row per (batch, partkey), not per lineitem); the part side ships
+    only (partkey, promo-flag); the join buckets fold straight to
+    (promo, revenue) partials (aggregate key is a FUNCTION of the join
+    key's payload — batch_size=None keeps join blocks whole), so the
+    driver merges ≤ 2 rows per bucket.  The basis-point division is
+    Python-int (cents × 10⁴ overflows int64 near corpus scale).
+    """
+    from ..stages.joins import bucket_hash_join
+
+    lo, hi = np.datetime64(start), np.datetime64(end)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        sd = df["l_shipdate"].to_numpy()
+        df = df[(sd >= lo) & (sd < hi)]
+        g = (pd.DataFrame({
+                "p_partkey": df["l_partkey"].to_numpy(np.int64),
+                "rev_c": _cents((df["l_extendedprice"] *
+                                 (1.0 - df["l_discount"])).to_numpy()),
+             }).groupby("p_partkey", as_index=False)["rev_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda df: pa.table({
+            "p_partkey": pa.Array.from_pandas(df["p_partkey"],
+                                              type=pa.int64()),
+            "promo": pa.array(
+                (df["p_type"].fillna("") == "PROMO").to_numpy(np.int64),
+                pa.int64())}),
+        batch_format="pandas")
+
+    j = bucket_hash_join(
+        li.map_batches(li_part, batch_format="pandas"), part,
+        on="p_partkey", how="inner",
+        left_types={"p_partkey": pa.int64(), "rev_c": pa.int64()},
+        right_types={"p_partkey": pa.int64(), "promo": pa.int64()})
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"promo": pa.array([], pa.int64()),
+                             "rev_c": pa.array([], pa.int64())})
+        g = df.groupby("promo", as_index=False)["rev_c"].sum()
+        return pa.Table.from_pandas(g[["promo", "rev_c"]],
+                                    preserve_index=False)
+
+    parts = j.map_batches(fold, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    promo_c = int(parts.loc[parts["promo"] == 1, "rev_c"].sum()) \
+        if len(parts) else 0
+    total_c = int(parts["rev_c"].sum()) if len(parts) else 0
+    bp = promo_c * 10000 // total_c if total_c > 0 else 0
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "promo_revenue_c": pa.array([promo_c], pa.int64()),
+        "total_revenue_c": pa.array([total_c], pa.int64()),
+        "promo_bp": pa.array([bp], pa.int64())}))

@@ -1256,15 +1256,11 @@ def phonetic_block_pairs(docs_ds, *, max_block: int = 64,
 _FS_FIELDS = ("seg", "ten", "bal")
 
 
-def _fs_weight_pass(cust_ds):
-    """Shared Fellegi–Sunter pass 1 (fs_match_scores / fs_mutual_best):
-    project the comparison fields and derive the per-field agreement
-    weights ``w_f = bit_length(T // A_f)``.  Returns ``(fields_ds,
-    (w_seg, w_ten, w_bal))`` — weights ``None`` on an empty corpus.
-    Per-batch (field, value) count partials collect straight to the
-    driver (cardinality-bounded: 5 segments, 10 digit chars, ~12
-    balance buckets — an AllToAll here would be pure fixed latency).
-    """
+def _fs_fields(cust_ds):
+    """Project the Fellegi–Sunter comparison fields from the customer
+    table: ``id`` / ``nat`` (blocking) plus ``seg`` = c_mktsegment,
+    ``ten`` = the tens-digit char of c_name, ``bal`` = floor(cents/1e5)
+    account-balance $1000 bucket.  Shared by every fs_* builder."""
     import pandas as pd
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -1279,7 +1275,17 @@ def _fs_weight_pass(cust_ds):
             "bal": cents // np.int64(100_000),
         })
 
-    fields_ds = cust_ds.map_batches(prep, batch_format="pandas")
+    return cust_ds.map_batches(prep, batch_format="pandas")
+
+
+def _fs_value_counts(fields_ds):
+    """Global (field, value, count) table of the FS comparison fields —
+    per-batch value-count partials collect straight to the driver
+    (cardinality-bounded: 5 segments, 10 digit chars, ~12 balance
+    buckets — an AllToAll here would be pure fixed latency).  Values are
+    stringified (``bal`` int → str) so one schema fits all fields.
+    Returns an empty DataFrame on an empty corpus."""
+    import pandas as pd
 
     def vc_part(df: pd.DataFrame) -> pa.Table:
         fs, vs, cs = [], [], []
@@ -1296,6 +1302,17 @@ def _fs_weight_pass(cust_ds):
         .to_pandas()
     if not counts.empty:
         counts = counts.groupby(["f", "v"], as_index=False)["c"].sum()
+    return counts
+
+
+def _fs_weight_pass(cust_ds):
+    """Shared Fellegi–Sunter pass 1 (fs_match_scores / fs_mutual_best /
+    fs_em_round): project the comparison fields and derive the per-field
+    POOLED agreement weights ``w_f = bit_length(T // A_f)``.  Returns
+    ``(fields_ds, (w_seg, w_ten, w_bal))`` — weights ``None`` on an
+    empty corpus."""
+    fields_ds = _fs_fields(cust_ds)
+    counts = _fs_value_counts(fields_ds)
     if counts.empty:
         return fields_ds, None
     n_total = int(counts.loc[counts["f"] == "seg", "c"].sum())
@@ -1309,6 +1326,49 @@ def _fs_weight_pass(cust_ds):
         else:
             weights[f] = t_pairs.bit_length() if t_pairs > 0 else 0
     return fields_ds, tuple(weights[f] for f in _FS_FIELDS)
+
+
+def _fs_tag_fn(*, gap: int, chunk: int):
+    """The shared FS pair-pass bucketing law: bucket rows by (nat,
+    id // chunk), replicating rows with ``id % chunk < gap`` into the
+    PREVIOUS chunk as non-primary right-partners (SNM backward boundary
+    replication in key-value space)."""
+    import pandas as pd
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy(np.int64)
+        cb = ids // chunk
+        rep = ((ids % chunk) < gap) & (cb > 0)
+        return pd.concat([df.assign(_cb=cb, _pri=True),
+                          df.loc[rep].assign(_cb=cb[rep] - 1, _pri=False)],
+                         ignore_index=True)
+
+    return tag
+
+
+def _fs_enum_pairs(g, *, gap: int):
+    """Enumerate the candidate pairs of one (nat, chunk) kernel group:
+    sort by id, then for each PRIMARY row pair it with every row whose
+    id is in (id, id + gap].  Returns ``(g_sorted, li, ri)`` index
+    arrays into the sorted frame, or ``None`` when the group yields no
+    pairs.  Shared by every fs_* pair kernel — fork the scoring, never
+    this enumeration."""
+    if not len(g):
+        return None
+    g = g.sort_values("id", kind="mergesort")
+    ids = g["id"].to_numpy(np.int64)
+    pidx = np.flatnonzero(g["_pri"].to_numpy(bool))
+    pid = ids[pidx]
+    lo = np.searchsorted(ids, pid + 1, "left")
+    hi = np.searchsorted(ids, pid + gap, "right")
+    cnt = hi - lo
+    tot = int(cnt.sum())
+    if tot == 0:
+        return None
+    li = np.repeat(pidx, cnt)
+    starts = cnt.cumsum() - cnt
+    ri = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(starts, cnt))
+    return g, li, ri
 
 
 def fs_match_scores(cust_ds, *, gap: int = 5, chunk: int = 8192):
@@ -1346,37 +1406,17 @@ def fs_match_scores(cust_ds, *, gap: int = 5, chunk: int = 8192):
 
     # pair pass: bucket by (nat, id // chunk); backward boundary
     # replication of rows with id % chunk < gap (right-partners only).
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["id"].to_numpy(np.int64)
-        cb = ids // chunk
-        rep = ((ids % chunk) < gap) & (cb > 0)
-        out = pd.concat([df.assign(_cb=cb, _pri=True),
-                         df.loc[rep].assign(_cb=cb[rep] - 1, _pri=False)],
-                        ignore_index=True)
-        return out
+    tag = _fs_tag_fn(gap=gap, chunk=chunk)
 
     def score_kernel(g: pd.DataFrame) -> pa.Table:
-        if not len(g):
+        enum = _fs_enum_pairs(g, gap=gap)
+        if enum is None:
             return pa.table({"score": pa.array([], pa.int64()),
                              "n_pairs": pa.array([], pa.int64())})
-        g = g.sort_values("id", kind="mergesort")
-        ids = g["id"].to_numpy(np.int64)
-        pri = g["_pri"].to_numpy(bool)
+        g, li, ri = enum
         seg = pd.factorize(g["seg"])[0]
         ten = pd.factorize(g["ten"])[0]
         bal = g["bal"].to_numpy(np.int64)
-        pidx = np.flatnonzero(pri)
-        pid = ids[pidx]
-        lo = np.searchsorted(ids, pid + 1, "left")
-        hi = np.searchsorted(ids, pid + gap, "right")
-        cnt = hi - lo
-        tot = int(cnt.sum())
-        if tot == 0:
-            return pa.table({"score": pa.array([], pa.int64()),
-                             "n_pairs": pa.array([], pa.int64())})
-        li = np.repeat(pidx, cnt)
-        starts = cnt.cumsum() - cnt
-        ri = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(starts, cnt))
         sc = (w_seg * (seg[li] == seg[ri]).astype(np.int64)
               + w_ten * (ten[li] == ten[ri]).astype(np.int64)
               + w_bal * (bal[li] == bal[ri]).astype(np.int64))
@@ -1667,13 +1707,7 @@ def fs_mutual_best(cust_ds, *, gap: int = 5, chunk: int = 8192,
         return rd.from_arrow(empty)
     w_seg, w_ten, w_bal = weights
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["id"].to_numpy(np.int64)
-        cb = ids // chunk
-        rep = ((ids % chunk) < gap) & (cb > 0)
-        return pd.concat([df.assign(_cb=cb, _pri=True),
-                          df.loc[rep].assign(_cb=cb[rep] - 1, _pri=False)],
-                         ignore_index=True)
+    tag = _fs_tag_fn(gap=gap, chunk=chunk)
 
     _part_schema = {"l": pa.int64(), "r": pa.int64(),
                     "score": pa.int64(), "side": pa.string(),
@@ -1682,25 +1716,14 @@ def fs_mutual_best(cust_ds, *, gap: int = 5, chunk: int = 8192,
     def best_kernel(g: pd.DataFrame) -> pa.Table:
         kempty = pa.table({k: pa.array([], t)
                            for k, t in _part_schema.items()})
-        if not len(g):
+        enum = _fs_enum_pairs(g, gap=gap)
+        if enum is None:
             return kempty
-        g = g.sort_values("id", kind="mergesort")
+        g, li, ri = enum
         ids = g["id"].to_numpy(np.int64)
-        pri = g["_pri"].to_numpy(bool)
         seg = pd.factorize(g["seg"])[0]
         ten = pd.factorize(g["ten"])[0]
         bal = g["bal"].to_numpy(np.int64)
-        pidx = np.flatnonzero(pri)
-        pid = ids[pidx]
-        lo = np.searchsorted(ids, pid + 1, "left")
-        hi = np.searchsorted(ids, pid + gap, "right")
-        cnt = hi - lo
-        tot = int(cnt.sum())
-        if tot == 0:
-            return kempty
-        li = np.repeat(pidx, cnt)
-        starts = cnt.cumsum() - cnt
-        ri = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(starts, cnt))
         pairs = pd.DataFrame({
             "l": ids[li], "r": ids[ri],
             "score": (w_seg * (seg[li] == seg[ri]).astype(np.int64)
@@ -2210,13 +2233,7 @@ def fs_em_round(cust_ds, *, gap: int = 5, chunk: int = 8192):
     w_seg, w_ten, w_bal = weights
     thresh = (w_seg + w_ten + w_bal + 1) // 2
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["id"].to_numpy(np.int64)
-        cb = ids // chunk
-        rep = ((ids % chunk) < gap) & (cb > 0)
-        return pd.concat([df.assign(_cb=cb, _pri=True),
-                          df.loc[rep].assign(_cb=cb[rep] - 1, _pri=False)],
-                         ignore_index=True)
+    tag = _fs_tag_fn(gap=gap, chunk=chunk)
 
     part_schema = {"field": pa.string(), "n_pairs": pa.int64(),
                    "n_agree": pa.int64(), "n_match": pa.int64(),
@@ -2225,25 +2242,14 @@ def fs_em_round(cust_ds, *, gap: int = 5, chunk: int = 8192):
     def em_kernel(g: pd.DataFrame) -> pa.Table:
         kempty = pa.table({k: pa.array([], t)
                            for k, t in part_schema.items()})
-        if not len(g):
+        enum = _fs_enum_pairs(g, gap=gap)
+        if enum is None:
             return kempty
-        g = g.sort_values("id", kind="mergesort")
-        ids = g["id"].to_numpy(np.int64)
-        pri = g["_pri"].to_numpy(bool)
+        g, li, ri = enum
+        tot = len(li)
         seg = pd.factorize(g["seg"])[0]
         ten = pd.factorize(g["ten"])[0]
         bal = g["bal"].to_numpy(np.int64)
-        pidx = np.flatnonzero(pri)
-        pid = ids[pidx]
-        lo = np.searchsorted(ids, pid + 1, "left")
-        hi = np.searchsorted(ids, pid + gap, "right")
-        cnt = hi - lo
-        tot = int(cnt.sum())
-        if tot == 0:
-            return kempty
-        li = np.repeat(pidx, cnt)
-        starts = cnt.cumsum() - cnt
-        ri = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(starts, cnt))
         eqs = {"seg": seg[li] == seg[ri], "ten": ten[li] == ten[ri],
                "bal": bal[li] == bal[ri]}
         sc = (w_seg * eqs["seg"].astype(np.int64)
@@ -2289,6 +2295,140 @@ def fs_em_round(cust_ds, *, gap: int = 5, chunk: int = 8192):
         "n_match_agree": pa.array(n_ma, pa.int64()),
         "m_bp": pa.array(m_bp.astype(np.int64), pa.int64()),
         "u_bp": pa.array(u_bp.astype(np.int64), pa.int64())}))
+
+
+def fs_pattern_counts(cust_ds, *, gap: int = 5, chunk: int = 8192):
+    """Agreement-pattern (gamma) frequency table over the FS candidate
+    pairs — the sufficient statistic every Fellegi–Sunter EM fit starts
+    from (Splink's ``comparison vector`` counts): one row per observed
+    (agree_seg, agree_ten, agree_bal) pattern with its pair count.
+    Candidates and fields are exactly :func:`fs_match_scores`'s
+    (same-nation, 0 < id gap <= ``gap``); no weights are involved, so
+    this is the one FS surface independent of the weight law.
+    Output: ``(g_seg, g_ten, g_bal, n_pairs)``, flags 0/1.
+
+    Scale shape: the shared (nat, id//chunk) kernels emit ≤ 8-row
+    pattern histograms; the driver merges ≤ 8·kernels bounded rows —
+    no pair leaves its kernel, no AllToAll beyond the kernel groupby.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    empty = pa.table({"g_seg": pa.array([], pa.int64()),
+                      "g_ten": pa.array([], pa.int64()),
+                      "g_bal": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64())})
+    tag = _fs_tag_fn(gap=gap, chunk=chunk)
+
+    def gamma_kernel(g: pd.DataFrame) -> pa.Table:
+        enum = _fs_enum_pairs(g, gap=gap)
+        if enum is None:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        g, li, ri = enum
+        seg = pd.factorize(g["seg"])[0]
+        ten = pd.factorize(g["ten"])[0]
+        bal = g["bal"].to_numpy(np.int64)
+        code = (4 * (seg[li] == seg[ri]).astype(np.int64)
+                + 2 * (ten[li] == ten[ri]).astype(np.int64)
+                + (bal[li] == bal[ri]).astype(np.int64))
+        v, c = np.unique(code, return_counts=True)
+        return pa.table({"code": pa.array(v, pa.int64()),
+                         "n_pairs": pa.array(c.astype(np.int64),
+                                             pa.int64())})
+
+    hist = _fs_fields(cust_ds).map_batches(tag, batch_format="pandas") \
+        .groupby(["nat", "_cb"]).map_groups(gamma_kernel,
+                                            batch_format="pandas") \
+        .to_pandas()
+    if hist.empty:
+        return rd.from_arrow(empty)
+    hist = hist.groupby("code", as_index=False)["n_pairs"].sum()
+    code = hist["code"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "g_seg": pa.array(code // 4 % 2, pa.int64()),
+        "g_ten": pa.array(code // 2 % 2, pa.int64()),
+        "g_bal": pa.array(code % 2, pa.int64()),
+        "n_pairs": pa.array(hist["n_pairs"].to_numpy(np.int64),
+                            pa.int64())}))
+
+
+def fs_tf_scores(cust_ds, *, gap: int = 5, chunk: int = 8192):
+    """Term-frequency-ADJUSTED Fellegi–Sunter scores (Splink's ``tf
+    adjustment``): agreement on a RARE value outweighs agreement on a
+    common one, so instead of the pooled per-field weight the agreement
+    weight is per VALUE — ``w_f(v) = bit_length(T // C(n_v, 2))`` where
+    ``n_v`` is value v's global count (fallback ``bit_length(T)`` for
+    singleton values, matching the pooled law's a_f=0 fallback).
+    Candidates, fields and the bit-length law are exactly
+    :func:`fs_match_scores`'s.  Output: ``(score, n_pairs)``.
+
+    Scale shape: the per-value weight dicts are value-range bounded
+    (5 + 10 + ~12 entries — constants), broadcast in the map closure;
+    each row is annotated with ITS OWN values' weights before pairing
+    (agreement means both sides share the value, so the left row's
+    weight is the pair's weight), then the shared kernels emit bounded
+    score histograms.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    empty = pa.table({"score": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64())})
+    fields_ds = _fs_fields(cust_ds)
+    counts = _fs_value_counts(fields_ds)
+    if counts.empty:
+        return rd.from_arrow(empty)
+    n_total = int(counts.loc[counts["f"] == "seg", "c"].sum())
+    t_pairs = n_total * (n_total - 1) // 2
+    fallback = t_pairs.bit_length() if t_pairs > 0 else 0
+    vw = {}
+    for f in _FS_FIELDS:
+        sub = counts.loc[counts["f"] == f]
+        d = {}
+        for v, c in zip(sub["v"], sub["c"]):
+            a_v = int(c) * (int(c) - 1) // 2
+            d[v] = (t_pairs // a_v).bit_length() if a_v > 0 else fallback
+        vw[f] = d
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        for f in _FS_FIELDS:
+            df[f"w_{f}"] = df[f].astype(str).map(vw[f]) \
+                .fillna(fallback).astype(np.int64)
+        return df
+
+    tag = _fs_tag_fn(gap=gap, chunk=chunk)
+
+    def tf_kernel(g: pd.DataFrame) -> pa.Table:
+        enum = _fs_enum_pairs(g, gap=gap)
+        if enum is None:
+            return empty
+        g, li, ri = enum
+        seg = pd.factorize(g["seg"])[0]
+        ten = pd.factorize(g["ten"])[0]
+        bal = g["bal"].to_numpy(np.int64)
+        sc = np.zeros(len(li), np.int64)
+        for f, eq in (("seg", seg[li] == seg[ri]),
+                      ("ten", ten[li] == ten[ri]),
+                      ("bal", bal[li] == bal[ri])):
+            sc += np.where(eq, g[f"w_{f}"].to_numpy(np.int64)[li], 0)
+        v, c = np.unique(sc, return_counts=True)
+        return pa.table({"score": pa.array(v, pa.int64()),
+                         "n_pairs": pa.array(c.astype(np.int64),
+                                             pa.int64())})
+
+    hist = fields_ds.map_batches(annotate, batch_format="pandas") \
+        .map_batches(tag, batch_format="pandas") \
+        .groupby(["nat", "_cb"]).map_groups(tf_kernel,
+                                            batch_format="pandas") \
+        .to_pandas()
+    if hist.empty:
+        return rd.from_arrow(empty)
+    hist = hist.groupby("score", as_index=False)["n_pairs"].sum()
+    return rd.from_arrow(pa.table({
+        "score": pa.array(hist["score"].to_numpy(np.int64), pa.int64()),
+        "n_pairs": pa.array(hist["n_pairs"].to_numpy(np.int64),
+                            pa.int64())}))
 
 
 def cluster_bcubed(cc_ds, docs_ds, *, id_col: str = "doc_id",
@@ -2514,3 +2654,218 @@ def snm_window_sweep(docs_ds, *, windows=(1, 2, 3, 5, 10),
         "n_cand": pa.array(n_cand, pa.int64()),
         "n_hit": pa.array(n_hit, pa.int64()),
         "recall_bp": pa.array(rec.astype(np.int64), pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# FastSS deletion-neighborhood edit-distance join (k = 1)
+# ---------------------------------------------------------------------------
+
+def _lev_le1(a: str, b: str) -> int:
+    """Exact Levenshtein distance capped at 2 for the k=1 join: returns
+    0 (equal), 1, or 2 (meaning > 1).  Closed-form for the three k<=1
+    shapes — no DP table."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == lb:
+        diff = 0
+        for x, y in zip(a, b):
+            if x != y:
+                diff += 1
+                if diff > 1:
+                    return 2
+        return 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return 2
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else 2
+
+
+def deletion_join_pairs(ds, *, id_col: str = "c_custkey",
+                        name_col: str = "c_name", n_buckets: int = 64,
+                        pair_buckets: int = 256):
+    """FastSS deletion-neighborhood similarity join (Bocek et al. 2007):
+    ALL pairs of rows whose names are within Levenshtein distance 1 —
+    the exact small-k edit join, by a fundamentally different route than
+    :func:`edit_block_pairs`'s blocked DP: each name generates itself
+    plus every 1-deletion variant as candidate keys, and two names are
+    within distance 1 IFF they share a key (equal names share the self
+    key; a substitution pair shares the deletion at the edited position;
+    an indel pair's shorter name IS a 1-deletion of the longer).
+    Verification is exact (:func:`_lev_le1`), so the key machinery is
+    output-invariant: the result equals the full-cross-join law the
+    DuckDB oracle runs.  NULL names drop (SQL comparison semantics).
+    Output: ``(left_id, right_id, dist)``, left_id < right_id, dist 0/1.
+
+    Scale shape: a record emits len+1 key rows (bounded by the name
+    width, not the corpus); key groups are structurally bounded by
+    alphabet × positions — EXCEPT the self-key group of an exact-dup
+    name cluster, whose C(n,2) dist-0 pairs are genuinely part of the
+    law (cap-free by design; run exact_dedup first when exact dups are
+    not wanted).  Two narrow shuffles: key-hash buckets (verify inside),
+    then pair-hash buckets (global distinct — the same pair can surface
+    under every shared key).  ASCII caveat as edit_block_pairs: Python
+    codepoint distance == DuckDB byte levenshtein only on ASCII names.
+    """
+    import pandas as pd
+
+    out_schema = {"left_id": pa.int64(), "right_id": pa.int64(),
+                  "dist": pa.int64()}
+    empty = pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+
+    def expand(df: pd.DataFrame) -> pa.Table:
+        ids_out, keys_out, names_out = [], [], []
+        ids = df[id_col].to_numpy(np.int64)
+        names = df[name_col]
+        for i, name in zip(ids, names):
+            if name is None or (isinstance(name, float) and np.isnan(name)):
+                continue
+            s = str(name)
+            ks = {s}
+            for p in range(len(s)):
+                ks.add(s[:p] + s[p + 1:])
+            ids_out += [int(i)] * len(ks)
+            keys_out += list(ks)
+            names_out += [s] * len(ks)
+        t = pa.table({"id": pa.array(ids_out, pa.int64()),
+                      "key": pa.array(keys_out, pa.string()),
+                      "name": pa.array(names_out, pa.string())})
+        b = bucket_hash(pd.Series(keys_out, dtype=object), n_buckets)
+        return t.append_column("_b", pa.array(b, pa.int64()))
+
+    vempty = pa.table({**{k: pa.array([], t)
+                          for k, t in out_schema.items()},
+                       "_pb": pa.array([], pa.int64())})
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return vempty
+        ls, rs, dist = [], [], []
+        for _, kg in g.groupby("key", sort=False):
+            if len(kg) < 2:
+                continue
+            kg = kg.sort_values("id", kind="mergesort") \
+                .drop_duplicates("id")
+            ids = kg["id"].to_numpy(np.int64)
+            nms = list(kg["name"])
+            for i in range(len(ids) - 1):
+                for j in range(i + 1, len(ids)):
+                    d = _lev_le1(nms[i], nms[j])
+                    if d <= 1:
+                        ls.append(int(ids[i]))
+                        rs.append(int(ids[j]))
+                        dist.append(d)
+        if not ls:
+            return vempty
+        out = pd.DataFrame({"left_id": ls, "right_id": rs,
+                            "dist": dist}).drop_duplicates(
+            ["left_id", "right_id"])
+        out["_pb"] = pair_bucket(out["left_id"], out["right_id"],
+                                 pair_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def distinct(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        g = g.drop_duplicates(["left_id", "right_id"]) \
+            .sort_values(["left_id", "right_id"], kind="mergesort")
+        return pa.table({
+            "left_id": pa.array(g["left_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "right_id": pa.array(g["right_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            "dist": pa.array(g["dist"].to_numpy(np.int64), pa.int64())})
+
+    return ds.map_batches(expand, batch_format="pandas") \
+        .groupby("_b").map_groups(verify, batch_format="pandas") \
+        .groupby("_pb").map_groups(distinct, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cluster consistency audit (survivorship QA)
+# ---------------------------------------------------------------------------
+
+def cluster_conflicts(cc_ds, attr_ds, *, id_col: str = "doc_id",
+                      cluster_col: str = "cluster_id",
+                      attrs: tuple[str, ...] = ("lang", "source"),
+                      n_buckets: int = 128, cc_types: dict | None = None):
+    """Cluster attribute-consistency audit — the QA pass run before
+    trusting a survivorship fusion: per attribute, a histogram of
+    clusters by their number of DISTINCT non-null values (``n_values >
+    1`` means the closure merged records that disagree — an over-merge
+    signal; ``0`` means the attribute is entirely missing in the
+    cluster).  Output: ``(attr, n_values, n_clusters)``.
+
+    Scale shape: ONE bucket join attaches attributes to cluster labels;
+    batches melt to per-batch-DISTINCT (cluster, attr, value) rows
+    (nulls kept — they keep all-null groups alive for the 0 bin), the
+    single shuffle buckets by hash(cluster, attr) so each group's
+    distinct count is exact in-bucket, and kernels emit (attr,
+    n_values) histogram partials — the driver merges ≤ buckets ×
+    |attrs| × distinct-sizes bounded rows, never clusters.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from .joins import bucket_hash_join
+
+    empty = pa.table({"attr": pa.array([], pa.string()),
+                      "n_values": pa.array([], pa.int64()),
+                      "n_clusters": pa.array([], pa.int64())})
+
+    if cc_types is None:
+        cc_types = {id_col: pa.int64(), cluster_col: pa.int64()}
+    right_types = {id_col: pa.int64()}
+    right_types.update({a: pa.string() for a in attrs})
+    j = bucket_hash_join(cc_ds, attr_ds, on=id_col, n_buckets=n_buckets,
+                         left_types=cc_types, right_types=right_types)
+
+    def melt(df: pd.DataFrame) -> pa.Table:
+        parts = []
+        for a in attrs:
+            parts.append(pd.DataFrame({
+                cluster_col: df[cluster_col].to_numpy(np.int64),
+                "attr": a,
+                "val": df[a].astype("string"),
+            }))
+        out = pd.concat(parts, ignore_index=True) \
+            .drop_duplicates([cluster_col, "attr", "val"])
+        out["_b"] = bucket_hash(out, n_buckets,
+                                keys=[cluster_col, "attr"])
+        return pa.table({
+            cluster_col: pa.array(out[cluster_col].to_numpy(np.int64),
+                                  pa.int64()),
+            "attr": pa.array(out["attr"], pa.string()),
+            "val": pa.array(out["val"], pa.string()),
+            "_b": pa.array(out["_b"].to_numpy(np.int64), pa.int64())})
+
+    def hist_kernel(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        nv = g.groupby([cluster_col, "attr"])["val"] \
+            .nunique().reset_index(name="n_values")
+        h = nv.groupby(["attr", "n_values"], as_index=False).size()
+        return pa.table({
+            "attr": pa.array(h["attr"], pa.string()),
+            "n_values": pa.array(h["n_values"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_clusters": pa.array(h["size"].to_numpy(np.int64),
+                                   pa.int64())})
+
+    parts = j.map_batches(melt, batch_format="pandas") \
+        .groupby("_b").map_groups(hist_kernel, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty:
+        return rd.from_arrow(empty)
+    h = parts.groupby(["attr", "n_values"], as_index=False)[
+        "n_clusters"].sum()
+    return rd.from_arrow(pa.table({
+        "attr": pa.array(h["attr"], pa.string()),
+        "n_values": pa.array(h["n_values"].to_numpy(np.int64),
+                             pa.int64()),
+        "n_clusters": pa.array(h["n_clusters"].to_numpy(np.int64),
+                               pa.int64())}))

@@ -3844,3 +3844,191 @@ def test_brand_supplier_counts_distinct_across_batches(ray_session,
         .sort_values("p_brand").reset_index(drop=True)
     assert list(got["p_brand"]) == ["B1", "B2"]
     assert list(got["n_suppliers"]) == [2, 1]
+
+
+def test_fs_pattern_counts_gamma_histogram(ray_session):
+    """fs_pattern_counts: the gamma comparison-vector histogram over the
+    same candidates as fs_match_scores — hand-checked patterns on the
+    4-row table, the chunk-boundary pair included; empty corpus -> 0
+    rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import fs_pattern_counts
+
+    def cust(rows):
+        return ray.data.from_arrow(pa.table({
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([r[1] for r in rows], pa.string()),
+            "c_nationkey": pa.array([r[2] for r in rows], pa.int64()),
+            "c_mktsegment": pa.array([r[3] for r in rows], pa.string()),
+            "c_acctbal": pa.array([r[4] for r in rows], pa.float64()),
+        }))
+
+    # same table as the fs_match_scores test: seg agrees on all 6 pairs,
+    # ten agrees on (6,7) and (8,9), bal never agrees.  chunk=8 puts
+    # (7,8) across the kernel boundary (backward replication).
+    ds = cust([(6, "x06", 3, "A", 1000.00),
+               (7, "x07", 3, "A", 2000.00),
+               (8, "x18", 3, "A", 3000.00),
+               (9, "x19", 3, "A", -999.00)])
+    got = fs_pattern_counts(ds, gap=5, chunk=8).to_pandas() \
+        .sort_values(["g_seg", "g_ten", "g_bal"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "g_seg": [1, 1], "g_ten": [0, 1], "g_bal": [0, 0],
+        "n_pairs": [4, 2]}
+
+    assert fs_pattern_counts(cust([])).to_pandas().empty
+
+
+def test_fs_tf_scores_per_value_weights(ray_session):
+    """fs_tf_scores: agreement weight is per VALUE — on a table where
+    segment 'A' (3 rows) and 'B' (2 rows) both agree, the rare value
+    earns the bigger weight (the pooled law would score them equally);
+    singleton values take the bit_length(T) fallback; empty -> empty."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import fs_tf_scores
+
+    def cust(rows):
+        return ray.data.from_arrow(pa.table({
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([r[1] for r in rows], pa.string()),
+            "c_nationkey": pa.array([r[2] for r in rows], pa.int64()),
+            "c_mktsegment": pa.array([r[3] for r in rows], pa.string()),
+            "c_acctbal": pa.array([r[4] for r in rows], pa.float64()),
+        }))
+
+    # N=5, T=10.  ten: all '0' (n=5, C=10) -> w=bit_length(10//10)=1;
+    # bal: all bucket 1 -> w=1.  seg: A n=3 (C=3 -> w=bit_length(3)=2),
+    # B n=2 (C=1 -> w=bit_length(10)=4).
+    ds = cust([(1, "x01", 0, "A", 1000.00),
+               (2, "x02", 0, "A", 1000.00),
+               (3, "x03", 0, "A", 1000.00),
+               (4, "x04", 0, "B", 1000.00),
+               (5, "x05", 0, "B", 1000.00)])
+    got = fs_tf_scores(ds, gap=5, chunk=8192).to_pandas() \
+        .sort_values("score").reset_index(drop=True)
+    # within-A pairs (3): 2+1+1=4; within-B (1): 4+1+1=6; cross (6): 2
+    assert got.to_dict("list") == {"score": [2, 4, 6],
+                                   "n_pairs": [6, 3, 1]}
+
+    assert fs_tf_scores(cust([])).to_pandas().empty
+
+
+def test_deletion_join_pairs_shapes_and_dedupe(ray_session):
+    """FastSS k=1 join: finds equal / substitution / insertion /
+    deletion pairs, excludes 2-edit pairs, drops NULL names, orders
+    left_id < right_id, and counts a pair ONCE even though equal names
+    share every deletion key (the global-distinct shuffle)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import (_lev_le1,
+                                                  deletion_join_pairs)
+
+    # closed-form kernel first
+    assert _lev_le1("abc", "abc") == 0
+    assert _lev_le1("abc", "abd") == 1      # substitution
+    assert _lev_le1("abc", "abcd") == 1     # insertion
+    assert _lev_le1("abc", "ab") == 1       # deletion
+    assert _lev_le1("abc", "axd") == 2      # 2 subs
+    assert _lev_le1("abc", "cab") == 2      # rotation = 2 edits
+    assert _lev_le1("", "a") == 1
+
+    ds = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "c_name": pa.array(["alpha", "alpha",      # equal pair (dist 0)
+                            "alphb",               # sub of alpha
+                            "alpha1",              # insertion
+                            "alph",                # deletion
+                            None,                  # dropped
+                            "omega"],              # matches nothing
+                           pa.string()),
+    }))
+    got = deletion_join_pairs(ds, n_buckets=4, pair_buckets=4) \
+        .to_pandas().sort_values(["left_id", "right_id"]) \
+        .reset_index(drop=True)
+    rows = set(map(tuple, got.to_numpy()))
+    assert rows == {(1, 2, 0),                    # equal, counted once
+                    (1, 3, 1), (2, 3, 1),         # substitution
+                    (1, 4, 1), (2, 4, 1),         # insertion
+                    (1, 5, 1), (2, 5, 1),         # deletion
+                    (3, 5, 1)}                    # alphb -del-> alph
+
+    # empty corpus
+    empty = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string())}))
+    assert deletion_join_pairs(empty).to_pandas().empty
+
+
+def test_promo_revenue_share_and_degenerate_window(ray_session, tmp_path):
+    """promo_revenue: only in-window lines count, only joined parts
+    count, PROMO share floors to basis points, and an empty window
+    still emits the fixed (0, 0, 0) row (SQL aggregate-without-GROUP-BY
+    parity)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import promo_revenue
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_type": ["PROMO", "STANDARD", "PROMO"],  # part 3 never ships
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 1, 9], pa.int64()),  # 9: no part row
+        "l_extendedprice": pa.array([100.0, 200.0, 50.0, 999.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0, 0.5, 0.0, 0.0], pa.float64()),
+        # line 3 (partkey 1, 50.00) ships OUT of window
+        "l_shipdate": pa.array(
+            np.array(["1997-06-01", "1997-07-01", "1998-06-01",
+                      "1997-08-01"], dtype="datetime64[us]")),
+    }), tmp_path / "lineitem.parquet")
+    got = promo_revenue(str(tmp_path)).to_pandas()
+    # promo = 100.00 -> 10000c; total = 10000 + 200*0.5*100 = 20000c
+    assert got.to_dict("list") == {"promo_revenue_c": [10000],
+                                   "total_revenue_c": [20000],
+                                   "promo_bp": [5000]}
+
+    got2 = promo_revenue(str(tmp_path), start="2020-01-01",
+                         end="2021-01-01").to_pandas()
+    assert got2.to_dict("list") == {"promo_revenue_c": [0],
+                                    "total_revenue_c": [0],
+                                    "promo_bp": [0]}
+
+
+def test_cluster_conflicts_distinct_counts_and_null_bin(ray_session):
+    """cluster_conflicts: distinct NON-NULL values per (cluster, attr) —
+    a conflicted cluster lands in the n_values=2 bin, an all-null
+    cluster in the 0 bin (SQL COUNT(DISTINCT) semantics), and a
+    mixed null/value cluster counts only the value."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import cluster_conflicts
+
+    cc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "cluster_id": pa.array([1, 1, 3, 3, 5, 5], pa.int64()),
+    }))
+    attrs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        # cluster 1: en/de conflict; cluster 3: en + null -> 1;
+        # cluster 5: all null -> 0
+        "lang": pa.array(["en", "de", "en", None, None, None],
+                         pa.string()),
+        # source: all clusters agree on 'web' except cluster 5 ('api')
+        "source": pa.array(["web", "web", "web", "web", "api", "api"],
+                           pa.string()),
+    }))
+    got = cluster_conflicts(cc, attrs, n_buckets=4).to_pandas() \
+        .sort_values(["attr", "n_values"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "attr": ["lang", "lang", "lang", "source"],
+        "n_values": [0, 1, 2, 1],
+        "n_clusters": [1, 1, 1, 3]}
