@@ -1165,6 +1165,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by distinct-value count over the near-dup closure (>1 flags
         # over-merges; the QA pass before survivorship fusion)
         "cluster_conflicts": _cluster_conflicts,
+        # TPC-H Q18 shape (iceberg HAVING): global per-order quantity
+        # sum folded inside the orderkey join buckets; only survivors
+        # of the threshold leave the shuffle
+        "large_orders": lambda sf: analytics.large_orders(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4472,6 +4476,23 @@ def _oracle_sql_base() -> dict[str, str]:
                                   * 10000 // SUM(rev)
                              ELSE 0 END AS BIGINT) AS promo_bp
             FROM j
+        """,
+        # large_orders: Q18 — HAVING on the global per-order quantity
+        # sum (per-line cents floor, the pricing_summary sum_qty_c law).
+        "large_orders": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+                           AS sum_qty_c
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+                       > 20000)
+            SELECT o.o_orderkey, o.o_custkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+                   CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)
+                       AS totalprice_c,
+                   CAST(q.sum_qty_c AS BIGINT) AS sum_qty_c
+            FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
         """,
         # customer_distribution: LEFT join so zero-order customers land in
         # the n_orders = 0 bin (COUNT(o_orderkey) counts non-null only).

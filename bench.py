@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "cluster_size_hist", "source_surprisal", "revenue_rollup",
     "event_transitions", "cluster_outliers", "value_histogram",
     "supplier_balance",
+    # round-5 session-6 ops
+    "fs_pattern_counts", "fs_tf_scores", "deletion_join_pairs",
+    "promo_revenue", "cluster_conflicts", "large_orders",
 ]
 
 

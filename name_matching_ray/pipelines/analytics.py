@@ -2552,3 +2552,72 @@ def promo_revenue(sf_dir: str, *, start: str = "1997-01-01",
         "promo_revenue_c": pa.array([promo_c], pa.int64()),
         "total_revenue_c": pa.array([total_c], pa.int64()),
         "promo_bp": pa.array([bp], pa.int64())}))
+
+
+def large_orders(sf_dir: str, *, min_qty_c: int = 20_000):
+    """Large-volume orders (TPC-H Q18 shape — the iceberg HAVING query):
+    orders whose total lineitem quantity exceeds ``min_qty_c`` (cents,
+    i.e. 200.00 units), with their customer, date and price.  Output:
+    ``(o_orderkey, o_custkey, order_day, totalprice_c, sum_qty_c)``.
+
+    Scale plan: lineitem quantity is pre-aggregated per orderkey inside
+    map_batches BEFORE any shuffle (combiner); the HAVING needs the
+    GLOBAL per-order sum, which the orderkey-bucket join co-locates for
+    free (aggregate key == join key), so the filter runs inside whole
+    join blocks (batch_size=None) — one AllToAll total, and only the
+    iceberg survivors leave it.  Quantity in integer cents (the
+    pricing_summary sum_qty_c law) so the oracle hash-matches.
+    """
+    from ..stages.joins import bucket_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({
+                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "sum_qty_c": _cents(df["l_quantity"].to_numpy()),
+             }).groupby("o_orderkey", as_index=False)["sum_qty_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ords = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_totalprice"]).map_batches(
+        lambda df: pa.table({
+            "o_orderkey": pa.Array.from_pandas(df["o_orderkey"],
+                                               type=pa.int64()),
+            "o_custkey": pa.Array.from_pandas(df["o_custkey"],
+                                              type=pa.int64()),
+            "order_day": pa.array(df["o_orderdate"].dt.strftime(
+                "%Y-%m-%d"), pa.string()),
+            "totalprice_c": pa.array(_cents(
+                df["o_totalprice"].to_numpy()), pa.int64())}),
+        batch_format="pandas")
+
+    j = bucket_hash_join(
+        li.map_batches(li_part, batch_format="pandas"), ords,
+        on="o_orderkey", how="inner",
+        left_types={"o_orderkey": pa.int64(), "sum_qty_c": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                     "order_day": pa.string(),
+                     "totalprice_c": pa.int64()})
+
+    cols = ["o_orderkey", "o_custkey", "order_day", "totalprice_c",
+            "sum_qty_c"]
+
+    def iceberg(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "order_day": pa.array([], pa.string()),
+                "totalprice_c": pa.array([], pa.int64()),
+                "sum_qty_c": pa.array([], pa.int64())})
+        g = (df.groupby(["o_orderkey", "o_custkey", "order_day",
+                         "totalprice_c"], as_index=False)
+             ["sum_qty_c"].sum())
+        g = g[g["sum_qty_c"] > min_qty_c]
+        return pa.Table.from_pandas(g[cols].reset_index(drop=True),
+                                    preserve_index=False)
+
+    return j.map_batches(iceberg, batch_format="pandas",
+                         batch_size=None)

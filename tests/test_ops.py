@@ -4032,3 +4032,36 @@ def test_cluster_conflicts_distinct_counts_and_null_bin(ray_session):
         "attr": ["lang", "lang", "lang", "source"],
         "n_values": [0, 1, 2, 1],
         "n_clusters": [1, 1, 1, 3]}
+
+
+def test_large_orders_iceberg_cross_batch_sum(ray_session, tmp_path):
+    """large_orders: the HAVING is on the GLOBAL per-order sum — an
+    order whose quantity crosses the threshold only across row-group
+    boundaries must survive; one below stays out; an order with no
+    lineitem never appears."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import large_orders
+
+    # order 1: 150 + 100 = 250 > 200 (split across two row groups);
+    # order 2: 120 total; order 3: no lineitem
+    t = pa.table({
+        "l_orderkey": pa.array([1, 2, 1, 2], pa.int64()),
+        "l_quantity": pa.array([150.0, 60.0, 100.0, 60.0], pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet", row_group_size=2)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 20, 30], pa.int64()),
+        "o_orderdate": pa.array(np.array(
+            ["1997-01-02", "1997-03-04", "1997-05-06"],
+            dtype="datetime64[us]")),
+        "o_totalprice": pa.array([1234.56, 10.0, 20.0], pa.float64()),
+    }), tmp_path / "orders.parquet")
+    got = large_orders(str(tmp_path)).to_pandas()
+    assert got.to_dict("list") == {
+        "o_orderkey": [1], "o_custkey": [10],
+        "order_day": ["1997-01-02"], "totalprice_c": [123456],
+        "sum_qty_c": [25000]}
