@@ -1169,6 +1169,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sum folded inside the orderkey join buckets; only survivors
         # of the threshold leave the shuffle
         "large_orders": lambda sf: analytics.large_orders(sf),
+        # TPC-H Q12 shape: conditional two-way counts after a join —
+        # per-(order,flag) combiner, (orderkey,high-bit)-only dim side,
+        # fold inside the join buckets, <=6-row partials to the driver
+        "returnflag_priority": lambda sf: analytics.returnflag_priority(sf),
+        # TPC-H Q17 shape: correlated per-part AVG subquery folded
+        # inside the partkey join buckets (5*qty*cnt < sum integer law)
+        "small_qty_revenue": lambda sf: analytics.small_qty_revenue(sf),
+        # TPC-H Q22 shape: global positive-balance scalar (2 ints to
+        # the driver) + anti-join vs recent-order custkeys, per-nation
+        "idle_customers": lambda sf: analytics.idle_customers(sf),
+        # TPC-H Q15 shape: global ARGMAX with ties — per-supplier
+        # combiner fold, block-max partials merged on the driver, tiny
+        # winner set broadcast into the supplier dim (no dim shuffle)
+        "top_supplier": lambda sf: analytics.top_supplier(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4493,6 +4507,83 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS totalprice_c,
                    CAST(q.sum_qty_c AS BIGINT) AS sum_qty_c
             FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+        """,
+        # returnflag_priority: Q12 — high = {1-URGENT, 2-HIGH}; NULL
+        # priority falls to the low bucket both sides (CASE ELSE 0).
+        "returnflag_priority": """
+            WITH li AS (
+                SELECT l_orderkey, coalesce(l_returnflag, '') AS rf
+                FROM lineitem),
+            j AS (
+                SELECT li.rf,
+                       CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END AS hi
+                FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey)
+            SELECT rf AS l_returnflag,
+                   CAST(SUM(hi) AS BIGINT) AS high_line_count,
+                   CAST(SUM(1 - hi) AS BIGINT) AS low_line_count
+            FROM j GROUP BY rf
+        """,
+        # small_qty_revenue: Q17 — the correlated AVG is integer
+        # cross-multiplied (5*qty_c*cnt < sum_qty_c == qty < 0.2*avg),
+        # so no float division leaks into the hash; // truncation ==
+        # floor (total is non-negative).
+        "small_qty_revenue": """
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS qc,
+                       CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                           AS pc
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE coalesce(p_brand, '')
+                                          = 'Brand#23')),
+            ag AS (SELECT l_partkey, SUM(qc) AS s, COUNT(*) AS n
+                   FROM li GROUP BY 1)
+            SELECT CAST(coalesce(SUM(pc), 0) // 7 AS BIGINT)
+                       AS avg_yearly_c
+            FROM li JOIN ag USING (l_partkey)
+            WHERE 5 * qc * n < s
+        """,
+        # idle_customers: Q22 — bal > avg(positive bal) is integer
+        # cross-multiplied (bc*np > sp); "recent" = orders on/after the
+        # cutoff; NULL orderdate never blocks (comparison NULL).
+        "idle_customers": """
+            WITH b AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(FLOOR(coalesce(c_acctbal, 0)*100 + 0.5)
+                            AS BIGINT) AS bc
+                FROM customer),
+            s AS (SELECT coalesce(SUM(CASE WHEN bc > 0 THEN bc END), 0)
+                             AS sp,
+                         COUNT(CASE WHEN bc > 0 THEN 1 END) AS np
+                  FROM b),
+            k AS (SELECT c_nationkey, bc FROM b, s
+                  WHERE s.np > 0 AND bc * s.np > s.sp
+                    AND NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_custkey = b.c_custkey
+                          AND o.o_orderdate >= DATE '2000-01-01'))
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(bc) AS BIGINT) AS totacctbal_c
+            FROM k GROUP BY 1
+        """,
+        # top_supplier: Q15 — per-line cents floor then per-supplier
+        # sum; ALL suppliers tied at the max survive.
+        "top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       SUM(CAST(FLOOR(l_extendedprice*(1.0 - l_discount)
+                                      *100 + 0.5) AS BIGINT)) AS rev
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1997-01-01'
+                  AND l_shipdate <  DATE '1997-04-01'
+                GROUP BY 1)
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   CAST(r.rev AS BIGINT) AS total_revenue_c
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.rev = (SELECT MAX(rev) FROM r)
         """,
         # customer_distribution: LEFT join so zero-order customers land in
         # the n_orders = 0 bin (COUNT(o_orderkey) counts non-null only).

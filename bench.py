@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     # round-5 session-6 ops
     "fs_pattern_counts", "fs_tf_scores", "deletion_join_pairs",
     "promo_revenue", "cluster_conflicts", "large_orders",
+    # round-5 session-7 ops
+    "returnflag_priority", "small_qty_revenue", "idle_customers",
+    "top_supplier",
 ]
 
 

@@ -2621,3 +2621,310 @@ def large_orders(sf_dir: str, *, min_qty_c: int = 20_000):
 
     return j.map_batches(iceberg, batch_format="pandas",
                          batch_size=None)
+
+
+def returnflag_priority(sf_dir: str):
+    """Lineitem counts per return flag, split by order-priority class
+    (TPC-H Q12 shape — the conditional two-way aggregation AFTER a
+    join; reference has no relational ops, this is the Ray-Data-native
+    warehouse surface).  ``high`` = o_orderpriority in {1-URGENT,
+    2-HIGH}.  Output: ``(l_returnflag, high_line_count,
+    low_line_count)`` sorted by flag.
+
+    Scale plan: lineitem collapses to per-(orderkey, flag) COUNT
+    partials inside map_batches before the shuffle (combiner — one row
+    per batch×order×flag, not per line); orders ship only (orderkey,
+    high-bit); the orderkey-bucket join co-locates each order's
+    partials with its priority bit, so the two-way conditional fold
+    runs inside whole join blocks and only (flag, high, cnt) partials
+    — ≤ 6 rows per block — reach the driver.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({
+                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "rf": df["l_returnflag"].fillna("").astype(str),
+             }).groupby(["o_orderkey", "rf"], as_index=False)
+             .size().rename(columns={"size": "cnt"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    HIGH = ("1-URGENT", "2-HIGH")
+    ords = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda df: pa.table({
+            "o_orderkey": pa.Array.from_pandas(df["o_orderkey"],
+                                               type=pa.int64()),
+            "high": pa.array(df["o_orderpriority"].isin(HIGH)
+                             .to_numpy(np.int64), pa.int64())}),
+        batch_format="pandas")
+
+    j = bucket_hash_join(
+        li.map_batches(li_part, batch_format="pandas"), ords,
+        on="o_orderkey", how="inner",
+        left_types={"o_orderkey": pa.int64(), "rf": pa.string(),
+                    "cnt": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "high": pa.int64()})
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"rf": pa.array([], pa.string()),
+                             "hi": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64())})
+        cnt = df["cnt"].to_numpy(np.int64)
+        hib = df["high"].to_numpy(np.int64)
+        g = (pd.DataFrame({"rf": df["rf"], "hi": cnt * hib,
+                           "lo": cnt * (1 - hib)})
+             .groupby("rf", as_index=False)[["hi", "lo"]].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = j.map_batches(fold, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    if parts.empty:
+        return rd.from_arrow(pa.table({
+            "l_returnflag": pa.array([], pa.string()),
+            "high_line_count": pa.array([], pa.int64()),
+            "low_line_count": pa.array([], pa.int64())}))
+    g = parts.groupby("rf", as_index=False)[["hi", "lo"]].sum() \
+        .sort_values("rf").reset_index(drop=True)
+    return rd.from_arrow(pa.table({
+        "l_returnflag": pa.array(g["rf"].astype(str), pa.string()),
+        "high_line_count": pa.array(g["hi"].to_numpy(np.int64), pa.int64()),
+        "low_line_count": pa.array(g["lo"].to_numpy(np.int64), pa.int64())}))
+
+
+def small_qty_revenue(sf_dir: str, *, brand: str = "Brand#23"):
+    """Revenue that would move to a bulk channel (TPC-H Q17 shape — the
+    per-key correlated AVG subquery): total extendedprice of ``brand``
+    lineitems whose quantity is below 1/5 of that part's average
+    quantity, divided by 7.  Output: one row ``(avg_yearly_c,)``.
+
+    Scale plan: the correlated subquery ``qty < 0.2*avg(qty) per part``
+    needs every line of a part next to that part's global (sum, count)
+    — the partkey-bucket join co-locates them for free (aggregate key
+    == join key), so the per-part fold AND the filter run inside whole
+    join blocks: one AllToAll, no second shuffle for the subquery.  The
+    brand filter ships as a semi-join side of (partkey) keys only.  The
+    threshold is integer cross-multiplied — ``5·qty_c·cnt < sum_qty_c``
+    ≡ ``qty < 0.2·avg`` — so the oracle hash-matches exactly (no float
+    division on either side).
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+        lambda df: pa.table({
+            "p_partkey": pa.Array.from_pandas(df["l_partkey"],
+                                              type=pa.int64()),
+            "qty_c": pa.array(_cents(df["l_quantity"].to_numpy()),
+                              pa.int64()),
+            "price_c": pa.array(_cents(df["l_extendedprice"].to_numpy()),
+                                pa.int64())}),
+        batch_format="pandas")
+
+    bparts = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda df: pa.table({
+            "p_partkey": pa.Array.from_pandas(
+                df.loc[df["p_brand"].fillna("") == brand, "p_partkey"],
+                type=pa.int64())}),
+        batch_format="pandas")
+
+    li_b = bucket_hash_join(li, bparts, on="p_partkey", how="semi",
+                            left_types={"p_partkey": pa.int64(),
+                                        "qty_c": pa.int64(),
+                                        "price_c": pa.int64()},
+                            right_types={"p_partkey": pa.int64()})
+
+    # semi-join output is already partkey-bucketed AND whole per block:
+    # every line of a part sits in one block, so the per-part (sum, cnt)
+    # fold and the 5*qty*cnt < sum filter are block-local.
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"rev_c": pa.array([], pa.int64())})
+        pk = df["p_partkey"].to_numpy(np.int64)
+        qc = df["qty_c"].to_numpy(np.int64)
+        g = (pd.DataFrame({"pk": pk, "s": qc, "n": np.int64(1)})
+             .groupby("pk", as_index=False).agg(s=("s", "sum"),
+                                                n=("n", "sum")))
+        m = pd.Series(g["s"].to_numpy(np.int64), index=g["pk"]).reindex(pk)
+        c = pd.Series(g["n"].to_numpy(np.int64), index=g["pk"]).reindex(pk)
+        keep = 5 * qc * c.to_numpy(np.int64) < m.to_numpy(np.int64)
+        return pa.table({"rev_c": pa.array(
+            [int(df["price_c"].to_numpy(np.int64)[keep].sum())],
+            pa.int64())})
+
+    parts = li_b.map_batches(fold, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    total = int(parts["rev_c"].sum()) if len(parts) else 0
+    return rd.from_arrow(pa.table({
+        "avg_yearly_c": pa.array([total // 7], pa.int64())}))
+
+
+def idle_customers(sf_dir: str, *, cutoff: str = "2000-01-01"):
+    """High-balance customers with no RECENT orders, per nation (TPC-H
+    Q22 shape — a global-scalar filter composed with an anti-join):
+    customers whose account balance exceeds the global average of
+    positive balances AND who placed no order on/after ``cutoff``.
+    Output: ``(c_nationkey, numcust, totacctbal_c)``.
+
+    Scale plan: the global scalar ships as TWO integers — per-batch
+    (sum_pos_c, n_pos) partials merge on the driver, no shuffle; the
+    balance filter is integer cross-multiplied (``bal_c·n_pos >
+    sum_pos_c`` ≡ ``bal > avg``) and runs in the first map over
+    customer; the anti-join side ships only per-batch DISTINCT recent
+    custkeys (combiner); the per-nation aggregate collects (nation,
+    cnt, sum) partials — nation cardinality is fixed — straight to the
+    driver.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        lambda df: pa.table({
+            "c_custkey": pa.Array.from_pandas(df["c_custkey"],
+                                              type=pa.int64()),
+            "c_nationkey": pa.Array.from_pandas(df["c_nationkey"],
+                                                type=pa.int64()),
+            "bal_c": pa.array(_cents(df["c_acctbal"].fillna(0.0)
+                                     .to_numpy()), pa.int64())}),
+        batch_format="pandas")
+
+    # pass 1: the global positive-balance scalar (two ints to the driver)
+    stats = cust.map_batches(
+        lambda t: pa.table({
+            "s": pa.array([int(np.where(t["bal_c"].to_numpy() > 0,
+                                        t["bal_c"].to_numpy(), 0).sum())],
+                          pa.int64()),
+            "n": pa.array([int((t["bal_c"].to_numpy() > 0).sum())],
+                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    sum_pos = int(stats["s"].sum()) if len(stats) else 0
+    n_pos = int(stats["n"].sum()) if len(stats) else 0
+
+    empty = pa.table({"c_nationkey": pa.array([], pa.int64()),
+                      "numcust": pa.array([], pa.int64()),
+                      "totacctbal_c": pa.array([], pa.int64())})
+    if n_pos == 0:
+        return rd.from_arrow(empty)
+
+    rich = cust.map_batches(
+        lambda df: pa.Table.from_pandas(
+            df[df["bal_c"].to_numpy(np.int64) * n_pos > sum_pos],
+            preserve_index=False),
+        batch_format="pandas")
+
+    lo = np.datetime64(cutoff)
+    recent = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate"]).map_batches(
+        lambda df: pa.table({"c_custkey": pa.array(np.unique(
+            df.loc[df["o_orderdate"].to_numpy("datetime64[us]") >=
+                   lo, "o_custkey"].to_numpy(np.int64)), pa.int64())}),
+        batch_format="pandas")
+
+    idle = bucket_hash_join(
+        rich, recent, on="c_custkey", how="anti",
+        left_types={"c_custkey": pa.int64(), "c_nationkey": pa.int64(),
+                    "bal_c": pa.int64()},
+        right_types={"c_custkey": pa.int64()})
+
+    def nat_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty
+        g = (df.groupby("c_nationkey", as_index=False)
+             .agg(numcust=("c_custkey", "size"),
+                  totacctbal_c=("bal_c", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = idle.map_batches(nat_part, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    if parts.empty:
+        return rd.from_arrow(empty)
+    g = (parts.groupby("c_nationkey", as_index=False)
+         [["numcust", "totacctbal_c"]].sum()
+         .sort_values("c_nationkey").reset_index(drop=True))
+    return rd.from_arrow(pa.table({
+        "c_nationkey": pa.array(g["c_nationkey"].to_numpy(np.int64),
+                                pa.int64()),
+        "numcust": pa.array(g["numcust"].to_numpy(np.int64), pa.int64()),
+        "totacctbal_c": pa.array(g["totacctbal_c"].to_numpy(np.int64),
+                                 pa.int64())}))
+
+
+def top_supplier(sf_dir: str, *, start: str = "1997-01-01",
+                 end: str = "1997-04-01"):
+    """Supplier(s) with the maximum revenue in a shipdate quarter
+    (TPC-H Q15 shape — global ARGMAX with ties kept): per-supplier
+    revenue, the global max broadcast back as a filter, supplier names
+    attached.  Output: ``(s_suppkey, s_name, total_revenue_c)``.
+
+    Scale plan: revenue collapses to per-(batch, suppkey) partials
+    inside map_batches (combiner); the exact per-supplier fold is one
+    bucketed groupby; the global max is a per-block MAX partial merged
+    on the driver (one int — no second AllToAll); the ≤|ties| winners
+    broadcast into a guarded broadcast_join against supplier, so the
+    big dimension streams instead of shuffling.
+    """
+    from ..stages.joins import broadcast_join
+    from ..util import bucket_hash
+
+    lo, hi = np.datetime64(start), np.datetime64(end)
+
+    def rev_part(df: pd.DataFrame) -> pa.Table:
+        sd = df["l_shipdate"].to_numpy("datetime64[us]")
+        df = df[(sd >= lo) & (sd < hi)]
+        g = (pd.DataFrame({
+                "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "rev_c": _cents((df["l_extendedprice"] *
+                                 (1.0 - df["l_discount"])).to_numpy()),
+             }).groupby("s_suppkey", as_index=False)["rev_c"].sum())
+        g["_b"] = bucket_hash(g["s_suppkey"], 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_supp = _read(sf_dir, "lineitem",
+                     ["l_suppkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"]) \
+        .map_batches(rev_part, batch_format="pandas") \
+        .groupby("_b").map_groups(
+            lambda g: pa.Table.from_pandas(
+                g.groupby("s_suppkey", as_index=False)["rev_c"].sum(),
+                preserve_index=False),
+            batch_format="pandas").materialize()
+
+    mx = per_supp.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [int(t["rev_c"].to_numpy().max())] if t.num_rows else [],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    if mx.empty:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue_c": pa.array([], pa.int64())}))
+    best = int(mx["m"].max())
+
+    winners = per_supp.map_batches(
+        lambda df: pa.Table.from_pandas(
+            df[df["rev_c"].to_numpy(np.int64) == best]
+            .rename(columns={"rev_c": "total_revenue_c"}),
+            preserve_index=False),
+        batch_format="pandas").select_columns(
+            ["s_suppkey", "total_revenue_c"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = broadcast_join(supp, winners, on="s_suppkey", how="inner",
+                         left_cols=["s_suppkey", "s_name"])
+    return out.map_batches(
+        lambda df: pa.Table.from_pandas(
+            df[["s_suppkey", "s_name", "total_revenue_c"]]
+            .sort_values("s_suppkey").reset_index(drop=True),
+            preserve_index=False),
+        batch_format="pandas")

@@ -4065,3 +4065,134 @@ def test_large_orders_iceberg_cross_batch_sum(ray_session, tmp_path):
         "o_orderkey": [1], "o_custkey": [10],
         "order_day": ["1997-01-02"], "totalprice_c": [123456],
         "sum_qty_c": [25000]}
+
+
+def test_returnflag_priority_null_and_cross_batch(ray_session, tmp_path):
+    """returnflag_priority: NULL priority falls to the LOW bucket (SQL
+    CASE ELSE), NULL returnflag groups as '' both sides, and per-flag
+    counts fold across row-group boundaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import returnflag_priority
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_returnflag": pa.array(["A", "A", None, "R"], pa.string()),
+    }), tmp_path / "lineitem.parquet", row_group_size=2)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", None, "5-LOW"],
+                                    pa.string()),
+    }), tmp_path / "orders.parquet")
+    got = returnflag_priority(str(tmp_path)).to_pandas()
+    assert got.to_dict("list") == {
+        "l_returnflag": ["", "A", "R"],
+        "high_line_count": [0, 2, 0],
+        "low_line_count": [1, 0, 1]}
+
+
+def test_small_qty_revenue_strict_threshold_and_brand(ray_session,
+                                                      tmp_path):
+    """small_qty_revenue: the correlated threshold is STRICT (a line at
+    exactly 0.2x the part's avg is excluded — the integer cross-multiply
+    hits equality), other brands never count, and the total floors
+    through // 7."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import small_qty_revenue
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#23", "Brand#23", "Brand#11"],
+                            pa.string()),
+    }), tmp_path / "part.parquet")
+    # part 1: qtys (1, 9, 10) -> avg 20/3; 1 < 0.2*avg=4/3 -> kept.
+    # part 2: qtys (1, 9) -> avg 5; the qty-1 line is EXACTLY 0.2*avg
+    #         (5*100*2 == 1000) -> strict < excludes it.
+    # part 3: wrong brand -> never counts.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "l_quantity": pa.array([1.0, 9.0, 10.0, 1.0, 9.0, 0.1],
+                               pa.float64()),
+        "l_extendedprice": pa.array([10.0, 11.0, 12.0, 77.0, 78.0, 99.0],
+                                    pa.float64()),
+    }), tmp_path / "lineitem.parquet", row_group_size=2)
+    got = small_qty_revenue(str(tmp_path)).to_pandas()
+    assert got.to_dict("list") == {"avg_yearly_c": [1000 // 7]}
+
+
+def test_idle_customers_scalar_boundary_and_antijoin(ray_session,
+                                                     tmp_path):
+    """idle_customers: the average is over POSITIVE balances only,
+    the filter is strict (a customer at exactly the average is out),
+    NULL balance counts as 0, old orders don't block, an order ON the
+    cutoff does; an all-non-positive corpus returns the empty frame."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import idle_customers
+
+    # positives: 100 + 300 + 200 + 250 -> avg 212.50
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "c_nationkey": pa.array([7, 7, 8, 8, 9, 9], pa.int64()),
+        "c_acctbal": pa.array([100.0, 300.0, -50.0, None, 200.0, 250.0],
+                              pa.float64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([2, 6], pa.int64()),
+        # cust 2: OLD order only -> still idle; cust 6: order exactly
+        # ON the cutoff -> blocked
+        "o_orderdate": pa.array(np.array(["1999-12-31", "2000-01-01"],
+                                         dtype="datetime64[us]")),
+    }), tmp_path / "orders.parquet")
+    got = idle_customers(str(tmp_path)).to_pandas()
+    assert got.to_dict("list") == {
+        "c_nationkey": [7], "numcust": [1], "totacctbal_c": [30000]}
+
+    sub = tmp_path / "neg"
+    sub.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_nationkey": pa.array([7], pa.int64()),
+        "c_acctbal": pa.array([-5.0], pa.float64()),
+    }), sub / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+    }), sub / "orders.parquet")
+    assert len(idle_customers(str(sub)).to_pandas()) == 0
+
+
+def test_top_supplier_ties_and_window(ray_session, tmp_path):
+    """top_supplier: ALL suppliers tied at the max survive (revenue
+    folded across row groups), out-of-window shipments never count,
+    and names attach from the dimension."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import top_supplier
+
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 60.0, 40.0, 200.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0], pa.float64()),
+        # supplier 3's line ships OUT of the quarter
+        "l_shipdate": pa.array(np.array(
+            ["1997-02-01", "1997-01-15", "1997-03-20", "1997-06-01"],
+            dtype="datetime64[us]")),
+    }), tmp_path / "lineitem.parquet", row_group_size=2)
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+    }), tmp_path / "supplier.parquet")
+    got = top_supplier(str(tmp_path)).to_pandas() \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "s_suppkey": [1, 2], "s_name": ["S1", "S2"],
+        "total_revenue_c": [10000, 10000]}
