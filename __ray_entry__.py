@@ -1183,6 +1183,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # combiner fold, block-max partials merged on the driver, tiny
         # winner set broadcast into the supplier dim (no dim shuffle)
         "top_supplier": lambda sf: analytics.top_supplier(sf),
+        # transposition-aware edit join: TRUE Damerau-Levenshtein <= 2
+        # in the same capped prefix blocks as edit_block_pairs (shared
+        # builder; DL kernel fuzz-matched to DuckDB's byte law)
+        "dl_block_pairs": lambda sf: erblock.dl_block_pairs(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4035,6 +4040,26 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM b a JOIN b c
               ON a.key = c.key AND a.doc_id < c.doc_id
             WHERE a.bs <= 64 AND levenshtein(a.s, c.s) <= 2
+        """,
+        # dl_block_pairs: same blocks/caps as edit_block_pairs, TRUE
+        # Damerau-Levenshtein <= 2 (transpositions bridge edits — the
+        # Lowrance-Wagner law DuckDB implements; ASCII => byte == char).
+        "dl_block_pairs": """
+            WITH k AS (SELECT doc_id,
+                    substr(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'),
+                           1, 8) AS key,
+                    substr(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g'),
+                           1, 24) AS s
+                 FROM documents),
+            b AS (SELECT *, COUNT(*) OVER (PARTITION BY key) AS bs
+                  FROM k WHERE key != '')
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                   CAST(damerau_levenshtein(a.s, c.s) AS BIGINT) AS dl
+            FROM b a JOIN b c
+              ON a.key = c.key AND a.doc_id < c.doc_id
+            WHERE a.bs <= 64 AND damerau_levenshtein(a.s, c.s) <= 2
         """,
         # golden_record: modal priority/status per customer, ties -> the
         # lexicographically smallest value; meta aggregates joined in.

@@ -1108,27 +1108,58 @@ def _levenshtein(a: str, b: str, k: int) -> int:
     return min(prev[lb], big)
 
 
-def edit_block_pairs(docs_ds, *, k: int = 2, key_chars: int = 8,
-                     pfx_chars: int = 24, max_block: int = 64,
-                     n_buckets: int = 256, text_col: str = "text",
-                     id_col: str = "doc_id"):
-    """Edit-distance similarity join inside prefix blocks: candidate
-    pairs share the first ``key_chars`` chars of the alnum-collapsed
-    lowercase text (an exact-prefix blocking key — first-TOKEN keys on a
-    closed vocabulary are all stop blocks), blocks larger than
-    ``max_block`` are dropped entirely (the stop-key law — enforced in
-    the SQL oracle too), and a pair survives iff
-    ``levenshtein(s_a, s_b) <= k`` where ``s`` is the first ``pfx_chars``
-    chars of the alnum-collapsed text (pure ASCII, so Python codepoint
-    distance == DuckDB's byte distance).  Output ``(id_a, id_b, lev)``
-    with ``id_a < id_b``.  Docs whose collapse is empty join no block.
+def _damerau_levenshtein(a: str, b: str, k: int) -> int:
+    """TRUE Damerau–Levenshtein (Lowrance–Wagner — transpositions may
+    bridge edits: ``CA``→``ABC`` is 2, where OSA says 3); returns k+1
+    when the distance exceeds ``k``.  Matches DuckDB
+    ``damerau_levenshtein`` on ASCII inputs (byte == codepoint there;
+    callers feed the alnum-collapsed prefix).  Strings are short (the
+    collapsed prefix), so the full O(|a|·|b|) matrix is fine — the
+    banded trick is unsafe here because a transposition reaches back to
+    the last occurrence row, which can sit outside the band."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    inf = la + lb
+    h = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        h[i + 1][1] = i
+    for j in range(lb + 1):
+        h[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        ca = a[i - 1]
+        hi, hi1 = h[i + 1], h[i]
+        for j in range(1, lb + 1):
+            cb = b[j - 1]
+            i1 = da.get(cb, 0)
+            j1 = db
+            if ca == cb:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            hi[j + 1] = min(hi1[j] + cost,        # substitute / match
+                            hi[j] + 1,            # insert
+                            hi1[j + 1] + 1,       # delete
+                            h[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1))
+        da[ca] = i
+    d = h[la + 1][lb + 1]
+    return d if d <= k else k + 1
 
-    Scale shape: blocks co-locate via coarse ``bucket_hash`` groups (no
-    per-key map_groups); work per block is capped at C(max_block, 2)
-    banded-Levenshtein calls on ≤ ``pfx_chars``-char strings; the exact
-    global block size is known in-bucket because the key is the bucket
-    hash input (every row of a block lands in the same bucket).
-    """
+
+def _prefix_block_join(docs_ds, *, dist, out_col: str, k: int,
+                       key_chars: int, pfx_chars: int, max_block: int,
+                       n_buckets: int, text_col: str, id_col: str):
+    """The shared prefix-block edit-join machinery (edit_block_pairs /
+    dl_block_pairs): alnum-collapse, first-``key_chars`` exact blocking
+    key, stop blocks above ``max_block`` dropped, all-pairs ``dist``
+    within a block.  Fork the DISTANCE, never this enumeration."""
     import pandas as pd
 
     def keyed(batch: pa.Table) -> pa.Table:
@@ -1154,16 +1185,70 @@ def edit_block_pairs(docs_ds, *, k: int = 2, key_chars: int = 8,
                 for i in range(n - 1):
                     si = ss[i]
                     for j in range(i + 1, n):
-                        d = _levenshtein(si, ss[j], k)
+                        d = dist(si, ss[j], k)
                         if d <= k:
                             ia.append(ids[i]); ib.append(ids[j])
                             lv.append(d)
         return pa.table({"id_a": pa.array(ia, pa.int64()),
                          "id_b": pa.array(ib, pa.int64()),
-                         "lev": pa.array(lv, pa.int64())})
+                         out_col: pa.array(lv, pa.int64())})
 
     return docs_ds.map_batches(keyed, batch_format="pyarrow") \
         .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+
+
+def dl_block_pairs(docs_ds, *, k: int = 2, key_chars: int = 8,
+                   pfx_chars: int = 24, max_block: int = 64,
+                   n_buckets: int = 256, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Transposition-aware edit join: same prefix blocking as
+    :func:`edit_block_pairs`, but the pair predicate is TRUE
+    Damerau–Levenshtein ≤ ``k`` — the typo model where ``hte``→``the``
+    costs 1, not 2 (swaps are the most common keyboard error; Damerau
+    1964 measured >80% of misspellings as single insert/delete/
+    substitute/TRANSPOSE).  Output ``(id_a, id_b, dl)`` with
+    ``id_a < id_b``.  ASCII-only law (DuckDB damerau_levenshtein is
+    byte-based — same caveat as edit_block_pairs).
+
+    Scale shape: identical to edit_block_pairs (shared builder) —
+    coarse-bucketed blocks, C(max_block, 2) cap per block, full-matrix
+    DL on ≤ pfx_chars-char strings (banding is UNSAFE for true DL: the
+    transposition term reaches the last-occurrence row, outside any
+    diagonal band).
+    """
+    return _prefix_block_join(docs_ds, dist=_damerau_levenshtein,
+                              out_col="dl", k=k, key_chars=key_chars,
+                              pfx_chars=pfx_chars, max_block=max_block,
+                              n_buckets=n_buckets, text_col=text_col,
+                              id_col=id_col)
+
+
+def edit_block_pairs(docs_ds, *, k: int = 2, key_chars: int = 8,
+                     pfx_chars: int = 24, max_block: int = 64,
+                     n_buckets: int = 256, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Edit-distance similarity join inside prefix blocks: candidate
+    pairs share the first ``key_chars`` chars of the alnum-collapsed
+    lowercase text (an exact-prefix blocking key — first-TOKEN keys on a
+    closed vocabulary are all stop blocks), blocks larger than
+    ``max_block`` are dropped entirely (the stop-key law — enforced in
+    the SQL oracle too), and a pair survives iff
+    ``levenshtein(s_a, s_b) <= k`` where ``s`` is the first ``pfx_chars``
+    chars of the alnum-collapsed text (pure ASCII, so Python codepoint
+    distance == DuckDB's byte distance).  Output ``(id_a, id_b, lev)``
+    with ``id_a < id_b``.  Docs whose collapse is empty join no block.
+
+    Scale shape: blocks co-locate via coarse ``bucket_hash`` groups (no
+    per-key map_groups); work per block is capped at C(max_block, 2)
+    banded-Levenshtein calls on ≤ ``pfx_chars``-char strings; the exact
+    global block size is known in-bucket because the key is the bucket
+    hash input (every row of a block lands in the same bucket).
+    """
+    return _prefix_block_join(docs_ds, dist=_levenshtein, out_col="lev",
+                              k=k, key_chars=key_chars,
+                              pfx_chars=pfx_chars, max_block=max_block,
+                              n_buckets=n_buckets, text_col=text_col,
+                              id_col=id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -4196,3 +4196,42 @@ def test_top_supplier_ties_and_window(ray_session, tmp_path):
     assert got.to_dict("list") == {
         "s_suppkey": [1, 2], "s_name": ["S1", "S2"],
         "total_revenue_c": [10000, 10000]}
+
+
+def test_dl_block_pairs_true_damerau_law(ray_session):
+    """dl_block_pairs: transpositions cost 1 (hte->the), and the TRUE
+    Damerau law lets a transposition bridge other edits (ca->abc is 2,
+    where the restricted OSA variant says 3) — plus the DuckDB kernel
+    parity fuzz on random short strings."""
+    import duckdb
+    import pyarrow as pa
+    import random
+    import ray.data
+
+    from name_matching_ray.stages.erblock import (_damerau_levenshtein,
+                                                  dl_block_pairs)
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "zzzzzzzz ca",     # blocks with 2: DL(ca, abc) = 2 (bridge;
+            "zzzzzzzz abc",    # OSA would say 3 and drop it at k=2)
+            "qqqqqqqq theta",  # blocks with 4: one swap -> dl 1
+            "qqqqqqqq hteta",
+        ], pa.string()),
+    }))
+    got = dl_block_pairs(docs, k=2).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "id_a": [1, 3], "id_b": [2, 4], "dl": [2, 1]}
+
+    con = duckdb.connect()
+    rng = random.Random(11)
+    for _ in range(300):
+        a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 7)))
+        b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 7)))
+        ref = con.execute("SELECT damerau_levenshtein(?, ?)",
+                          [a, b]).fetchone()[0]
+        for k in (1, 2, 14):
+            assert _damerau_levenshtein(a, b, k) == (ref if ref <= k
+                                                     else k + 1), (a, b, k)
