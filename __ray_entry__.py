@@ -477,6 +477,15 @@ def _cluster_pair_eval(sf_dir: str):
                                      _read_docs(sf_dir))
 
 
+def _cluster_ari(sf_dir: str):
+    """Adjusted Rand Index of the shared near-dup closure vs the
+    exact-dup fingerprint truth — the chance-corrected eval beside
+    pairwise F1 (_cluster_pair_eval) and B³ (_cluster_bcubed); all
+    three ride the same (cluster, fp) cell pass."""
+    return erblock.cluster_ari(_near_dup_clusters(sf_dir),
+                               _read_docs(sf_dir))
+
+
 def _cluster_bcubed(sf_dir: str):
     """B³ precision/recall of the same closure vs the same truth — the
     per-record-averaged metric beside _cluster_pair_eval's pairwise one
@@ -1188,6 +1197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # builder; DL kernel fuzz-matched to DuckDB's byte law)
         "dl_block_pairs": lambda sf: erblock.dl_block_pairs(
             _read_docs(sf)),
+        # Adjusted Rand Index of the near-dup closure vs exact-dup
+        # truth: chance-corrected eval from the SAME pair-count scalars
+        # as cluster_pair_eval (exact ints, HUGEINT in SQL, // = trunc)
+        "cluster_ari": _cluster_ari,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4922,6 +4935,77 @@ def _oracle_sql_base() -> dict[str, str]:
                              THEN 2*p_bp*r_bp // (p_bp + r_bp)
                              ELSE 0 END AS BIGINT) AS f1_bp
             FROM nd, pred, tru, tpc, met
+        """,
+        # cluster_ari: the cluster_pair_eval closure chain; ARI in
+        # truncated basis points via exact HUGEINT arithmetic —
+        # num = 2(tp*T - p*t), den = T(p+t) - 2pt (>= 0), NULL at den=0.
+        "cluster_ari": r"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+            cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                   FROM reach GROUP BY node),
+            fp AS (SELECT doc_id,
+                          md5(regexp_replace(lower(coalesce(text, '')),
+                                             '[^a-z0-9]', '', 'g')) AS f
+                   FROM documents),
+            m AS (SELECT cc.cluster_id, fp.f
+                  FROM cc JOIN fp ON fp.doc_id = cc.doc_id),
+            pred AS (SELECT SUM(c*(c-1)//2) AS p
+                     FROM (SELECT COUNT(*) AS c FROM m GROUP BY cluster_id)),
+            tru AS (SELECT SUM(c*(c-1)//2) AS t
+                    FROM (SELECT COUNT(*) AS c FROM fp GROUP BY f)),
+            tpc AS (SELECT SUM(c*(c-1)//2) AS tp
+                    FROM (SELECT COUNT(*) AS c FROM m
+                          GROUP BY cluster_id, f)),
+            nd AS (SELECT COUNT(*) AS n,
+                          CAST(COUNT(*) AS HUGEINT)
+                          * (COUNT(*) - 1) // 2 AS tt
+                   FROM documents),
+            ari AS (
+                SELECT 2*(CAST(tp AS HUGEINT)*tt
+                          - CAST(p AS HUGEINT)*t) AS num,
+                       tt*(CAST(p AS HUGEINT) + t)
+                       - 2*CAST(p AS HUGEINT)*t AS den
+                FROM pred, tru, tpc, nd)
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CAST(tp AS BIGINT) AS n_tp,
+                   CAST(p AS BIGINT) AS n_pred_pairs,
+                   CAST(t AS BIGINT) AS n_true_pairs,
+                   CAST(CASE WHEN n > 0 THEN tt END AS BIGINT)
+                       AS total_pairs,
+                   CAST(CASE WHEN den = 0 THEN NULL
+                             ELSE 10000*num // den END AS BIGINT)
+                       AS ari_bp
+            FROM nd, pred, tru, tpc, ari
         """,
         # cluster_conflicts: the same closure CTE + per-cluster distinct
         # attribute counts (COUNT(DISTINCT) ignores NULLs — all-null

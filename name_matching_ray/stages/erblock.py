@@ -720,6 +720,126 @@ def _cluster_fp_cells(cc_ds, docs_ds, *, id_col: str,
         .aggregate(Sum("c", alias_name="c"))
 
 
+def _pair_count_scalars(cc_ds, docs_ds, *, id_col: str, cluster_col: str,
+                        text_col: str, n_buckets: int,
+                        cc_types: dict | None):
+    """The pair-counting decomposition scalars shared by
+    :func:`cluster_pair_eval` (P/R/F1) and :func:`cluster_ari`:
+    ``(n_docs, n_tp, n_pred_pairs, n_true_pairs)`` from ONE
+    (cluster, fp) cell table — or ``None`` on an empty corpus."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cf = _cluster_fp_cells(cc_ds, docs_ds, id_col=id_col,
+                           cluster_col=cluster_col, text_col=text_col,
+                           n_buckets=n_buckets, cc_types=cc_types)
+
+    # tp + doc count straight off the (cluster, fp) cells; the two
+    # margins need one more narrow shuffle each over the count table.
+    def tp_part(df: pd.DataFrame) -> pa.Table:
+        c = df["c"].to_numpy(np.int64) if len(df) else np.array([], np.int64)
+        return pa.table({
+            "_one": pa.array([0], pa.int64()),
+            "n_docs": pa.array([int(c.sum())], pa.int64()),
+            "n_tp": pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
+        })
+
+    scal_tp = cf.map_batches(tp_part, batch_format="pandas") \
+        .groupby("_one").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                   Sum("n_tp", alias_name="n_tp"))
+
+    def _margin_pairs(group_col: str, out: str):
+        def margin(df: pd.DataFrame) -> pa.Table:
+            if not len(df):
+                return pa.table({group_col: pa.array([], pa.int64()
+                                 if group_col == cluster_col
+                                 else pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            g = df.groupby(group_col, as_index=False)["c"].sum()
+            return pa.table({
+                group_col: pa.array(g[group_col]),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            })
+
+        def pairs(df: pd.DataFrame) -> pa.Table:
+            c = df["c"].to_numpy(np.int64) if len(df) \
+                else np.array([], np.int64)
+            return pa.table({
+                "_one": pa.array([0], pa.int64()),
+                out: pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
+            })
+
+        return cf.map_batches(margin, batch_format="pandas") \
+            .groupby(group_col).aggregate(Sum("c", alias_name="c")) \
+            .map_batches(pairs, batch_format="pandas") \
+            .groupby("_one").aggregate(Sum(out, alias_name=out))
+
+    pred = _margin_pairs(cluster_col, "n_pred_pairs")
+    tru = _margin_pairs("fingerprint", "n_true_pairs")
+
+    tp_df, pred_df, tru_df = (scal_tp.to_pandas(), pred.to_pandas(),
+                              tru.to_pandas())
+    if not len(tp_df):
+        return None
+    return (int(tp_df["n_docs"].iloc[0]), int(tp_df["n_tp"].iloc[0]),
+            int(pred_df["n_pred_pairs"].iloc[0]) if len(pred_df) else 0,
+            int(tru_df["n_true_pairs"].iloc[0]) if len(tru_df) else 0)
+
+
+def cluster_ari(cc_ds, docs_ds, *, id_col: str = "doc_id",
+                cluster_col: str = "cluster_id", text_col: str = "text",
+                n_buckets: int = 128, cc_types: dict | None = None):
+    """Adjusted Rand Index of an entity clustering against the exact-dup
+    fingerprint truth (Hubert & Arabie 1985) — the chance-corrected
+    third metric beside pairwise F1 and B³: with ``T = C(n,2)``,
+    ``index = Σ C(n_ij,2)`` over (cluster, fp) cells, ``a/b`` the margin
+    pair sums, ARI = (index − a·b/T) / ((a+b)/2 − a·b/T), emitted in
+    truncated basis points (exact integer arithmetic, DuckDB ``//``
+    truncation law — Python floor would differ on negative ARIs).
+    Output one row ``(n_docs, n_tp, n_pred_pairs, n_true_pairs,
+    total_pairs, ari_bp)``; ``ari_bp`` is NULL when the denominator is
+    zero (single-cluster vs single-value degenerate) or the corpus is
+    empty.
+
+    Scale shape: identical to cluster_pair_eval — the shared
+    ``_pair_count_scalars`` pass (one cell table, two narrow margin
+    shuffles, four scalars to the driver); the ARI arithmetic is
+    driver-side Python ints (a·b overflows int64 past ~10^9 pairs —
+    the SQL twin computes in HUGEINT).
+    """
+    import ray.data as rd
+
+    scal = _pair_count_scalars(cc_ds, docs_ds, id_col=id_col,
+                               cluster_col=cluster_col,
+                               text_col=text_col, n_buckets=n_buckets,
+                               cc_types=cc_types)
+    if scal is None:
+        return rd.from_arrow(pa.table({
+            "n_docs": pa.array([0], pa.int64()),
+            "n_tp": pa.array([None], pa.int64()),
+            "n_pred_pairs": pa.array([None], pa.int64()),
+            "n_true_pairs": pa.array([None], pa.int64()),
+            "total_pairs": pa.array([None], pa.int64()),
+            "ari_bp": pa.array([None], pa.int64())}))
+    n, tp, p, t = scal
+    tt = n * (n - 1) // 2
+    num = 2 * (tp * tt - p * t)
+    den = tt * (p + t) - 2 * p * t  # = p(T-t) + t(T-p) >= 0 always
+    if den == 0:
+        ari = None
+    else:
+        # DuckDB // TRUNCATES toward zero (-7//2 = -3, not Python's -4)
+        q = abs(10_000 * num) // den
+        ari = int(q if num >= 0 else -q)
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "n_tp": pa.array([tp], pa.int64()),
+        "n_pred_pairs": pa.array([p], pa.int64()),
+        "n_true_pairs": pa.array([t], pa.int64()),
+        "total_pairs": pa.array([tt], pa.int64()),
+        "ari_bp": pa.array([ari], pa.int64())}))
+
+
 def cluster_pair_eval(cc_ds, docs_ds, *, id_col: str = "doc_id",
                       cluster_col: str = "cluster_id",
                       text_col: str = "text", n_buckets: int = 128,
@@ -741,57 +861,17 @@ def cluster_pair_eval(cc_ds, docs_ds, *, id_col: str = "doc_id",
     Dataset.schema()-executes-AllToAll trap); ONE (cluster, fp) count
     table then serves all three Σ C(n,2) sums (the blocking_quality
     group-size trick — no pair is ever materialized); the two margins
-    are narrow count-table shuffles.  Three scalars reach the driver.
+    are narrow count-table shuffles.  Three scalars reach the driver
+    (the shared ``_pair_count_scalars`` pass — cluster_ari rides it
+    too).
     """
-    import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    cf = _cluster_fp_cells(cc_ds, docs_ds, id_col=id_col,
-                           cluster_col=cluster_col, text_col=text_col,
-                           n_buckets=n_buckets, cc_types=cc_types)
-
-    # tp + doc count straight off the (cluster, fp) cells; the two
-    # margins need one more narrow shuffle each over the count table.
-    def tp_part(df: pd.DataFrame) -> pa.Table:
-        c = df["c"].to_numpy(np.int64) if len(df) else np.array([], np.int64)
-        return pa.table({
-            "_one": pa.array([0], pa.int64()),
-            "n_docs": pa.array([int(c.sum())], pa.int64()),
-            "n_tp": pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
-        })
-
-    scal_tp = cf.map_batches(tp_part, batch_format="pandas")         .groupby("_one").aggregate(Sum("n_docs", alias_name="n_docs"),
-                                   Sum("n_tp", alias_name="n_tp"))
-
-    def _margin_pairs(group_col: str, out: str):
-        def margin(df: pd.DataFrame) -> pa.Table:
-            if not len(df):
-                return pa.table({group_col: pa.array([], pa.int64()
-                                 if group_col == cluster_col
-                                 else pa.string()),
-                                 "c": pa.array([], pa.int64())})
-            g = df.groupby(group_col, as_index=False)["c"].sum()
-            return pa.table({
-                group_col: pa.array(g[group_col]),
-                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
-            })
-
-        def pairs(df: pd.DataFrame) -> pa.Table:
-            c = df["c"].to_numpy(np.int64) if len(df)                 else np.array([], np.int64)
-            return pa.table({
-                "_one": pa.array([0], pa.int64()),
-                out: pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
-            })
-
-        return cf.map_batches(margin, batch_format="pandas")             .groupby(group_col).aggregate(Sum("c", alias_name="c"))             .map_batches(pairs, batch_format="pandas")             .groupby("_one").aggregate(Sum(out, alias_name=out))
-
-    pred = _margin_pairs(cluster_col, "n_pred_pairs")
-    tru = _margin_pairs("fingerprint", "n_true_pairs")
-
-    tp_df, pred_df, tru_df = (scal_tp.to_pandas(), pred.to_pandas(),
-                              tru.to_pandas())
-    if not len(tp_df):
+    scal = _pair_count_scalars(cc_ds, docs_ds, id_col=id_col,
+                               cluster_col=cluster_col,
+                               text_col=text_col, n_buckets=n_buckets,
+                               cc_types=cc_types)
+    if scal is None:
         # empty corpus: the oracle's scalar CTEs still emit one row —
         # zero docs, NULL counts/metrics (SUM over empty is SQL NULL).
         return rd.from_arrow(pa.table({
@@ -803,14 +883,12 @@ def cluster_pair_eval(cc_ds, docs_ds, *, id_col: str = "doc_id",
             "recall_bp": pa.array([None], pa.int64()),
             "f1_bp": pa.array([None], pa.int64()),
         }))
-    n_tp = int(tp_df["n_tp"].iloc[0])
-    n_pred = int(pred_df["n_pred_pairs"].iloc[0]) if len(pred_df) else 0
-    n_true = int(tru_df["n_true_pairs"].iloc[0]) if len(tru_df) else 0
+    n_docs, n_tp, n_pred, n_true = scal
     p_bp = 10_000 if n_pred == 0 else n_tp * 10_000 // n_pred
     r_bp = 10_000 if n_true == 0 else n_tp * 10_000 // n_true
     f1_bp = 2 * p_bp * r_bp // (p_bp + r_bp) if p_bp + r_bp > 0 else 0
     return rd.from_arrow(pa.table({
-        "n_docs": pa.array([int(tp_df["n_docs"].iloc[0])], pa.int64()),
+        "n_docs": pa.array([n_docs], pa.int64()),
         "n_pred_pairs": pa.array([n_pred], pa.int64()),
         "n_true_pairs": pa.array([n_true], pa.int64()),
         "n_tp": pa.array([n_tp], pa.int64()),

@@ -4235,3 +4235,50 @@ def test_dl_block_pairs_true_damerau_law(ray_session):
         for k in (1, 2, 14):
             assert _damerau_levenshtein(a, b, k) == (ref if ref <= k
                                                      else k + 1), (a, b, k)
+
+
+def test_cluster_ari_perfect_negative_and_degenerate(ray_session):
+    """cluster_ari: a perfect clustering scores exactly 10000; an
+    anti-correlated clustering goes NEGATIVE with the DuckDB truncation
+    law (-36/99 -> -3636, where Python floor would say -3637); the
+    all-one-cluster-vs-one-value degenerate has den = 0 -> NULL."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import cluster_ari
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["aaa", "aaa", "aaa", "bbb", "bbb", "bbb"],
+                         pa.string()),
+    }))
+
+    perfect = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "cluster_id": pa.array([1, 1, 1, 4, 4, 4], pa.int64()),
+    }))
+    got = cluster_ari(perfect, docs).to_pandas()
+    assert got["ari_bp"].tolist() == [10000]
+    assert got["total_pairs"].tolist() == [15]
+
+    # truth {123},{456}; pred {14},{25},{36}: tp=0, p=3, t=6, T=15
+    # -> num=-36, den=99 -> trunc(10000*-36/99) = -3636
+    anti = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "cluster_id": pa.array([1, 2, 3, 1, 2, 3], pa.int64()),
+    }))
+    got = cluster_ari(anti, docs).to_pandas()
+    assert got["ari_bp"].tolist() == [-3636]
+    assert duckdb.sql("SELECT 10000*(-36)//99").fetchone()[0] == -3636
+
+    same = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "cluster_id": pa.array([1, 1], pa.int64()),
+    }))
+    uni = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["zz", "zz"], pa.string()),
+    }))
+    got = cluster_ari(same, uni).to_pandas()
+    assert got["ari_bp"].isna().tolist() == [True]
