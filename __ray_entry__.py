@@ -1201,6 +1201,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # truth: chance-corrected eval from the SAME pair-count scalars
         # as cluster_pair_eval (exact ints, HUGEINT in SQL, // = trunc)
         "cluster_ari": _cluster_ari,
+        # the FS optimal decision rule (Fellegi & Sunter 1969): gamma
+        # patterns ranked by exact m/u likelihood ratio, match zone =
+        # largest prefix within the mu false-match budget, nonmatch =
+        # largest suffix within lambda; rides the shared EM-stats pass
+        "fs_decision_zones": lambda sf: erblock.fs_decision_zones(
+            _read_table(sf, "customer",
+                        ["c_custkey", "c_name", "c_nationkey",
+                         "c_mktsegment", "c_acctbal"])),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4444,6 +4452,89 @@ def _oracle_sql_base() -> dict[str, str]:
                                   // (n_pairs - n_match)
                         END AS BIGINT) AS u_bp
             FROM j
+        """,
+        # fs_decision_zones: the fs_em_round m/u chain, then 8 VALUES
+        # patterns, mass products in HUGEINT, rank via cross-multiplied
+        # likelihood-ratio self-join (ties -> higher code), inclusive
+        # window cumsums against the mu/lambda budgets (match wins).
+        "fs_decision_zones": f"""
+            WITH {_fs_scored_cte()},
+            th AS (SELECT (SUM(w) + 1) // 2 AS t FROM w),
+            st AS (
+                SELECT f.field,
+                       COUNT(*) AS n_pairs,
+                       SUM(CASE f.field WHEN 'seg' THEN eq_seg::INT
+                                        WHEN 'ten' THEN eq_ten::INT
+                                        ELSE eq_bal::INT END) AS n_agree,
+                       SUM(CASE WHEN s.score >= th.t THEN 1 ELSE 0 END)
+                           AS n_match,
+                       SUM(CASE WHEN s.score >= th.t THEN
+                                CASE f.field WHEN 'seg' THEN eq_seg::INT
+                                             WHEN 'ten' THEN eq_ten::INT
+                                             ELSE eq_bal::INT END
+                                ELSE 0 END) AS n_match_agree
+                FROM scored s, th,
+                     (VALUES ('seg'), ('ten'), ('bal')) AS f(field)
+                GROUP BY f.field),
+            base AS (SELECT field FROM
+                     (VALUES ('seg'), ('ten'), ('bal')) AS f(field)),
+            muv AS (SELECT base.field,
+                           CASE WHEN coalesce(st.n_match, 0) = 0 THEN 10000
+                                ELSE st.n_match_agree*10000 // st.n_match
+                           END AS m,
+                           CASE WHEN coalesce(st.n_pairs, 0)
+                                     - coalesce(st.n_match, 0) = 0
+                                THEN 10000
+                                ELSE (st.n_agree - st.n_match_agree)*10000
+                                     // (st.n_pairs - st.n_match)
+                           END AS u
+                    FROM base LEFT JOIN st ON st.field = base.field),
+            pr AS (
+                SELECT gs.v AS g_seg, gt.v AS g_ten, gb.v AS g_bal,
+                       4*gs.v + 2*gt.v + gb.v AS code,
+                       CAST(CASE WHEN gs.v = 1 THEN ms.m
+                                 ELSE 10000 - ms.m END AS HUGEINT)
+                     * CAST(CASE WHEN gt.v = 1 THEN mt.m
+                                 ELSE 10000 - mt.m END AS HUGEINT)
+                     * CAST(CASE WHEN gb.v = 1 THEN mb.m
+                                 ELSE 10000 - mb.m END AS HUGEINT) AS m_num,
+                       CAST(CASE WHEN gs.v = 1 THEN ms.u
+                                 ELSE 10000 - ms.u END AS HUGEINT)
+                     * CAST(CASE WHEN gt.v = 1 THEN mt.u
+                                 ELSE 10000 - mt.u END AS HUGEINT)
+                     * CAST(CASE WHEN gb.v = 1 THEN mb.u
+                                 ELSE 10000 - mb.u END AS HUGEINT) AS u_num
+                FROM (VALUES (0), (1)) AS gs(v),
+                     (VALUES (0), (1)) AS gt(v),
+                     (VALUES (0), (1)) AS gb(v),
+                     (SELECT m, u FROM muv WHERE field = 'seg') ms,
+                     (SELECT m, u FROM muv WHERE field = 'ten') mt,
+                     (SELECT m, u FROM muv WHERE field = 'bal') mb),
+            rk AS (
+                SELECT a.*,
+                       1 + (SELECT COUNT(*) FROM pr b
+                            WHERE b.m_num*a.u_num > a.m_num*b.u_num
+                               OR (b.m_num*a.u_num = a.m_num*b.u_num
+                                   AND b.code > a.code)) AS rnk
+                FROM pr a),
+            cz AS (
+                SELECT *,
+                       SUM(u_num) OVER (ORDER BY rnk) AS cum_u,
+                       SUM(m_num) OVER (ORDER BY rnk DESC) AS cum_m
+                FROM rk)
+            SELECT CAST(g_seg AS BIGINT) AS g_seg,
+                   CAST(g_ten AS BIGINT) AS g_ten,
+                   CAST(g_bal AS BIGINT) AS g_bal,
+                   CAST(m_num AS BIGINT) AS m_num,
+                   CAST(u_num AS BIGINT) AS u_num,
+                   CAST(rnk AS BIGINT) AS rnk,
+                   CASE WHEN cum_u <= 500 * CAST(100000000 AS HUGEINT)
+                             THEN 'match'
+                        WHEN cum_m <= 500 * CAST(100000000 AS HUGEINT)
+                             THEN 'nonmatch'
+                        ELSE 'possible' END AS zone
+            FROM cz
+            WHERE (SELECT COUNT(*) FROM c) > 0
         """,
         # fs_pattern_counts: the shared FS CTE's eq flags grouped as the
         # gamma comparison-vector histogram (weight-law independent).

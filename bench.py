@@ -138,7 +138,7 @@ BENCH_QUERIES = [
     "promo_revenue", "cluster_conflicts", "large_orders",
     # round-5 session-7 ops
     "returnflag_priority", "small_qty_revenue", "idle_customers",
-    "top_supplier", "dl_block_pairs", "cluster_ari",
+    "top_supplier", "dl_block_pairs", "cluster_ari", "fs_decision_zones",
 ]
 
 

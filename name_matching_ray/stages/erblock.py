@@ -2381,7 +2381,6 @@ def fs_em_round(cust_ds, *, gap: int = 5, chunk: int = 8192):
     the driver merges ≤ 3·kernels bounded rows — the EM statistics are
     pure associative sums, no pair ever leaves its kernel.
     """
-    import pandas as pd
     import ray.data as rd
 
     out_schema = {"field": pa.string(), "n_pairs": pa.int64(),
@@ -2390,9 +2389,32 @@ def fs_em_round(cust_ds, *, gap: int = 5, chunk: int = 8192):
                   "u_bp": pa.int64()}
     empty = pa.table({k: pa.array([], t) for k, t in out_schema.items()})
 
+    stats = _fs_em_stats(cust_ds, gap=gap, chunk=chunk)
+    if stats is None:
+        return rd.from_arrow(empty)
+    agg, n_pairs, n_agree, n_match, n_ma, m_bp, u_bp = stats
+    return rd.from_arrow(pa.table({
+        "field": pa.array(agg["field"], pa.string()),
+        "n_pairs": pa.array(n_pairs, pa.int64()),
+        "n_agree": pa.array(n_agree, pa.int64()),
+        "n_match": pa.array(n_match, pa.int64()),
+        "n_match_agree": pa.array(n_ma, pa.int64()),
+        "m_bp": pa.array(m_bp.astype(np.int64), pa.int64()),
+        "u_bp": pa.array(u_bp.astype(np.int64), pa.int64())}))
+
+
+def _fs_em_stats(cust_ds, *, gap: int, chunk: int):
+    """The shared EM-round statistics pass (fs_em_round /
+    fs_decision_zones): one pair pass under the current pooled weights,
+    per-field (n_pairs, n_agree, n_match, n_match_agree) sums and the
+    re-estimated m/u basis points.  Returns ``None`` on an empty
+    corpus, else ``(agg_df, n_pairs, n_agree, n_match, n_match_agree,
+    m_bp, u_bp)`` with arrays in field order seg/ten/bal."""
+    import pandas as pd
+
     fields_ds, weights = _fs_weight_pass(cust_ds)
     if weights is None:
-        return rd.from_arrow(empty)
+        return None
     w_seg, w_ten, w_bal = weights
     thresh = (w_seg + w_ten + w_bal + 1) // 2
 
@@ -2450,14 +2472,89 @@ def fs_em_round(cust_ds, *, gap: int = 5, chunk: int = 8192):
                     n_ma * 10000 // np.maximum(n_match, 1))
     u_bp = np.where(n_non == 0, 10000,
                     n_na * 10000 // np.maximum(n_non, 1))
+    return agg, n_pairs, n_agree, n_match, n_ma, m_bp, u_bp
+
+
+def fs_decision_zones(cust_ds, *, gap: int = 5, chunk: int = 8192,
+                      mu_bp: int = 500, lambda_bp: int = 500):
+    """The Fellegi–Sunter optimal decision rule (the 1969 paper's core
+    theorem): gamma patterns ranked by the likelihood ratio m(γ)/u(γ)
+    under the EM-round m/u estimates, then the MATCH zone is the
+    largest ratio-descending prefix whose cumulative u-mass stays
+    within the false-match budget ``mu_bp`` (of the total u-mass), the
+    NON-MATCH zone the largest suffix whose cumulative m-mass stays
+    within the false-non-match budget ``lambda_bp``, and the middle is
+    the clerical-review POSSIBLE zone (match wins an overlap).  Output:
+    8 rows ``(g_seg, g_ten, g_bal, m_num, u_num, rnk, zone)`` — m_num /
+    u_num are the pattern's model masses at scale 10⁻¹² (products of
+    three per-field basis-point probabilities; they sum to 10¹² over
+    the 8 patterns), ``rnk`` the likelihood-ratio rank (exact
+    cross-multiplied rational compare, ties → higher agreement code
+    first).
+
+    Scale shape: one _fs_em_stats pair pass (kernels emit 3-row
+    partials); the zone computation is 8 driver-side rows of exact
+    Python-int arithmetic — the SQL twin needs HUGEINT (the rank
+    comparator multiplies two 10¹²-scale masses).
+    """
+    import ray.data as rd
+
+    empty = pa.table({"g_seg": pa.array([], pa.int64()),
+                      "g_ten": pa.array([], pa.int64()),
+                      "g_bal": pa.array([], pa.int64()),
+                      "m_num": pa.array([], pa.int64()),
+                      "u_num": pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64()),
+                      "zone": pa.array([], pa.string())})
+    stats = _fs_em_stats(cust_ds, gap=gap, chunk=chunk)
+    if stats is None:
+        return rd.from_arrow(empty)
+    m_bp = [int(x) for x in stats[5]]  # field order seg/ten/bal
+    u_bp = [int(x) for x in stats[6]]
+
+    pats = []
+    for code in range(8):
+        bits = ((code >> 2) & 1, (code >> 1) & 1, code & 1)
+        m_g = u_g = 1
+        for f in range(3):
+            m_g *= m_bp[f] if bits[f] else 10_000 - m_bp[f]
+            u_g *= u_bp[f] if bits[f] else 10_000 - u_bp[f]
+        pats.append({"bits": bits, "code": code, "m": m_g, "u": u_g})
+
+    # exact likelihood-ratio rank: h outranks g iff m_h·u_g > m_g·u_h
+    # (cross-multiplication — zero u means infinite ratio and wins),
+    # ties broken by higher agreement code.
+    for g in pats:
+        g["rnk"] = 1 + sum(
+            1 for h in pats if h is not g and (
+                h["m"] * g["u"] > g["m"] * h["u"]
+                or (h["m"] * g["u"] == g["m"] * h["u"]
+                    and h["code"] > g["code"])))
+    pats.sort(key=lambda p: p["rnk"])
+
+    total = 10_000 ** 3  # Σ u = Σ m over the 8 patterns, exactly
+    mu_budget = mu_bp * (total // 10_000)
+    la_budget = lambda_bp * (total // 10_000)
+    cum_u = 0
+    for p in pats:
+        cum_u += p["u"]
+        p["match"] = cum_u <= mu_budget
+    cum_m = 0
+    for p in reversed(pats):
+        cum_m += p["m"]
+        p["nonmatch"] = cum_m <= la_budget
+    for p in pats:
+        p["zone"] = ("match" if p["match"]
+                     else "nonmatch" if p["nonmatch"] else "possible")
+
     return rd.from_arrow(pa.table({
-        "field": pa.array(agg["field"], pa.string()),
-        "n_pairs": pa.array(n_pairs, pa.int64()),
-        "n_agree": pa.array(n_agree, pa.int64()),
-        "n_match": pa.array(n_match, pa.int64()),
-        "n_match_agree": pa.array(n_ma, pa.int64()),
-        "m_bp": pa.array(m_bp.astype(np.int64), pa.int64()),
-        "u_bp": pa.array(u_bp.astype(np.int64), pa.int64())}))
+        "g_seg": pa.array([p["bits"][0] for p in pats], pa.int64()),
+        "g_ten": pa.array([p["bits"][1] for p in pats], pa.int64()),
+        "g_bal": pa.array([p["bits"][2] for p in pats], pa.int64()),
+        "m_num": pa.array([p["m"] for p in pats], pa.int64()),
+        "u_num": pa.array([p["u"] for p in pats], pa.int64()),
+        "rnk": pa.array([p["rnk"] for p in pats], pa.int64()),
+        "zone": pa.array([p["zone"] for p in pats], pa.string())}))
 
 
 def fs_pattern_counts(cust_ds, *, gap: int = 5, chunk: int = 8192):

@@ -4282,3 +4282,65 @@ def test_cluster_ari_perfect_negative_and_degenerate(ray_session):
     }))
     got = cluster_ari(same, uni).to_pandas()
     assert got["ari_bp"].isna().tolist() == [True]
+
+
+def test_fs_decision_zones_law_and_overlap(ray_session):
+    """fs_decision_zones: masses multiply out of the EM m/u and sum to
+    exactly 10^12 each; rnk is the exact cross-multiplied likelihood
+    ratio order; match zone is a rank PREFIX and nonmatch a SUFFIX
+    within the budgets; with both budgets at 10000 every pattern
+    satisfies both and MATCH wins the overlap."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import (fs_decision_zones,
+                                                  fs_em_round)
+
+    cust = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array(list(range(1, 9)), pa.int64()),
+        "c_nationkey": pa.array([1] * 8, pa.int64()),
+        "c_name": pa.array([f"Customer#{i}70" if i % 2 else
+                            f"Customer#{i}80" for i in range(1, 9)],
+                           pa.string()),
+        "c_mktsegment": pa.array(["AUTO", "AUTO", "CAR", "CAR"] * 2,
+                                 pa.string()),
+        "c_acctbal": pa.array([100.0, 100.0, 100.0, 2000.0] * 2,
+                              pa.float64()),
+    }))
+    got = fs_decision_zones(cust).to_pandas()
+    em = fs_em_round(cust).to_pandas().set_index("field")
+    m_bp = [int(em.loc[f, "m_bp"]) for f in ("seg", "ten", "bal")]
+    u_bp = [int(em.loc[f, "u_bp"]) for f in ("seg", "ten", "bal")]
+
+    assert len(got) == 8
+    assert sorted(got["rnk"]) == list(range(1, 9))
+    assert int(got["m_num"].sum()) == 10_000 ** 3
+    assert int(got["u_num"].sum()) == 10_000 ** 3
+
+    # clean-room reimplementation of the law
+    exp = {}
+    for _, r in got.iterrows():
+        bits = (int(r["g_seg"]), int(r["g_ten"]), int(r["g_bal"]))
+        m = u = 1
+        for f in range(3):
+            m *= m_bp[f] if bits[f] else 10_000 - m_bp[f]
+            u *= u_bp[f] if bits[f] else 10_000 - u_bp[f]
+        exp[bits] = (m, u)
+        assert (int(r["m_num"]), int(r["u_num"])) == (m, u), bits
+
+    # zones are a prefix / suffix in rank order
+    by_rank = got.sort_values("rnk")
+    zs = by_rank["zone"].tolist()
+    n_match = zs.count("match")
+    n_non = zs.count("nonmatch")
+    assert zs[:n_match] == ["match"] * n_match
+    assert zs[len(zs) - n_non:] == ["nonmatch"] * n_non
+    # budget law on the inclusive cumsums
+    cum_u = by_rank["u_num"].cumsum()
+    assert all((cum_u.iloc[i] <= 500 * 10 ** 8) == (zs[i] == "match")
+               for i in range(8))
+
+    # overlap precedence: everything qualifies for both -> all match
+    allm = fs_decision_zones(cust, mu_bp=10_000,
+                             lambda_bp=10_000).to_pandas()
+    assert allm["zone"].tolist() == ["match"] * 8
