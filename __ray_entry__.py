@@ -494,6 +494,15 @@ def _cluster_bcubed(sf_dir: str):
                                   _read_docs(sf_dir))
 
 
+def _cluster_purity(sf_dir: str):
+    """Purity / inverse purity of the shared near-dup closure vs the
+    exact-dup fingerprint truth — the majority-label eval beside
+    pairwise F1, ARI and B³; rides the same (cluster, fp) cell pass
+    (the metric needs only per-margin MAX counts, never the labels)."""
+    return erblock.cluster_purity(_near_dup_clusters(sf_dir),
+                                  _read_docs(sf_dir))
+
+
 def _cluster_conflicts(sf_dir: str):
     """Attribute-consistency audit of the shared near-dup closure: per
     attribute (lang/source), a histogram of clusters by their distinct
@@ -1209,6 +1218,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_table(sf, "customer",
                         ["c_custkey", "c_name", "c_nationkey",
                          "c_mktsegment", "c_acctbal"])),
+        # purity / inverse purity: majority-label clustering eval over
+        # the shared near-dup closure — per-margin MAX of the same
+        # (cluster, fp) cells as B³ (the label itself never built)
+        "cluster_purity": _cluster_purity,
+        # TPC-H Q19 shape (OR-of-ANDs bracket predicate): disjunction
+        # pushed into the filtered part dim, (partkey, qty) combiner,
+        # one bucket join, fixed 3-row output
+        "bracket_revenue": lambda sf: analytics.bracket_revenue(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4407,6 +4424,103 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(CASE WHEN p_bp + r_bp > 0
                              THEN 2*p_bp*r_bp // (p_bp + r_bp)
                              ELSE 0 END AS BIGINT) AS bcubed_f_bp
+            FROM met
+        """,
+        # bracket_revenue: Q19 OR-of-ANDs — VALUES bracket dim LEFT
+        # JOIN the qualified aggregate (fixed 3-row shape, zeros when
+        # empty); per-line cents floor BEFORE the sum (_cents law).
+        "bracket_revenue": """
+            WITH br(bracket_id, brand, lo_s, hi_s, lo_q, hi_q) AS (
+                VALUES (1, 'Brand#12', 1, 5, 1, 11),
+                       (2, 'Brand#23', 1, 10, 10, 20),
+                       (3, 'Brand#34', 1, 15, 20, 30)),
+            j AS (
+                SELECT br.bracket_id,
+                       COUNT(*) AS n_lines,
+                       SUM(CAST(floor(l.l_extendedprice
+                                      * (1 - l.l_discount) * 100 + 0.5)
+                                AS BIGINT)) AS revenue_c
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                JOIN br ON p.p_brand = br.brand
+                       AND p.p_size BETWEEN br.lo_s AND br.hi_s
+                       AND l.l_quantity BETWEEN br.lo_q AND br.hi_q
+                GROUP BY br.bracket_id)
+            SELECT br.bracket_id,
+                   br.brand AS p_brand,
+                   CAST(coalesce(j.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(j.revenue_c, 0) AS BIGINT) AS revenue_c
+            FROM br LEFT JOIN j USING (bracket_id)
+            ORDER BY br.bracket_id
+        """,
+        # cluster_purity: same closure + (cluster, fp) cells as
+        # cluster_bcubed; purity = SUM of per-cluster MAX cell counts,
+        # inverse = the fp margin; bps floor from raw hits, F from bps.
+        "cluster_purity": r"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+            cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                   FROM reach GROUP BY node),
+            fp AS (SELECT doc_id,
+                          md5(regexp_replace(lower(coalesce(text, '')),
+                                             '[^a-z0-9]', '', 'g')) AS f
+                   FROM documents),
+            m AS (SELECT cc.cluster_id, fp.f
+                  FROM cc JOIN fp ON fp.doc_id = cc.doc_id),
+            per AS (SELECT cluster_id, f, COUNT(*) AS k FROM m GROUP BY 1, 2),
+            pm AS (SELECT SUM(mx) AS hits FROM
+                   (SELECT MAX(k) AS mx FROM per GROUP BY cluster_id)),
+            fm AS (SELECT SUM(mx) AS hits FROM
+                   (SELECT MAX(k) AS mx FROM per GROUP BY f)),
+            tot AS (SELECT coalesce(SUM(k), 0) AS n FROM per),
+            met AS (
+                SELECT tot.n AS n,
+                       coalesce(pm.hits, 0) AS ph,
+                       coalesce(fm.hits, 0) AS ih,
+                       CASE WHEN tot.n = 0 THEN 10000
+                            ELSE coalesce(pm.hits, 0)*10000 // tot.n
+                       END AS p_bp,
+                       CASE WHEN tot.n = 0 THEN 10000
+                            ELSE coalesce(fm.hits, 0)*10000 // tot.n
+                       END AS i_bp
+                FROM tot, pm, fm)
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CAST(ph AS BIGINT) AS purity_hits,
+                   CAST(ih AS BIGINT) AS inverse_hits,
+                   CAST(p_bp AS BIGINT) AS purity_bp,
+                   CAST(i_bp AS BIGINT) AS inverse_bp,
+                   CAST(CASE WHEN p_bp + i_bp > 0
+                             THEN 2*p_bp*i_bp // (p_bp + i_bp)
+                             ELSE 0 END AS BIGINT) AS purity_f_bp
             FROM met
         """,
         # fs_em_round: the shared FS CTE's per-field eq flags; matches =

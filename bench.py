@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     # round-5 session-7 ops
     "returnflag_priority", "small_qty_revenue", "idle_customers",
     "top_supplier", "dl_block_pairs", "cluster_ari", "fs_decision_zones",
+    "cluster_purity", "bracket_revenue",
 ]
 
 

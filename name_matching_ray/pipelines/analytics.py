@@ -2928,3 +2928,100 @@ def top_supplier(sf_dir: str, *, start: str = "1997-01-01",
             .sort_values("s_suppkey").reset_index(drop=True),
             preserve_index=False),
         batch_format="pandas")
+
+
+_BRACKETS = (
+    # (bracket_id, brand, size lo..hi, qty lo..hi) — the Q19 disjunct rows
+    (1, "Brand#12", 1, 5, 1, 11),
+    (2, "Brand#23", 1, 10, 10, 20),
+    (3, "Brand#34", 1, 15, 20, 30),
+)
+
+
+def bracket_revenue(sf_dir: str, *, brackets=_BRACKETS):
+    """Revenue under an OR-of-ANDs bracket predicate (TPC-H Q19 shape):
+    each bracket constrains part attributes (brand, size range) AND the
+    line's quantity range; a line counts once per bracket it satisfies.
+    Output is FIXED-shape — one row per bracket, zeros when nothing
+    qualifies: ``(bracket_id, p_brand, n_lines, revenue_c)``.
+
+    Scale plan: the part side collapses to the bracket-QUALIFYING dim
+    (partkey, bracket_id, qty bounds) in one filtered pass — the
+    disjunction is pushed into the dim build, so the join never sees a
+    non-qualifying part; lineitem pre-filters to the brackets' overall
+    quantity envelope and combines to per-(batch, partkey, qty) partials
+    before the one partkey bucket join (quantity is integral in this
+    schema, so (partkey, qty) is a true combiner key); the in-bucket
+    test is a vectorized range check and the ≤|brackets| aggregate rows
+    ride straight to the driver.  Money in integer cents (_cents law).
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    qlo = min(b[4] for b in brackets)
+    qhi = max(b[5] for b in brackets)
+    bmap = {b[1]: b for b in brackets}
+
+    def dim_part(df: pd.DataFrame) -> pa.Table:
+        rows = {"l_partkey": [], "bracket_id": [], "lo_q": [], "hi_q": []}
+        m = df[df["p_brand"].isin(bmap)]
+        for bid, brand, lo_s, hi_s, lo_q, hi_q in brackets:
+            ok = m[(m["p_brand"] == brand) & (m["p_size"] >= lo_s)
+                   & (m["p_size"] <= hi_s)]
+            rows["l_partkey"].extend(ok["p_partkey"].to_numpy(np.int64))
+            rows["bracket_id"].extend([bid] * len(ok))
+            rows["lo_q"].extend([lo_q] * len(ok))
+            rows["hi_q"].extend([hi_q] * len(ok))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    dim = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .map_batches(dim_part, batch_format="pandas")
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        q = df["l_quantity"].to_numpy()
+        df = df[(q >= qlo) & (q <= qhi)]
+        g = (pd.DataFrame({
+                "l_partkey": df["l_partkey"].to_numpy(np.int64),
+                "qty": df["l_quantity"].to_numpy().astype(np.int64),
+                "rev_c": _cents((df["l_extendedprice"] *
+                                 (1.0 - df["l_discount"])).to_numpy()),
+                "n": np.int64(1),
+             }).groupby(["l_partkey", "qty"], as_index=False)
+              .agg(rev_c=("rev_c", "sum"), n=("n", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"]).map_batches(li_part, batch_format="pandas")
+
+    j = bucket_hash_join(
+        li, dim, on="l_partkey", how="inner",
+        left_types={"l_partkey": pa.int64(), "qty": pa.int64(),
+                    "rev_c": pa.int64(), "n": pa.int64()},
+        right_types={"l_partkey": pa.int64(), "bracket_id": pa.int64(),
+                     "lo_q": pa.int64(), "hi_q": pa.int64()})
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        q = df["qty"].to_numpy(np.int64)
+        ok = df[(q >= df["lo_q"].to_numpy(np.int64))
+                & (q <= df["hi_q"].to_numpy(np.int64))]
+        g = ok.groupby("bracket_id", as_index=False).agg(
+            n_lines=("n", "sum"), revenue_c=("rev_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = j.map_batches(fold, batch_format="pandas",
+                        batch_size=None).to_pandas()
+    if len(agg):
+        agg = agg.groupby("bracket_id", as_index=False).sum()
+    hit = {int(r["bracket_id"]): (int(r["n_lines"]), int(r["revenue_c"]))
+           for _, r in agg.iterrows()}
+    return rd.from_arrow(pa.table({
+        "bracket_id": pa.array([b[0] for b in brackets], pa.int64()),
+        "p_brand": pa.array([b[1] for b in brackets], pa.string()),
+        "n_lines": pa.array([hit.get(b[0], (0, 0))[0] for b in brackets],
+                            pa.int64()),
+        "revenue_c": pa.array([hit.get(b[0], (0, 0))[1] for b in brackets],
+                              pa.int64()),
+    }))

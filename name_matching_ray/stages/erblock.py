@@ -2758,6 +2758,75 @@ def cluster_bcubed(cc_ds, docs_ds, *, id_col: str = "doc_id",
         "bcubed_f_bp": pa.array([f_bp], pa.int64())}))
 
 
+def cluster_purity(cc_ds, docs_ds, *, id_col: str = "doc_id",
+                   cluster_col: str = "cluster_id",
+                   text_col: str = "text", n_buckets: int = 128,
+                   cc_types: dict | None = None):
+    """Purity / inverse purity of an entity clustering against the
+    exact-dup fingerprint truth (Zhao & Karypis 2001) — the
+    majority-label metric beside pairwise F1, ARI and B³: purity
+    assigns each predicted cluster its modal fingerprint and scores the
+    fraction of records so explained (``Σ_c max_f n(c,f) / N``);
+    inverse purity swaps the roles (how concentrated each truth group
+    is in one cluster).  Exact integer law: the hit counts are emitted
+    raw, basis points floor (``hits·10⁴ // n``), the harmonic F floors
+    from the floored bps; an empty corpus scores 10000/10000 (the 0/0
+    convention shared with :func:`cluster_bcubed`).  Output one row
+    ``(n_docs, purity_hits, inverse_hits, purity_bp, inverse_bp,
+    purity_f_bp)``.
+
+    Scale shape: identical to B³ — the shared ``_cluster_fp_cells``
+    table, then one narrow bucket pass per margin (cluster-hash /
+    fp-hash) whose in-bucket groupby MAX is global because the margin
+    key is co-located; each bucket emits one scalar partial.  No
+    record-level table is rebuilt, and the majority label itself is
+    never materialized (the metric needs only the max count).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    cf = _cluster_fp_cells(cc_ds, docs_ds, id_col=id_col,
+                           cluster_col=cluster_col, text_col=text_col,
+                           n_buckets=n_buckets, cc_types=cc_types)
+
+    def _majority_sum(key: str):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(_mb=bucket_hash(df[key], n_buckets))
+
+        def in_bucket(g: pd.DataFrame) -> pa.Table:
+            if not len(g):
+                return pa.table({"hits": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            mx = g.groupby(key)["c"].max().to_numpy(np.int64)
+            return pa.table({
+                "hits": pa.array([int(mx.sum())], pa.int64()),
+                "n": pa.array([int(g["c"].to_numpy(np.int64).sum())],
+                              pa.int64())})
+
+        return cf.map_batches(tag, batch_format="pandas") \
+            .groupby("_mb").map_groups(in_bucket,
+                                       batch_format="pandas").to_pandas()
+
+    pur = _majority_sum(cluster_col)
+    inv = _majority_sum("fingerprint")
+    n = int(pur["n"].sum()) if len(pur) else 0
+    p_hits = int(pur["hits"].sum()) if len(pur) else 0
+    i_hits = int(inv["hits"].sum()) if len(inv) else 0
+    if n == 0:
+        p_bp = i_bp = 10000
+    else:
+        p_bp = p_hits * 10000 // n
+        i_bp = i_hits * 10000 // n
+    f_bp = 2 * p_bp * i_bp // (p_bp + i_bp) if p_bp + i_bp > 0 else 0
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "purity_hits": pa.array([p_hits], pa.int64()),
+        "inverse_hits": pa.array([i_hits], pa.int64()),
+        "purity_bp": pa.array([p_bp], pa.int64()),
+        "inverse_bp": pa.array([i_bp], pa.int64()),
+        "purity_f_bp": pa.array([f_bp], pa.int64())}))
+
+
 def pair_review_sample(docs_ds, *, rate_bp: int = 500, n: int = 3,
                        tau100: int = 10, max_df: int = 100,
                        text_col: str = "text", id_col: str = "doc_id"):

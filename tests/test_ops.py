@@ -3758,6 +3758,50 @@ def test_cluster_bcubed_record_average_law(ray_session):
     assert r["bcubed_f_bp"] == 2 * 5555 * 10000 // 15555
 
 
+def test_cluster_purity_majority_law(ray_session):
+    """Purity counts the modal fingerprint per cluster (never needs the
+    label); inverse purity swaps roles; empty corpus -> 10000s; a wrong
+    merge hurts purity but not inverse purity."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import cluster_purity
+
+    def run(cc_rows, doc_rows):
+        cc = rd.from_pandas(pd.DataFrame(cc_rows,
+                                         columns=["doc_id", "cluster_id"]))
+        docs = rd.from_pandas(pd.DataFrame(doc_rows,
+                                           columns=["doc_id", "text"]))
+        return cluster_purity(cc, docs).to_pandas().iloc[0]
+
+    # empty
+    r = run([], [])
+    assert (r["n_docs"], r["purity_bp"], r["inverse_bp"]) == (0, 10000, 10000)
+
+    # perfect clustering
+    r = run([(1, 1), (2, 1), (3, 3)],
+            [(1, "same text"), (2, "same text"), (3, "other")])
+    assert (r["purity_hits"], r["inverse_hits"]) == (3, 3)
+    assert (r["purity_bp"], r["inverse_bp"], r["purity_f_bp"]) \
+        == (10000, 10000, 10000)
+
+    # over-merge: one cluster of 3 with a 2-dup majority + 1 intruder:
+    # purity hits = max(2,1) = 2 (2/3 = 6666 bp); each fp group still
+    # concentrated in ONE cluster -> inverse hits = 2 + 1 = 3 (10000).
+    r = run([(1, 1), (2, 1), (3, 1)],
+            [(1, "same text"), (2, "same text"), (3, "other")])
+    assert (r["purity_hits"], r["inverse_hits"]) == (2, 3)
+    assert (r["purity_bp"], r["inverse_bp"]) == (6666, 10000)
+    assert r["purity_f_bp"] == 2 * 6666 * 10000 // 16666
+
+    # under-merge: the dup pair split across two clusters: purity
+    # perfect (each cluster is pure), inverse loses one record.
+    r = run([(1, 1), (2, 2), (3, 3)],
+            [(1, "same text"), (2, "same text"), (3, "other")])
+    assert (r["purity_hits"], r["inverse_hits"]) == (3, 2)
+    assert (r["purity_bp"], r["inverse_bp"]) == (10000, 6666)
+
+
 def test_pair_review_sample_deterministic_coin(ray_session):
     """The sample is the md5-low64 pair coin: rerunning (or re-ordering
     input) yields byte-identical pairs; rate 10000 keeps everything."""
@@ -4065,6 +4109,45 @@ def test_large_orders_iceberg_cross_batch_sum(ray_session, tmp_path):
         "o_orderkey": [1], "o_custkey": [10],
         "order_day": ["1997-01-02"], "totalprice_c": [123456],
         "sum_qty_c": [25000]}
+
+
+def test_bracket_revenue_disjuncts_and_fixed_shape(ray_session, tmp_path):
+    """bracket_revenue: quantity bounds are INCLUSIVE and bracket-local
+    (a line can satisfy one bracket and miss another on qty alone); a
+    part outside every size/brand bracket never joins; output keeps the
+    fixed 3-row shape with zeros for empty brackets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import bracket_revenue
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#12",
+                             "Brand#99"], pa.string()),
+        "p_size": pa.array([5, 10, 6, 1], pa.int32()),
+    }), tmp_path / "part.parquet")
+    # part 1: bracket 1 (size 5 at the inclusive edge); part 2:
+    # bracket 2; part 3: Brand#12 but size 6 > 5 (no bracket);
+    # part 4: foreign brand.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),
+        "l_quantity": pa.array([1.0, 11.0, 12.0, 10.0, 20.0, 5.0, 25.0],
+                               pa.float64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 400.0, 50.0, 50.0,
+                                     1000.0, 1000.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.5, 0.0, 0.0, 0.1, 0.0, 0.0],
+                               pa.float64()),
+    }), tmp_path / "lineitem.parquet", row_group_size=3)
+    got = bracket_revenue(str(tmp_path)).to_pandas()
+    # bracket 1: qty 1 and 11 inclusive edges (10000 + 10000 cents),
+    # qty 12 excluded; bracket 2: qty 10 and 20 edges (5000 + 4500);
+    # bracket 3: nothing (the Brand#34 row set is empty) -> zeros.
+    assert got.to_dict("list") == {
+        "bracket_id": [1, 2, 3],
+        "p_brand": ["Brand#12", "Brand#23", "Brand#34"],
+        "n_lines": [2, 2, 0],
+        "revenue_c": [20000, 9500, 0]}
 
 
 def test_returnflag_priority_null_and_cross_batch(ray_session, tmp_path):
