@@ -1226,6 +1226,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pushed into the filtered part dim, (partkey, qty) combiner,
         # one bucket join, fixed 3-row output
         "bracket_revenue": lambda sf: analytics.bracket_revenue(sf),
+        # meta-blocking with node-LOCAL pruning (WNP): an edge survives
+        # if it reaches EITHER endpoint's own mean — margins from one
+        # narrow node groupby, attached via two bucket joins
+        "meta_blocking_wnp": lambda sf: erblock.meta_blocking_wnp(
+            _read_docs(sf)),
+        # progressive (pay-as-you-go) ER: the top-k candidate pairs by
+        # CBS weight, ranked — per-batch top-k partials, bounded merge
+        "progressive_pairs": lambda sf: erblock.progressive_pairs(
+            _read_docs(sf)),
+        # multi-measure set-similarity join: Jaccard / Dice /
+        # containment bps side by side over the shared shingle
+        # candidates (containment is the loosest filter of the three)
+        "setsim_measures": lambda sf: erblock.setsim_measures(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4452,6 +4466,100 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(coalesce(j.revenue_c, 0) AS BIGINT) AS revenue_c
             FROM br LEFT JOIN j USING (bracket_id)
             ORDER BY br.bracket_id
+        """,
+        # meta_blocking_wnp: same trigram-block CBS graph as
+        # meta_blocking_pairs; node margins (deg, Σw) from the
+        # both-direction edge explode; OR of the two integer
+        # cross-multiplied node-mean tests.
+        "meta_blocking_wnp": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(lower(coalesce(text, '')),
+                                       '\S+') AS tl
+                 FROM documents),
+            dt AS (SELECT DISTINCT doc_id,
+                    tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS t
+                   FROM tok, unnest(range(1, len(tl) - 1)) AS u(i)),
+            df AS (SELECT t, COUNT(*) c FROM dt GROUP BY t),
+            keep AS (SELECT dt.doc_id, dt.t FROM dt JOIN df USING (t)
+                     WHERE df.c BETWEEN 2 AND 100),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(COUNT(*) AS BIGINT) AS w
+                  FROM keep a JOIN keep b
+                    ON a.t = b.t AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            nm AS (SELECT node, COUNT(*) AS deg,
+                          CAST(SUM(w) AS BIGINT) AS sw
+                   FROM (SELECT id_a AS node, w FROM p
+                         UNION ALL SELECT id_b, w FROM p)
+                   GROUP BY node)
+            SELECT p.id_a, p.id_b, p.w
+            FROM p JOIN nm a ON a.node = p.id_a
+                   JOIN nm b ON b.node = p.id_b
+            WHERE p.w * a.deg >= a.sw OR p.w * b.deg >= b.sw
+        """,
+        # progressive_pairs: deterministic best-first schedule — top 100
+        # CBS edges by (w DESC, id_a, id_b), 1-based rank.
+        "progressive_pairs": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(lower(coalesce(text, '')),
+                                       '\S+') AS tl
+                 FROM documents),
+            dt AS (SELECT DISTINCT doc_id,
+                    tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS t
+                   FROM tok, unnest(range(1, len(tl) - 1)) AS u(i)),
+            df AS (SELECT t, COUNT(*) c FROM dt GROUP BY t),
+            keep AS (SELECT dt.doc_id, dt.t FROM dt JOIN df USING (t)
+                     WHERE df.c BETWEEN 2 AND 100),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(COUNT(*) AS BIGINT) AS w
+                  FROM keep a JOIN keep b
+                    ON a.t = b.t AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            r AS (SELECT id_a, id_b, w,
+                         ROW_NUMBER() OVER
+                             (ORDER BY w DESC, id_a, id_b) AS rnk
+                  FROM p)
+            SELECT CAST(rnk AS BIGINT) AS rank, id_a, id_b, w
+            FROM r WHERE rnk <= 100
+        """,
+        # setsim_measures: ngram_jaccard candidate law (tau 0 — every
+        # co-occurring pair), three coefficients in floor bps, kept when
+        # containment (the pointwise max of the three) >= 5000.
+        "setsim_measures": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            pairs AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            m AS (
+                SELECT p.left_id, p.right_id,
+                       CAST(p.inter AS BIGINT) AS inter,
+                       CAST(sa.n_sh AS BIGINT) AS n_left,
+                       CAST(sb.n_sh AS BIGINT) AS n_right
+                FROM pairs p
+                JOIN sizes sa ON sa.doc_id = p.left_id
+                JOIN sizes sb ON sb.doc_id = p.right_id)
+            SELECT left_id, right_id, inter, n_left, n_right,
+                   inter*10000 // (n_left + n_right - inter) AS jaccard_bp,
+                   2*inter*10000 // (n_left + n_right) AS dice_bp,
+                   inter*10000 // least(n_left, n_right) AS containment_bp
+            FROM m
+            WHERE inter*10000 // least(n_left, n_right) >= 5000
         """,
         # cluster_purity: same closure + (cluster, fp) cells as
         # cluster_bcubed; purity = SUM of per-cluster MAX cell counts,

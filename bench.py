@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "returnflag_priority", "small_qty_revenue", "idle_customers",
     "top_supplier", "dl_block_pairs", "cluster_ari", "fs_decision_zones",
     "cluster_purity", "bracket_revenue",
+    "meta_blocking_wnp", "progressive_pairs", "setsim_measures",
 ]
 
 

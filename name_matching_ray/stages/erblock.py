@@ -3198,3 +3198,215 @@ def cluster_conflicts(cc_ds, attr_ds, *, id_col: str = "doc_id",
                              pa.int64()),
         "n_clusters": pa.array(h["n_clusters"].to_numpy(np.int64),
                                pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# meta-blocking: weighted node pruning
+# ---------------------------------------------------------------------------
+
+def meta_blocking_wnp(docs_ds, *, max_df: int = 100, n_buckets: int = 256,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Meta-blocking with CBS weights and Weighted NODE Pruning (the WNP
+    rule of Papadakis et al., TKDE 2014 — the local counterpart of
+    :func:`meta_blocking_pairs`' global mean edge pruning): each node
+    keeps the incident edges whose weight reaches ITS OWN mean, and an
+    edge survives if EITHER endpoint retains it.  Node-local thresholds
+    adapt to skew — a hub with many weak edges prunes aggressively while
+    a sparse node keeps its best edge even when it is globally weak,
+    which is exactly what the global-mean rule gets wrong.  The mean
+    tests are integer cross-multiplied (``w · deg_x >= Σw_x``) so the
+    DuckDB oracle matches exactly.  Blocks, weights and the df guard are
+    EXACTLY :func:`meta_blocking_pairs`' (shared ``_cbs_pair_graph``).
+    Output ``(id_a, id_b, w)``.
+
+    Scale shape: the CBS graph is built once (materialized — margin pass
+    + two attach joins read it); node margins ``(deg, Σw)`` come from
+    per-batch both-direction partials reduced in ONE narrow groupby over
+    node ids (two int64 columns, never the pair table); the margins
+    attach back through two bucket joins that ship only ``(id, deg,
+    sw)`` triples; the OR-test runs vectorized inside the second join's
+    buckets.  No stage materializes the corpus or the unpruned graph on
+    the driver.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .joins import bucket_hash_join
+
+    cbs = _cbs_pair_graph(docs_ds, max_df=max_df, n_buckets=n_buckets,
+                          text_col=text_col, id_col=id_col).materialize()
+
+    def margin_part(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "node": np.concatenate([a, b]).astype(np.int64),
+            "w": np.concatenate([w, w]).astype(np.int64),
+        }).groupby("node", as_index=False).agg(deg=("w", "size"),
+                                               sw=("w", "sum"))
+        return pa.table({
+            "node": pa.array(g["node"].to_numpy(np.int64), pa.int64()),
+            "deg": pa.array(g["deg"].to_numpy(np.int64), pa.int64()),
+            "sw": pa.array(g["sw"].to_numpy(np.int64), pa.int64())})
+
+    margins = cbs.map_batches(margin_part, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("deg", alias_name="deg"),
+                                   Sum("sw", alias_name="sw"))
+
+    ma = margins.map_batches(
+        lambda t: pa.table({"id_a": t.column("node"),
+                            "deg_a": t.column("deg"),
+                            "sw_a": t.column("sw")}),
+        batch_format="pyarrow")
+    mb = margins.map_batches(
+        lambda t: pa.table({"id_b": t.column("node"),
+                            "deg_b": t.column("deg"),
+                            "sw_b": t.column("sw")}),
+        batch_format="pyarrow")
+
+    cbs_t = {"id_a": pa.int64(), "id_b": pa.int64(), "w": pa.int64()}
+    j1 = bucket_hash_join(cbs, ma, on="id_a", n_buckets=n_buckets,
+                          left_types=cbs_t,
+                          right_types={"id_a": pa.int64(),
+                                       "deg_a": pa.int64(),
+                                       "sw_a": pa.int64()})
+    j2 = bucket_hash_join(j1, mb, on="id_b", n_buckets=n_buckets,
+                          left_types={**cbs_t, "deg_a": pa.int64(),
+                                      "sw_a": pa.int64()},
+                          right_types={"id_b": pa.int64(),
+                                       "deg_b": pa.int64(),
+                                       "sw_b": pa.int64()})
+
+    def prune(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        w = df["w"].to_numpy(np.int64)
+        keep = ((w * df["deg_a"].to_numpy(np.int64)
+                 >= df["sw_a"].to_numpy(np.int64))
+                | (w * df["deg_b"].to_numpy(np.int64)
+                   >= df["sw_b"].to_numpy(np.int64)))
+        out = df[keep]
+        return pa.table({
+            "id_a": pa.array(out["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(out["id_b"].to_numpy(np.int64), pa.int64()),
+            "w": pa.array(out["w"].to_numpy(np.int64), pa.int64())})
+
+    return j2.map_batches(prune, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# progressive (pay-as-you-go) resolution schedule
+# ---------------------------------------------------------------------------
+
+def progressive_pairs(docs_ds, *, k: int = 100, max_df: int = 100,
+                      n_buckets: int = 256, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Progressive-ER comparison schedule (Whang et al., ICDE 2013 /
+    Papenbrock's progressive SNM): the top-``k`` candidate pairs by
+    descending CBS weight, ranked — the order in which a budget-bound
+    matcher should spend its comparisons, best-first.  Ties break on
+    ``(id_a, id_b)`` so the schedule is deterministic.  Blocks, weights
+    and the df guard are EXACTLY :func:`meta_blocking_pairs`'
+    (shared ``_cbs_pair_graph``).  Output ``(rank, id_a, id_b, w)``
+    with rank 1..k.
+
+    Scale shape: per-batch top-``k`` partials over the combined pair
+    graph (a global top-k is always contained in the union of per-batch
+    top-k's), lexsorted on ``(-w, id_a, id_b)`` — REAL ids, not batch
+    positions (blocks aren't id-monotone after the pair shuffle); the
+    driver merge sees ≤ blocks·k rows (k is a review budget, ≤ a few
+    thousand), the only driver-side table and bounded by construction.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    cbs = _cbs_pair_graph(docs_ds, max_df=max_df, n_buckets=n_buckets,
+                          text_col=text_col, id_col=id_col)
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["id_a", "id_b", "w"])
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -w))[:k]
+        return pa.table({"id_a": pa.array(a[order], pa.int64()),
+                         "id_b": pa.array(b[order], pa.int64()),
+                         "w": pa.array(w[order], pa.int64())})
+
+    parts = cbs.map_batches(topk_part, batch_format="pyarrow").to_pandas()
+    if len(parts):
+        parts = parts.sort_values(
+            ["w", "id_a", "id_b"], ascending=[False, True, True],
+            kind="mergesort").head(k).reset_index(drop=True)
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(np.arange(1, len(parts) + 1), pa.int64()),
+        "id_a": pa.array(parts["id_a"].to_numpy(np.int64)
+                         if len(parts) else [], pa.int64()),
+        "id_b": pa.array(parts["id_b"].to_numpy(np.int64)
+                         if len(parts) else [], pa.int64()),
+        "w": pa.array(parts["w"].to_numpy(np.int64)
+                      if len(parts) else [], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# multi-measure set-similarity join
+# ---------------------------------------------------------------------------
+
+def setsim_measures(docs_ds, *, n: int = 3, tau_bp: int = 5000,
+                    max_df: int = 100, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Multi-measure set-similarity join over word ``n``-gram shingle
+    sets: for every candidate pair, the three standard set coefficients
+    side by side — Jaccard ``|∩|/|∪|``, Dice ``2|∩|/(|a|+|b|)`` and
+    containment/overlap ``|∩|/min(|a|,|b|)`` — in floor basis points.
+    Pairs are kept when the CONTAINMENT reaches ``tau_bp`` (containment
+    ≥ dice ≥ jaccard pointwise, so the filter is the loosest of the
+    three and every surviving pair carries all measures for the
+    downstream threshold choice — the measure-comparison table every ER
+    survey builds).  Candidates, ``inter`` and the df guard are EXACTLY
+    :func:`~name_matching_ray.stages.dedup.ngram_jaccard_pairs`'
+    (``tau100=0``: every co-occurring pair reaches the measure pass).
+
+    Scale shape: inherits the inverted-index + stop-shingle-cap +
+    pair-bucket pre-combine plan of ngram_jaccard_pairs; the measure
+    arithmetic is one vectorized Arrow pass per block.  Integer law:
+    bps floor via int64 ``//``; shingle counts are corpus-bounded so
+    ``inter·10⁴`` cannot overflow.
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    cand = ngram_jaccard_pairs(docs_ds, n=n, tau100=0, max_df=max_df,
+                               text_col=text_col, id_col=id_col)
+
+    def measures(t: pa.Table) -> pa.Table:
+        inter = t.column("inter").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nl = t.column("n_left").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nr = t.column("n_right").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        union = nl + nr - inter
+        mn = np.minimum(nl, nr)
+        jac = np.where(union > 0, inter * 10_000 // np.maximum(union, 1), 0)
+        dice = np.where(nl + nr > 0,
+                        2 * inter * 10_000 // np.maximum(nl + nr, 1), 0)
+        cont = np.where(mn > 0, inter * 10_000 // np.maximum(mn, 1), 0)
+        keep = cont >= tau_bp
+        return pa.table({
+            "left_id": pa.array(t.column("left_id").to_numpy(
+                zero_copy_only=False)[keep], pa.int64()),
+            "right_id": pa.array(t.column("right_id").to_numpy(
+                zero_copy_only=False)[keep], pa.int64()),
+            "inter": pa.array(inter[keep], pa.int64()),
+            "n_left": pa.array(nl[keep], pa.int64()),
+            "n_right": pa.array(nr[keep], pa.int64()),
+            "jaccard_bp": pa.array(jac[keep], pa.int64()),
+            "dice_bp": pa.array(dice[keep], pa.int64()),
+            "containment_bp": pa.array(cont[keep], pa.int64())})
+
+    return cand.map_batches(measures, batch_format="pyarrow")

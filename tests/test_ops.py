@@ -4427,3 +4427,112 @@ def test_fs_decision_zones_law_and_overlap(ray_session):
     allm = fs_decision_zones(cust, mu_bp=10_000,
                              lambda_bp=10_000).to_pandas()
     assert allm["zone"].tolist() == ["match"] * 8
+
+
+def test_meta_blocking_wnp_or_semantics(ray_session):
+    """WNP: an edge survives iff it reaches EITHER endpoint's own mean
+    (w*deg >= sum_w).  Three tight pairs each carry one heavy edge plus
+    weight-1 spokes; every node's mean exceeds 1, so ALL spokes are
+    pruned at BOTH endpoints and only the three heavy edges survive —
+    the global-mean rule would have kept none of the structure
+    node-locally.  Empty corpus -> empty graph."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import meta_blocking_wnp
+
+    def doc(bid, *blocks):
+        # per-doc unique separators keep bridging trigrams at df=1
+        toks = []
+        for i, b in enumerate(blocks):
+            if i:
+                toks.append(f"sep{bid}x{i}")
+            toks.extend(b.split())
+        return (bid, " ".join(toks))
+
+    t1, t2, t3 = "a1 a2 a3", "b1 b2 b3", "c1 c2 c3"
+    t4, t5, t6 = "d1 d2 d3", "e1 e2 e3", "f1 f2 f3"
+    t7, t8 = "g1 g2 g3", "h1 h2 h3"
+    rows = [doc(1, t1, t2, t3), doc(2, t1, t2, t3),
+            doc(3, t3, t7, t8), doc(4, t3, t7, t8),
+            doc(5, t3, t4, t5, t6), doc(6, t3, t4, t5, t6)]
+    docs = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = meta_blocking_wnp(docs).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "id_a": [1, 3, 5], "id_b": [2, 4, 6], "w": [3, 3, 4]}
+
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                         "text": pd.Series([], dtype="object")}))
+    assert len(meta_blocking_wnp(empty).to_pandas()) == 0
+
+
+def test_progressive_pairs_rank_and_budget(ray_session):
+    """progressive_pairs: best-first schedule ordered (w DESC, id_a,
+    id_b) with 1-based rank, truncated at the k budget; ties break on
+    the REAL pair ids."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import progressive_pairs
+
+    def doc(bid, *blocks):
+        toks = []
+        for i, b in enumerate(blocks):
+            if i:
+                toks.append(f"sep{bid}x{i}")
+            toks.extend(b.split())
+        return (bid, " ".join(toks))
+
+    t1, t2, t3 = "a1 a2 a3", "b1 b2 b3", "c1 c2 c3"
+    t4, t5, t6 = "d1 d2 d3", "e1 e2 e3", "f1 f2 f3"
+    t7, t8 = "g1 g2 g3", "h1 h2 h3"
+    rows = [doc(1, t1, t2, t3), doc(2, t1, t2, t3),
+            doc(3, t3, t7, t8), doc(4, t3, t7, t8),
+            doc(5, t3, t4, t5, t6), doc(6, t3, t4, t5, t6)]
+    docs = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = progressive_pairs(docs, k=3).to_pandas()
+    # (5,6) w=4 first; the two w=3 edges tie -> id order (1,2) < (3,4)
+    assert got.to_dict("list") == {
+        "rank": [1, 2, 3], "id_a": [5, 1, 3], "id_b": [6, 2, 4],
+        "w": [4, 3, 3]}
+    # k smaller than the edge count truncates, rank stays 1-based dense
+    got1 = progressive_pairs(docs, k=1).to_pandas()
+    assert got1.to_dict("list") == {
+        "rank": [1], "id_a": [5], "id_b": [6], "w": [4]}
+
+
+def test_setsim_measures_three_coefficients(ray_session):
+    """setsim: floor-bp Jaccard/Dice/containment agree with hand math;
+    the containment filter is the loosest (a pair at containment exactly
+    tau survives with jaccard far below); a pair under tau on
+    containment is dropped even though it shares a shingle."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import setsim_measures
+
+    rows = [
+        (1, "w1 w2 w3 w4"),            # shingles {w1w2w3, w2w3w4}  n=2
+        (2, "w1 w2 w3 w4"),            # identical                  n=2
+        (3, "w1 w2 w3 z1 z2"),         # {w1w2w3, w2w3z1, w3z1z2}   n=3
+        (4, "w1 w2 w3 y1 y2 y3 y4"),   # 5 shingles, one shared     n=5
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = setsim_measures(docs).to_pandas() \
+        .sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    # (3,4): inter=1, min=3 -> containment 3333 < 5000 -> dropped.
+    assert list(zip(got["left_id"], got["right_id"])) \
+        == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    r12 = got.iloc[0]
+    assert (r12["inter"], r12["n_left"], r12["n_right"]) == (2, 2, 2)
+    assert (r12["jaccard_bp"], r12["dice_bp"], r12["containment_bp"]) \
+        == (10000, 10000, 10000)
+    r13 = got.iloc[1]
+    # inter=1 union=4 -> jac 2500; dice 2*1e4//5 = 4000; cont 1e4//2 = 5000
+    assert (r13["jaccard_bp"], r13["dice_bp"], r13["containment_bp"]) \
+        == (2500, 4000, 5000)
+    r14 = got.iloc[2]
+    # inter=1, n 2 vs 5: jac 1e4//6 = 1666, dice 2e4//7 = 2857, cont 5000
+    assert (r14["jaccard_bp"], r14["dice_bp"], r14["containment_bp"]) \
+        == (1666, 2857, 5000)
