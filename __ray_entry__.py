@@ -1240,6 +1240,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidates (containment is the loosest filter of the three)
         "setsim_measures": lambda sf: erblock.setsim_measures(
             _read_docs(sf)),
+        # TPC-H Q5 shape: same-nation customer/supplier revenue within
+        # a region — driver dim keyset, per-side combiners, 3 bucket
+        # joins (custkey/suppkey/orderkey), dim-bounded driver merge
+        "local_supplier_volume": lambda sf:
+            analytics.local_supplier_volume(sf),
+        # TPC-H Q7 shape: bilateral shipping volume by year — shares the
+        # Q5 orders-side builder; cross-nation mask in the final buckets
+        "nation_trade_volume": lambda sf:
+            analytics.nation_trade_volume(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4560,6 +4569,47 @@ def _oracle_sql_base() -> dict[str, str]:
                    inter*10000 // least(n_left, n_right) AS containment_bp
             FROM m
             WHERE inter*10000 // least(n_left, n_right) >= 5000
+        """,
+        # local_supplier_volume: Q5 — per-line cents floor before the
+        # sum (_cents law); customer and supplier share the nation.
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM customer c, orders o, lineitem l, supplier s,
+                 nation n, region r
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+              AND s.s_nationkey = n.n_nationkey
+              AND n.n_regionkey = r.r_regionkey
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        # nation_trade_volume: Q7 — both directed nation pairs, year of
+        # the SHIPDATE, per-line cents floor before the sum.
+        "nation_trade_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM supplier s, lineitem l, orders o, customer c,
+                 nation ns, nation nc
+            WHERE s.s_suppkey = l.l_suppkey
+              AND o.o_orderkey = l.l_orderkey
+              AND c.c_custkey = o.o_custkey
+              AND s.s_nationkey = ns.n_nationkey
+              AND c.c_nationkey = nc.n_nationkey
+              AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
         """,
         # cluster_purity: same closure + (cluster, fp) cells as
         # cluster_bcubed; purity = SUM of per-cluster MAX cell counts,

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "top_supplier", "dl_block_pairs", "cluster_ari", "fs_decision_zones",
     "cluster_purity", "bracket_revenue",
     "meta_blocking_wnp", "progressive_pairs", "setsim_measures",
+    "local_supplier_volume", "nation_trade_volume",
 ]
 
 

@@ -3025,3 +3025,264 @@ def bracket_revenue(sf_dir: str, *, brackets=_BRACKETS):
         "revenue_c": pa.array([hit.get(b[0], (0, 0))[1] for b in brackets],
                               pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 / Q7 shapes: nation-keyed multi-join volume rollups
+# ---------------------------------------------------------------------------
+
+def _order_cust_nation(sf_dir: str, *, nation_keys, start=None, end=None,
+                       n_buckets: int = 64):
+    """Shared Q5/Q7 orders-side builder: ``(o_orderkey, c_nationkey)``
+    for orders whose customer sits in ``nation_keys`` (and, optionally,
+    whose orderdate falls in ``[start, end)``).  One custkey bucket
+    join; both inputs arrive pre-filtered and column-pruned, so the
+    shuffle ships two int64 columns per side."""
+    from ..stages.joins import bucket_hash_join
+
+    keys = frozenset(int(k) for k in nation_keys)
+    lo = np.datetime64(start) if start else None
+    hi = np.datetime64(end) if end else None
+
+    def ord_part(df: pd.DataFrame) -> pa.Table:
+        if lo is not None:
+            d = df["o_orderdate"].to_numpy()
+            df = df[(d >= lo) & (d < hi)]
+        return pa.table({
+            "c_custkey": pa.array(df["o_custkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64),
+                                   pa.int64())})
+
+    cols = ["o_orderkey", "o_custkey"] + \
+        (["o_orderdate"] if lo is not None else [])
+    ords = _read(sf_dir, "orders", cols) \
+        .map_batches(ord_part, batch_format="pandas")
+
+    def cust_part(df: pd.DataFrame) -> pa.Table:
+        df = df[df["c_nationkey"].isin(keys)]
+        return pa.table({
+            "c_custkey": pa.array(df["c_custkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "c_nationkey": pa.array(df["c_nationkey"].to_numpy(np.int64),
+                                    pa.int64())})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_part, batch_format="pandas")
+
+    return bucket_hash_join(
+        ords, cust, on="c_custkey", how="inner", n_buckets=n_buckets,
+        left_types={"c_custkey": pa.int64(), "o_orderkey": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "c_nationkey": pa.int64()})
+
+
+def local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
+                          start: str = "1996-01-01",
+                          end: str = "1997-01-01", n_buckets: int = 64):
+    """Revenue served by LOCAL suppliers per nation of one region (TPC-H
+    Q5 shape): lineitem ⋈ orders ⋈ customer ⋈ supplier where the
+    customer's and the supplier's nation are the SAME nation of
+    ``region`` and the order falls in ``[start, end)``.  Output
+    ``(n_name, revenue_c)`` — integer cents (the ``_cents`` law).
+
+    Scale plan: nation⋈region collapses to a driver-side key set (30
+    rows — the classic broadcast dim); both fact sides arrive
+    pre-filtered and pre-combined — lineitem folds to (orderkey,
+    suppkey) revenue partials in map_batches, the supplier join
+    re-folds to (orderkey, supplier-nation) INSIDE its buckets
+    (batch_size=None keeps blocks whole), the orders⋈customer side
+    ships (orderkey, cust-nation) pairs only — so the final orderkey
+    join is partials-vs-pairs, the same-nation test is a vectorized
+    in-bucket mask, and only ≤|nations| partial rows per block reach
+    the driver.  Three bucket joins total (custkey, suppkey, orderkey),
+    each on pruned int64 columns; no dim is ever shuffled.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rks = set(reg[reg["r_name"] == region]["r_regionkey"])
+    local = nat[nat["n_regionkey"].isin(rks)]
+    keys = frozenset(int(k) for k in local["n_nationkey"])
+    nmap = dict(zip(local["n_nationkey"].astype(int),
+                    local["n_name"].astype(str)))
+
+    oc = _order_cust_nation(sf_dir, nation_keys=keys, start=start, end=end,
+                            n_buckets=n_buckets)
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({
+                "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "rev_c": _cents((df["l_extendedprice"] *
+                                 (1.0 - df["l_discount"])).to_numpy()),
+             }).groupby(["s_suppkey", "o_orderkey"], as_index=False)
+              ["rev_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(li_part, batch_format="pandas")
+
+    def supp_part(df: pd.DataFrame) -> pa.Table:
+        df = df[df["s_nationkey"].isin(keys)]
+        return pa.table({
+            "s_suppkey": pa.array(df["s_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "s_nationkey": pa.array(df["s_nationkey"].to_numpy(np.int64),
+                                    pa.int64())})
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(supp_part, batch_format="pandas")
+
+    ls = bucket_hash_join(
+        li, supp, on="s_suppkey", how="inner", n_buckets=n_buckets,
+        left_types={"s_suppkey": pa.int64(), "o_orderkey": pa.int64(),
+                    "rev_c": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_nationkey": pa.int64()})
+
+    def fold_orderkey(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["o_orderkey", "s_nationkey"], as_index=False)[
+            "rev_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_ord = ls.map_batches(fold_orderkey, batch_format="pandas",
+                             batch_size=None)
+
+    j = bucket_hash_join(
+        per_ord, oc, on="o_orderkey", how="inner", n_buckets=n_buckets,
+        left_types={"o_orderkey": pa.int64(), "s_nationkey": pa.int64(),
+                    "rev_c": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "c_custkey": pa.int64(),
+                     "c_nationkey": pa.int64()})
+
+    def nation_partial(df: pd.DataFrame) -> pa.Table:
+        ok = df[df["s_nationkey"].to_numpy(np.int64)
+                == df["c_nationkey"].to_numpy(np.int64)]
+        g = ok.groupby("s_nationkey", as_index=False)["rev_c"].sum()
+        return pa.table({
+            "nk": pa.array(g["s_nationkey"].to_numpy(np.int64), pa.int64()),
+            "rev_c": pa.array(g["rev_c"].to_numpy(np.int64), pa.int64())})
+
+    # ≤ |nations| rows per block — the driver merge is dim-bounded
+    parts = j.map_batches(nation_partial, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    if len(parts):
+        parts = parts.groupby("nk", as_index=False)["rev_c"].sum()
+    return rd.from_arrow(pa.table({
+        "n_name": pa.array([nmap[int(k)] for k in parts["nk"]]
+                           if len(parts) else [], pa.string()),
+        "revenue_c": pa.array(parts["rev_c"].to_numpy(np.int64)
+                              if len(parts) else [], pa.int64())}))
+
+
+def nation_trade_volume(sf_dir: str, *, nation_a: str = "NATION_1",
+                        nation_b: str = "NATION_2",
+                        start: str = "1996-01-01", end: str = "1998-01-01",
+                        n_buckets: int = 64):
+    """Bilateral shipping volume between two nations by year (TPC-H Q7
+    shape): lines shipped in ``[start, end)`` where the supplier sits in
+    one of the two nations and the ordering customer in the OTHER,
+    summed per ``(supp_nation, cust_nation, year)`` — both directions
+    reported.  Output ``(supp_nation, cust_nation, l_year, revenue_c)``.
+
+    Scale plan: shares :func:`_order_cust_nation` with Q5 (orders ship
+    (orderkey, cust-nation) pairs only, customers pre-filtered to the
+    two nations); lineitem folds to (orderkey, suppkey, year) revenue
+    partials after the shipdate filter, the supplier join re-folds to
+    (orderkey, supp-nation, year) in-bucket, and the final orderkey
+    join applies the cross-nation mask vectorized — ≤ 2·|years| partial
+    rows per block reach the driver.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    kmap = dict(zip(nat["n_name"].astype(str),
+                    nat["n_nationkey"].astype(int)))
+    ka, kb = kmap[nation_a], kmap[nation_b]
+    nmap = {ka: nation_a, kb: nation_b}
+    keys = frozenset((ka, kb))
+
+    oc = _order_cust_nation(sf_dir, nation_keys=keys, n_buckets=n_buckets)
+
+    lo, hi = np.datetime64(start), np.datetime64(end)
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        d = df["l_shipdate"].to_numpy()
+        df = df[(d >= lo) & (d < hi)]
+        g = (pd.DataFrame({
+                "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "l_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
+                "rev_c": _cents((df["l_extendedprice"] *
+                                 (1.0 - df["l_discount"])).to_numpy()),
+             }).groupby(["s_suppkey", "o_orderkey", "l_year"],
+                        as_index=False)["rev_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(li_part, batch_format="pandas")
+
+    def supp_part(df: pd.DataFrame) -> pa.Table:
+        df = df[df["s_nationkey"].isin(keys)]
+        return pa.table({
+            "s_suppkey": pa.array(df["s_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "s_nationkey": pa.array(df["s_nationkey"].to_numpy(np.int64),
+                                    pa.int64())})
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(supp_part, batch_format="pandas")
+
+    ls = bucket_hash_join(
+        li, supp, on="s_suppkey", how="inner", n_buckets=n_buckets,
+        left_types={"s_suppkey": pa.int64(), "o_orderkey": pa.int64(),
+                    "l_year": pa.int64(), "rev_c": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_nationkey": pa.int64()})
+
+    def fold_orderkey(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["o_orderkey", "s_nationkey", "l_year"],
+                       as_index=False)["rev_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_ord = ls.map_batches(fold_orderkey, batch_format="pandas",
+                             batch_size=None)
+
+    j = bucket_hash_join(
+        per_ord, oc, on="o_orderkey", how="inner", n_buckets=n_buckets,
+        left_types={"o_orderkey": pa.int64(), "s_nationkey": pa.int64(),
+                    "l_year": pa.int64(), "rev_c": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "c_custkey": pa.int64(),
+                     "c_nationkey": pa.int64()})
+
+    def trade_partial(df: pd.DataFrame) -> pa.Table:
+        s = df["s_nationkey"].to_numpy(np.int64)
+        c = df["c_nationkey"].to_numpy(np.int64)
+        ok = df[((s == ka) & (c == kb)) | ((s == kb) & (c == ka))]
+        g = ok.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                       as_index=False)["rev_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = j.map_batches(trade_partial, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    if len(parts):
+        parts = parts.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                              as_index=False)["rev_c"].sum()
+    return rd.from_arrow(pa.table({
+        "supp_nation": pa.array([nmap[int(k)] for k in
+                                 parts["s_nationkey"]]
+                                if len(parts) else [], pa.string()),
+        "cust_nation": pa.array([nmap[int(k)] for k in
+                                 parts["c_nationkey"]]
+                                if len(parts) else [], pa.string()),
+        "l_year": pa.array(parts["l_year"].to_numpy(np.int64)
+                           if len(parts) else [], pa.int64()),
+        "revenue_c": pa.array(parts["rev_c"].to_numpy(np.int64)
+                              if len(parts) else [], pa.int64())}))

@@ -4536,3 +4536,87 @@ def test_setsim_measures_three_coefficients(ray_session):
     # inter=1, n 2 vs 5: jac 1e4//6 = 1666, dice 2e4//7 = 2857, cont 5000
     assert (r14["jaccard_bp"], r14["dice_bp"], r14["containment_bp"]) \
         == (1666, 2857, 5000)
+
+
+def _q5q7_fixture(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+    }), tmp_path / "region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2, 3], pa.int64()),
+        "n_name": pa.array(["NATION_1", "NATION_2", "NATION_3"],
+                           pa.string()),
+        "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20, 30], pa.int64()),
+        "c_nationkey": pa.array([1, 2, 3], pa.int64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([100, 200, 300], pa.int64()),
+        "s_nationkey": pa.array([1, 2, 3], pa.int64()),
+    }), tmp_path / "supplier.parquet")
+    import numpy as np
+    d = lambda s: np.datetime64(s, "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1000, 1001, 1002, 1003], pa.int64()),
+        "o_custkey": pa.array([10, 10, 20, 30], pa.int64()),
+        "o_orderdate": pa.array([d("1996-01-01"), d("1997-01-01"),
+                                 d("1996-06-01"), d("1996-06-01")],
+                                pa.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    # lines: (orderkey, suppkey, shipdate, price, disc)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1000, 1000, 1001, 1002, 1003],
+                               pa.int64()),
+        "l_suppkey": pa.array([100, 200, 100, 100, 300], pa.int64()),
+        "l_shipdate": pa.array([d("1996-02-01"), d("1996-02-01"),
+                                d("1997-02-01"), d("1996-07-01"),
+                                d("1996-07-01")], pa.timestamp("us")),
+        "l_extendedprice": pa.array([100.005, 50.0, 70.0, 80.0, 90.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.1, 0.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet", row_group_size=2)
+
+
+def test_local_supplier_volume_same_nation_and_dates(ray_session,
+                                                     tmp_path):
+    """Q5: only lines whose customer AND supplier share a nation of the
+    region count; the order date window is [start, end) — the 1996-01-01
+    edge is IN, 1997-01-01 is OUT; cents floor per line (100.005 ->
+    10001); the cross-nation line on a qualifying order is excluded."""
+    from name_matching_ray.pipelines.analytics import local_supplier_volume
+
+    _q5q7_fixture(tmp_path)
+    got = local_supplier_volume(str(tmp_path)).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+    # order 1000 (cust n1, 1996-01-01 IN): line supp100 (n1, same) ->
+    # 10001c; line supp200 (n2, cross) -> excluded.  order 1001
+    # (1997-01-01) -> date OUT.  order 1002 (cust n2, supp100 n1) ->
+    # cross.  order 1003 (cust n3 = EUROPE) -> region OUT.
+    assert got.to_dict("list") == {"n_name": ["NATION_1"],
+                                   "revenue_c": [10001]}
+
+
+def test_nation_trade_volume_directions_and_year(ray_session, tmp_path):
+    """Q7: the two directions are separate rows; the SHIPDATE picks the
+    year and the [start, end) window; same-nation lines never count."""
+    from name_matching_ray.pipelines.analytics import nation_trade_volume
+
+    _q5q7_fixture(tmp_path)
+    got = nation_trade_volume(str(tmp_path)).to_pandas() \
+        .sort_values(["supp_nation", "l_year"]).reset_index(drop=True)
+    # supp n2 -> cust n1: order 1000 line supp200 ship 1996 (5000c).
+    # supp n1 -> cust n1 (line supp100 order 1000): same nation, out.
+    # order 1001 line supp100 (n1) cust n1: same nation, out.
+    # order 1002 (cust n2) line supp100 (n1) ship 1996: n1->n2 7200c.
+    # order 1003: cust n3 not in the pair, out.
+    assert got.to_dict("list") == {
+        "supp_nation": ["NATION_1", "NATION_2"],
+        "cust_nation": ["NATION_2", "NATION_1"],
+        "l_year": [1996, 1996],
+        "revenue_c": [7200, 5000]}
