@@ -1249,6 +1249,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q5 orders-side builder; cross-nation mask in the final buckets
         "nation_trade_volume": lambda sf:
             analytics.nation_trade_volume(sf),
+        # TPC-H Q8 shape: one nation's supply share among a region's
+        # type-filtered revenue, per year — two sums one bp ratio;
+        # shared part-filter/supplier and orders-side builders
+        "market_share": lambda sf: analytics.market_share(sf),
+        # TPC-H Q9 shape (sans partsupp): profit by supplier nation ×
+        # order year for substring-named parts — partkey semi-filter
+        # bucket join, year attach folds in the orderkey buckets
+        "product_profit": lambda sf: analytics.product_profit(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4610,6 +4618,55 @@ def _oracle_sql_base() -> dict[str, str]:
               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY 1, 2, 3
+        """,
+        # market_share: Q8 — supplier nation unrestricted, customer in
+        # the region, part type exact; share in floor bps of cents.
+        "market_share": """
+            WITH q AS (
+                SELECT year(o.o_orderdate) AS o_year,
+                       CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100 + 0.5) AS BIGINT) AS rev_c,
+                       s.s_nationkey
+                FROM lineitem l, part p, supplier s, orders o,
+                     customer c, nation n, region r
+                WHERE p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+                  AND s.s_suppkey = l.l_suppkey
+                  AND o.o_orderkey = l.l_orderkey
+                  AND c.c_custkey = o.o_custkey
+                  AND c.c_nationkey = n.n_nationkey
+                  AND n.n_regionkey = r.r_regionkey
+                  AND r.r_name = 'ASIA'
+                  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1997-01-01'),
+            t AS (
+                SELECT o_year, SUM(rev_c) AS total_c,
+                       SUM(CASE WHEN s_nationkey =
+                               (SELECT n_nationkey FROM nation
+                                WHERE n_name = 'NATION_1')
+                           THEN rev_c ELSE 0 END) AS nation_c
+                FROM q GROUP BY o_year)
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   CAST(total_c AS BIGINT) AS total_c,
+                   CAST(nation_c AS BIGINT) AS nation_c,
+                   CAST(nation_c * 10000 // total_c AS BIGINT) AS share_bp
+            FROM t
+        """,
+        # product_profit: Q9 sans partsupp — substring part-name filter
+        # (LIKE with NULL name drops the row, matching the fillna('')
+        # mask), order YEAR, per-line cents floor.
+        "product_profit": """
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS profit_c
+            FROM lineitem l, part p, supplier s, orders o, nation n
+            WHERE p.p_partkey = l.l_partkey
+              AND p.p_name LIKE '%red%'
+              AND s.s_suppkey = l.l_suppkey
+              AND o.o_orderkey = l.l_orderkey
+              AND n.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2
         """,
         # cluster_purity: same closure + (cluster, fp) cells as
         # cluster_bcubed; purity = SUM of per-cluster MAX cell counts,

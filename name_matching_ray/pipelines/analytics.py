@@ -3032,12 +3032,13 @@ def bracket_revenue(sf_dir: str, *, brackets=_BRACKETS):
 # ---------------------------------------------------------------------------
 
 def _order_cust_nation(sf_dir: str, *, nation_keys, start=None, end=None,
-                       n_buckets: int = 64):
-    """Shared Q5/Q7 orders-side builder: ``(o_orderkey, c_nationkey)``
-    for orders whose customer sits in ``nation_keys`` (and, optionally,
-    whose orderdate falls in ``[start, end)``).  One custkey bucket
-    join; both inputs arrive pre-filtered and column-pruned, so the
-    shuffle ships two int64 columns per side."""
+                       with_year: bool = False, n_buckets: int = 64):
+    """Shared Q5/Q7/Q8 orders-side builder: ``(o_orderkey,
+    c_nationkey[, o_year])`` for orders whose customer sits in
+    ``nation_keys`` (and, optionally, whose orderdate falls in
+    ``[start, end)``).  One custkey bucket join; both inputs arrive
+    pre-filtered and column-pruned, so the shuffle ships two or three
+    int64 columns per side."""
     from ..stages.joins import bucket_hash_join
 
     keys = frozenset(int(k) for k in nation_keys)
@@ -3048,14 +3049,18 @@ def _order_cust_nation(sf_dir: str, *, nation_keys, start=None, end=None,
         if lo is not None:
             d = df["o_orderdate"].to_numpy()
             df = df[(d >= lo) & (d < hi)]
-        return pa.table({
+        cols = {
             "c_custkey": pa.array(df["o_custkey"].to_numpy(np.int64),
                                   pa.int64()),
             "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64),
-                                   pa.int64())})
+                                   pa.int64())}
+        if with_year:
+            cols["o_year"] = pa.array(
+                df["o_orderdate"].dt.year.to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
 
     cols = ["o_orderkey", "o_custkey"] + \
-        (["o_orderdate"] if lo is not None else [])
+        (["o_orderdate"] if lo is not None or with_year else [])
     ords = _read(sf_dir, "orders", cols) \
         .map_batches(ord_part, batch_format="pandas")
 
@@ -3070,9 +3075,12 @@ def _order_cust_nation(sf_dir: str, *, nation_keys, start=None, end=None,
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
         .map_batches(cust_part, batch_format="pandas")
 
+    lt = {"c_custkey": pa.int64(), "o_orderkey": pa.int64()}
+    if with_year:
+        lt["o_year"] = pa.int64()
     return bucket_hash_join(
         ords, cust, on="c_custkey", how="inner", n_buckets=n_buckets,
-        left_types={"c_custkey": pa.int64(), "o_orderkey": pa.int64()},
+        left_types=lt,
         right_types={"c_custkey": pa.int64(), "c_nationkey": pa.int64()})
 
 
@@ -3286,3 +3294,208 @@ def nation_trade_volume(sf_dir: str, *, nation_a: str = "NATION_1",
                            if len(parts) else [], pa.int64()),
         "revenue_c": pa.array(parts["rev_c"].to_numpy(np.int64)
                               if len(parts) else [], pa.int64())}))
+
+
+def _line_part_supp_rev(sf_dir: str, *, part_mask_fn, part_cols,
+                        n_buckets: int = 64):
+    """Shared Q8/Q9 lineitem-side builder: lines restricted to parts
+    passing ``part_mask_fn`` (a vectorized pandas predicate over
+    ``part_cols``), folded to per-(orderkey, supplier-NATION[, extras])
+    revenue partials.  Two bucket joins (partkey semi-filter, suppkey
+    attach), each fed combiner-compacted int64 columns; the part dim is
+    never broadcast — at warehouse scale the qualifying partkey set is
+    itself large, so the semi-filter is an honest bucketed join."""
+    from ..stages.joins import bucket_hash_join
+
+    def part_dim(df: pd.DataFrame) -> pa.Table:
+        ok = df[part_mask_fn(df)]
+        return pa.table({"l_partkey": pa.array(
+            ok["p_partkey"].to_numpy(np.int64), pa.int64())})
+
+    part_f = _read(sf_dir, "part", ["p_partkey"] + list(part_cols)) \
+        .map_batches(part_dim, batch_format="pandas")
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({
+                "l_partkey": df["l_partkey"].to_numpy(np.int64),
+                "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "rev_c": _cents((df["l_extendedprice"] *
+                                 (1.0 - df["l_discount"])).to_numpy()),
+             }).groupby(["l_partkey", "s_suppkey", "o_orderkey"],
+                        as_index=False)["rev_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]) \
+        .map_batches(li_part, batch_format="pandas")
+
+    lp = bucket_hash_join(
+        li, part_f, on="l_partkey", how="inner", n_buckets=n_buckets,
+        left_types={"l_partkey": pa.int64(), "s_suppkey": pa.int64(),
+                    "o_orderkey": pa.int64(), "rev_c": pa.int64()},
+        right_types={"l_partkey": pa.int64()})
+
+    # re-fold inside the partkey buckets: partkey has served its filter
+    # purpose, drop it so the suppkey join ships (suppkey, orderkey)
+    def fold_supp(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["s_suppkey", "o_orderkey"], as_index=False)[
+            "rev_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    lps = lp.map_batches(fold_supp, batch_format="pandas",
+                         batch_size=None)
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda df: pa.table({
+            "s_suppkey": pa.array(df["s_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "s_nationkey": pa.array(df["s_nationkey"].to_numpy(np.int64),
+                                    pa.int64())}), batch_format="pandas")
+
+    ls = bucket_hash_join(
+        lps, supp, on="s_suppkey", how="inner", n_buckets=n_buckets,
+        left_types={"s_suppkey": pa.int64(), "o_orderkey": pa.int64(),
+                    "rev_c": pa.int64()},
+        right_types={"s_suppkey": pa.int64(), "s_nationkey": pa.int64()})
+
+    def fold_ord(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["o_orderkey", "s_nationkey"], as_index=False)[
+            "rev_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ls.map_batches(fold_ord, batch_format="pandas",
+                          batch_size=None)
+
+
+def market_share(sf_dir: str, *, nation: str = "NATION_1",
+                 region: str = "ASIA", p_type: str = "ECONOMY",
+                 start: str = "1995-01-01", end: str = "1997-01-01",
+                 n_buckets: int = 64):
+    """Market share of one supplying nation (TPC-H Q8 shape): among
+    lines of part type ``p_type`` ordered by ``region`` customers in
+    ``[start, end)``, the share supplied by ``nation``, per order year.
+    Output ``(o_year, total_c, nation_c, share_bp)`` — the share in
+    floor basis points of integer cents (the two-sums-one-ratio law).
+
+    Scale plan: lineitem folds through the shared partkey-filter +
+    suppkey-attach builder (:func:`_line_part_supp_rev` — combiners
+    before every shuffle); the orders side is the shared Q5 builder
+    carrying the order YEAR; the final orderkey join reduces to
+    per-year (total, nation) partial sums in-bucket, so the driver
+    merge is |years| rows and the bp division happens once there.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rks = set(reg[reg["r_name"] == region]["r_regionkey"])
+    keys = frozenset(int(k) for k in
+                     nat[nat["n_regionkey"].isin(rks)]["n_nationkey"])
+    nk = int(nat[nat["n_name"] == nation]["n_nationkey"].iloc[0])
+
+    per_ord = _line_part_supp_rev(
+        sf_dir, part_mask_fn=lambda df: df["p_type"].astype(str) == p_type,
+        part_cols=["p_type"], n_buckets=n_buckets)
+
+    oc = _order_cust_nation(sf_dir, nation_keys=keys, start=start, end=end,
+                            with_year=True, n_buckets=n_buckets)
+
+    j = bucket_hash_join(
+        per_ord, oc, on="o_orderkey", how="inner", n_buckets=n_buckets,
+        left_types={"o_orderkey": pa.int64(), "s_nationkey": pa.int64(),
+                    "rev_c": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "c_custkey": pa.int64(),
+                     "c_nationkey": pa.int64(), "o_year": pa.int64()})
+
+    def year_partial(df: pd.DataFrame) -> pa.Table:
+        rev = df["rev_c"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "o_year": df["o_year"].to_numpy(np.int64),
+            "total_c": rev,
+            "nation_c": np.where(
+                df["s_nationkey"].to_numpy(np.int64) == nk, rev, 0),
+        }).groupby("o_year", as_index=False)[["total_c", "nation_c"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = j.map_batches(year_partial, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    if len(parts):
+        parts = parts.groupby("o_year", as_index=False)[
+            ["total_c", "nation_c"]].sum().sort_values("o_year")
+    tot = parts["total_c"].to_numpy(np.int64) if len(parts) else \
+        np.array([], np.int64)
+    natc = parts["nation_c"].to_numpy(np.int64) if len(parts) else \
+        np.array([], np.int64)
+    return rd.from_arrow(pa.table({
+        "o_year": pa.array(parts["o_year"].to_numpy(np.int64)
+                           if len(parts) else [], pa.int64()),
+        "total_c": pa.array(tot, pa.int64()),
+        "nation_c": pa.array(natc, pa.int64()),
+        "share_bp": pa.array(natc * 10_000 // np.maximum(tot, 1),
+                             pa.int64())}))
+
+
+def product_profit(sf_dir: str, *, name_substr: str = "red",
+                   n_buckets: int = 64):
+    """Profit contribution by supplier nation and order year for parts
+    whose name contains ``name_substr`` (TPC-H Q9 shape, minus the
+    partsupp cost leg this schema doesn't carry).  Output
+    ``(n_name, o_year, profit_c)``.
+
+    Scale plan: the shared partkey-filter + suppkey-attach builder
+    compacts lineitem to (orderkey, supplier-nation) partials; the
+    orders join only attaches the year (orderkey co-location folds the
+    partials first); per-(nation, year) rows per block are dim-bounded,
+    so the driver merge is |nations|·|years| and nation names come from
+    the 25-row broadcast map.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int),
+                    nat["n_name"].astype(str)))
+
+    per_ord = _line_part_supp_rev(
+        sf_dir,
+        part_mask_fn=lambda df: df["p_name"].fillna("").astype(str)
+            .str.contains(name_substr, regex=False),
+        part_cols=["p_name"], n_buckets=n_buckets)
+
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda df: pa.table({
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "o_year": pa.array(df["o_orderdate"].dt.year
+                               .to_numpy(np.int64), pa.int64())}),
+            batch_format="pandas")
+
+    j = bucket_hash_join(
+        per_ord, ords, on="o_orderkey", how="inner", n_buckets=n_buckets,
+        left_types={"o_orderkey": pa.int64(), "s_nationkey": pa.int64(),
+                    "rev_c": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "o_year": pa.int64()})
+
+    def ny_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["s_nationkey", "o_year"], as_index=False)[
+            "rev_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = j.map_batches(ny_partial, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    if len(parts):
+        parts = parts.groupby(["s_nationkey", "o_year"],
+                              as_index=False)["rev_c"].sum()
+    return rd.from_arrow(pa.table({
+        "n_name": pa.array([nmap[int(k)] for k in parts["s_nationkey"]]
+                           if len(parts) else [], pa.string()),
+        "o_year": pa.array(parts["o_year"].to_numpy(np.int64)
+                           if len(parts) else [], pa.int64()),
+        "profit_c": pa.array(parts["rev_c"].to_numpy(np.int64)
+                             if len(parts) else [], pa.int64())}))

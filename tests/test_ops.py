@@ -4569,10 +4569,16 @@ def _q5q7_fixture(tmp_path):
                                  d("1996-06-01"), d("1996-06-01")],
                                 pa.timestamp("us")),
     }), tmp_path / "orders.parquet")
-    # lines: (orderkey, suppkey, shipdate, price, disc)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([7, 8, 9], pa.int64()),
+        "p_name": pa.array(["red widget", "blue bolt", None], pa.string()),
+        "p_type": pa.array(["ECONOMY", "SMALL", "ECONOMY"], pa.string()),
+    }), tmp_path / "part.parquet")
+    # lines: (orderkey, partkey, suppkey, shipdate, price, disc)
     pq.write_table(pa.table({
         "l_orderkey": pa.array([1000, 1000, 1001, 1002, 1003],
                                pa.int64()),
+        "l_partkey": pa.array([7, 8, 7, 9, 7], pa.int64()),
         "l_suppkey": pa.array([100, 200, 100, 100, 300], pa.int64()),
         "l_shipdate": pa.array([d("1996-02-01"), d("1996-02-01"),
                                 d("1997-02-01"), d("1996-07-01"),
@@ -4620,3 +4626,41 @@ def test_nation_trade_volume_directions_and_year(ray_session, tmp_path):
         "cust_nation": ["NATION_2", "NATION_1"],
         "l_year": [1996, 1996],
         "revenue_c": [7200, 5000]}
+
+
+def test_market_share_type_region_date_and_ratio(ray_session, tmp_path):
+    """Q8: part TYPE is exact-match (SMALL line excluded), the order
+    window is [start, end) (the 1997-01-01 order is out), non-region
+    customers drop, and share_bp is the floor ratio of the two integer
+    cent sums — 10000 when the nation supplies everything, 0 when it
+    supplies nothing."""
+    from name_matching_ray.pipelines.analytics import market_share
+
+    _q5q7_fixture(tmp_path)
+    got = market_share(str(tmp_path)).to_pandas()
+    # ECONOMY lines in-window with ASIA customers: L1 (10001c, supp n1)
+    # + L4 (7200c, supp n1); the SMALL line L2 excluded on type, L3 on
+    # date (exclusive end), L5 on region (cust n3 = EUROPE).
+    assert got.to_dict("list") == {
+        "o_year": [1996], "total_c": [17201], "nation_c": [17201],
+        "share_bp": [10000]}
+    # SMALL type: only L2 (supp n2) qualifies -> NATION_1 share 0
+    got2 = market_share(str(tmp_path), p_type="SMALL").to_pandas()
+    assert got2.to_dict("list") == {
+        "o_year": [1996], "total_c": [5000], "nation_c": [0],
+        "share_bp": [0]}
+
+
+def test_product_profit_substring_null_and_years(ray_session, tmp_path):
+    """Q9: the part-name filter is substring (NULL name never matches,
+    'blue bolt' doesn't contain 'red'); the year comes from the ORDER
+    date; no region/date restriction applies."""
+    from name_matching_ray.pipelines.analytics import product_profit
+
+    _q5q7_fixture(tmp_path)
+    got = product_profit(str(tmp_path)).to_pandas() \
+        .sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "n_name": ["NATION_1", "NATION_1", "NATION_3"],
+        "o_year": [1996, 1997, 1996],
+        "profit_c": [10001, 7000, 9000]}
