@@ -1249,6 +1249,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q5 orders-side builder; cross-nation mask in the final buckets
         "nation_trade_volume": lambda sf:
             analytics.nation_trade_volume(sf),
+        # meta-blocking with cardinality node pruning (CNP): each node
+        # keeps its top-k edges, OR-union — budget-bounded output;
+        # node-hash buckets rank vectorized, pair-hash buckets dedup
+        "meta_blocking_cnp": lambda sf: erblock.meta_blocking_cnp(
+            _read_docs(sf)),
         # TPC-H Q8 shape: one nation's supply share among a region's
         # type-filtered revenue, per year — two sums one bp ratio;
         # shared part-filter/supplier and orders-side builders
@@ -4618,6 +4623,32 @@ def _oracle_sql_base() -> dict[str, str]:
               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY 1, 2, 3
+        """,
+        # meta_blocking_cnp: same CBS graph; per-node ROW_NUMBER over
+        # (w DESC, id_a, id_b), DISTINCT union of both endpoints' top-k.
+        "meta_blocking_cnp": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(lower(coalesce(text, '')),
+                                       '\S+') AS tl
+                 FROM documents),
+            dt AS (SELECT DISTINCT doc_id,
+                    tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS t
+                   FROM tok, unnest(range(1, len(tl) - 1)) AS u(i)),
+            df AS (SELECT t, COUNT(*) c FROM dt GROUP BY t),
+            keep AS (SELECT dt.doc_id, dt.t FROM dt JOIN df USING (t)
+                     WHERE df.c BETWEEN 2 AND 100),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(COUNT(*) AS BIGINT) AS w
+                  FROM keep a JOIN keep b
+                    ON a.t = b.t AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            e AS (SELECT id_a AS node, id_a, id_b, w FROM p
+                  UNION ALL SELECT id_b, id_a, id_b, w FROM p),
+            r AS (SELECT node, id_a, id_b, w,
+                         ROW_NUMBER() OVER (PARTITION BY node
+                             ORDER BY w DESC, id_a, id_b) AS rn
+                  FROM e)
+            SELECT DISTINCT id_a, id_b, w FROM r WHERE rn <= 2
         """,
         # market_share: Q8 — supplier nation unrestricted, customer in
         # the region, part type exact; share in floor bps of cents.

@@ -142,7 +142,7 @@ BENCH_QUERIES = [
     "cluster_purity", "bracket_revenue",
     "meta_blocking_wnp", "progressive_pairs", "setsim_measures",
     "local_supplier_volume", "nation_trade_volume",
-    "market_share", "product_profit",
+    "market_share", "product_profit", "meta_blocking_cnp",
 ]
 
 

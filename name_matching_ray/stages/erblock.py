@@ -3410,3 +3410,83 @@ def setsim_measures(docs_ds, *, n: int = 3, tau_bp: int = 5000,
             "containment_bp": pa.array(cont[keep], pa.int64())})
 
     return cand.map_batches(measures, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# meta-blocking: cardinality node pruning
+# ---------------------------------------------------------------------------
+
+def meta_blocking_cnp(docs_ds, *, k: int = 2, max_df: int = 100,
+                      n_buckets: int = 256, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Meta-blocking with Cardinality Node Pruning (the CNP rule of
+    Papadakis et al., TKDE 2014 — the budget-bound member of the family
+    beside :func:`meta_blocking_pairs`' global mean and
+    :func:`meta_blocking_wnp`'s node mean): every node retains only its
+    top-``k`` incident edges by weight, and an edge survives if EITHER
+    endpoint retains it — so the output size is bounded by ``k·|nodes|``
+    regardless of weight distribution, the property the weight-threshold
+    rules can't give.  Edge order is total — ``(w DESC, id_a, id_b)`` —
+    so retention is deterministic and the DuckDB ROW_NUMBER oracle
+    matches exactly.  Blocks, weights and the df guard are EXACTLY
+    :func:`meta_blocking_pairs`' (shared ``_cbs_pair_graph``).  Output
+    ``(id_a, id_b, w)``.
+
+    Scale shape: the CBS edges explode to both endpoints with a
+    node-hash bucket tag; each bucket holds whole node groups, so the
+    per-node top-k is one vectorized sort + cumcount over the bucket
+    (never a per-key map_groups); the two-sided survivors dedup in
+    pair-hash buckets.  Two narrow shuffles after the shared graph,
+    both over (node/pair hash, 3 int64 columns).
+    """
+    import pandas as pd
+
+    cbs = _cbs_pair_graph(docs_ds, max_df=max_df, n_buckets=n_buckets,
+                          text_col=text_col, id_col=id_col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            "_nb": pa.array(bucket_hash(pd.Series(node), n_buckets),
+                            pa.int64())})
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64()),
+                      "_pb": pa.array([], pa.int64())})
+
+    def node_topk(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        g = g.sort_values(["node", "w", "id_a", "id_b"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        keep = g.groupby("node").cumcount() < k
+        out = g[keep]
+        a = out["id_a"].to_numpy(np.int64)
+        b = out["id_b"].to_numpy(np.int64)
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "w": pa.array(out["w"].to_numpy(np.int64), pa.int64()),
+            "_pb": pa.array(pair_bucket(a, b, n_buckets), pa.int64())})
+
+    def pair_dedup(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(["id_a", "id_b"])
+        return pa.table({
+            "id_a": pa.array(out["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(out["id_b"].to_numpy(np.int64), pa.int64()),
+            "w": pa.array(out["w"].to_numpy(np.int64), pa.int64())})
+
+    return cbs.map_batches(explode, batch_format="pyarrow") \
+        .groupby("_nb").map_groups(node_topk, batch_format="pandas") \
+        .groupby("_pb").map_groups(pair_dedup, batch_format="pandas")

@@ -4664,3 +4664,45 @@ def test_product_profit_substring_null_and_years(ray_session, tmp_path):
         "n_name": ["NATION_1", "NATION_1", "NATION_3"],
         "o_year": [1996, 1997, 1996],
         "profit_c": [10001, 7000, 9000]}
+
+
+def test_meta_blocking_cnp_topk_or_union(ray_session):
+    """CNP: each node keeps its top-k edges under the total order
+    (w DESC, id_a, id_b); the survivor set is the DISTINCT union over
+    both endpoints; at k=1 only the three heavy edges survive, at k=2
+    each node pulls in exactly one deterministic weight-1 spoke."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import meta_blocking_cnp
+
+    def doc(bid, *blocks):
+        toks = []
+        for i, b in enumerate(blocks):
+            if i:
+                toks.append(f"sep{bid}x{i}")
+            toks.extend(b.split())
+        return (bid, " ".join(toks))
+
+    t1, t2, t3 = "a1 a2 a3", "b1 b2 b3", "c1 c2 c3"
+    t4, t5, t6 = "d1 d2 d3", "e1 e2 e3", "f1 f2 f3"
+    t7, t8 = "g1 g2 g3", "h1 h2 h3"
+    rows = [doc(1, t1, t2, t3), doc(2, t1, t2, t3),
+            doc(3, t3, t7, t8), doc(4, t3, t7, t8),
+            doc(5, t3, t4, t5, t6), doc(6, t3, t4, t5, t6)]
+    docs = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    got1 = meta_blocking_cnp(docs, k=1).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert got1.to_dict("list") == {
+        "id_a": [1, 3, 5], "id_b": [2, 4, 6], "w": [3, 3, 4]}
+
+    got2 = meta_blocking_cnp(docs, k=2).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # per node the 2nd edge is its lexicographically-first w=1 spoke:
+    # node1->(1,3), node2->(2,3), node3->(1,3), node4->(1,4),
+    # node5->(1,5), node6->(1,6); distinct-union with the heavies.
+    assert got2.to_dict("list") == {
+        "id_a": [1, 1, 1, 1, 1, 2, 3, 5],
+        "id_b": [2, 3, 4, 5, 6, 3, 4, 6],
+        "w": [3, 1, 1, 1, 1, 1, 3, 4]}
