@@ -1254,6 +1254,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # node-hash buckets rank vectorized, pair-hash buckets dedup
         "meta_blocking_cnp": lambda sf: erblock.meta_blocking_cnp(
             _read_docs(sf)),
+        # Monge-Elkan hybrid token similarity, both directions, over the
+        # tau-50 shingle candidates — ids-only pair shuffle, texts via
+        # two bucket joins, closed-vocab inner-ratio memo in-bucket
+        "monge_elkan_pairs": lambda sf: erblock.monge_elkan_pairs(
+            _read_docs(sf)),
         # TPC-H Q8 shape: one nation's supply share among a region's
         # type-filtered revenue, per year — two sums one bp ratio;
         # shared part-filter/supplier and orders-side builders
@@ -4649,6 +4654,61 @@ def _oracle_sql_base() -> dict[str, str]:
                              ORDER BY w DESC, id_a, id_b) AS rn
                   FROM e)
             SELECT DISTINCT id_a, id_b, w FROM r WHERE rn <= 2
+        """,
+        # monge_elkan_pairs: tau-50 ngram candidates; ME over DISTINCT
+        # tokens, inner ratio 100*(mx-lev)//mx (byte levenshtein, ASCII
+        # corpus), directional means floored at bp.
+        "monge_elkan_pairs": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            prs AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            cand AS (
+                SELECT p.left_id, p.right_id FROM prs p
+                JOIN sizes sa ON sa.doc_id = p.left_id
+                JOIN sizes sb ON sb.doc_id = p.right_id
+                WHERE p.inter*100 >= (sa.n_sh + sb.n_sh - p.inter)*50),
+            tt AS (SELECT DISTINCT doc_id, UNNEST(w) AS t FROM tok),
+            x AS (SELECT c.left_id, c.right_id, a.t AS t1, b.t AS t2
+                  FROM cand c
+                  JOIN tt a ON a.doc_id = c.left_id
+                  JOIN tt b ON b.doc_id = c.right_id),
+            s1 AS (SELECT left_id, right_id, t1,
+                          MAX(100*(greatest(length(t1), length(t2))
+                                   - levenshtein(t1, t2))
+                              // greatest(length(t1), length(t2))) AS ms
+                   FROM x GROUP BY 1, 2, 3),
+            m1 AS (SELECT left_id, right_id,
+                          SUM(ms)*100 // COUNT(*) AS me_lr
+                   FROM s1 GROUP BY 1, 2),
+            s2 AS (SELECT left_id, right_id, t2,
+                          MAX(100*(greatest(length(t1), length(t2))
+                                   - levenshtein(t1, t2))
+                              // greatest(length(t1), length(t2))) AS ms
+                   FROM x GROUP BY 1, 2, 3),
+            m2 AS (SELECT left_id, right_id,
+                          SUM(ms)*100 // COUNT(*) AS me_rl
+                   FROM s2 GROUP BY 1, 2)
+            SELECT m1.left_id, m1.right_id,
+                   CAST(me_lr AS BIGINT) AS me_lr_bp,
+                   CAST(me_rl AS BIGINT) AS me_rl_bp
+            FROM m1 JOIN m2 USING (left_id, right_id)
         """,
         # market_share: Q8 — supplier nation unrestricted, customer in
         # the region, part type exact; share in floor bps of cents.

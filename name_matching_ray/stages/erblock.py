@@ -3490,3 +3490,105 @@ def meta_blocking_cnp(docs_ds, *, k: int = 2, max_df: int = 100,
     return cbs.map_batches(explode, batch_format="pyarrow") \
         .groupby("_nb").map_groups(node_topk, batch_format="pandas") \
         .groupby("_pb").map_groups(pair_dedup, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Monge-Elkan hybrid token similarity over near-dup candidates
+# ---------------------------------------------------------------------------
+
+def monge_elkan_pairs(docs_ds, *, tau100: int = 50, max_df: int = 100,
+                      n_buckets: int = 64, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Monge–Elkan hybrid similarity (Monge & Elkan 1996) for near-dup
+    candidate pairs: ``ME(A→B) = mean over A's DISTINCT tokens of the
+    best inner similarity against B's tokens``, with the inner measure
+    the integer edit ratio ``100·(max_len − lev) // max_len`` —
+    token-level alignment instead of whole-string distance, the measure
+    of record for multi-word names.  Both directions are reported (ME is
+    asymmetric).  Integer law end to end: inner ratio floors at 100,
+    the mean floors at bp (``Σbest·100 // |A|``), and the inner
+    Levenshtein is DuckDB's byte law (the corpus is ASCII; same caveat
+    as ``edit_block_pairs``).  Candidates are EXACTLY
+    :func:`~name_matching_ray.stages.dedup.ngram_jaccard_pairs` at
+    ``tau100`` — the already-near set, so the quadratic token alignment
+    runs on a linear-in-dups pair count, never the corpus.  Output
+    ``(left_id, right_id, me_lr_bp, me_rl_bp)``.
+
+    Scale shape: candidates travel ids-only; the two texts attach via
+    two bucket joins (the lean-MinHash pattern); scoring is in-bucket
+    with a per-batch (t1, t2) inner-ratio memo — the corpus vocabulary
+    is closed, so the memo collapses the alignment to dictionary hits.
+    """
+    import pandas as pd
+
+    from .dedup import ngram_jaccard_pairs
+    from .joins import bucket_hash_join
+
+    cand = ngram_jaccard_pairs(docs_ds, n=3, tau100=tau100, max_df=max_df,
+                               text_col=text_col, id_col=id_col) \
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow")
+
+    def txt(col):
+        def f(df: pd.DataFrame) -> pa.Table:
+            return pa.table({
+                col: pa.array(df[id_col].to_numpy(np.int64), pa.int64()),
+                f"_t_{col}": pa.array(
+                    df[text_col].fillna("").astype(str), pa.string())})
+        return f
+
+    ta = docs_ds.map_batches(txt("left_id"), batch_format="pandas")
+    tb = docs_ds.map_batches(txt("right_id"), batch_format="pandas")
+
+    j1 = bucket_hash_join(
+        cand, ta, on="left_id", n_buckets=n_buckets,
+        left_types={"left_id": pa.int64(), "right_id": pa.int64()},
+        right_types={"left_id": pa.int64(), "_t_left_id": pa.string()})
+    j2 = bucket_hash_join(
+        j1, tb, on="right_id", n_buckets=n_buckets,
+        left_types={"left_id": pa.int64(), "right_id": pa.int64(),
+                    "_t_left_id": pa.string()},
+        right_types={"right_id": pa.int64(), "_t_right_id": pa.string()})
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        memo: dict = {}
+
+        def ratio(t1: str, t2: str) -> int:
+            key = (t1, t2)
+            r = memo.get(key)
+            if r is None:
+                mx = max(len(t1), len(t2))
+                r = 100 * (mx - _levenshtein(t1, t2, mx)) // mx
+                memo[key] = r
+            return r
+
+        def me(toks_a, toks_b) -> int:
+            s = 0
+            for t1 in toks_a:
+                best = 0
+                for t2 in toks_b:
+                    r = ratio(t1, t2)
+                    if r > best:
+                        best = r
+                        if best == 100:
+                            break
+                s += best
+            return s * 100 // len(toks_a)
+
+        lr = np.empty(len(df), np.int64)
+        rl = np.empty(len(df), np.int64)
+        for i, (xa, xb) in enumerate(zip(df["_t_left_id"],
+                                         df["_t_right_id"])):
+            a = sorted(set(xa.split()))
+            b = sorted(set(xb.split()))
+            lr[i] = me(a, b)
+            rl[i] = me(b, a)
+        return pa.table({
+            "left_id": pa.array(df["left_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "right_id": pa.array(df["right_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            "me_lr_bp": pa.array(lr, pa.int64()),
+            "me_rl_bp": pa.array(rl, pa.int64())})
+
+    return j2.map_batches(score, batch_format="pandas")

@@ -4706,3 +4706,30 @@ def test_meta_blocking_cnp_topk_or_union(ray_session):
         "id_a": [1, 1, 1, 1, 1, 2, 3, 5],
         "id_b": [2, 3, 4, 5, 6, 3, 4, 6],
         "w": [3, 1, 1, 1, 1, 1, 3, 4]}
+
+
+def test_monge_elkan_directional_means(ray_session):
+    """ME is asymmetric: the mean runs over the LEFT side's distinct
+    tokens, each scored by its best inner edit ratio against the right
+    side; the inner ratio floors (lev 1 on len-2 tokens -> 50), the
+    mean floors at bp; candidates are the tau-50 shingle pairs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import monge_elkan_pairs
+
+    rows = [(1, "t1 t2 t3 t4 t5"),
+            (2, "t1 t2 t3 t4 x5"),
+            (3, "t1 t2 t3 t4")]
+    docs = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = monge_elkan_pairs(docs).to_pandas() \
+        .sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    # (1,2): t5<->x5 align at ratio 50 both ways -> 9000/9000.
+    # (1,3): t5 has no partner better than 50 -> 9000; B->A is a full
+    #        subset -> 10000.
+    # (2,3): x5's best against {t1..t4} is 0 (lev 2 of 2) -> 8000;
+    #        B->A full subset -> 10000.
+    assert got.to_dict("list") == {
+        "left_id": [1, 1, 2], "right_id": [2, 3, 3],
+        "me_lr_bp": [9000, 9000, 8000],
+        "me_rl_bp": [9000, 10000, 10000]}
