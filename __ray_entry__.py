@@ -1267,6 +1267,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order year for substring-named parts — partkey semi-filter
         # bucket join, year attach folds in the orderkey buckets
         "product_profit": lambda sf: analytics.product_profit(sf),
+        # two-hop blocking-graph expansion: indirect pairs sharing a
+        # (degree-capped) CBS witness, direct edges subtracted in the
+        # SAME pair reduce via a flag column — no second shuffle
+        "two_hop_pairs": lambda sf: erblock.two_hop_pairs(_read_docs(sf)),
+        # market-basket: top-k co-purchased part pairs — the self-join
+        # stays inside orderkey buckets (fan-out bounded by order
+        # size), pair counts finalize in pair-hash groups
+        "basket_pairs": lambda sf: analytics.basket_pairs(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4709,6 +4717,59 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(me_lr AS BIGINT) AS me_lr_bp,
                    CAST(me_rl AS BIGINT) AS me_rl_bp
             FROM m1 JOIN m2 USING (left_id, right_id)
+        """,
+        # two_hop_pairs: same CBS graph; witnesses capped at deg<=30,
+        # paths = distinct middles, direct edges anti-joined out.
+        "two_hop_pairs": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(lower(coalesce(text, '')),
+                                       '\S+') AS tl
+                 FROM documents),
+            dt AS (SELECT DISTINCT doc_id,
+                    tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS t
+                   FROM tok, unnest(range(1, len(tl) - 1)) AS u(i)),
+            df AS (SELECT t, COUNT(*) c FROM dt GROUP BY t),
+            keep AS (SELECT dt.doc_id, dt.t FROM dt JOIN df USING (t)
+                     WHERE df.c BETWEEN 2 AND 100),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(COUNT(*) AS BIGINT) AS w
+                  FROM keep a JOIN keep b
+                    ON a.t = b.t AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            e2 AS (SELECT id_a AS m, id_b AS nbr FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+            d AS (SELECT m, COUNT(*) AS deg FROM e2 GROUP BY m),
+            ok AS (SELECT e2.m, e2.nbr FROM e2 JOIN d USING (m)
+                   WHERE d.deg <= 30),
+            hop AS (SELECT a.nbr AS id_a, b.nbr AS id_b,
+                           CAST(COUNT(*) AS BIGINT) AS paths
+                    FROM ok a JOIN ok b
+                      ON a.m = b.m AND a.nbr < b.nbr
+                    GROUP BY 1, 2)
+            SELECT h.id_a, h.id_b, h.paths
+            FROM hop h
+            WHERE NOT EXISTS (SELECT 1 FROM p
+                              WHERE p.id_a = h.id_a
+                                AND p.id_b = h.id_b)
+        """,
+        # basket_pairs: DISTINCT (order, part) law, support = orders
+        # containing both, rank (cnt DESC, p1, p2), top 20.
+        "basket_pairs": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            pp AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                          COUNT(*) AS cnt
+                   FROM lp a JOIN lp b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2),
+            r AS (SELECT p1, p2, cnt,
+                         ROW_NUMBER() OVER
+                             (ORDER BY cnt DESC, p1, p2) AS rn
+                  FROM pp)
+            SELECT CAST(rn AS BIGINT) AS rank, p1, p2,
+                   CAST(cnt AS BIGINT) AS cnt
+            FROM r WHERE rn <= 20
         """,
         # market_share: Q8 — supplier nation unrestricted, customer in
         # the region, part type exact; share in floor bps of cents.

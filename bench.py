@@ -143,7 +143,7 @@ BENCH_QUERIES = [
     "meta_blocking_wnp", "progressive_pairs", "setsim_measures",
     "local_supplier_volume", "nation_trade_volume",
     "market_share", "product_profit", "meta_blocking_cnp",
-    "monge_elkan_pairs",
+    "monge_elkan_pairs", "basket_pairs", "two_hop_pairs",
 ]
 
 

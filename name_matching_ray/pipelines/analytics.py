@@ -3499,3 +3499,89 @@ def product_profit(sf_dir: str, *, name_substr: str = "red",
                            if len(parts) else [], pa.int64()),
         "profit_c": pa.array(parts["rev_c"].to_numpy(np.int64)
                              if len(parts) else [], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-purchase pairs
+# ---------------------------------------------------------------------------
+
+def basket_pairs(sf_dir: str, *, k: int = 20, n_buckets: int = 256):
+    """Top-``k`` co-purchased part pairs (the market-basket support
+    count): parts count once per order (DISTINCT law), a pair's count
+    is the number of orders containing BOTH, ranked ``(cnt DESC, p1,
+    p2)`` with 1-based rank.  Output ``(rank, p1, p2, cnt)``.
+
+    Scale shape: the self-join never materializes globally — orders
+    co-locate by orderkey hash, the within-order pair fan-out is
+    bounded by order SIZE (single-digit lines per order; no stop-key
+    skew by construction), pair counts pre-combine in the orderkey
+    bucket and finalize in ≤``n_buckets`` pair-hash groups; top-k is
+    per-block partials with real-id tie-breaks merged on the driver
+    (≤ blocks·k rows).
+    """
+    import ray.data as rd
+
+    from ..util import pair_bucket
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "l_partkey": pa.array(g["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "_ob": pa.array(_bucket_hash(g["l_orderkey"], n_buckets),
+                            pa.int64())})
+
+    empty = pa.table({"p1": pa.array([], pa.int64()),
+                      "p2": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64()),
+                      "_pb": pa.array([], pa.int64())})
+
+    def order_pairs(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        if not len(m):
+            return empty
+        agg = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False) \
+            .size()
+        p1 = agg["l_partkey_a"].to_numpy(np.int64)
+        p2 = agg["l_partkey_b"].to_numpy(np.int64)
+        return pa.table({
+            "p1": pa.array(p1, pa.int64()),
+            "p2": pa.array(p2, pa.int64()),
+            "cnt": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "_pb": pa.array(pair_bucket(p1, p2, n_buckets), pa.int64())})
+
+    def combine_topk(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["p1", "p2"], as_index=False)["cnt"].sum()
+        top = agg.sort_values(["cnt", "p1", "p2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k)
+        return pa.table({
+            "p1": pa.array(top["p1"].to_numpy(np.int64), pa.int64()),
+            "p2": pa.array(top["p2"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(top["cnt"].to_numpy(np.int64), pa.int64())})
+
+    parts = ds.map_batches(tag, batch_format="pandas") \
+        .groupby("_ob").map_groups(order_pairs, batch_format="pandas") \
+        .groupby("_pb").map_groups(combine_topk, batch_format="pandas") \
+        .to_pandas()
+    if len(parts):
+        parts = parts.sort_values(["cnt", "p1", "p2"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort").head(k) \
+            .reset_index(drop=True)
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(np.arange(1, len(parts) + 1), pa.int64()),
+        "p1": pa.array(parts["p1"].to_numpy(np.int64)
+                       if len(parts) else [], pa.int64()),
+        "p2": pa.array(parts["p2"].to_numpy(np.int64)
+                       if len(parts) else [], pa.int64()),
+        "cnt": pa.array(parts["cnt"].to_numpy(np.int64)
+                        if len(parts) else [], pa.int64())}))

@@ -3592,3 +3592,108 @@ def monge_elkan_pairs(docs_ds, *, tau100: int = 50, max_df: int = 100,
             "me_rl_bp": pa.array(rl, pa.int64())})
 
     return j2.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# two-hop candidate expansion over the blocking graph
+# ---------------------------------------------------------------------------
+
+def two_hop_pairs(docs_ds, *, max_deg: int = 30, max_df: int = 100,
+                  n_buckets: int = 256, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Two-hop candidate expansion (the iterative-blocking recall move):
+    pairs NOT directly co-blocked but sharing a common CBS neighbor —
+    ``(a, c)`` with edges ``(a, m)`` and ``(m, c)`` — weighted by the
+    number of distinct witnesses ``m``.  Hub middles with degree >
+    ``max_deg`` are excluded as witnesses entirely (the stop-key law:
+    a hub witnesses quadratically many junk pairs; identical ``deg <=
+    max_deg`` guard in the SQL twin).  Direct edges are subtracted —
+    the output is exactly the NEW candidates a second matching round
+    would add.  Blocks, weights and the df guard are
+    :func:`meta_blocking_pairs`' (shared ``_cbs_pair_graph``).  Output
+    ``(id_a, id_b, paths)``.
+
+    Scale shape: the graph materializes once (witness explode + direct
+    side); middles co-locate by node hash, so the in-bucket degree is
+    exact and the neighbor-pair fan-out is capped at C(max_deg, 2) per
+    node; witness counts and the direct-edge anti-join fuse in ONE
+    pair-hash reduce (direct rows ride a flag column — no second
+    shuffle for the subtraction).
+    """
+    import pandas as pd
+
+    cbs = _cbs_pair_graph(docs_ds, max_df=max_df, n_buckets=n_buckets,
+                          text_col=text_col, id_col=id_col).materialize()
+
+    def explode_mid(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.concatenate([a, b])
+        return pa.table({
+            "m": pa.array(m, pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            "_mb": pa.array(bucket_hash(pd.Series(m), n_buckets),
+                            pa.int64())})
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "paths": pa.array([], pa.int64()),
+                      "direct": pa.array([], pa.int64()),
+                      "_pb": pa.array([], pa.int64())})
+
+    def witness_pairs(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        deg = g.groupby("m")["nbr"].transform("size")
+        g = g[deg <= max_deg]
+        if not len(g):
+            return empty
+        x = g.merge(g, on="m", suffixes=("_a", "_b"))
+        x = x[x["nbr_a"] < x["nbr_b"]]
+        if not len(x):
+            return empty
+        agg = x.groupby(["nbr_a", "nbr_b"], as_index=False).size()
+        a = agg["nbr_a"].to_numpy(np.int64)
+        b = agg["nbr_b"].to_numpy(np.int64)
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "paths": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "direct": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+            "_pb": pa.array(pair_bucket(a, b, n_buckets), pa.int64())})
+
+    hops = cbs.map_batches(explode_mid, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(witness_pairs, batch_format="pandas")
+
+    def direct_rows(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "paths": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+            "direct": pa.array(np.ones(len(a), np.int64), pa.int64()),
+            "_pb": pa.array(pair_bucket(a, b, n_buckets), pa.int64())})
+
+    direct = cbs.map_batches(direct_rows, batch_format="pyarrow")
+
+    def reduce_anti(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["id_a", "id_b"], as_index=False).agg(
+            paths=("paths", "sum"), direct=("direct", "max"))
+        out = agg[(agg["direct"] == 0) & (agg["paths"] > 0)]
+        return pa.table({
+            "id_a": pa.array(out["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(out["id_b"].to_numpy(np.int64), pa.int64()),
+            "paths": pa.array(out["paths"].to_numpy(np.int64),
+                              pa.int64())})
+
+    # union sums block counts — repartition before the pair reduce
+    # (the cross_near_dedup lesson)
+    import os
+    nb = max(16, 2 * int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    return hops.union(direct).repartition(nb) \
+        .groupby("_pb").map_groups(reduce_anti, batch_format="pandas")

@@ -4733,3 +4733,55 @@ def test_monge_elkan_directional_means(ray_session):
         "left_id": [1, 1, 2], "right_id": [2, 3, 3],
         "me_lr_bp": [9000, 9000, 8000],
         "me_rl_bp": [9000, 10000, 10000]}
+
+
+def test_basket_pairs_distinct_and_tiebreak(ray_session, tmp_path):
+    """basket_pairs: a part repeated within an order counts ONCE; the
+    support is the number of orders with both parts; equal counts break
+    ties on (p1, p2); k truncates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import basket_pairs
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2, 2, 3, 3], pa.int64()),
+        "l_partkey": pa.array([5, 5, 7, 5, 7, 9, 5, 7], pa.int64()),
+    }), tmp_path / "lineitem.parquet", row_group_size=3)
+    got = basket_pairs(str(tmp_path), k=2).to_pandas()
+    assert got.to_dict("list") == {
+        "rank": [1, 2], "p1": [5, 5], "p2": [7, 9], "cnt": [3, 1]}
+
+
+def test_two_hop_pairs_witness_cap_and_direct_subtraction(ray_session):
+    """two_hop: a path a-m-c yields (a,c) with paths=1; a middle whose
+    degree exceeds max_deg is excluded as witness entirely; pairs that
+    are ALREADY direct edges never appear (triangle -> empty)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import two_hop_pairs
+
+    def doc(bid, *blocks):
+        toks = []
+        for i, b in enumerate(blocks):
+            if i:
+                toks.append(f"sep{bid}x{i}")
+            toks.extend(b.split())
+        return (bid, " ".join(toks))
+
+    t1, t2, t3 = "a1 a2 a3", "b1 b2 b3", "c1 c2 c3"
+    # path 1-2-3: edges (1,2) via t1 and (2,3) via t2
+    path = rd.from_pandas(pd.DataFrame(
+        [doc(1, t1), doc(2, t1, t2), doc(3, t2)],
+        columns=["doc_id", "text"]))
+    got = two_hop_pairs(path).to_pandas()
+    assert got.to_dict("list") == {"id_a": [1], "id_b": [3], "paths": [1]}
+    # middle 2 has degree 2 > max_deg=1 -> no witnesses -> empty
+    assert len(two_hop_pairs(path, max_deg=1).to_pandas()) == 0
+
+    # triangle: every 2-hop pair is also direct -> empty
+    tri = rd.from_pandas(pd.DataFrame(
+        [doc(1, t1, t3), doc(2, t1, t2), doc(3, t2, t3)],
+        columns=["doc_id", "text"]))
+    assert len(two_hop_pairs(tri).to_pandas()) == 0
