@@ -1267,6 +1267,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order year for substring-named parts — partkey semi-filter
         # bucket join, year attach folds in the orderkey buckets
         "product_profit": lambda sf: analytics.product_profit(sf),
+        # per-pair feature vectors for a learned matcher: token
+        # Jaccard / ME both ways / first-token edit / length diff — one
+        # in-bucket pass over the shared text-attach plan; a new
+        # feature never adds a shuffle
+        "pair_features": lambda sf: erblock.pair_features(_read_docs(sf)),
         # two-hop blocking-graph expansion: indirect pairs sharing a
         # (degree-capped) CBS witness, direct edges subtracted in the
         # SAME pair reduce via a flag column — no second shuffle
@@ -4717,6 +4722,80 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(me_lr AS BIGINT) AS me_lr_bp,
                    CAST(me_rl AS BIGINT) AS me_rl_bp
             FROM m1 JOIN m2 USING (left_id, right_id)
+        """,
+        # pair_features: the ME oracle's CTEs + distinct-token Jaccard,
+        # first-token levenshtein and |n_a - n_b| over the same pairs.
+        "pair_features": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            prs AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            cand AS (
+                SELECT p.left_id, p.right_id FROM prs p
+                JOIN sizes sa ON sa.doc_id = p.left_id
+                JOIN sizes sb ON sb.doc_id = p.right_id
+                WHERE p.inter*100 >= (sa.n_sh + sb.n_sh - p.inter)*50),
+            tt AS (SELECT DISTINCT doc_id, UNNEST(w) AS t FROM tok),
+            nt AS (SELECT doc_id, COUNT(*) AS n_t FROM tt
+                   GROUP BY doc_id),
+            ft AS (SELECT doc_id, w[1] AS f FROM tok),
+            x AS (SELECT c.left_id, c.right_id, a.t AS t1, b.t AS t2
+                  FROM cand c
+                  JOIN tt a ON a.doc_id = c.left_id
+                  JOIN tt b ON b.doc_id = c.right_id),
+            it AS (SELECT left_id, right_id, COUNT(*) AS i
+                   FROM x WHERE t1 = t2 GROUP BY 1, 2),
+            s1 AS (SELECT left_id, right_id, t1,
+                          MAX(100*(greatest(length(t1), length(t2))
+                                   - levenshtein(t1, t2))
+                              // greatest(length(t1), length(t2))) AS ms
+                   FROM x GROUP BY 1, 2, 3),
+            m1 AS (SELECT left_id, right_id,
+                          SUM(ms)*100 // COUNT(*) AS me_lr
+                   FROM s1 GROUP BY 1, 2),
+            s2 AS (SELECT left_id, right_id, t2,
+                          MAX(100*(greatest(length(t1), length(t2))
+                                   - levenshtein(t1, t2))
+                              // greatest(length(t1), length(t2))) AS ms
+                   FROM x GROUP BY 1, 2, 3),
+            m2 AS (SELECT left_id, right_id,
+                          SUM(ms)*100 // COUNT(*) AS me_rl
+                   FROM s2 GROUP BY 1, 2)
+            SELECT c.left_id, c.right_id,
+                   CAST(coalesce(it.i, 0)*10000
+                        // (na.n_t + nb.n_t - coalesce(it.i, 0))
+                        AS BIGINT) AS tok_jaccard_bp,
+                   CAST(m1.me_lr AS BIGINT) AS me_lr_bp,
+                   CAST(m2.me_rl AS BIGINT) AS me_rl_bp,
+                   CAST(levenshtein(fa.f, fb.f) AS BIGINT) AS first_lev,
+                   CAST(abs(na.n_t - nb.n_t) AS BIGINT) AS len_diff
+            FROM cand c
+            JOIN m1 ON m1.left_id = c.left_id
+                   AND m1.right_id = c.right_id
+            JOIN m2 ON m2.left_id = c.left_id
+                   AND m2.right_id = c.right_id
+            LEFT JOIN it ON it.left_id = c.left_id
+                        AND it.right_id = c.right_id
+            JOIN nt na ON na.doc_id = c.left_id
+            JOIN nt nb ON nb.doc_id = c.right_id
+            JOIN ft fa ON fa.doc_id = c.left_id
+            JOIN ft fb ON fb.doc_id = c.right_id
         """,
         # two_hop_pairs: same CBS graph; witnesses capped at deg<=30,
         # paths = distinct middles, direct edges anti-joined out.

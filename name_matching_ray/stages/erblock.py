@@ -3496,29 +3496,12 @@ def meta_blocking_cnp(docs_ds, *, k: int = 2, max_df: int = 100,
 # Monge-Elkan hybrid token similarity over near-dup candidates
 # ---------------------------------------------------------------------------
 
-def monge_elkan_pairs(docs_ds, *, tau100: int = 50, max_df: int = 100,
-                      n_buckets: int = 64, text_col: str = "text",
-                      id_col: str = "doc_id"):
-    """Monge–Elkan hybrid similarity (Monge & Elkan 1996) for near-dup
-    candidate pairs: ``ME(A→B) = mean over A's DISTINCT tokens of the
-    best inner similarity against B's tokens``, with the inner measure
-    the integer edit ratio ``100·(max_len − lev) // max_len`` —
-    token-level alignment instead of whole-string distance, the measure
-    of record for multi-word names.  Both directions are reported (ME is
-    asymmetric).  Integer law end to end: inner ratio floors at 100,
-    the mean floors at bp (``Σbest·100 // |A|``), and the inner
-    Levenshtein is DuckDB's byte law (the corpus is ASCII; same caveat
-    as ``edit_block_pairs``).  Candidates are EXACTLY
-    :func:`~name_matching_ray.stages.dedup.ngram_jaccard_pairs` at
-    ``tau100`` — the already-near set, so the quadratic token alignment
-    runs on a linear-in-dups pair count, never the corpus.  Output
-    ``(left_id, right_id, me_lr_bp, me_rl_bp)``.
-
-    Scale shape: candidates travel ids-only; the two texts attach via
-    two bucket joins (the lean-MinHash pattern); scoring is in-bucket
-    with a per-batch (t1, t2) inner-ratio memo — the corpus vocabulary
-    is closed, so the memo collapses the alignment to dictionary hits.
-    """
+def _attach_candidate_texts(docs_ds, *, tau100: int, max_df: int,
+                            n_buckets: int, text_col: str, id_col: str):
+    """Shared ME / pair-features front half: ngram_jaccard candidates at
+    ``tau100`` travel ids-only, then both texts attach via two bucket
+    joins (the lean-MinHash pattern).  Returns a dataset with
+    ``(left_id, right_id, _t_left_id, _t_right_id)``."""
     import pandas as pd
 
     from .dedup import ngram_jaccard_pairs
@@ -3544,45 +3527,87 @@ def monge_elkan_pairs(docs_ds, *, tau100: int = 50, max_df: int = 100,
         cand, ta, on="left_id", n_buckets=n_buckets,
         left_types={"left_id": pa.int64(), "right_id": pa.int64()},
         right_types={"left_id": pa.int64(), "_t_left_id": pa.string()})
-    j2 = bucket_hash_join(
+    return bucket_hash_join(
         j1, tb, on="right_id", n_buckets=n_buckets,
         left_types={"left_id": pa.int64(), "right_id": pa.int64(),
                     "_t_left_id": pa.string()},
         right_types={"right_id": pa.int64(), "_t_right_id": pa.string()})
 
+
+def _edit_ratio_fn():
+    """Memoized integer token edit ratio ``100·(max_len − lev) //
+    max_len`` — DuckDB's byte-law levenshtein on ASCII tokens.  One memo
+    per batch; the corpus vocabulary is closed, so the memo collapses
+    repeated alignments to dictionary hits."""
+    memo: dict = {}
+
+    def ratio(t1: str, t2: str) -> int:
+        key = (t1, t2)
+        r = memo.get(key)
+        if r is None:
+            mx = max(len(t1), len(t2))
+            r = 100 * (mx - _levenshtein(t1, t2, mx)) // mx
+            memo[key] = r
+        return r
+
+    return ratio
+
+
+def _me_mean(toks_a, toks_b, ratio) -> int:
+    """ME(A→B) in floor bp: mean over A's tokens of the best inner
+    ratio against B (``Σbest·100 // |A|``)."""
+    s = 0
+    for t1 in toks_a:
+        best = 0
+        for t2 in toks_b:
+            r = ratio(t1, t2)
+            if r > best:
+                best = r
+                if best == 100:
+                    break
+        s += best
+    return s * 100 // len(toks_a)
+
+
+def monge_elkan_pairs(docs_ds, *, tau100: int = 50, max_df: int = 100,
+                      n_buckets: int = 64, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Monge–Elkan hybrid similarity (Monge & Elkan 1996) for near-dup
+    candidate pairs: ``ME(A→B) = mean over A's DISTINCT tokens of the
+    best inner similarity against B's tokens``, with the inner measure
+    the integer edit ratio ``100·(max_len − lev) // max_len`` —
+    token-level alignment instead of whole-string distance, the measure
+    of record for multi-word names.  Both directions are reported (ME is
+    asymmetric).  Integer law end to end: inner ratio floors at 100,
+    the mean floors at bp (``Σbest·100 // |A|``), and the inner
+    Levenshtein is DuckDB's byte law (the corpus is ASCII; same caveat
+    as ``edit_block_pairs``).  Candidates are EXACTLY
+    :func:`~name_matching_ray.stages.dedup.ngram_jaccard_pairs` at
+    ``tau100`` — the already-near set, so the quadratic token alignment
+    runs on a linear-in-dups pair count, never the corpus.  Output
+    ``(left_id, right_id, me_lr_bp, me_rl_bp)``.
+
+    Scale shape: candidates travel ids-only; the two texts attach via
+    two bucket joins (the lean-MinHash pattern); scoring is in-bucket
+    with a per-batch (t1, t2) inner-ratio memo — the corpus vocabulary
+    is closed, so the memo collapses the alignment to dictionary hits.
+    """
+    import pandas as pd
+
+    j2 = _attach_candidate_texts(docs_ds, tau100=tau100, max_df=max_df,
+                                 n_buckets=n_buckets, text_col=text_col,
+                                 id_col=id_col)
+
     def score(df: pd.DataFrame) -> pa.Table:
-        memo: dict = {}
-
-        def ratio(t1: str, t2: str) -> int:
-            key = (t1, t2)
-            r = memo.get(key)
-            if r is None:
-                mx = max(len(t1), len(t2))
-                r = 100 * (mx - _levenshtein(t1, t2, mx)) // mx
-                memo[key] = r
-            return r
-
-        def me(toks_a, toks_b) -> int:
-            s = 0
-            for t1 in toks_a:
-                best = 0
-                for t2 in toks_b:
-                    r = ratio(t1, t2)
-                    if r > best:
-                        best = r
-                        if best == 100:
-                            break
-                s += best
-            return s * 100 // len(toks_a)
-
+        ratio = _edit_ratio_fn()
         lr = np.empty(len(df), np.int64)
         rl = np.empty(len(df), np.int64)
         for i, (xa, xb) in enumerate(zip(df["_t_left_id"],
                                          df["_t_right_id"])):
             a = sorted(set(xa.split()))
             b = sorted(set(xb.split()))
-            lr[i] = me(a, b)
-            rl[i] = me(b, a)
+            lr[i] = _me_mean(a, b, ratio)
+            rl[i] = _me_mean(b, a, ratio)
         return pa.table({
             "left_id": pa.array(df["left_id"].to_numpy(np.int64),
                                 pa.int64()),
@@ -3590,6 +3615,65 @@ def monge_elkan_pairs(docs_ds, *, tau100: int = 50, max_df: int = 100,
                                  pa.int64()),
             "me_lr_bp": pa.array(lr, pa.int64()),
             "me_rl_bp": pa.array(rl, pa.int64())})
+
+    return j2.map_batches(score, batch_format="pandas")
+
+
+def pair_features(docs_ds, *, tau100: int = 50, max_df: int = 100,
+                  n_buckets: int = 64, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Per-pair feature-vector export for a learned matcher (the
+    Magellan/dedupe.io feature table): for every tau-``tau100`` shingle
+    candidate pair, the standard integer similarity features side by
+    side — distinct-token Jaccard (bp), Monge–Elkan both directions
+    (bp, the :func:`monge_elkan_pairs` law), Levenshtein of the FIRST
+    tokens, and the distinct-token-count difference.  Output
+    ``(left_id, right_id, tok_jaccard_bp, me_lr_bp, me_rl_bp,
+    first_lev, len_diff)`` — the training/scoring input a downstream
+    classifier consumes, one row per candidate.
+
+    Scale shape: EXACTLY the ME plan — ids-only candidates, two bucket
+    text-attach joins (shared ``_attach_candidate_texts``), all
+    features computed in one in-bucket pass over the attached texts
+    with the shared edit-ratio memo.  Adding a feature never adds a
+    shuffle.
+    """
+    import pandas as pd
+
+    j2 = _attach_candidate_texts(docs_ds, tau100=tau100, max_df=max_df,
+                                 n_buckets=n_buckets, text_col=text_col,
+                                 id_col=id_col)
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        ratio = _edit_ratio_fn()
+        n = len(df)
+        tj = np.empty(n, np.int64)
+        lr = np.empty(n, np.int64)
+        rl = np.empty(n, np.int64)
+        fl = np.empty(n, np.int64)
+        ld = np.empty(n, np.int64)
+        for i, (xa, xb) in enumerate(zip(df["_t_left_id"],
+                                         df["_t_right_id"])):
+            ta, tb = xa.split(), xb.split()
+            a, b = set(ta), set(tb)
+            inter = len(a & b)
+            tj[i] = inter * 10_000 // (len(a) + len(b) - inter)
+            sa, sb = sorted(a), sorted(b)
+            lr[i] = _me_mean(sa, sb, ratio)
+            rl[i] = _me_mean(sb, sa, ratio)
+            fa, fb = ta[0], tb[0]
+            fl[i] = _levenshtein(fa, fb, max(len(fa), len(fb)))
+            ld[i] = abs(len(a) - len(b))
+        return pa.table({
+            "left_id": pa.array(df["left_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "right_id": pa.array(df["right_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            "tok_jaccard_bp": pa.array(tj, pa.int64()),
+            "me_lr_bp": pa.array(lr, pa.int64()),
+            "me_rl_bp": pa.array(rl, pa.int64()),
+            "first_lev": pa.array(fl, pa.int64()),
+            "len_diff": pa.array(ld, pa.int64())})
 
     return j2.map_batches(score, batch_format="pandas")
 

@@ -4785,3 +4785,36 @@ def test_two_hop_pairs_witness_cap_and_direct_subtraction(ray_session):
         [doc(1, t1, t3), doc(2, t1, t2), doc(3, t2, t3)],
         columns=["doc_id", "text"]))
     assert len(two_hop_pairs(tri).to_pandas()) == 0
+
+
+def test_pair_features_integer_laws(ray_session):
+    """pair_features: token Jaccard over DISTINCT tokens, ME both
+    directions equals monge_elkan_pairs on the same candidates,
+    first_lev is the byte edit distance of the FIRST tokens, len_diff
+    the distinct-count gap."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import (monge_elkan_pairs,
+                                                  pair_features)
+
+    rows = [(1, "t1 t2 t3 t4 t5"),
+            (2, "t1 t2 t3 t4 x5"),
+            (3, "t1 t2 t3 t4")]
+    docs = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = pair_features(docs).to_pandas() \
+        .sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    me = monge_elkan_pairs(docs).to_pandas() \
+        .sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    assert got[["me_lr_bp", "me_rl_bp"]].values.tolist() \
+        == me[["me_lr_bp", "me_rl_bp"]].values.tolist()
+    # (1,2): inter 4 of {5,5} -> 4*1e4//6 = 6666; first tokens equal;
+    # (1,3): inter 4 of {5,4} -> 4*1e4//5 = 8000, len_diff 1;
+    # (2,3): inter 4 -> 8000, first tokens equal.
+    assert got.to_dict("list") == {
+        "left_id": [1, 1, 2], "right_id": [2, 3, 3],
+        "tok_jaccard_bp": [6666, 8000, 8000],
+        "me_lr_bp": [9000, 9000, 8000],
+        "me_rl_bp": [9000, 10000, 10000],
+        "first_lev": [0, 0, 0],
+        "len_diff": [0, 1, 1]}
