@@ -1280,6 +1280,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stays inside orderkey buckets (fan-out bounded by order
         # size), pair counts finalize in pair-hash groups
         "basket_pairs": lambda sf: analytics.basket_pairs(sf),
+        # Pareto concentration: top-decile customer revenue share per
+        # nation — custkey join folds exact totals, nation-hash groups
+        # cut the decile vectorized, |nations| rows out
+        "revenue_concentration": lambda sf:
+            analytics.revenue_concentration(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4830,6 +4835,37 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM p
                               WHERE p.id_a = h.id_a
                                 AND p.id_b = h.id_b)
+        """,
+        # revenue_concentration: order-level cents fold per customer,
+        # decile = ceil(n/10) by (rev DESC, custkey), floor-bp share.
+        "revenue_concentration": """
+            WITH pc AS (
+                SELECT o_custkey AS ck,
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS rev
+                FROM orders GROUP BY 1),
+            j AS (SELECT c.c_nationkey AS nk, pc.ck, pc.rev
+                  FROM pc JOIN customer c ON c.c_custkey = pc.ck),
+            r AS (SELECT nk, ck, rev,
+                         ROW_NUMBER() OVER (PARTITION BY nk
+                             ORDER BY rev DESC, ck) AS rn,
+                         COUNT(*) OVER (PARTITION BY nk) AS n
+                  FROM j),
+            t AS (SELECT nk, MAX(n) AS n_customers,
+                         (MAX(n) + 9) // 10 AS top_k,
+                         SUM(rev) AS total_c,
+                         SUM(CASE WHEN rn <= (n + 9) // 10
+                             THEN rev ELSE 0 END) AS top_c
+                  FROM r GROUP BY nk)
+            SELECT nn.n_name,
+                   CAST(n_customers AS BIGINT) AS n_customers,
+                   CAST(top_k AS BIGINT) AS top_k,
+                   CAST(total_c AS BIGINT) AS total_c,
+                   CAST(top_c AS BIGINT) AS top_c,
+                   CAST(CASE WHEN total_c > 0
+                        THEN top_c * 10000 // total_c
+                        ELSE 0 END AS BIGINT) AS share_bp
+            FROM t JOIN nation nn ON nn.n_nationkey = t.nk
         """,
         # basket_pairs: DISTINCT (order, part) law, support = orders
         # containing both, rank (cnt DESC, p1, p2), top 20.

@@ -3585,3 +3585,114 @@ def basket_pairs(sf_dir: str, *, k: int = 20, n_buckets: int = 256):
                        if len(parts) else [], pa.int64()),
         "cnt": pa.array(parts["cnt"].to_numpy(np.int64)
                         if len(parts) else [], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration per nation
+# ---------------------------------------------------------------------------
+
+def revenue_concentration(sf_dir: str, *, n_buckets: int = 64):
+    """Pareto concentration per nation: the share of order revenue
+    carried by the TOP DECILE of that nation's customers (by revenue,
+    ties broken on custkey; decile size ``ceil(n/10)`` over customers
+    WITH orders).  Output ``(n_name, n_customers, top_k, total_c,
+    top_c, share_bp)`` — the 80/20 audit every revenue dashboard runs.
+
+    Scale plan: orders collapse to per-batch (custkey, cents) partials
+    (order-level ``_cents`` fold); the custkey bucket join co-locates
+    each customer's partials, so the exact per-customer total forms
+    in-bucket; the second shuffle keys on HASH(nation), whose groups
+    are per-nation customer AGGREGATES (2 int64s per active customer,
+    1/|nations| of the active-customer table per group — the same
+    bounded-group assumption as lang_quantiles, stated here); the
+    decile cut is one vectorized sort per nation and only |nations|
+    result rows leave the stage.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import bucket_hash_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int),
+                    nat["n_name"].astype(str)))
+
+    def ord_part(df: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({
+                "c_custkey": df["o_custkey"].to_numpy(np.int64),
+                "rev_c": _cents(df["o_totalprice"].to_numpy()),
+             }).groupby("c_custkey", as_index=False)["rev_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(ord_part, batch_format="pandas")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda df: pa.table({
+            "c_custkey": pa.array(df["c_custkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "c_nationkey": pa.array(df["c_nationkey"].to_numpy(np.int64),
+                                    pa.int64())}), batch_format="pandas")
+
+    j = bucket_hash_join(
+        ords, cust, on="c_custkey", how="inner", n_buckets=n_buckets,
+        left_types={"c_custkey": pa.int64(), "rev_c": pa.int64()},
+        right_types={"c_custkey": pa.int64(), "c_nationkey": pa.int64()})
+
+    def per_cust(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["c_custkey", "c_nationkey"], as_index=False)[
+            "rev_c"].sum()
+        return pa.table({
+            "ck": pa.array(g["c_custkey"].to_numpy(np.int64), pa.int64()),
+            "nk": pa.array(g["c_nationkey"].to_numpy(np.int64),
+                           pa.int64()),
+            "rev_c": pa.array(g["rev_c"].to_numpy(np.int64), pa.int64()),
+            "_nb": pa.array(_bucket_hash(g["c_nationkey"], n_buckets),
+                            pa.int64())})
+
+    empty = pa.table({"nk": pa.array([], pa.int64()),
+                      "n_customers": pa.array([], pa.int64()),
+                      "top_k": pa.array([], pa.int64()),
+                      "total_c": pa.array([], pa.int64()),
+                      "top_c": pa.array([], pa.int64()),
+                      "share_bp": pa.array([], pa.int64())})
+
+    def decile(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        out = {k: [] for k in ["nk", "n_customers", "top_k", "total_c",
+                               "top_c", "share_bp"]}
+        g = g.sort_values(["nk", "rev_c", "ck"],
+                          ascending=[True, False, True], kind="mergesort")
+        for nk, sub in g.groupby("nk", sort=False):
+            n = len(sub)
+            k = (n + 9) // 10
+            rev = sub["rev_c"].to_numpy(np.int64)
+            total = int(rev.sum())
+            top = int(rev[:k].sum())
+            out["nk"].append(int(nk))
+            out["n_customers"].append(n)
+            out["top_k"].append(k)
+            out["total_c"].append(total)
+            out["top_c"].append(top)
+            out["share_bp"].append(top * 10_000 // total if total > 0
+                                   else 0)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    parts = j.map_batches(per_cust, batch_format="pandas",
+                          batch_size=None) \
+        .groupby("_nb").map_groups(decile, batch_format="pandas") \
+        .to_pandas()
+    return rd.from_arrow(pa.table({
+        "n_name": pa.array([nmap[int(k)] for k in parts["nk"]]
+                           if len(parts) else [], pa.string()),
+        "n_customers": pa.array(parts["n_customers"].to_numpy(np.int64)
+                                if len(parts) else [], pa.int64()),
+        "top_k": pa.array(parts["top_k"].to_numpy(np.int64)
+                          if len(parts) else [], pa.int64()),
+        "total_c": pa.array(parts["total_c"].to_numpy(np.int64)
+                            if len(parts) else [], pa.int64()),
+        "top_c": pa.array(parts["top_c"].to_numpy(np.int64)
+                          if len(parts) else [], pa.int64()),
+        "share_bp": pa.array(parts["share_bp"].to_numpy(np.int64)
+                             if len(parts) else [], pa.int64())}))

@@ -4818,3 +4818,40 @@ def test_pair_features_integer_laws(ray_session):
         "me_rl_bp": [9000, 10000, 10000],
         "first_lev": [0, 0, 0],
         "len_diff": [0, 1, 1]}
+
+
+def test_revenue_concentration_decile_cut(ray_session, tmp_path):
+    """revenue_concentration: the decile is ceil(n/10) (n=11 -> 2
+    customers), ordered (rev DESC, custkey) so a revenue tie at the cut
+    resolves by id; zero-order customers don't count; cents floor at
+    the ORDER level."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import revenue_concentration
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1], pa.int64()),
+        "n_name": pa.array(["N1"], pa.string()),
+    }), tmp_path / "nation.parquet")
+    # 12 customers in nation 1; customer 12 has NO orders -> n=11
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, 13)), pa.int64()),
+        "c_nationkey": pa.array([1] * 12, pa.int64()),
+    }), tmp_path / "customer.parquet")
+    # cust 1: two orders 10.004 + 10.004 -> 1000 + 1000 = 2000c (order-
+    # level floor, NOT floor(20.008*100+0.5)=2001); cust 2 and 3 tie at
+    # 2000c -> the cut at k=2 keeps cust 1 then cust 2 (id order);
+    # custs 4..11 get 100c each.
+    keys = [1, 1, 2, 3] + list(range(4, 12))
+    prices = [10.004, 10.004, 20.0, 20.0] + [1.0] * 8
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(keys, pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+    }), tmp_path / "orders.parquet", row_group_size=3)
+    got = revenue_concentration(str(tmp_path)).to_pandas()
+    assert got.to_dict("list") == {
+        "n_name": ["N1"], "n_customers": [11], "top_k": [2],
+        "total_c": [2000 + 2000 + 2000 + 800],
+        "top_c": [4000],
+        "share_bp": [4000 * 10000 // 6800]}
