@@ -1267,6 +1267,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order year for substring-named parts — partkey semi-filter
         # bucket join, year attach folds in the orderkey buckets
         "product_profit": lambda sf: analytics.product_profit(sf),
+        # blocking-rule marginal coverage (Splink count_comparisons):
+        # fp / 4-gram / 3-gram rule stack, totals + marginal-new in ONE
+        # pair-hash reduce, fixed 3-row output
+        "blocking_rule_coverage": lambda sf:
+            erblock.blocking_rule_coverage(_read_docs(sf)),
         # per-pair feature vectors for a learned matcher: token
         # Jaccard / ME both ways / first-token edit / length diff — one
         # in-bucket pass over the shared text-attach plan; a new
@@ -4727,6 +4732,55 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(me_lr AS BIGINT) AS me_lr_bp,
                    CAST(me_rl AS BIGINT) AS me_rl_bp
             FROM m1 JOIN m2 USING (left_id, right_id)
+        """,
+        # blocking_rule_coverage: rule streams are each pair-distinct;
+        # totals per rule, marginals per MIN rule; VALUES fixed shape.
+        "blocking_rule_coverage": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            fp AS (SELECT doc_id,
+                          md5(regexp_replace(lower(coalesce(text, '')),
+                                             '[^a-z0-9]', '', 'g')) AS f
+                   FROM documents),
+            p1 AS (SELECT a.doc_id AS la, b.doc_id AS rb
+                   FROM fp a JOIN fp b
+                     ON a.f = b.f AND a.doc_id < b.doc_id),
+            sh4 AS (SELECT DISTINCT doc_id,
+                           w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                || ' ' || w[i+3] AS s
+                    FROM tok,
+                         UNNEST(generate_series(1, len(w) - 3)) AS g(i)),
+            ok4 AS (SELECT s FROM sh4 GROUP BY s
+                    HAVING COUNT(*) BETWEEN 2 AND 100),
+            p2 AS (SELECT DISTINCT a.doc_id AS la, b.doc_id AS rb
+                   FROM sh4 a JOIN sh4 b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   WHERE a.s IN (SELECT s FROM ok4)),
+            sh3 AS (SELECT DISTINCT doc_id,
+                           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                    FROM tok,
+                         UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            ok3 AS (SELECT s FROM sh3 GROUP BY s
+                    HAVING COUNT(*) BETWEEN 2 AND 100),
+            p3 AS (SELECT DISTINCT a.doc_id AS la, b.doc_id AS rb
+                   FROM sh3 a JOIN sh3 b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   WHERE a.s IN (SELECT s FROM ok3)),
+            u AS (SELECT la, rb, 1 AS r FROM p1
+                  UNION ALL SELECT la, rb, 2 FROM p2
+                  UNION ALL SELECT la, rb, 3 FROM p3),
+            tot AS (SELECT r, COUNT(*) AS c FROM u GROUP BY r),
+            mn AS (SELECT la, rb, MIN(r) AS mr FROM u GROUP BY 1, 2),
+            nw AS (SELECT mr, COUNT(*) AS c FROM mn GROUP BY mr),
+            rules(rule_id) AS (VALUES (1), (2), (3))
+            SELECT CAST(rule_id AS BIGINT) AS rule_id,
+                   CAST(coalesce(tot.c, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(nw.c, 0) AS BIGINT) AS n_new
+            FROM rules LEFT JOIN tot ON tot.r = rules.rule_id
+                       LEFT JOIN nw ON nw.mr = rules.rule_id
+            ORDER BY rule_id
         """,
         # pair_features: the ME oracle's CTEs + distinct-token Jaccard,
         # first-token levenshtein and |n_a - n_b| over the same pairs.

@@ -144,7 +144,7 @@ BENCH_QUERIES = [
     "local_supplier_volume", "nation_trade_volume",
     "market_share", "product_profit", "meta_blocking_cnp",
     "monge_elkan_pairs", "basket_pairs", "two_hop_pairs",
-    "pair_features", "revenue_concentration",
+    "pair_features", "revenue_concentration", "blocking_rule_coverage",
 ]
 
 

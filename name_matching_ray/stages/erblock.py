@@ -3781,3 +3781,115 @@ def two_hop_pairs(docs_ds, *, max_deg: int = 30, max_df: int = 100,
     nb = max(16, 2 * int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     return hops.union(direct).repartition(nb) \
         .groupby("_pb").map_groups(reduce_anti, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# blocking-rule marginal coverage (Splink-style planner)
+# ---------------------------------------------------------------------------
+
+def blocking_rule_coverage(docs_ds, *, max_df: int = 100,
+                           n_buckets: int = 256, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Marginal coverage of an ordered blocking-rule stack (the Splink
+    ``count_comparisons`` planning table): rule 1 = exact fingerprint,
+    rule 2 = shared 4-token shingle, rule 3 = shared 3-token shingle
+    (both df ∈ [2, ``max_df``] — the stop-shingle guard).  For each rule:
+    ``n_pairs`` (distinct candidate pairs that rule generates alone) and
+    ``n_new`` (pairs no EARLIER rule already covers) — the marginal-gain
+    curve that tells a linkage engineer when to stop adding rules.
+    Fixed 3-row output, zeros on an empty corpus.
+
+    Scale shape: the three pair streams are existing bounded plans
+    (fingerprint groups are true-dup-sized; the shingle rules are
+    ngram_jaccard_pairs at tau 0, df-capped); they union with a rule
+    tag into ONE pair-hash reduce where both counts form as ≤3-row
+    partials per bucket — totals and marginals in the same shuffle.
+    The union is repartitioned first (block counts SUM under union).
+    """
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from .dedup import ngram_jaccard_pairs
+    from .textstats import fingerprint_batch
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        t = fingerprint_batch(batch, text_col=text_col, id_col=id_col)
+        fp = t.column("fingerprint").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column(id_col),
+            "fp": t.column("fingerprint"),
+            "_fb": pa.array(bucket_hash(pd.Series(fp), n_buckets),
+                            pa.int64())})
+
+    def fp_pairs(g: pd.DataFrame) -> pa.Table:
+        m = g.merge(g, on="fp", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return pa.table({
+            "left_id": pa.array(m["doc_id_a"].to_numpy(np.int64),
+                                pa.int64()),
+            "right_id": pa.array(m["doc_id_b"].to_numpy(np.int64),
+                                 pa.int64()),
+            "rule": pa.array(np.ones(len(m), np.int64), pa.int64())})
+
+    r1 = docs_ds.map_batches(fp_rows, batch_format="pyarrow") \
+        .groupby("_fb").map_groups(fp_pairs, batch_format="pandas")
+
+    def tag_rule(r):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "left_id": t.column("left_id"),
+                "right_id": t.column("right_id"),
+                "rule": pa.array(np.full(n, r, np.int64), pa.int64())})
+        return f
+
+    r2 = ngram_jaccard_pairs(docs_ds, n=4, tau100=0, max_df=max_df,
+                             text_col=text_col, id_col=id_col) \
+        .map_batches(tag_rule(2), batch_format="pyarrow")
+    r3 = ngram_jaccard_pairs(docs_ds, n=3, tau100=0, max_df=max_df,
+                             text_col=text_col, id_col=id_col) \
+        .map_batches(tag_rule(3), batch_format="pyarrow")
+
+    def pb_tag(t: pa.Table) -> pa.Table:
+        a = t.column("left_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("right_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.append_column(
+            "_pb", pa.array(pair_bucket(a, b, n_buckets), pa.int64()))
+
+    def reduce_cov(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"rule_id": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "n_new": pa.array([], pa.int64())})
+        tot = g.groupby("rule")["left_id"].size()
+        mn = g.groupby(["left_id", "right_id"])["rule"].min() \
+            .value_counts()
+        rules = sorted(set(tot.index) | set(mn.index))
+        return pa.table({
+            "rule_id": pa.array(rules, pa.int64()),
+            "n_pairs": pa.array([int(tot.get(r, 0)) for r in rules],
+                                pa.int64()),
+            "n_new": pa.array([int(mn.get(r, 0)) for r in rules],
+                              pa.int64())})
+
+    nb = max(16, 2 * int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    parts = r1.union(r2).union(r3) \
+        .map_batches(pb_tag, batch_format="pyarrow") \
+        .repartition(nb) \
+        .groupby("_pb").map_groups(reduce_cov, batch_format="pandas") \
+        .to_pandas()
+    agg = parts.groupby("rule_id")[["n_pairs", "n_new"]].sum() \
+        if len(parts) else None
+    rows = [1, 2, 3]
+    return rd.from_arrow(pa.table({
+        "rule_id": pa.array(rows, pa.int64()),
+        "n_pairs": pa.array(
+            [int(agg["n_pairs"].get(r, 0)) if agg is not None else 0
+             for r in rows], pa.int64()),
+        "n_new": pa.array(
+            [int(agg["n_new"].get(r, 0)) if agg is not None else 0
+             for r in rows], pa.int64())}))

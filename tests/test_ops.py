@@ -4855,3 +4855,36 @@ def test_revenue_concentration_decile_cut(ray_session, tmp_path):
         "total_c": [2000 + 2000 + 2000 + 800],
         "top_c": [4000],
         "share_bp": [4000 * 10000 // 6800]}
+
+
+def test_blocking_rule_coverage_marginal_law(ray_session):
+    """Rule stack marginals: exact dups (rule 1) are also 4-gram and
+    3-gram pairs but count as NEW only at rule 1; a pair first covered
+    by the looser 3-gram rule is new at rule 3; empty corpus keeps the
+    fixed 3-row zero shape."""
+    import pandas as pd
+    import ray.data as rd
+
+    from name_matching_ray.stages.erblock import blocking_rule_coverage
+
+    rows = [
+        (1, "q1 q2 q3 q4"),         # exact dup with 2
+        (2, "q1 q2 q3 q4"),
+        (3, "q1 q2 q3 z9"),         # shares 3-gram "q1 q2 q3" only
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = blocking_rule_coverage(docs).to_pandas()
+    # rule1: (1,2).  rule2 (4-grams, df>=2): "q1 q2 q3 q4" shared by
+    # 1,2 -> (1,2).  rule3 (3-grams): "q1 q2 q3" in all three (df 3),
+    # "q2 q3 q4" in 1,2 -> pairs (1,2),(1,3),(2,3).
+    assert got.to_dict("list") == {
+        "rule_id": [1, 2, 3],
+        "n_pairs": [1, 1, 3],
+        "n_new": [1, 0, 2]}
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype="object")}))
+    got0 = blocking_rule_coverage(empty).to_pandas()
+    assert got0.to_dict("list") == {
+        "rule_id": [1, 2, 3], "n_pairs": [0, 0, 0], "n_new": [0, 0, 0]}
