@@ -1290,6 +1290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cut the decile vectorized, |nations| rows out
         "revenue_concentration": lambda sf:
             analytics.revenue_concentration(sf),
+        # Q21: sole-late-supplier in finished multi-supplier orders —
+        # the lineitem EXISTS/NOT-EXISTS self-join as per-order folds
+        # inside the orderkey join buckets, nation-bounded top-k
+        "waiting_suppliers": lambda sf: analytics.waiting_suppliers(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4920,6 +4924,32 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN top_c * 10000 // total_c
                         ELSE 0 END AS BIGINT) AS share_bp
             FROM t JOIN nation nn ON nn.n_nationkey = t.nk
+        """,
+        # waiting_suppliers: Q21 — late = max ship per (order, supplier)
+        # strictly past orderdate+60d; sole-late in >=2-supplier 'F'
+        # orders; one nation; numwait DESC, s_name, top 100.
+        "waiting_suppliers": """
+            WITH ol AS (
+                SELECT l_orderkey AS ok, l_suppkey AS sk,
+                       MAX(CASE WHEN l_shipdate >
+                                     o_orderdate + INTERVAL 60 DAY
+                           THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY 1, 2),
+            a AS (
+                SELECT ok, sk, late,
+                       COUNT(*) OVER (PARTITION BY ok) AS n_supp,
+                       SUM(late) OVER (PARTITION BY ok) AS n_late
+                FROM ol)
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM a JOIN supplier ON sk = s_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+            WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+              AND n_name = 'NATION_7'
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         # basket_pairs: DISTINCT (order, part) law, support = orders
         # containing both, rank (cnt DESC, p1, p2), top 20.

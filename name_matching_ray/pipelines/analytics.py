@@ -3696,3 +3696,123 @@ def revenue_concentration(sf_dir: str, *, n_buckets: int = 64):
                           if len(parts) else [], pa.int64()),
         "share_bp": pa.array(parts["share_bp"].to_numpy(np.int64)
                              if len(parts) else [], pa.int64())}))
+
+
+def waiting_suppliers(sf_dir: str, *, nation: str = "NATION_7",
+                      late_days: int = 60, k: int = 100):
+    """Suppliers who were the SOLE late shipper in a finished
+    multi-supplier order (TPC-H Q21 shape — the lineitem self-join
+    EXISTS / NOT-EXISTS pair).  A line is late when ``l_shipdate >
+    o_orderdate + late_days`` (strict, the order_priority_counts law);
+    a supplier "waits" an order when (a) its own max ship is late, (b)
+    the order has ≥ 2 distinct suppliers (EXISTS another supplier), and
+    (c) NO other supplier was late (NOT EXISTS ≡ order-level late count
+    == 1).  Output: ``(s_name, numwait)`` for one nation, top-``k`` by
+    ``numwait DESC, s_name``.
+
+    Scale plan: lineitem collapses to per-(orderkey, suppkey) MAX-ship
+    partials inside map_batches BEFORE the shuffle (late is monotone in
+    max ship, so the partial is a lossless combiner); the orders join
+    folds the partials in the join-bucket block where BOTH EXISTS
+    predicates are per-order transforms (join key == predicate key —
+    the self-join never materializes); per-supplier counts leave each
+    block as partials and fold in a suppkey groupby (cardinality ==
+    |suppliers|); the supplier dim attaches via the GUARDED
+    broadcast_join and the final top-k sorts a nation-bounded result on
+    the driver.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join, bucket_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({
+                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "max_ship": df["l_shipdate"].to_numpy("datetime64[us]"),
+             }).groupby(["o_orderkey", "s_suppkey"], as_index=False)
+             ["max_ship"].max())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_ps = li.map_batches(li_part, batch_format="pandas")
+
+    ords = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'F'") \
+        .map_batches(
+            lambda df: pa.table({
+                "o_orderkey": pa.array(
+                    df["o_orderkey"].to_numpy(np.int64), pa.int64()),
+                "o_orderdate": pa.array(
+                    df["o_orderdate"].to_numpy("datetime64[us]"),
+                    pa.timestamp("us"))}),
+            batch_format="pandas")
+
+    j = bucket_hash_join(
+        li_ps, ords, on="o_orderkey", how="inner",
+        left_types={"o_orderkey": pa.int64(), "s_suppkey": pa.int64(),
+                    "max_ship": pa.timestamp("us")},
+        right_types={"o_orderkey": pa.int64(),
+                     "o_orderdate": pa.timestamp("us")})
+
+    lag = np.timedelta64(late_days, "D").astype("timedelta64[us]")
+
+    def waiting_partial(df: pd.DataFrame) -> pa.Table:
+        # fold cross-batch partials to one row per (order, supplier);
+        # the whole orderkey is co-located in this block (join key ==
+        # predicate key), so both EXISTS tests are exact here.
+        g = df.groupby(["o_orderkey", "s_suppkey"], as_index=False).agg(
+            max_ship=("max_ship", "max"),
+            o_orderdate=("o_orderdate", "first"))
+        late = (g["max_ship"].to_numpy("datetime64[us]") >
+                (g["o_orderdate"].to_numpy("datetime64[us]") + lag)) \
+            .astype(np.int64)
+        g = g.assign(late=late)
+        by_ok = g.groupby("o_orderkey")
+        n_supp = by_ok["s_suppkey"].transform("size").to_numpy(np.int64)
+        n_late = by_ok["late"].transform("sum").to_numpy(np.int64)
+        hit = g[(late == 1) & (n_supp >= 2) & (n_late == 1)]
+        vc = hit.groupby("s_suppkey").size()
+        return pa.table({
+            "s_suppkey": pa.array(vc.index.to_numpy(np.int64),
+                                  pa.int64()),
+            "numwait": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    per_supp = j.map_batches(waiting_partial, batch_format="pandas",
+                             batch_size=None) \
+        .groupby("s_suppkey").aggregate(Sum("numwait",
+                                            alias_name="numwait"))
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nks = set(nat.loc[nat["n_name"] == nation, "n_nationkey"]
+              .astype(int).tolist())
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey"]) \
+        .map_batches(
+            lambda df: pa.Table.from_pandas(
+                df[df["s_nationkey"].astype(int).isin(nks)]
+                [["s_suppkey", "s_name"]],
+                preserve_index=False),
+            batch_format="pandas")
+
+    named = broadcast_join(
+        per_supp, supp, on="s_suppkey", how="inner",
+        left_cols=["s_suppkey", "numwait"])
+
+    # result bounded by the nation's supplier count (a dim slice) — the
+    # driver sort is on a dimension-sized frame, never the facts.
+    out = named.to_pandas()
+    if out.empty:
+        return rd.from_arrow(pa.table({
+            "s_name": pa.array([], pa.string()),
+            "numwait": pa.array([], pa.int64())}))
+    out = out.sort_values(["numwait", "s_name"],
+                          ascending=[False, True]).head(k)
+    return rd.from_arrow(pa.table({
+        "s_name": pa.array(out["s_name"].astype(str), pa.string()),
+        "numwait": pa.array(out["numwait"].to_numpy(np.int64),
+                            pa.int64())}))

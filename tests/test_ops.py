@@ -4888,3 +4888,61 @@ def test_blocking_rule_coverage_marginal_law(ray_session):
     got0 = blocking_rule_coverage(empty).to_pandas()
     assert got0.to_dict("list") == {
         "rule_id": [1, 2, 3], "n_pairs": [0, 0, 0], "n_new": [0, 0, 0]}
+
+
+def test_waiting_suppliers_exists_not_exists_laws(ray_session, tmp_path):
+    """Single-supplier orders never count (EXISTS other supplier);
+    two-late orders never count (NOT EXISTS other late); non-'F' orders
+    drop; shipdate exactly +60d is NOT late (strict); late is a
+    per-(order, supplier) MAX over lines; ties rank numwait DESC then
+    s_name; other-nation suppliers drop."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import waiting_suppliers
+
+    ts = lambda s: pd.Timestamp(s)
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": ["NATION_7", "NATION_8"],
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "s_name": ["S1", "S2", "S3", "S4"],
+        "s_nationkey": pa.array([0, 0, 0, 1], pa.int32()),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+        "o_orderdate": pa.array([ts("2000-01-01")] * 6,
+                                pa.timestamp("us")),
+        # 14 is open -> excluded even though its shape would qualify
+        "o_orderstatus": ["F", "F", "F", "F", "O", "F"],
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        #  10: S1 late, S2 on time           -> S1 waits
+        #  11: S1 late alone (single supp)   -> nobody (EXISTS fails)
+        #  12: S1 and S2 both late           -> nobody (NOT-EXISTS fails)
+        #  13: S2 has an early line AND a late line (max-fold -> late),
+        #      S3 exactly +60d (NOT late)    -> S2 waits
+        #  14: open order                    -> dropped by status
+        #  15: S4 (other nation) late, S1 on time -> S4 waits but is
+        #      filtered by nation
+        "l_orderkey": pa.array([10, 10, 11, 12, 12, 13, 13, 13,
+                                14, 14, 15, 15], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 1, 2, 2, 2, 3,
+                               1, 2, 4, 1], pa.int64()),
+        "l_shipdate": pa.array(
+            [ts("2000-06-01"), ts("2000-01-05"),   # 10
+             ts("2000-06-01"),                     # 11
+             ts("2000-06-01"), ts("2000-06-01"),   # 12
+             ts("2000-01-02"), ts("2000-06-01"),   # 13: S2 early+late
+             ts("2000-03-01"),                     # 13: S3 exactly +60d
+             ts("2000-06-01"), ts("2000-01-05"),   # 14
+             ts("2000-06-01"), ts("2000-01-05")],  # 15
+            pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    got = waiting_suppliers(str(tmp_path)).to_pandas()
+    # S1 and S2 each wait once; tie breaks on s_name ascending
+    assert list(got["s_name"]) == ["S1", "S2"]
+    assert list(got["numwait"]) == [1, 1]
