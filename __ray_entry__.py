@@ -1294,6 +1294,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the lineitem EXISTS/NOT-EXISTS self-join as per-order folds
         # inside the orderkey join buckets, nation-bounded top-k
         "waiting_suppliers": lambda sf: analytics.waiting_suppliers(sf),
+        # triangle census / transitivity of the near-dup graph — wedges
+        # generated once at each triangle's lowest vertex, closing-edge
+        # test fused into one pair-hash reduce, scalar partials out
+        "graph_triangles": lambda sf: cluster.graph_triangles(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4924,6 +4929,56 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN top_c * 10000 // total_c
                         ELSE 0 END AS BIGINT) AS share_bp
             FROM t JOIN nation nn ON nn.n_nationkey = t.nk
+        """,
+        # graph_triangles: shared ngram-pair edge law (tau 10); wedges =
+        # sum C(deg,2); triangles via the a<b<c triple join; floor bps.
+        "graph_triangles": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)),
+                                             '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok,
+                     UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            ok_sh AS (SELECT shingle FROM sh GROUP BY shingle
+                      HAVING COUNT(*) BETWEEN 2 AND 100),
+            pr AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                          COUNT(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                      AND a.doc_id < b.doc_id
+                   WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                   GROUP BY a.doc_id, b.doc_id),
+            p AS (SELECT pr.left_id AS id_a, pr.right_id AS id_b
+                  FROM pr
+                  JOIN sizes sa ON sa.doc_id = pr.left_id
+                  JOIN sizes sb ON sb.doc_id = pr.right_id
+                  WHERE pr.inter*100 >=
+                        (sa.n_sh + sb.n_sh - pr.inter)*10),
+            e2 AS (SELECT id_a AS m FROM p
+                   UNION ALL SELECT id_b FROM p),
+            d AS (SELECT m, COUNT(*) AS deg FROM e2 GROUP BY m),
+            tri AS (SELECT COUNT(*) AS t
+                    FROM p ab JOIN p bc ON ab.id_b = bc.id_a
+                         JOIN p ac ON ac.id_a = ab.id_a
+                                  AND ac.id_b = bc.id_b)
+            SELECT CAST(coalesce((SELECT COUNT(*) FROM d), 0)
+                        AS BIGINT) AS n_nodes,
+                   CAST(coalesce((SELECT COUNT(*) FROM p), 0)
+                        AS BIGINT) AS n_edges,
+                   CAST(coalesce((SELECT SUM(deg*(deg-1)//2) FROM d), 0)
+                        AS BIGINT) AS n_wedges,
+                   CAST(coalesce((SELECT t FROM tri), 0)
+                        AS BIGINT) AS n_triangles,
+                   CAST(CASE WHEN coalesce((SELECT SUM(deg*(deg-1)//2)
+                                            FROM d), 0) > 0
+                        THEN 3 * (SELECT t FROM tri) * 10000
+                             // (SELECT SUM(deg*(deg-1)//2) FROM d)
+                        ELSE 0 END AS BIGINT) AS transitivity_bp
         """,
         # waiting_suppliers: Q21 — late = max ship per (order, supplier)
         # strictly past orderdate+60d; sole-late in >=2-supplier 'F'

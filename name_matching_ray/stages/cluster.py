@@ -383,3 +383,158 @@ def pagerank_dupgraph(docs_ds, *, iters: int = 2, scale: int = 1_000_000,
         lambda t: pa.table({"doc_id": t.column("u"),
                             "pagerank": t.column("pr")}),
         batch_format="pyarrow")
+
+
+def graph_triangles(docs_ds, *, tau100: int = 10, max_df: int = 100,
+                    n_buckets: int = 256, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Triangle census of the near-dup pair graph — the transitivity
+    audit for a similarity relation (a high global clustering
+    coefficient says near-dup is behaving like an equivalence relation
+    → safe to close transitively; a low one says closure would chain
+    unrelated docs).  One row out:
+
+        ``(n_nodes, n_edges, n_wedges, n_triangles, transitivity_bp)``
+
+    with ``n_wedges = Σ_v C(deg(v), 2)`` (connected triples, open +
+    closed) and ``transitivity_bp = 3·triangles·10⁴ // wedges`` (floor
+    basis points; 0 when the graph has no wedge).  Edge law ==
+    :func:`~.dedup.ngram_jaccard_pairs` (identical CTE in the oracle).
+
+    Scale shape: edges materialize ONCE (the near-dup pair set is
+    output-sized, not corpus-sized); degrees/wedge-stats and wedge
+    *candidates* both come from one node-hash groupby — a triangle
+    ``x<y<z`` is generated exactly once, at its LOWEST vertex, as the
+    neighbor pair ``(y, z)``; the closing-edge test fuses with the
+    wedge count in ONE pair-hash reduce (direct edges ride a flag
+    column, the two-hop lesson); only ≤ n_buckets scalar partial rows
+    reach the driver.  Wedge fan-out at a vertex is C(deg, 2) — hubs in
+    a near-dup graph mean un-deduped templates; at 100-TB scale run
+    exact_dedup first or cap degrees the two_hop_pairs way.
+    """
+    import os
+
+    from ..util import pair_bucket
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs_ds, n=3, tau100=tau100,
+                                max_df=max_df, text_col=text_col,
+                                id_col=id_col)
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "id_a": t.column("left_id").cast(pa.int64()),
+            "id_b": t.column("right_id").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def explode_e2(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.concatenate([a, b])
+        return pa.table({
+            "m": pa.array(m, pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            "_mb": pa.array(bucket_hash(pd.Series(m), n_buckets),
+                            pa.int64())})
+
+    _part_schema = {
+        "id_a": pa.int64(), "id_b": pa.int64(), "wcnt": pa.int64(),
+        "direct": pa.int64(), "nodes_p": pa.int64(),
+        "wedges_p": pa.int64(), "_pb": pa.int64()}
+    _empty = pa.table({k: pa.array([], v) for k, v in
+                       _part_schema.items()})
+
+    def wedge_partial(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return _empty
+        per = g.groupby("m").size()
+        rows = {
+            "id_a": [np.int64(-1)], "id_b": [np.int64(-1)],
+            "wcnt": [np.int64(0)], "direct": [np.int64(0)],
+            "nodes_p": [np.int64(len(per))],
+            "wedges_p": [np.int64((per * (per - 1) // 2).sum())],
+            "_pb": [np.int64(0)]}
+        up = g[g["nbr"] > g["m"]]
+        if len(up):
+            x = up.merge(up, on="m")
+            x = x[x["nbr_x"] < x["nbr_y"]]
+            if len(x):
+                agg = x.groupby(["nbr_x", "nbr_y"], as_index=False) \
+                    .size()
+                a = agg["nbr_x"].to_numpy(np.int64)
+                b = agg["nbr_y"].to_numpy(np.int64)
+                rows["id_a"].extend(a.tolist())
+                rows["id_b"].extend(b.tolist())
+                rows["wcnt"].extend(
+                    agg["size"].to_numpy(np.int64).tolist())
+                rows["direct"].extend([0] * len(a))
+                rows["nodes_p"].extend([0] * len(a))
+                rows["wedges_p"].extend([0] * len(a))
+                rows["_pb"].extend(
+                    pair_bucket(a, b, n_buckets).tolist())
+        return pa.table({k: pa.array(v, _part_schema[k])
+                         for k, v in rows.items()})
+
+    wedges = edges.map_batches(explode_e2, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(wedge_partial, batch_format="pandas")
+
+    def direct_rows(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(a)
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "wcnt": pa.array(np.zeros(n, np.int64)),
+            "direct": pa.array(np.ones(n, np.int64)),
+            "nodes_p": pa.array(np.zeros(n, np.int64)),
+            "wedges_p": pa.array(np.zeros(n, np.int64)),
+            "_pb": pa.array(pair_bucket(a, b, n_buckets), pa.int64())})
+
+    direct = edges.map_batches(direct_rows, batch_format="pyarrow")
+
+    def reduce_census(g: pd.DataFrame) -> pa.Table:
+        stat = g[g["id_a"] < 0]
+        rows = g[g["id_a"] >= 0]
+        tri = np.int64(0)
+        if len(rows):
+            agg = rows.groupby(["id_a", "id_b"], as_index=False).agg(
+                w=("wcnt", "sum"), d=("direct", "max"))
+            tri = np.int64(agg.loc[agg["d"] == 1, "w"].sum())
+        return pa.table({
+            "tri_p": pa.array([tri], pa.int64()),
+            "edges_p": pa.array([np.int64(rows["direct"].sum())
+                                 if len(rows) else np.int64(0)],
+                                pa.int64()),
+            "nodes_p": pa.array([np.int64(stat["nodes_p"].sum())
+                                 if len(stat) else np.int64(0)],
+                                pa.int64()),
+            "wedges_p": pa.array([np.int64(stat["wedges_p"].sum())
+                                  if len(stat) else np.int64(0)],
+                                 pa.int64())})
+
+    # union sums block counts — repartition before the pair reduce
+    nb = max(16, 2 * int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    parts = wedges.union(direct).repartition(nb) \
+        .groupby("_pb").map_groups(reduce_census,
+                                   batch_format="pandas") \
+        .to_pandas()  # ≤ n_buckets scalar partial rows — bounded
+
+    import ray.data as rd
+
+    tri = int(parts["tri_p"].sum()) if len(parts) else 0
+    n_edges = int(parts["edges_p"].sum()) if len(parts) else 0
+    n_nodes = int(parts["nodes_p"].sum()) if len(parts) else 0
+    n_wedges = int(parts["wedges_p"].sum()) if len(parts) else 0
+    return rd.from_arrow(pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([tri], pa.int64()),
+        "transitivity_bp": pa.array(
+            [3 * tri * 10_000 // n_wedges if n_wedges > 0 else 0],
+            pa.int64())}))

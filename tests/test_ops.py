@@ -4946,3 +4946,48 @@ def test_waiting_suppliers_exists_not_exists_laws(ray_session, tmp_path):
     # S1 and S2 each wait once; tie breaks on s_name ascending
     assert list(got["s_name"]) == ["S1", "S2"]
     assert list(got["numwait"]) == [1, 1]
+
+
+def test_graph_triangles_census(ray_session):
+    """A 3-clique (1 triangle, 3 wedges) + an open 2-path (1 wedge, no
+    triangle) + an isolated doc (never a node): exact census and floor-bp
+    transitivity; each triangle counted ONCE at its lowest vertex."""
+    import ray.data as rd
+
+    from name_matching_ray.stages.cluster import graph_triangles
+
+    docs = rd.from_items([
+        # 3-clique: identical docs, pairwise Jaccard 1
+        {"doc_id": 1, "text": "a1 a2 a3 a4 a5"},
+        {"doc_id": 2, "text": "a1 a2 a3 a4 a5"},
+        {"doc_id": 3, "text": "a1 a2 a3 a4 a5"},
+        # open wedge at 5: 4-5 and 5-6 edges, 4∩6 = 0
+        {"doc_id": 4, "text": "p1 p2 p3 p4 p5"},
+        {"doc_id": 5, "text": "p1 p2 p3 p4 p5 q1 q2 q3 q4 q5"},
+        {"doc_id": 6, "text": "q1 q2 q3 q4 q5"},
+        # isolated: unique shingles (df=1 all) -> no pairs, not a node
+        {"doc_id": 7, "text": "z1 z2 z3 z4 z5"},
+    ])
+    got = graph_triangles(docs).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert int(r["n_nodes"]) == 6
+    assert int(r["n_edges"]) == 5
+    assert int(r["n_wedges"]) == 4      # 3 in the clique + 1 at doc 5
+    assert int(r["n_triangles"]) == 1
+    assert int(r["transitivity_bp"]) == 7500  # 3*1*1e4 // 4
+
+
+def test_graph_triangles_empty_graph(ray_session):
+    """No qualifying pairs -> the fixed one-row zero census."""
+    import ray.data as rd
+
+    from name_matching_ray.stages.cluster import graph_triangles
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "u1 u2 u3 u4"},
+        {"doc_id": 2, "text": "v1 v2 v3 v4"},
+    ])
+    got = graph_triangles(docs).to_pandas()
+    assert len(got) == 1
+    assert list(got.iloc[0]) == [0, 0, 0, 0, 0]
