@@ -1299,6 +1299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # test fused into one pair-hash reduce, scalar partials out
         "graph_triangles": lambda sf: cluster.graph_triangles(
             _read_docs(sf)),
+        # Heaps-law growth curve under deterministic md5-slice
+        # subsampling — vocab(k) = #tokens with min slice < k, a
+        # groupby-min + 16-bin histogram (never ships a vocabulary)
+        "vocab_growth": lambda sf: textstats.vocab_growth(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -4929,6 +4934,37 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN top_c * 10000 // total_c
                         ELSE 0 END AS BIGINT) AS share_bp
             FROM t JOIN nation nn ON nn.n_nationkey = t.nk
+        """,
+        # vocab_growth: md5_number_lower(doc_id) % 16 slice coin; vocab
+        # via per-token MIN slice; word_counts token law ('' dropped,
+        # NULL text = 0 tokens but the doc counts); cumulative by k.
+        "vocab_growth": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       md5_number_lower(CAST(doc_id AS VARCHAR))
+                           % 16 AS db,
+                       regexp_split_to_array(
+                           lower(coalesce(text, '')), '\s+') AS w
+                FROM documents),
+            t AS (SELECT db, u.tok FROM d, UNNEST(w) AS u(tok)
+                  WHERE u.tok <> ''),
+            docb AS (SELECT db, COUNT(*) AS c FROM d GROUP BY db),
+            tokb AS (SELECT db, COUNT(*) AS c FROM t GROUP BY db),
+            vmin AS (SELECT tok, MIN(db) AS mdb FROM t GROUP BY tok),
+            vb AS (SELECT mdb AS db, COUNT(*) AS c FROM vmin
+                   GROUP BY mdb),
+            ks AS (SELECT UNNEST(range(1, 17)) AS k)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(coalesce((SELECT SUM(c) FROM docb
+                                  WHERE db < ks.k), 0)
+                        AS BIGINT) AS n_docs,
+                   CAST(coalesce((SELECT SUM(c) FROM tokb
+                                  WHERE db < ks.k), 0)
+                        AS BIGINT) AS n_tokens,
+                   CAST(coalesce((SELECT SUM(c) FROM vb
+                                  WHERE db < ks.k), 0)
+                        AS BIGINT) AS n_vocab
+            FROM ks ORDER BY k
         """,
         # graph_triangles: shared ngram-pair edge law (tau 10); wedges =
         # sum C(deg,2); triangles via the a<b<c triple join; floor bps.

@@ -145,7 +145,7 @@ BENCH_QUERIES = [
     "market_share", "product_profit", "meta_blocking_cnp",
     "monge_elkan_pairs", "basket_pairs", "two_hop_pairs",
     "pair_features", "revenue_concentration", "blocking_rule_coverage",
-    "waiting_suppliers", "graph_triangles",
+    "waiting_suppliers", "graph_triangles", "vocab_growth",
 ]
 
 

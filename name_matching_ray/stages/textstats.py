@@ -2724,3 +2724,115 @@ def token_blocking_budget(docs_ds, *, text_col: str = "text"):
         })
 
     return hist.map_batches(final, batch_format="pyarrow")
+
+
+def vocab_growth(docs_ds, *, n_slices: int = 16, n_buckets: int = 256,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Heaps-law corpus growth curve under DETERMINISTIC subsampling —
+    the scaling-forecast op for a training-data pipeline ("how fast
+    does vocabulary grow as we add data?").  Docs are sliced by the
+    md5 coin ``md5low64(str(doc_id)) % n_slices`` (== DuckDB
+    ``md5_number_lower``, the pair_review_sample law) and each prefix
+    ``k = 1..n_slices`` reports the corpus it would contain:
+
+        ``(k, n_docs, n_tokens, n_vocab)``
+
+    with ``n_vocab(k) = #tokens whose MINIMUM slice < k`` — the
+    distinct-count law that never ships a vocabulary: a token's first
+    slice is a groupby-min, the curve is a 16-bin histogram cumsum.
+    Token law == word_counts (lower, ``\\s+`` split, ``''`` dropped;
+    NULL text = no tokens but the doc still counts).
+
+    Scale shape: ONE corpus pass emits per-batch (token, min-slice)
+    partials plus ≤ n_slices doc/token-count stat rows; one token-hash
+    groupby finishes the mins IN-BUCKET and collapses them to ≤
+    n_slices histogram rows per bucket — the driver sees ≤
+    n_buckets·n_slices scalar rows, never a token.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from .curation import _md5_low64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        db = np.array([_md5_low64(str(i)) % n_slices for i in ids],
+                      np.int64)
+        txt = batch.column(text_col)
+        if pa.types.is_null(txt.type):
+            txt = txt.cast(pa.string())
+        filled = batch.set_column(
+            batch.schema.get_field_index(text_col), text_col,
+            pc.fill_null(txt, ""))
+        doc_idx, flat, _ = _explode_tokens(filled, text_col)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.to_pandas().to_numpy()[keep]
+        tdb = db[doc_idx[keep]]
+        n_tok = np.bincount(doc_idx[keep], minlength=len(ids)) \
+            .astype(np.int64)
+        # ≤ n_slices stat rows (tok NULL) + per-token min-slice partials
+        docs_b = np.bincount(db, minlength=n_slices).astype(np.int64)
+        tokens_b = np.zeros(n_slices, np.int64)
+        np.add.at(tokens_b, db, n_tok)
+        out_tok = [None] * n_slices
+        out_mdb = list(range(n_slices))
+        out_docs = docs_b.tolist()
+        out_tokens = tokens_b.tolist()
+        if len(toks):
+            tm = pd.DataFrame({"tok": toks, "mdb": tdb}) \
+                .groupby("tok", as_index=False)["mdb"].min()
+            out_tok.extend(tm["tok"].tolist())
+            out_mdb.extend(tm["mdb"].to_numpy(np.int64).tolist())
+            out_docs.extend([0] * len(tm))
+            out_tokens.extend([0] * len(tm))
+        t = pa.table({
+            "tok": pa.array(out_tok, pa.string()),
+            "mdb": pa.array(out_mdb, pa.int64()),
+            "docs_p": pa.array(out_docs, pa.int64()),
+            "tokens_p": pa.array(out_tokens, pa.int64())})
+        tb = np.zeros(t.num_rows, np.int64)
+        if t.num_rows > n_slices:
+            tb[n_slices:] = bucket_hash(
+                pd.Series(out_tok[n_slices:]), n_buckets)
+        return t.append_column("_tb", pa.array(tb, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # pandas groupby DROPS NaN keys — split stat rows by explicit
+        # mask, never by grouping on tok
+        stats = g[g["tok"].isna()]
+        toks = g[g["tok"].notna()]
+        docs_b = np.zeros(n_slices, np.int64)
+        tokens_b = np.zeros(n_slices, np.int64)
+        vocab_b = np.zeros(n_slices, np.int64)
+        if len(stats):
+            sd = stats.groupby("mdb")[["docs_p", "tokens_p"]].sum()
+            docs_b[sd.index.to_numpy(np.int64)] = \
+                sd["docs_p"].to_numpy(np.int64)
+            tokens_b[sd.index.to_numpy(np.int64)] = \
+                sd["tokens_p"].to_numpy(np.int64)
+        if len(toks):
+            tm = toks.groupby("tok")["mdb"].min()
+            vc = np.bincount(tm.to_numpy(np.int64),
+                             minlength=n_slices).astype(np.int64)
+            vocab_b = vc
+        return pa.table({
+            "db": pa.array(np.arange(n_slices, dtype=np.int64)),
+            "docs_p": pa.array(docs_b),
+            "tokens_p": pa.array(tokens_b),
+            "vocab_p": pa.array(vocab_b)})
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_tb").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()  # ≤ n_buckets · n_slices scalar rows — bounded
+
+    hist = parts.groupby("db")[["docs_p", "tokens_p", "vocab_p"]].sum() \
+        .reindex(range(n_slices), fill_value=0)
+    docs_c = hist["docs_p"].to_numpy(np.int64).cumsum()
+    tokens_c = hist["tokens_p"].to_numpy(np.int64).cumsum()
+    vocab_c = hist["vocab_p"].to_numpy(np.int64).cumsum()
+    return rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(1, n_slices + 1, dtype=np.int64)),
+        "n_docs": pa.array(docs_c),
+        "n_tokens": pa.array(tokens_c),
+        "n_vocab": pa.array(vocab_c)}))

@@ -4991,3 +4991,44 @@ def test_graph_triangles_empty_graph(ray_session):
     got = graph_triangles(docs).to_pandas()
     assert len(got) == 1
     assert list(got.iloc[0]) == [0, 0, 0, 0, 0]
+
+
+def test_vocab_growth_min_slice_and_null_text(ray_session):
+    """vocab counts a token at its MINIMUM slice only (no double count
+    across slices); NULL text contributes a doc but no tokens; the curve
+    is cumulative and the k=n_slices row covers the whole corpus."""
+    import ray.data as rd
+
+    from name_matching_ray.stages.curation import _md5_low64
+    from name_matching_ray.stages.textstats import vocab_growth
+
+    # pick ids landing in different slices so the law is exercised
+    ids = list(range(40))
+    sl = {i: _md5_low64(str(i)) % 16 for i in ids}
+    lo = min(ids, key=lambda i: sl[i])   # earliest slice
+    hi = max(ids, key=lambda i: sl[i])   # latest slice
+    assert sl[lo] < sl[hi]
+    rows = [{"doc_id": lo, "text": "shared alpha"},
+            {"doc_id": hi, "text": "shared beta"},
+            {"doc_id": [i for i in ids if i not in (lo, hi)][0],
+             "text": None}]
+    null_doc = rows[2]["doc_id"]
+    got = vocab_growth(rd.from_items(rows)).to_pandas()
+    assert list(got["k"]) == list(range(1, 17))
+    last = got.iloc[-1]
+    assert int(last["n_docs"]) == 3
+    assert int(last["n_tokens"]) == 4
+    # 'shared' appears in two slices but counts once -> 3 distinct
+    assert int(last["n_vocab"]) == 3
+    # at k just past lo's slice: only lo's doc (unless null doc or hi
+    # share that prefix) — check the exact prefix membership law
+    for k in range(1, 17):
+        r = got.iloc[k - 1]
+        exp_docs = sum(1 for i in (lo, hi, null_doc) if sl[i] < k)
+        assert int(r["n_docs"]) == exp_docs
+        exp_vocab = (2 if sl[lo] < k else 0) + (1 if sl[hi] < k else 0)
+        # 'shared' enters at min(sl[lo], sl[hi]) = sl[lo] with 'alpha';
+        # 'beta' adds at sl[hi]
+        assert int(r["n_vocab"]) == exp_vocab
+    # monotone non-decreasing curve
+    assert (got["n_vocab"].diff().dropna() >= 0).all()
