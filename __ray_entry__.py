@@ -1304,6 +1304,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # groupby-min + 16-bin histogram (never ships a vocabulary)
         "vocab_growth": lambda sf: textstats.vocab_growth(
             _read_docs(sf)),
+        # Q6: in-year discount-band revenue — the predicate-pushdown
+        # demo (ship-date window pruned at the parquet read via row-
+        # group statistics), map-only scalar partials, zero shuffles
+        "forecast_revenue": lambda sf: analytics.forecast_revenue(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6142,5 +6146,18 @@ def _oracle_sql_base() -> dict[str, str]:
                          WHERE NOT EXISTS (SELECT 1 FROM customer c
                                            WHERE c.c_custkey = o.o_custkey))
                         AS BIGINT)
+        """,
+        # forecast_revenue (Q6): item cents law floor(ep*disc*100+0.5)
+        # with SQL's left-to-right op order; empty selection -> (0, 0).
+        "forecast_revenue": """
+            SELECT CAST(coalesce(SUM(CAST(floor(
+                           l_extendedprice * l_discount * 100 + 0.5)
+                       AS BIGINT)), 0) AS BIGINT) AS revenue_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.04
+              AND l_quantity < 25
         """,
     }

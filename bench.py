@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "monge_elkan_pairs", "basket_pairs", "two_hop_pairs",
     "pair_features", "revenue_concentration", "blocking_rule_coverage",
     "waiting_suppliers", "graph_triangles", "vocab_growth",
+    # round-5 session-8 ops
+    "forecast_revenue",
 ]
 
 

@@ -3816,3 +3816,61 @@ def waiting_suppliers(sf_dir: str, *, nation: str = "NATION_7",
         "s_name": pa.array(out["s_name"].astype(str), pa.string()),
         "numwait": pa.array(out["numwait"].to_numpy(np.int64),
                             pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecasting revenue change — predicate pushdown at the read
+# ---------------------------------------------------------------------------
+
+def forecast_revenue(sf_dir: str, *, year: int = 1996,
+                     disc_lo: float = 0.02, disc_hi: float = 0.04,
+                     max_qty: float = 25.0):
+    """TPC-H Q6 shape: total discount revenue that a promotion in
+    ``year`` would have forfeited — ``SUM(extendedprice * discount)``
+    over in-year lineitems with a discount in ``[disc_lo, disc_hi]``
+    and quantity below ``max_qty``.  One row: ``(revenue_c, n_items)``.
+
+    This is the suite's predicate-pushdown demo: the ship-date window
+    is a ``pyarrow.dataset`` filter passed to ``read_parquet`` itself,
+    so at scale only matching ROW GROUPS leave storage (min/max
+    statistics prune whole files of off-year data before a byte moves)
+    — the remaining predicates and the cents fold are one map-only
+    pass emitting a single scalar partial per batch; no shuffle at all.
+    The item cents law is ``floor(ep * disc * 100 + 0.5)`` with SQL's
+    op order, so the float product never leaks into the compare.
+    """
+    import ray.data as rd
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pads.field("l_shipdate") >= pa.scalar(lo))
+                & (pads.field("l_shipdate") < pa.scalar(hi))))
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        sd = df["l_shipdate"].to_numpy().astype("datetime64[us]")
+        m = ((sd >= lo) & (sd < hi)
+             & (df["l_discount"].to_numpy() >= disc_lo)
+             & (df["l_discount"].to_numpy() <= disc_hi)
+             & (df["l_quantity"].to_numpy() < max_qty))
+        ep = df["l_extendedprice"].to_numpy()[m]
+        dc = df["l_discount"].to_numpy()[m]
+        rev = np.floor(ep * dc * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"revenue_c": pa.array([int(rev.sum())],
+                                               pa.int64()),
+                         "n_items": pa.array([int(m.sum())], pa.int64())})
+
+    # scalar partials only — one (revenue, count) row per batch reaches
+    # the driver regardless of corpus size
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return rd.from_arrow(pa.table({
+        "revenue_c": pa.array([int(parts["revenue_c"].sum())
+                               if len(parts) else 0], pa.int64()),
+        "n_items": pa.array([int(parts["n_items"].sum())
+                             if len(parts) else 0], pa.int64())}))

@@ -5032,3 +5032,55 @@ def test_vocab_growth_min_slice_and_null_text(ray_session):
         assert int(r["n_vocab"]) == exp_vocab
     # monotone non-decreasing curve
     assert (got["n_vocab"].diff().dropna() >= 0).all()
+
+
+def test_forecast_revenue_boundaries_and_cents_law(ray_session, tmp_path):
+    """forecast_revenue (Q6): inclusive discount band, exclusive qty /
+    year-end bounds, item-level floor(ep*disc*100+0.5); empty
+    selection keeps the fixed one-row (0, 0) shape."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import forecast_revenue
+
+    ts = lambda s: np.datetime64(s, "us")
+    rows = [
+        # in: 10.1 * 0.03 * 100 + 0.5 = 30.8 -> 30
+        (ts("1996-06-01"), 0.03, 10.0, 10.1),
+        # in: exactly 0.5 half -> 25*0.02*100+0.5 = 50.5 -> 50
+        (ts("1996-01-01"), 0.02, 24.0, 25.0),
+        # out: quantity == 25 (strict <)
+        (ts("1996-06-01"), 0.03, 25.0, 100.0),
+        # out: discount below band
+        (ts("1996-06-01"), 0.01, 10.0, 100.0),
+        # in: discount at the top edge (inclusive)
+        (ts("1996-12-31"), 0.04, 10.0, 100.0),
+        # out: first instant of the next year
+        (ts("1997-01-01"), 0.03, 10.0, 100.0),
+        # out: previous year
+        (ts("1995-12-31"), 0.03, 10.0, 100.0),
+    ]
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array([r[0] for r in rows],
+                               pa.timestamp("us")),
+        "l_discount": pa.array([r[1] for r in rows], pa.float64()),
+        "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+        "l_extendedprice": pa.array([r[3] for r in rows], pa.float64()),
+    }), tmp_path / "lineitem.parquet", row_group_size=2)
+
+    got = forecast_revenue(str(tmp_path)).to_pandas()
+    assert got.to_dict("list") == {
+        "revenue_c": [30 + 50 + 400], "n_items": [3]}
+
+    # empty selection: the whole file prunes away at the read
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array([ts("1990-01-01")], pa.timestamp("us")),
+        "l_discount": pa.array([0.03], pa.float64()),
+        "l_quantity": pa.array([1.0], pa.float64()),
+        "l_extendedprice": pa.array([1.0], pa.float64()),
+    }), empty / "lineitem.parquet")
+    got = forecast_revenue(str(empty)).to_pandas()
+    assert got.to_dict("list") == {"revenue_c": [0], "n_items": [0]}
