@@ -1308,6 +1308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # demo (ship-date window pruned at the parquet read via row-
         # group statistics), map-only scalar partials, zero shuffles
         "forecast_revenue": lambda sf: analytics.forecast_revenue(sf),
+        # Q11: parts above a GLOBAL-scalar value threshold — bucketed
+        # semi join vs the nation's suppliers, per-part totals
+        # materialized once to serve both the scalar and the filter
+        "important_parts": lambda sf: analytics.important_parts(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6159,5 +6163,24 @@ def _oracle_sql_base() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
               AND l_discount >= 0.02 AND l_discount <= 0.04
               AND l_quantity < 25
+        """,
+        # important_parts (Q11 shape): per-part supplied value for one
+        # nation vs 1/frac_den of the global total — strict >, exact
+        # integer cross-multiplication, line cents law floor(ep*100+.5).
+        "important_parts": """
+            WITH lv AS (
+                SELECT l_partkey AS p_partkey,
+                       SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS value_c
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                WHERE n.n_name = 'NATION_1'
+                GROUP BY 1)
+            SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                   CAST(value_c AS BIGINT) AS value_c
+            FROM lv
+            WHERE value_c * 1000 >
+                  (SELECT coalesce(SUM(value_c), 0) FROM lv)
         """,
     }

@@ -3874,3 +3874,96 @@ def forecast_revenue(sf_dir: str, *, year: int = 1996,
                                if len(parts) else 0], pa.int64()),
         "n_items": pa.array([int(parts["n_items"].sum())
                              if len(parts) else 0], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# Q11: important stock — per-part value vs a GLOBAL scalar threshold
+# ---------------------------------------------------------------------------
+
+def important_parts(sf_dir: str, *, nation: str = "NATION_1",
+                    frac_den: int = 1000, n_buckets: int = 64):
+    """TPC-H Q11 shape (partsupp re-based on lineitem): parts whose
+    total line value supplied by ``nation``'s suppliers exceeds
+    ``1/frac_den`` of that nation's GLOBAL supplied value.  Output one
+    row per qualifying part: ``(p_partkey, value_c)``.
+
+    The distinctive piece is the global-scalar HAVING: the threshold
+    is an aggregate over the SAME derived table the filter runs on.
+    Scale plan: lineitem folds to per-(suppkey, partkey) cents partials
+    before a bucketed SEMI join against the nation's suppliers (the
+    nation slice of a warehouse-scale supplier dim is itself large —
+    no broadcast); per-part exact totals form in partkey buckets and
+    that per-part table is materialized ONCE (|parts| rows, dimension-
+    bounded) to serve both consumers — the scalar total (per-batch
+    scalar partials, driver sees one row per batch) and the threshold
+    filter (scalar broadcast into a map-only mask).  The integer law
+    ``value_c * frac_den > total_c`` keeps the compare exact.
+    """
+    from ..stages.joins import bucket_hash_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nks = set(nat.loc[nat["n_name"] == nation, "n_nationkey"]
+              .astype(int).tolist())
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(
+            lambda df: pa.table({"s_suppkey": pa.array(
+                df.loc[df["s_nationkey"].astype(int).isin(nks),
+                       "s_suppkey"].to_numpy(np.int64), pa.int64())}),
+            batch_format="pandas")
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({
+                "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "p_partkey": df["l_partkey"].to_numpy(np.int64),
+                "value_c": _cents(df["l_extendedprice"].to_numpy()),
+             }).groupby(["s_suppkey", "p_partkey"],
+                        as_index=False)["value_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_extendedprice"]) \
+        .map_batches(li_part, batch_format="pandas")
+
+    ls = bucket_hash_join(
+        li, supp, on="s_suppkey", how="semi", n_buckets=n_buckets,
+        left_types={"s_suppkey": pa.int64(), "p_partkey": pa.int64(),
+                    "value_c": pa.int64()},
+        right_types={"s_suppkey": pa.int64()})
+
+    def part_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("p_partkey", as_index=False)["value_c"].sum()
+        g["_pb"] = _bucket_hash(g["p_partkey"], n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "value_c": pa.array([], pa.int64())})
+        c = g.groupby("p_partkey", as_index=False)["value_c"].sum()
+        return pa.table({
+            "p_partkey": pa.array(c["p_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "value_c": pa.array(c["value_c"].to_numpy(np.int64),
+                                pa.int64())})
+
+    per_part = ls.map_batches(part_partial, batch_format="pandas",
+                              batch_size=None) \
+        .groupby("_pb").map_groups(combine, batch_format="pandas") \
+        .materialize()   # |parts| rows, read by BOTH consumers below
+
+    tot_parts = per_part.map_batches(
+        lambda df: pa.table({"t": pa.array(
+            [int(df["value_c"].sum())], pa.int64())}),
+        batch_format="pandas").to_pandas()
+    total = int(tot_parts["t"].sum()) if len(tot_parts) else 0
+
+    def cut(df: pd.DataFrame) -> pa.Table:
+        keep = df[df["value_c"].to_numpy(np.int64) * frac_den > total]
+        return pa.table({
+            "p_partkey": pa.array(keep["p_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "value_c": pa.array(keep["value_c"].to_numpy(np.int64),
+                                pa.int64())})
+
+    return per_part.map_batches(cut, batch_format="pandas")

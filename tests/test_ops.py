@@ -5084,3 +5084,39 @@ def test_forecast_revenue_boundaries_and_cents_law(ray_session, tmp_path):
     }), empty / "lineitem.parquet")
     got = forecast_revenue(str(empty)).to_pandas()
     assert got.to_dict("list") == {"revenue_c": [0], "n_items": [0]}
+
+
+def test_important_parts_global_threshold(ray_session, tmp_path):
+    """important_parts (Q11): only the chosen nation's lines count,
+    the threshold is STRICT > on value*frac_den vs the global total
+    (a part exactly at the boundary is excluded), and an empty nation
+    slice yields zero rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import important_parts
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2], pa.int64()),
+        "n_name": pa.array(["NATION_1", "NATION_2"], pa.string()),
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_nationkey": pa.array([1, 2], pa.int64()),
+    }), tmp_path / "supplier.parquet")
+    # part 1 via s1: 3.0 -> 300c; part 2 via s1: 1.0 -> 100c; part 2
+    # via s2 (other nation): ignored.  total = 400.  frac_den=4:
+    # part 1 keeps (1200 > 400), part 2 is EXACTLY at the boundary
+    # (400 > 400 is false) -> excluded.
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 2, 2], pa.int64()),
+        "l_extendedprice": pa.array([3.0, 1.0, 999.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet", row_group_size=1)
+
+    got = important_parts(str(tmp_path), frac_den=4).to_pandas()
+    assert got.to_dict("list") == {"p_partkey": [1], "value_c": [300]}
+
+    got = important_parts(str(tmp_path), nation="NATION_3",
+                          frac_den=4).to_pandas()
+    assert len(got) == 0
