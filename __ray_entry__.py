@@ -1312,6 +1312,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi join vs the nation's suppliers, per-part totals
         # materialized once to serve both the scalar and the filter
         "important_parts": lambda sf: analytics.important_parts(sf),
+        # Q20: strict-majority suppliers of a part family — dominance
+        # settles inside the semi join's partkey buckets (no extra
+        # shuffle), nation name-attach via guarded broadcast
+        "excess_shippers": lambda sf: analytics.excess_shippers(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6182,5 +6186,31 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM lv
             WHERE value_c * 1000 >
                   (SELECT coalesce(SUM(value_c), 0) FROM lv)
+        """,
+        # excess_shippers (Q20 shape): strict majority 2*qty > total
+        # per part over the in-year, name-prefix family; quantities are
+        # whole by construction -> CAST BIGINT both sides.
+        "excess_shippers": """
+            WITH pf AS (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'blue%'),
+            lq AS (SELECT l_partkey, l_suppkey,
+                          SUM(CAST(l_quantity AS BIGINT)) AS qty
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate <  TIMESTAMP '1997-01-01'
+                     AND l_partkey IN (SELECT p_partkey FROM pf)
+                   GROUP BY 1, 2),
+            tot AS (SELECT l_partkey, SUM(qty) AS t FROM lq GROUP BY 1),
+            dom AS (SELECT lq.l_suppkey, lq.l_partkey
+                    FROM lq JOIN tot ON tot.l_partkey = lq.l_partkey
+                    WHERE 2 * lq.qty > tot.t),
+            cnt AS (SELECT l_suppkey, COUNT(*) AS n_parts FROM dom
+                    GROUP BY 1)
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+                   s.s_name,
+                   CAST(cnt.n_parts AS BIGINT) AS n_parts
+            FROM cnt JOIN supplier s ON s.s_suppkey = cnt.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_1'
         """,
     }

@@ -147,7 +147,7 @@ BENCH_QUERIES = [
     "pair_features", "revenue_concentration", "blocking_rule_coverage",
     "waiting_suppliers", "graph_triangles", "vocab_growth",
     # round-5 session-8 ops
-    "forecast_revenue", "important_parts",
+    "forecast_revenue", "important_parts", "excess_shippers",
 ]
 
 

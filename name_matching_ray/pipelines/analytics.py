@@ -3967,3 +3967,130 @@ def important_parts(sf_dir: str, *, nation: str = "NATION_1",
                                 pa.int64())})
 
     return per_part.map_batches(cut, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Q20: dominant suppliers of a part family — per-group scalar + semi chain
+# ---------------------------------------------------------------------------
+
+def excess_shippers(sf_dir: str, *, nation: str = "NATION_1",
+                    name_prefix: str = "blue", year: int = 1996,
+                    n_buckets: int = 64):
+    """TPC-H Q20 shape: suppliers from ``nation`` who DOMINATED the
+    in-``year`` supply of some ``name_prefix`` part — shipped a strict
+    majority (``2*qty > part total``) of that part's year quantity.
+    Output one row per such supplier: ``(s_suppkey, s_name, n_parts)``
+    with the number of parts dominated.
+
+    Scale plan: the part family is an honest bucketed SEMI join (a
+    name-prefix slice of a warehouse part dim is itself large); the
+    per-(part, supplier) quantities AND the per-part totals both key on
+    partkey, so the dominance test runs inside the join's partkey
+    buckets with no extra shuffle (the shipping_priority fold law);
+    the surviving (supplier, part) set is dimension-bounded, so the
+    per-supplier count is one coarse-bucket groupby and the nation
+    name-attach is a guarded broadcast join.  Quantities are whole by
+    TPC-H construction — both sides CAST to int64 so the majority test
+    is exact integer arithmetic.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import broadcast_join, bucket_hash_join
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    part_f = _read(sf_dir, "part", ["p_partkey", "p_name"]) \
+        .map_batches(
+            lambda df: pa.table({"l_partkey": pa.array(
+                df.loc[df["p_name"].astype(str).str.startswith(name_prefix),
+                       "p_partkey"].to_numpy(np.int64), pa.int64())}),
+            batch_format="pandas")
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        sd = df["l_shipdate"].to_numpy().astype("datetime64[us]")
+        m = (sd >= lo) & (sd < hi)
+        g = (pd.DataFrame({
+                "l_partkey": df["l_partkey"].to_numpy(np.int64)[m],
+                "l_suppkey": df["l_suppkey"].to_numpy(np.int64)[m],
+                "qty": df["l_quantity"].to_numpy()[m].astype(np.int64),
+             }).groupby(["l_partkey", "l_suppkey"],
+                        as_index=False)["qty"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(li_part, batch_format="pandas")
+
+    lp = bucket_hash_join(
+        li, part_f, on="l_partkey", how="semi", n_buckets=n_buckets,
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "qty": pa.int64()},
+        right_types={"l_partkey": pa.int64()})
+
+    # the join co-located each partkey's partials: dominance settles
+    # in-bucket (batch_size=None keeps the bucket block whole)
+    def dominate(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "n_parts": pa.array([], pa.int64())})
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+            "qty"].sum()
+        tot = g.groupby("l_partkey")["qty"].transform("sum")
+        dom = g[2 * g["qty"].to_numpy(np.int64)
+                > tot.to_numpy(np.int64)]
+        c = dom.groupby("l_suppkey", as_index=False).size() \
+            .rename(columns={"size": "n_parts"})
+        return pa.table({
+            "s_suppkey": pa.array(c["l_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "n_parts": pa.array(c["n_parts"].to_numpy(np.int64),
+                                pa.int64())})
+
+    per_supp_part = lp.map_batches(dominate, batch_format="pandas",
+                                   batch_size=None)
+
+    # a supplier's dominated parts may span partkey buckets — one tiny
+    # coarse-bucket combine over the dimension-bounded (supp, count) rows
+    def supp_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("s_suppkey", as_index=False)["n_parts"].sum()
+        g["_sb"] = _bucket_hash(g["s_suppkey"], n_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def supp_combine(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "n_parts": pa.array([], pa.int64())})
+        c = g.groupby("s_suppkey", as_index=False)["n_parts"].sum()
+        return pa.table({
+            "s_suppkey": pa.array(c["s_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "n_parts": pa.array(c["n_parts"].to_numpy(np.int64),
+                                pa.int64())})
+
+    counts = per_supp_part.map_batches(supp_partial,
+                                       batch_format="pandas",
+                                       batch_size=None) \
+        .groupby("_sb").map_groups(supp_combine, batch_format="pandas")
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nks = set(nat.loc[nat["n_name"] == nation, "n_nationkey"]
+              .astype(int).tolist())
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey"]) \
+        .map_batches(
+            lambda df: pa.Table.from_pandas(
+                df.loc[df["s_nationkey"].astype(int).isin(nks),
+                       ["s_suppkey", "s_name"]],
+                preserve_index=False),
+            batch_format="pandas")
+
+    out = broadcast_join(counts, supp, on="s_suppkey", how="inner",
+                         left_cols=["s_suppkey", "n_parts"]).to_pandas()
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)
+                              if len(out) else [], pa.int64()),
+        "s_name": pa.array(out["s_name"].astype(str) if len(out) else [],
+                           pa.string()),
+        "n_parts": pa.array(out["n_parts"].to_numpy(np.int64)
+                            if len(out) else [], pa.int64())}))

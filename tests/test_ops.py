@@ -5120,3 +5120,57 @@ def test_important_parts_global_threshold(ray_session, tmp_path):
     got = important_parts(str(tmp_path), nation="NATION_3",
                           frac_den=4).to_pandas()
     assert len(got) == 0
+
+
+def test_excess_shippers_majority_tie_and_filters(ray_session, tmp_path):
+    """excess_shippers (Q20): an exact 50% split dominates NOBODY
+    (strict 2*qty > total), out-of-year and non-prefix lines don't
+    count, and other-nation dominators are filtered from the output
+    (but still beat nation suppliers in the per-part test)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import excess_shippers
+
+    ts = lambda s: np.datetime64(s, "us")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2], pa.int64()),
+        "n_name": pa.array(["NATION_1", "NATION_2"], pa.string()),
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+        "s_nationkey": pa.array([1, 2, 1], pa.int64()),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_name": pa.array(["blue rod", "blue bolt", "red rod",
+                            "blue cap"], pa.string()),
+    }), tmp_path / "part.parquet")
+    rows = [
+        # p1: s1=6, s2=4 -> s1 dominates (12 > 10)
+        (1, 1, 6.0, ts("1996-03-01")),
+        (1, 2, 4.0, ts("1996-04-01")),
+        # p2: s1=5, s3=5 -> exact tie, nobody dominates
+        (2, 1, 5.0, ts("1996-05-01")),
+        (2, 3, 5.0, ts("1996-06-01")),
+        # p1 1995 line (ignored): would hand s3 dominance
+        (1, 3, 100.0, ts("1995-06-01")),
+        # p3 is non-prefix (ignored)
+        (3, 3, 50.0, ts("1996-06-01")),
+        # p4: s2 (NATION_2) dominates -> beats everyone but is
+        # filtered from the NATION_1 output
+        (4, 2, 9.0, ts("1996-07-01")),
+        (4, 3, 1.0, ts("1996-07-01")),
+    ]
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+        "l_shipdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet", row_group_size=3)
+
+    got = excess_shippers(str(tmp_path)).to_pandas()
+    assert got.to_dict("list") == {
+        "s_suppkey": [1], "s_name": ["S1"], "n_parts": [1]}
