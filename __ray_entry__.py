@@ -494,6 +494,15 @@ def _cluster_bcubed(sf_dir: str):
                                   _read_docs(sf_dir))
 
 
+def _cluster_split_merge(sf_dir: str):
+    """Split/merge repair-cost audit of the shared near-dup closure vs
+    the exact-dup fingerprint truth — the edit-distance reading beside
+    the scoring evals (F1/ARI/B³/purity); both counts are cell-table
+    identities off the same (cluster, fp) pass."""
+    return erblock.cluster_split_merge(_near_dup_clusters(sf_dir),
+                                       _read_docs(sf_dir))
+
+
 def _cluster_purity(sf_dir: str):
     """Purity / inverse purity of the shared near-dup closure vs the
     exact-dup fingerprint truth — the majority-label eval beside
@@ -1316,6 +1325,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # settles inside the semi join's partkey buckets (no extra
         # shuffle), nation name-attach via guarded broadcast
         "excess_shippers": lambda sf: analytics.excess_shippers(sf),
+        # split/merge repair-cost clustering audit — cell-table
+        # identities (cells−fps merges, cells−clusters splits) off the
+        # shared (cluster, fp) pass; six scalars to the driver
+        "cluster_split_merge": _cluster_split_merge,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6212,5 +6225,64 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM cnt JOIN supplier s ON s.s_suppkey = cnt.l_suppkey
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             WHERE n.n_name = 'NATION_1'
+        """,
+        # cluster_split_merge: same closure + fingerprint recipe as
+        # cluster_pair_eval; splits/merges are cell-table identities.
+        "cluster_split_merge": r"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r
+                    ON r.node = e.b),
+            cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                   FROM reach GROUP BY node),
+            fp AS (SELECT doc_id,
+                          md5(regexp_replace(lower(coalesce(text, '')),
+                                             '[^a-z0-9]', '', 'g')) AS f
+                   FROM documents),
+            m AS (SELECT cc.cluster_id, fp.f
+                  FROM cc JOIN fp ON fp.doc_id = cc.doc_id),
+            s AS (SELECT COUNT(*) AS n_docs,
+                         COUNT(DISTINCT cluster_id) AS n_clusters,
+                         COUNT(DISTINCT f) AS n_fps
+                  FROM m),
+            ce AS (SELECT COUNT(*) AS n_cells
+                   FROM (SELECT DISTINCT cluster_id, f FROM m))
+            SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_clusters AS BIGINT) AS n_clusters,
+                   CAST(n_fps AS BIGINT) AS n_fps,
+                   CAST(n_cells AS BIGINT) AS n_cells,
+                   CAST(n_cells - n_clusters AS BIGINT)
+                       AS n_splits_needed,
+                   CAST(n_cells - n_fps AS BIGINT) AS n_merges_needed
+            FROM s, ce
         """,
     }

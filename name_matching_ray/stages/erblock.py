@@ -898,6 +898,67 @@ def cluster_pair_eval(cc_ds, docs_ds, *, id_col: str = "doc_id",
     }))
 
 
+
+def cluster_split_merge(cc_ds, docs_ds, *, id_col: str = "doc_id",
+                        cluster_col: str = "cluster_id",
+                        text_col: str = "text", n_buckets: int = 128,
+                        cc_types: dict | None = None):
+    """Split/merge audit of an entity clustering against the exact-dup
+    fingerprint truth — the repair-cost view of cluster quality: how
+    many MERGE operations would fix over-splitting (a truth entity
+    scattered over k predicted clusters needs k-1 merges) and how many
+    SPLIT operations would fix over-merging (a predicted cluster mixing
+    k truth entities needs k-1 splits).  Both collapse to cell-table
+    identities: with ``n_cells`` distinct (cluster, fingerprint) cells,
+    ``n_merges_needed = n_cells - n_fps`` and ``n_splits_needed =
+    n_cells - n_clusters``.  Output one row ``(n_docs, n_clusters,
+    n_fps, n_cells, n_splits_needed, n_merges_needed)`` — both zero iff
+    the clustering equals the truth partition.  Complements the scoring
+    evals (pairwise F1 / ARI / B-cubed) with an edit-distance reading.
+
+    Scale shape: the shared ``_cluster_fp_cells`` pass builds the cell
+    table (one bucket join + one narrow shuffle); it is materialized
+    ONCE (<= n_docs narrow rows) because three consumers read it — the
+    scalar partials (n_docs, n_cells) and the two margin distinct
+    counts, each a narrow count-table shuffle whose row COUNT is the
+    distinct count.  Six scalars reach the driver.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cf = _cluster_fp_cells(cc_ds, docs_ds, id_col=id_col,
+                           cluster_col=cluster_col, text_col=text_col,
+                           n_buckets=n_buckets,
+                           cc_types=cc_types).materialize()
+
+    def scal(df: pd.DataFrame) -> pa.Table:
+        c = df["c"].to_numpy(np.int64) if len(df) else \
+            np.array([], np.int64)
+        return pa.table({
+            "n_docs": pa.array([int(c.sum())], pa.int64()),
+            "n_cells": pa.array([int(len(df))], pa.int64())})
+
+    base = cf.map_batches(scal, batch_format="pandas").to_pandas()
+    n_docs = int(base["n_docs"].sum()) if len(base) else 0
+    n_cells = int(base["n_cells"].sum()) if len(base) else 0
+
+    # distinct margins: a groupby over the CELL table (narrow), whose
+    # group count IS the distinct count — never touches the corpus
+    n_clusters = cf.groupby(cluster_col) \
+        .aggregate(Sum("c", alias_name="c")).count()
+    n_fps = cf.groupby("fingerprint") \
+        .aggregate(Sum("c", alias_name="c")).count()
+
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_clusters": pa.array([n_clusters], pa.int64()),
+        "n_fps": pa.array([n_fps], pa.int64()),
+        "n_cells": pa.array([n_cells], pa.int64()),
+        "n_splits_needed": pa.array([n_cells - n_clusters], pa.int64()),
+        "n_merges_needed": pa.array([n_cells - n_fps], pa.int64())}))
+
+
 # ---------------------------------------------------------------------------
 # cluster survivorship (golden record over ER clusters)
 # ---------------------------------------------------------------------------

@@ -5174,3 +5174,48 @@ def test_excess_shippers_majority_tie_and_filters(ray_session, tmp_path):
     got = excess_shippers(str(tmp_path)).to_pandas()
     assert got.to_dict("list") == {
         "s_suppkey": [1], "s_name": ["S1"], "n_parts": [1]}
+
+
+def test_cluster_split_merge_identities(ray_session):
+    """Split/merge repair costs: a cluster mixing two truth entities
+    needs one split; a truth entity scattered over two clusters needs
+    one merge; the identities count cells, not docs; empty corpus is
+    the all-zero row; a perfect clustering is (0, 0)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import cluster_split_merge
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        # fps: {1,2}='ab', {3}='b', {4}='c', {5,6}='' (empty collapse)
+        "text": ["a b", "A-b!", "b", "c", "", ""],
+    }))
+    # clusters: {1,3} mixes fps -> 1 split; fp 'ab' spans c1/c2 and
+    # fp '' spans c4/c5 -> 2 merges.  cells = 6, clusters = 5, fps = 4.
+    cc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "cluster_id": pa.array([1, 2, 1, 3, 4, 5], pa.int64()),
+    }))
+    row = cluster_split_merge(cc, docs).to_pandas().iloc[0]
+    assert (row["n_docs"], row["n_clusters"], row["n_fps"],
+            row["n_cells"]) == (6, 5, 4, 6)
+    assert (row["n_splits_needed"], row["n_merges_needed"]) == (1, 2)
+
+    # perfect clustering == truth partition -> (0, 0)
+    cc_perfect = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "cluster_id": pa.array([1, 1, 3, 4, 5, 5], pa.int64()),
+    }))
+    row = cluster_split_merge(cc_perfect, docs).to_pandas().iloc[0]
+    assert (row["n_splits_needed"], row["n_merges_needed"]) == (0, 0)
+
+    # empty corpus -> all zeros (SQL COUNT over empty is 0, not NULL)
+    e = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    ec = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "cluster_id": pa.array([], pa.int64())}))
+    row = cluster_split_merge(ec, e).to_pandas().iloc[0]
+    assert row.tolist() == [0, 0, 0, 0, 0, 0]
