@@ -1329,6 +1329,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # identities (cells−fps merges, cells−clusters splits) off the
         # shared (cluster, fp) pass; six scalars to the driver
         "cluster_split_merge": _cluster_split_merge,
+        # block filtering (Papadakis): per-record top-⌈r·n⌉ rarest
+        # blocks, pairs survive only through blocks BOTH kept — three
+        # narrow shuffles (token df / doc quota / token pair-emit)
+        "block_filtering_pairs": lambda sf: erblock.block_filtering_pairs(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6284,5 +6289,33 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS n_splits_needed,
                    CAST(n_cells - n_fps AS BIGINT) AS n_merges_needed
             FROM s, ce
+        """,
+        # block_filtering_pairs: meta_blocking's trigram blocks + df
+        # purge, per-record quota rn <= ceil(n*ratio) ranked (df ASC,
+        # token ASC), pairs through blocks both sides kept.
+        "block_filtering_pairs": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_extract_all(lower(coalesce(text, '')),
+                                       '\S+') AS tl
+                 FROM documents),
+            dt AS (SELECT DISTINCT doc_id,
+                    tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS t
+                   FROM tok, unnest(range(1, len(tl) - 1)) AS u(i)),
+            df AS (SELECT t, COUNT(*) c FROM dt GROUP BY t
+                   HAVING c BETWEEN 2 AND 100),
+            bd AS (SELECT dt.doc_id, dt.t, df.c
+                   FROM dt JOIN df USING (t)),
+            rk AS (SELECT doc_id, t,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c, t) AS rn,
+                          COUNT(*) OVER (PARTITION BY doc_id) AS n
+                   FROM bd),
+            keep AS (SELECT doc_id, t FROM rk
+                     WHERE rn * 10000 <= n * 5000 + 9999)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM keep a JOIN keep b
+              ON a.t = b.t AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
     }

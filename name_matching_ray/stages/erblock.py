@@ -1157,6 +1157,104 @@ def _cbs_pair_graph(docs_ds, *, max_df: int, n_buckets: int,
         .groupby("_pb").map_groups(_mb_combine, batch_format="pandas")
 
 
+def block_filtering_pairs(docs_ds, *, ratio_bp: int = 5000,
+                          max_df: int = 100, n_buckets: int = 256,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    """Block filtering (Papadakis et al.) over the trigram block
+    collection — the standard meta-blocking PREPROCESSING step: each
+    record keeps only its ``ceil(ratio_bp/10⁴ · n)`` most
+    discriminative blocks (smallest document frequency, ties by block
+    key), and a candidate pair survives only through a block BOTH
+    records kept.  Output ``(id_a, id_b, w)`` with ``w`` = number of
+    shared kept blocks — the filtered CBS graph the WEP/WNP/CNP pruners
+    then weigh.  Blocks with df outside [2, ``max_df``] are purged
+    first (the family's stop-block guard), and the keep quota counts
+    only surviving blocks.  The quota is the exact integer ceil
+    ``rn ≤ (n·ratio_bp + 9999) // 10⁴``.
+
+    Scale shape: three narrow shuffles, none quadratic — (1) trigram
+    explode co-locates by TOKEN hash so in-bucket counts are exact
+    global df; (2) (doc, block, df) rows co-locate by DOC hash where
+    the per-record rank/quota cut is one vectorized sort per bucket;
+    (3) kept rows co-locate by TOKEN hash again, where the per-block
+    self-merge emits pair partials straight into coarse pair-hash
+    groups (the `_mb_combine` reduce).  Block sizes are df ≤ max_df by
+    construction, so the stage-3 fan-out is bounded per block.
+    """
+    import pandas as pd
+
+    exploded = docs_ds.map_batches(
+        lambda b: _mb_tok_part(b, text_col=text_col, id_col=id_col,
+                               n_buckets=n_buckets),
+        batch_format="pyarrow")
+
+    def df_filter(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "_db": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        vc = g["token"].value_counts()
+        ok = vc[(vc >= 2) & (vc <= max_df)]
+        g = g[g["token"].isin(ok.index)][["doc_id", "token"]]
+        if g.empty:
+            return empty
+        g = g.assign(df=g["token"].map(ok).astype(np.int64))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "token": pa.array(g["token"], pa.string()),
+            "df": pa.array(g["df"].to_numpy(np.int64), pa.int64()),
+            "_db": pa.array(bucket_hash(g["doc_id"], n_buckets),
+                            pa.int64())})
+
+    def quota_cut(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "_tb": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        g = g.sort_values(["doc_id", "df", "token"], kind="mergesort")
+        rn = g.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        n = g.groupby("doc_id", sort=False)["token"].transform("size")             .to_numpy(np.int64)
+        keep = rn * 10_000 <= n * ratio_bp + 9_999
+        g = g[keep]
+        if g.empty:
+            return empty
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "token": pa.array(g["token"], pa.string()),
+            "_tb": pa.array(bucket_hash(g["token"], n_buckets),
+                            pa.int64())})
+
+    def emit(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64()),
+                          "_pb": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        m = g.merge(g, on="token", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return empty
+        agg = m.groupby(["doc_id_a", "doc_id_b"], as_index=False)             .agg(w=("token", "size"))
+        a = agg["doc_id_a"].to_numpy(np.int64)
+        b = agg["doc_id_b"].to_numpy(np.int64)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64()),
+                         "w": pa.array(agg["w"].to_numpy(np.int64),
+                                       pa.int64()),
+                         "_pb": pa.array(pair_bucket(a, b, n_buckets),
+                                         pa.int64())})
+
+    return exploded \
+        .groupby("_tb").map_groups(df_filter, batch_format="pandas") \
+        .groupby("_db").map_groups(quota_cut, batch_format="pandas") \
+        .groupby("_tb").map_groups(emit, batch_format="pandas") \
+        .groupby("_pb").map_groups(_mb_combine, batch_format="pandas")
+
+
 def meta_blocking_pairs(docs_ds, *, max_df: int = 100, n_buckets: int = 256,
                         text_col: str = "text", id_col: str = "doc_id"):
     """Meta-blocking with CBS weights and global mean pruning: every

@@ -5219,3 +5219,39 @@ def test_cluster_split_merge_identities(ray_session):
         "cluster_id": pa.array([], pa.int64())}))
     row = cluster_split_merge(ec, e).to_pandas().iloc[0]
     assert row.tolist() == [0, 0, 0, 0, 0, 0]
+
+
+def test_block_filtering_quota_and_rank(ray_session):
+    """block_filtering_pairs: the keep quota is ceil(ratio*n) over
+    SURVIVING blocks ranked (df ASC, token ASC); a pair whose only
+    shared block was dropped by one side is pruned; ratio 100%
+    restores the unfiltered CBS graph."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import block_filtering_pairs
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # trigram blocks: 'x y z' df=3 (1,2,3); 'y z w' df=3 (1,3,4);
+        # 'y z q' / 'z w k' df=1 (purged).  At ratio 50% each doc
+        # keeps ceil(n/2): docs 1,3 keep only 'x y z' (lex tie-break
+        # on equal df), so the (1,4)/(3,4) pairs vanish.
+        "text": ["x y z w", "x y z q", "x y z w", "y z w k"],
+    }))
+    got = block_filtering_pairs(docs).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "id_a": [1, 1, 2], "id_b": [2, 3, 3], "w": [1, 1, 1]}
+
+    full = block_filtering_pairs(docs, ratio_bp=10_000).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert full.to_dict("list") == {
+        "id_a": [1, 1, 1, 2, 3], "id_b": [2, 3, 4, 3, 4],
+        "w": [1, 2, 1, 1, 1]}
+
+    # empty corpus
+    e = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert len(block_filtering_pairs(e).to_pandas()) == 0
