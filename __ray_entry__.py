@@ -1334,6 +1334,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # narrow shuffles (token df / doc quota / token pair-emit)
         "block_filtering_pairs": lambda sf: erblock.block_filtering_pairs(
             _read_docs(sf)),
+        # greedy 1-1 matching by iterated mutual-best elimination —
+        # bounded parallel sweeps over the linear FS pair table, four
+        # narrow shuffles per round, matched nodes anti-joined out
+        "greedy_one_to_one": lambda sf: erblock.greedy_one_to_one(
+            _read_table(sf, "customer",
+                        ["c_custkey", "c_name", "c_nationkey",
+                         "c_mktsegment", "c_acctbal"])),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -1407,6 +1414,48 @@ def _fs_scored_cte() -> str:
                              ELSE 0 END) AS score
                 FROM c x JOIN c y
                   ON x.nat = y.nat AND y.id > x.id AND y.id <= x.id + 5)"""
+
+
+def _greedy_one_to_one_oracle(rounds: int = 3) -> str:
+    """Unrolled greedy-matching oracle: each round's mutual-best CTE
+    (ROW_NUMBER argmax per l and per r over the REMAINING pairs, ties
+    to the lowest partner id) followed by node subtraction — the
+    pagerank-style bounded-rounds unroll over the shared FS scored-pair
+    law (_fs_scored_cte)."""
+    parts = []
+    prev = "scored"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            m{i} AS (
+              SELECT lb.l, lb.r, lb.score FROM
+                (SELECT l, r, score FROM (
+                    SELECT l, r, score,
+                           ROW_NUMBER() OVER (PARTITION BY l
+                               ORDER BY score DESC, r) AS k
+                    FROM {prev}) WHERE k = 1) lb
+              JOIN (SELECT l, r FROM (
+                    SELECT l, r,
+                           ROW_NUMBER() OVER (PARTITION BY r
+                               ORDER BY score DESC, l) AS k
+                    FROM {prev}) WHERE k = 1) rb
+              ON lb.l = rb.l AND lb.r = rb.r),
+            n{i} AS (SELECT l AS v FROM m{i}
+                     UNION SELECT r FROM m{i}),
+            p{i} AS (SELECT l, r, score FROM {prev}
+                     WHERE l NOT IN (SELECT v FROM n{i})
+                       AND r NOT IN (SELECT v FROM n{i}))""")
+        prev = f"p{i}"
+    union = "\n            UNION ALL ".join(
+        f"SELECT {i} AS round, l, r, score FROM m{i}"
+        for i in range(1, rounds + 1))
+    return f"""
+            WITH {_fs_scored_cte()},{",".join(parts)}
+            SELECT CAST(round AS BIGINT) AS round,
+                   CAST(l AS BIGINT) AS left_id,
+                   CAST(r AS BIGINT) AS right_id,
+                   CAST(score AS BIGINT) AS score
+            FROM ({union})
+        """
 
 
 def _pii_oracle() -> str:
@@ -6318,4 +6367,7 @@ def _oracle_sql_base() -> dict[str, str]:
               ON a.t = b.t AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         """,
+        # greedy_one_to_one: bounded-rounds unroll of mutual-best
+        # elimination over the shared FS scored-pair law.
+        "greedy_one_to_one": _greedy_one_to_one_oracle(3),
     }

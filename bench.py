@@ -148,7 +148,7 @@ BENCH_QUERIES = [
     "waiting_suppliers", "graph_triangles", "vocab_growth",
     # round-5 session-8 ops
     "forecast_revenue", "important_parts", "excess_shippers",
-    "cluster_split_merge", "block_filtering_pairs",
+    "cluster_split_merge", "block_filtering_pairs", "greedy_one_to_one",
 ]
 
 

@@ -2085,6 +2085,158 @@ def fs_mutual_best(cust_ds, *, gap: int = 5, chunk: int = 8192,
     return parts.groupby("_rb").map_groups(mutual, batch_format="pandas")
 
 
+def greedy_one_to_one(cust_ds, *, rounds: int = 3, gap: int = 5,
+                      chunk: int = 8192, n_buckets: int = 128,
+                      out_blocks: int = 32):
+    """Greedy one-to-one matching by iterated mutual-best elimination —
+    the distributed determinization of "process pairs best-first,
+    match if both ends are free": each round matches every pair that is
+    the best REMAINING partner of both its endpoints (score DESC, ties
+    to the lowest partner id), removes the matched nodes, and repeats.
+    Round 1 is exactly :func:`fs_mutual_best`; ``rounds`` bounds the
+    iteration (greedy matching's sequential chain, cut after a fixed
+    number of parallel sweeps — the pagerank_dups bounded-rounds
+    contract).  Candidates and scores are fs_match_scores' law.  Output
+    ``(round, left_id, right_id, score)``.
+
+    Scale shape: the linear (n·gap) scored pair table is built once and
+    materialized; each round is four narrow shuffles — hash(l) buckets
+    give the EXACT per-left argmax plus per-right argmax PARTIALS, the
+    hash(r) combine joins them into the round's matches, and two
+    bucketed ANTI joins (on l, then r) subtract the matched nodes from
+    the pair table, which is re-materialized per round (iterative-loop
+    hygiene: lineage and block counts stay flat across rounds).  Early
+    exit when a round matches nothing.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from .joins import bucket_hash_join
+
+    empty = pa.table({"round": pa.array([], pa.int64()),
+                      "left_id": pa.array([], pa.int64()),
+                      "right_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+
+    fields_ds, weights = _fs_weight_pass(cust_ds)
+    if weights is None:
+        return rd.from_arrow(empty)
+    w_seg, w_ten, w_bal = weights
+    tag = _fs_tag_fn(gap=gap, chunk=chunk)
+
+    def pair_kernel(g: pd.DataFrame) -> pa.Table:
+        kempty = pa.table({"l": pa.array([], pa.int64()),
+                           "r": pa.array([], pa.int64()),
+                           "score": pa.array([], pa.int64())})
+        enum = _fs_enum_pairs(g, gap=gap)
+        if enum is None:
+            return kempty
+        g, li, ri = enum
+        ids = g["id"].to_numpy(np.int64)
+        seg = pd.factorize(g["seg"])[0]
+        ten = pd.factorize(g["ten"])[0]
+        bal = g["bal"].to_numpy(np.int64)
+        score = (w_seg * (seg[li] == seg[ri]).astype(np.int64)
+                 + w_ten * (ten[li] == ten[ri]).astype(np.int64)
+                 + w_bal * (bal[li] == bal[ri]).astype(np.int64))
+        return pa.table({"l": pa.array(ids[li], pa.int64()),
+                         "r": pa.array(ids[ri], pa.int64()),
+                         "score": pa.array(score, pa.int64())})
+
+    pairs = fields_ds.map_batches(tag, batch_format="pandas") \
+        .groupby(["nat", "_cb"]).map_groups(pair_kernel,
+                                            batch_format="pandas") \
+        .materialize()
+
+    _part_schema = {"l": pa.int64(), "r": pa.int64(),
+                    "score": pa.int64(), "side": pa.string(),
+                    "_rb": pa.int64()}
+    pair_types = {"l": pa.int64(), "r": pa.int64(), "score": pa.int64()}
+
+    def lbucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(_lb=bucket_hash(df["l"], n_buckets))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def best_kernel(g: pd.DataFrame) -> pa.Table:
+        kempty = pa.table({k: pa.array([], t)
+                           for k, t in _part_schema.items()})
+        if not len(g):
+            return kempty
+        lb = g.sort_values(["l", "score", "r"],
+                           ascending=[True, False, True],
+                           kind="mergesort").drop_duplicates("l")
+        rb = g.sort_values(["r", "score", "l"],
+                           ascending=[True, False, True],
+                           kind="mergesort").drop_duplicates("r")
+        out = pd.concat([lb.assign(side="L"), rb.assign(side="R")],
+                        ignore_index=True)
+        out["_rb"] = bucket_hash(out["r"], n_buckets)
+        return pa.Table.from_pandas(out[list(_part_schema)],
+                                    preserve_index=False)
+
+    def mutual(g: pd.DataFrame) -> pa.Table:
+        mempty = pa.table({"l": pa.array([], pa.int64()),
+                           "r": pa.array([], pa.int64()),
+                           "score": pa.array([], pa.int64())})
+        if not len(g):
+            return mempty
+        rbest = g[g["side"] == "R"] \
+            .sort_values(["r", "score", "l"],
+                         ascending=[True, False, True],
+                         kind="mergesort").drop_duplicates("r")
+        m = g[g["side"] == "L"].merge(rbest[["l", "r"]], on=["l", "r"])
+        return pa.table({
+            "l": pa.array(m["l"].to_numpy(np.int64), pa.int64()),
+            "r": pa.array(m["r"].to_numpy(np.int64), pa.int64()),
+            "score": pa.array(m["score"].to_numpy(np.int64), pa.int64())})
+
+    matched_rounds = []
+    for rnd in range(1, rounds + 1):
+        matched = pairs.map_batches(lbucket, batch_format="pandas") \
+            .groupby("_lb").map_groups(best_kernel,
+                                       batch_format="pandas") \
+            .groupby("_rb").map_groups(mutual, batch_format="pandas") \
+            .materialize()   # 3 consumers: output + the two anti joins
+        if matched.count() == 0:
+            break
+        matched_rounds.append((rnd, matched))
+        if rnd == rounds:
+            break
+        # matched NODES leave the pair pool — both roles, both columns
+        nodes_l = matched.map_batches(
+            lambda t: pa.table({"l": pa.concat_arrays(
+                [t.column("l").combine_chunks(),
+                 t.column("r").combine_chunks()])}),
+            batch_format="pyarrow")
+        nodes_r = nodes_l.map_batches(
+            lambda t: t.rename_columns(["r"]), batch_format="pyarrow")
+        pairs = bucket_hash_join(
+            pairs, nodes_l, on="l", how="anti", n_buckets=n_buckets,
+            left_types=pair_types, right_types={"l": pa.int64()})
+        pairs = bucket_hash_join(
+            pairs, nodes_r, on="r", how="anti", n_buckets=n_buckets,
+            left_types=pair_types, right_types={"r": pa.int64()})
+        pairs = pairs.repartition(out_blocks).materialize()
+
+    if not matched_rounds:
+        return rd.from_arrow(empty)
+
+    outs = []
+    for rnd, m in matched_rounds:
+        outs.append(m.map_batches(
+            lambda t, _r=rnd: pa.table({
+                "round": pa.array(np.full(t.num_rows, _r, np.int64),
+                                  pa.int64()),
+                "left_id": t.column("l"),
+                "right_id": t.column("r"),
+                "score": t.column("score")}),
+            batch_format="pyarrow"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # suffix-array blocking
 # ---------------------------------------------------------------------------

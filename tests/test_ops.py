@@ -5255,3 +5255,41 @@ def test_block_filtering_quota_and_rank(ray_session):
         "doc_id": pa.array([], pa.int64()),
         "text": pa.array([], pa.string())}))
     assert len(block_filtering_pairs(e).to_pandas()) == 0
+
+
+def test_greedy_one_to_one_rounds(ray_session):
+    """greedy_one_to_one: round 1 is the role-specific mutual-best law;
+    a pair whose endpoints both LOST round 1 (their best partners were
+    taken) matches in round 2; matched nodes never reappear; empty
+    input keeps the empty shape."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import greedy_one_to_one
+
+    # four same-nation customers, names all tens-digit '1', balances
+    # 1000/1000/2000/3000 -> weights: seg 1 (all agree), ten 1 (all
+    # agree), bal 3 (only the 1000 pair agrees).  scores: (1,2)=5,
+    # every other pair 2.  Round 1: (1,2) mutual; (2,3)/(3,4) blocked
+    # (r-best of 3 and 4 is node 1).  Round 2: only (3,4) remains.
+    cust = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["A10", "B10", "C10", "D10"], pa.string()),
+        "c_nationkey": pa.array([7, 7, 7, 7], pa.int64()),
+        "c_mktsegment": pa.array(["AUTOMOBILE"] * 4, pa.string()),
+        "c_acctbal": pa.array([1000.0, 1000.0, 2000.0, 3000.0],
+                              pa.float64()),
+    }))
+    got = greedy_one_to_one(cust).to_pandas() \
+        .sort_values(["round", "left_id"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "round": [1, 2], "left_id": [1, 3], "right_id": [2, 4],
+        "score": [5, 2]}
+
+    e = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "c_nationkey": pa.array([], pa.int64()),
+        "c_mktsegment": pa.array([], pa.string()),
+        "c_acctbal": pa.array([], pa.float64())}))
+    assert len(greedy_one_to_one(e).to_pandas()) == 0
