@@ -1341,6 +1341,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read_table(sf, "customer",
                         ["c_custkey", "c_name", "c_nationkey",
                          "c_mktsegment", "c_acctbal"])),
+        # per-doc novelty audit (df==1 shingle fraction) — two narrow
+        # shuffles (shingle df in-bucket, per-doc combine), no pairs,
+        # vocabulary never ships
+        "doc_novelty": lambda sf: dedup.doc_novelty(_read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6370,4 +6374,24 @@ def _oracle_sql_base() -> dict[str, str]:
         # greedy_one_to_one: bounded-rounds unroll of mutual-best
         # elimination over the shared FS scored-pair law.
         "greedy_one_to_one": _greedy_one_to_one_oracle(3),
+        # doc_novelty: the ngram_jaccard shingle law; df==1 fraction in
+        # floor bp; docs with zero shingles emit nothing (inner join).
+        "doc_novelty": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                 FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                   FROM tok,
+                        UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY 1)
+            SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN df.c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST(SUM(CASE WHEN df.c = 1 THEN 1 ELSE 0 END)
+                        * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+            FROM sh JOIN df USING (s)
+            GROUP BY sh.doc_id
+        """,
     }

@@ -1629,3 +1629,75 @@ def cosine_pairs(docs_ds, *, n: int = 3, tau100: int = 50,
                          for c in out_cols})
 
     return parts.groupby("_pb").map_groups(finalize, batch_format="pandas")
+
+
+def doc_novelty(docs_ds, *, n: int = 3, n_buckets: int = 256,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document novelty audit — the memorization/boilerplate dial of
+    a training-data pipeline: for each doc, the fraction of its DISTINCT
+    word ``n``-gram shingles that appear in NO other document (global
+    df == 1).  Output one row per doc with ≥1 shingle: ``(doc_id,
+    n_grams, n_novel, novelty_bp)`` with ``novelty_bp = n_novel·10⁴ //
+    n_grams``.  Low novelty ⇒ templated/duplicated content (candidate
+    for dedup); novelty 10000 ⇒ fully unique text.  Same shingle law as
+    :func:`ngram_jaccard_pairs` (lower, whitespace split, distinct per
+    doc) so the two audits read the same corpus the same way.
+
+    Scale shape: two narrow shuffles, no pairs — shingle rows co-locate
+    by shingle hash (in-bucket counts ARE the global df; per-doc novel
+    partials collapse per bucket), then (doc, novel) partials co-locate
+    by doc hash where the bp division runs once per doc.  The shingle
+    vocabulary never reaches the driver.
+    """
+    import pandas as pd
+
+    ex = docs_ds.map_batches(
+        ExplodeShingles,
+        fn_constructor_kwargs={"n": n, "text_col": text_col,
+                               "id_col": id_col,
+                               "n_buckets": n_buckets},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+    def novel_part(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "n_novel": pa.array([], pa.int64()),
+                          "_db": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        df = g["shingle"].map(g["shingle"].value_counts())
+        g = g.assign(_novel=(df == 1).astype(np.int64))
+        agg = g.groupby(id_col, as_index=False).agg(
+            n_grams=("n_sh", "first"), n_novel=("_novel", "sum"))
+        return pa.table({
+            "doc_id": pa.array(agg[id_col].to_numpy(np.int64), pa.int64()),
+            "n_grams": pa.array(agg["n_grams"].to_numpy(np.int64),
+                                pa.int64()),
+            "n_novel": pa.array(agg["n_novel"].to_numpy(np.int64),
+                                pa.int64()),
+            "_db": pa.array(bucket_hash(agg[id_col], n_buckets),
+                            pa.int64())})
+
+    def per_doc(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "n_novel": pa.array([], pa.int64()),
+                          "novelty_bp": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        agg = g.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams", "first"), n_novel=("n_novel", "sum"))
+        ng = agg["n_grams"].to_numpy(np.int64)
+        nv = agg["n_novel"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_novel": pa.array(nv, pa.int64()),
+            "novelty_bp": pa.array(nv * 10_000 // ng, pa.int64())})
+
+    return ex.groupby("bucket").map_groups(novel_part,
+                                           batch_format="pandas") \
+        .groupby("_db").map_groups(per_doc, batch_format="pandas")

@@ -5293,3 +5293,34 @@ def test_greedy_one_to_one_rounds(ray_session):
         "c_mktsegment": pa.array([], pa.string()),
         "c_acctbal": pa.array([], pa.float64())}))
     assert len(greedy_one_to_one(e).to_pandas()) == 0
+
+
+def test_doc_novelty_df_law(ray_session):
+    """doc_novelty: df counts DOCUMENTS (a shingle repeated inside one
+    doc stays novel), exact-dup docs zero each other out, short/null
+    texts emit no row, and the bp floor divides per doc."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.dedup import doc_novelty
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [
+            # doc 1: shingles {a b c, b c a, c a b, a b c(dup->distinct)}
+            # = {abc, bca, cab}; 'a b c' occurs twice WITHIN doc 1 but
+            # df(abc) counts docs: doc 2 also has it -> not novel.
+            "a b c a b c",
+            "a b c",            # doc 2: {abc} shared with doc 1 -> 0/1
+            "x y z w",          # doc 3: {xyz, yzw} all unique -> 2/2
+            "p q",              # doc 4: too short, no row
+            None,               # doc 5: null, no row
+        ],
+    }))
+    got = doc_novelty(docs).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "doc_id": [1, 2, 3],
+        "n_grams": [3, 1, 2],
+        "n_novel": [2, 0, 2],
+        "novelty_bp": [6666, 0, 10000]}
