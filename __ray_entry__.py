@@ -1345,6 +1345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffles (shingle df in-bucket, per-doc combine), no pairs,
         # vocabulary never ships
         "doc_novelty": lambda sf: dedup.doc_novelty(_read_docs(sf)),
+        # Q2: correlated per-part MIN unit cost with ties — two honest
+        # bucketed semi joins, argmin settles in the partkey buckets,
+        # winners take the guarded broadcast for names
+        "min_cost_supplier": lambda sf: analytics.min_cost_supplier(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6393,5 +6397,33 @@ def _oracle_sql_base() -> dict[str, str]:
                         * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
             FROM sh JOIN df USING (s)
             GROUP BY sh.doc_id
+        """,
+        # min_cost_supplier (Q2 shape): per-line unit-cost law
+        # floor(ep/qty*100+0.5), MIN per (part,supp), correlated per-
+        # part MIN with ALL ties kept, region suppliers only.
+        "min_cost_supplier": """
+            WITH pf AS (SELECT p_partkey FROM part
+                        WHERE p_size = 5 AND p_type = 'ECONOMY'),
+            rs AS (SELECT s_suppkey, s_name FROM supplier s
+                   JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   JOIN region r ON r.r_regionkey = n.n_regionkey
+                   WHERE r.r_name = 'EUROPE'),
+            lu AS (SELECT l_partkey, l_suppkey,
+                          MIN(CAST(floor(l_extendedprice / l_quantity
+                                         * 100 + 0.5) AS BIGINT))
+                              AS ucost_c
+                   FROM lineitem
+                   WHERE l_partkey IN (SELECT p_partkey FROM pf)
+                     AND l_suppkey IN (SELECT s_suppkey FROM rs)
+                   GROUP BY 1, 2),
+            mn AS (SELECT l_partkey, MIN(ucost_c) AS m FROM lu
+                   GROUP BY 1)
+            SELECT CAST(lu.l_partkey AS BIGINT) AS p_partkey,
+                   CAST(lu.l_suppkey AS BIGINT) AS s_suppkey,
+                   rs.s_name,
+                   lu.ucost_c
+            FROM lu JOIN mn ON mn.l_partkey = lu.l_partkey
+                           AND lu.ucost_c = mn.m
+            JOIN rs ON rs.s_suppkey = lu.l_suppkey
         """,
     }

@@ -4094,3 +4094,126 @@ def excess_shippers(sf_dir: str, *, nation: str = "NATION_1",
                            pa.string()),
         "n_parts": pa.array(out["n_parts"].to_numpy(np.int64)
                             if len(out) else [], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# Q2: minimum-cost supplier — correlated per-group MIN with ties
+# ---------------------------------------------------------------------------
+
+def min_cost_supplier(sf_dir: str, *, region: str = "EUROPE",
+                      p_size: int = 5, p_type: str = "ECONOMY",
+                      n_buckets: int = 64):
+    """TPC-H Q2 shape (partsupp re-based on lineitem): for every part
+    of ``(p_size, p_type)``, the ``region`` supplier(s) achieving the
+    MINIMUM unit cost ever shipped — the correlated-subquery MIN with
+    ties kept.  Unit cost is the exact integer law
+    ``floor(ep / qty * 100 + 0.5)`` per line, MIN-folded per
+    (part, supplier).  Output ``(p_partkey, s_suppkey, s_name,
+    ucost_c)`` — one row per tied winner.
+
+    Scale plan: lineitem folds to per-(part, supplier) MIN partials
+    per batch; TWO honest bucketed semi joins prune them (region
+    suppliers — a region is 1/|regions| of a warehouse supplier dim,
+    no broadcast; then the part family); the correlated MIN and the
+    tie-keeping filter settle INSIDE the partkey join buckets (the
+    argmin never shuffles again), and only the dimension-bounded
+    winner set takes the guarded broadcast to attach names.
+    """
+    import ray.data as rd
+
+    from ..stages.joins import broadcast_join, bucket_hash_join
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rks = set(reg.loc[reg["r_name"] == region, "r_regionkey"]
+              .astype(int).tolist())
+    nks = set(nat.loc[nat["n_regionkey"].isin(rks), "n_nationkey"]
+              .astype(int).tolist())
+
+    rsupp_keys = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(
+            lambda df: pa.table({"l_suppkey": pa.array(
+                df.loc[df["s_nationkey"].astype(int).isin(nks),
+                       "s_suppkey"].to_numpy(np.int64), pa.int64())}),
+            batch_format="pandas")
+
+    part_f = _read(sf_dir, "part", ["p_partkey", "p_size", "p_type"]) \
+        .map_batches(
+            lambda df: pa.table({"l_partkey": pa.array(
+                df.loc[(df["p_size"].astype(int) == p_size)
+                       & (df["p_type"].astype(str) == p_type),
+                       "p_partkey"].to_numpy(np.int64), pa.int64())}),
+            batch_format="pandas")
+
+    def li_part(df: pd.DataFrame) -> pa.Table:
+        ep = df["l_extendedprice"].to_numpy()
+        qty = df["l_quantity"].to_numpy()
+        g = (pd.DataFrame({
+                "l_partkey": df["l_partkey"].to_numpy(np.int64),
+                "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "ucost_c": np.floor(ep / qty * 100.0 + 0.5)
+                           .astype(np.int64),
+             }).groupby(["l_partkey", "l_suppkey"],
+                        as_index=False)["ucost_c"].min())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_quantity"]) \
+        .map_batches(li_part, batch_format="pandas")
+
+    ls = bucket_hash_join(
+        li, rsupp_keys, on="l_suppkey", how="semi", n_buckets=n_buckets,
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "ucost_c": pa.int64()},
+        right_types={"l_suppkey": pa.int64()})
+
+    lp = bucket_hash_join(
+        ls, part_f, on="l_partkey", how="semi", n_buckets=n_buckets,
+        left_types={"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "ucost_c": pa.int64()},
+        right_types={"l_partkey": pa.int64()})
+
+    def argmin_kernel(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                          "p_partkey": pa.array([], pa.int64()),
+                          "ucost_c": pa.array([], pa.int64())})
+        if not len(df):
+            return empty
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+            "ucost_c"].min()
+        m = g.groupby("l_partkey")["ucost_c"].transform("min")
+        win = g[g["ucost_c"].to_numpy(np.int64) == m.to_numpy(np.int64)]
+        return pa.table({
+            "s_suppkey": pa.array(win["l_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "p_partkey": pa.array(win["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "ucost_c": pa.array(win["ucost_c"].to_numpy(np.int64),
+                                pa.int64())})
+
+    winners = lp.map_batches(argmin_kernel, batch_format="pandas",
+                             batch_size=None)
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey"]) \
+        .map_batches(
+            lambda df: pa.Table.from_pandas(
+                df.loc[df["s_nationkey"].astype(int).isin(nks),
+                       ["s_suppkey", "s_name"]],
+                preserve_index=False),
+            batch_format="pandas")
+
+    out = broadcast_join(
+        winners, supp, on="s_suppkey", how="inner",
+        left_cols=["s_suppkey", "p_partkey", "ucost_c"]).to_pandas()
+    return rd.from_arrow(pa.table({
+        "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)
+                              if len(out) else [], pa.int64()),
+        "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)
+                              if len(out) else [], pa.int64()),
+        "s_name": pa.array(out["s_name"].astype(str) if len(out) else [],
+                           pa.string()),
+        "ucost_c": pa.array(out["ucost_c"].to_numpy(np.int64)
+                            if len(out) else [], pa.int64())}))

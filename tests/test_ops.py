@@ -5324,3 +5324,49 @@ def test_doc_novelty_df_law(ray_session):
         "n_grams": [3, 1, 2],
         "n_novel": [2, 0, 2],
         "novelty_bp": [6666, 0, 10000]}
+
+
+def test_min_cost_supplier_ties_and_region(ray_session, tmp_path):
+    """min_cost_supplier (Q2): the per-part MIN keeps ALL tied region
+    suppliers; a cheaper out-of-region supplier doesn't steal the win;
+    the unit-cost floor law works at the LINE level (min over a
+    supplier's own lines first)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import min_cost_supplier
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([1, 2], pa.int64()),
+        "r_name": pa.array(["EUROPE", "ASIA"], pa.string()),
+    }), tmp_path / "region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2], pa.int64()),
+        "n_regionkey": pa.array([1, 2], pa.int64()),
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+        "s_nationkey": pa.array([1, 1, 2], pa.int64()),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_size": pa.array([5, 9], pa.int64()),
+        "p_type": pa.array(["ECONOMY", "ECONOMY"], pa.string()),
+    }), tmp_path / "part.parquet")
+    # part 1: s1 lines 10.0/2qty=500c then 6.0/2qty=300c (min 300);
+    # s2 line 3.0/1qty=300c -> TIE, both win; s3 (ASIA) 1.0/1=100c
+    # is cheaper but out of region; part 2 filtered by size.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 3, 1], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 6.0, 3.0, 1.0, 1.0],
+                                    pa.float64()),
+        "l_quantity": pa.array([2.0, 2.0, 1.0, 1.0, 1.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet", row_group_size=2)
+
+    got = min_cost_supplier(str(tmp_path)).to_pandas() \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "p_partkey": [1, 1], "s_suppkey": [1, 2],
+        "s_name": ["S1", "S2"], "ucost_c": [300, 300]}
