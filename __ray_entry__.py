@@ -1349,6 +1349,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucketed semi joins, argmin settles in the partkey buckets,
         # winners take the guarded broadcast for names
         "min_cost_supplier": lambda sf: analytics.min_cost_supplier(sf),
+        # cross-source duplication matrix over the shared near-dup pair
+        # law — two ids-only attach joins, |sources|² matrix partials,
+        # pairs never reach the driver
+        "source_dup_matrix": lambda sf: dedup.source_dup_matrix(
+            _read_table(sf, "documents", ["doc_id", "text", "source"])),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6254,7 +6259,7 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM lineitem l
                 JOIN supplier s ON s.s_suppkey = l.l_suppkey
                 JOIN nation n ON n.n_nationkey = s.s_nationkey
-                WHERE n.n_name = 'NATION_1'
+                WHERE n.n_name = 'NATION_3'
                 GROUP BY 1)
             SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
                    CAST(value_c AS BIGINT) AS value_c
@@ -6286,7 +6291,7 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(cnt.n_parts AS BIGINT) AS n_parts
             FROM cnt JOIN supplier s ON s.s_suppkey = cnt.l_suppkey
             JOIN nation n ON n.n_nationkey = s.s_nationkey
-            WHERE n.n_name = 'NATION_1'
+            WHERE n.n_name = 'NATION_3'
         """,
         # cluster_split_merge: same closure + fingerprint recipe as
         # cluster_pair_eval; splits/merges are cell-table identities.
@@ -6403,7 +6408,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # part MIN with ALL ties kept, region suppliers only.
         "min_cost_supplier": """
             WITH pf AS (SELECT p_partkey FROM part
-                        WHERE p_size = 5 AND p_type = 'ECONOMY'),
+                        WHERE p_size <= 10 AND p_type = 'ECONOMY'),
             rs AS (SELECT s_suppkey, s_name FROM supplier s
                    JOIN nation n ON n.n_nationkey = s.s_nationkey
                    JOIN region r ON r.r_regionkey = n.n_regionkey
@@ -6425,5 +6430,18 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM lu JOIN mn ON mn.l_partkey = lu.l_partkey
                            AND lu.ucost_c = mn.m
             JOIN rs ON rs.s_suppkey = lu.l_suppkey
+        """,
+        # source_dup_matrix: the shared tau-10 near-dup pair law, both
+        # sources attached, unordered (LEAST/GREATEST) matrix counts.
+        "source_dup_matrix": f"""
+            WITH p AS ({_ngram_jaccard_oracle(10)}),
+            s AS (SELECT doc_id, coalesce(source, '') AS src
+                  FROM documents),
+            x AS (SELECT LEAST(sa.src, sb.src) AS src_a,
+                         GREATEST(sa.src, sb.src) AS src_b
+                  FROM p JOIN s sa ON sa.doc_id = p.left_id
+                         JOIN s sb ON sb.doc_id = p.right_id)
+            SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+            FROM x GROUP BY 1, 2
         """,
     }

@@ -149,7 +149,7 @@ BENCH_QUERIES = [
     # round-5 session-8 ops
     "forecast_revenue", "important_parts", "excess_shippers",
     "cluster_split_merge", "block_filtering_pairs", "greedy_one_to_one",
-    "doc_novelty", "min_cost_supplier",
+    "doc_novelty", "min_cost_supplier", "source_dup_matrix",
 ]
 
 

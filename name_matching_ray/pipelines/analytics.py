@@ -3880,7 +3880,7 @@ def forecast_revenue(sf_dir: str, *, year: int = 1996,
 # Q11: important stock — per-part value vs a GLOBAL scalar threshold
 # ---------------------------------------------------------------------------
 
-def important_parts(sf_dir: str, *, nation: str = "NATION_1",
+def important_parts(sf_dir: str, *, nation: str = "NATION_3",
                     frac_den: int = 1000, n_buckets: int = 64):
     """TPC-H Q11 shape (partsupp re-based on lineitem): parts whose
     total line value supplied by ``nation``'s suppliers exceeds
@@ -3966,14 +3966,23 @@ def important_parts(sf_dir: str, *, nation: str = "NATION_1",
             "value_c": pa.array(keep["value_c"].to_numpy(np.int64),
                                 pa.int64())})
 
-    return per_part.map_batches(cut, batch_format="pandas")
+    out = per_part.map_batches(cut, batch_format="pandas").to_pandas()
+    # < frac_den rows by LAW (each keeper holds > total/frac_den), so
+    # the driver collect is arithmetic-bounded; table_or_dataset keeps
+    # the schema visible when the result is legitimately empty
+    from ..util import table_or_dataset
+    return table_or_dataset(pa.table({
+        "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)
+                              if len(out) else [], pa.int64()),
+        "value_c": pa.array(out["value_c"].to_numpy(np.int64)
+                            if len(out) else [], pa.int64())}))
 
 
 # ---------------------------------------------------------------------------
 # Q20: dominant suppliers of a part family — per-group scalar + semi chain
 # ---------------------------------------------------------------------------
 
-def excess_shippers(sf_dir: str, *, nation: str = "NATION_1",
+def excess_shippers(sf_dir: str, *, nation: str = "NATION_3",
                     name_prefix: str = "blue", year: int = 1996,
                     n_buckets: int = 64):
     """TPC-H Q20 shape: suppliers from ``nation`` who DOMINATED the
@@ -4076,22 +4085,28 @@ def excess_shippers(sf_dir: str, *, nation: str = "NATION_1",
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nks = set(nat.loc[nat["n_name"] == nation, "n_nationkey"]
               .astype(int).tolist())
+    def supp_filter(df: pd.DataFrame) -> pa.Table:
+        # explicit types: an all-filtered batch must NOT emit a
+        # null-typed s_name column (the pa.null() schema-mix trap)
+        m = df.loc[df["s_nationkey"].astype(int).isin(nks)]
+        return pa.table({
+            "s_suppkey": pa.array(m["s_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "s_name": pa.array(m["s_name"].astype(str).tolist(),
+                               pa.string())})
+
     supp = _read(sf_dir, "supplier",
                  ["s_suppkey", "s_name", "s_nationkey"]) \
-        .map_batches(
-            lambda df: pa.Table.from_pandas(
-                df.loc[df["s_nationkey"].astype(int).isin(nks),
-                       ["s_suppkey", "s_name"]],
-                preserve_index=False),
-            batch_format="pandas")
+        .map_batches(supp_filter, batch_format="pandas")
 
     out = broadcast_join(counts, supp, on="s_suppkey", how="inner",
                          left_cols=["s_suppkey", "n_parts"]).to_pandas()
-    return rd.from_arrow(pa.table({
+    from ..util import table_or_dataset
+    return table_or_dataset(pa.table({
         "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)
                               if len(out) else [], pa.int64()),
-        "s_name": pa.array(out["s_name"].astype(str) if len(out) else [],
-                           pa.string()),
+        "s_name": pa.array(out["s_name"].astype(str).tolist()
+                           if len(out) else [], pa.string()),
         "n_parts": pa.array(out["n_parts"].to_numpy(np.int64)
                             if len(out) else [], pa.int64())}))
 
@@ -4101,10 +4116,11 @@ def excess_shippers(sf_dir: str, *, nation: str = "NATION_1",
 # ---------------------------------------------------------------------------
 
 def min_cost_supplier(sf_dir: str, *, region: str = "EUROPE",
-                      p_size: int = 5, p_type: str = "ECONOMY",
+                      max_size: int = 10, p_type: str = "ECONOMY",
                       n_buckets: int = 64):
     """TPC-H Q2 shape (partsupp re-based on lineitem): for every part
-    of ``(p_size, p_type)``, the ``region`` supplier(s) achieving the
+    of ``p_type`` with ``p_size <= max_size``, the ``region``
+    supplier(s) achieving the
     MINIMUM unit cost ever shipped — the correlated-subquery MIN with
     ties kept.  Unit cost is the exact integer law
     ``floor(ep / qty * 100 + 0.5)`` per line, MIN-folded per
@@ -4141,7 +4157,7 @@ def min_cost_supplier(sf_dir: str, *, region: str = "EUROPE",
     part_f = _read(sf_dir, "part", ["p_partkey", "p_size", "p_type"]) \
         .map_batches(
             lambda df: pa.table({"l_partkey": pa.array(
-                df.loc[(df["p_size"].astype(int) == p_size)
+                df.loc[(df["p_size"].astype(int) <= max_size)
                        & (df["p_type"].astype(str) == p_type),
                        "p_partkey"].to_numpy(np.int64), pa.int64())}),
             batch_format="pandas")
@@ -4196,24 +4212,30 @@ def min_cost_supplier(sf_dir: str, *, region: str = "EUROPE",
     winners = lp.map_batches(argmin_kernel, batch_format="pandas",
                              batch_size=None)
 
+    def supp_filter(df: pd.DataFrame) -> pa.Table:
+        # explicit types: an all-filtered batch must NOT emit a
+        # null-typed s_name column (the pa.null() schema-mix trap)
+        m = df.loc[df["s_nationkey"].astype(int).isin(nks)]
+        return pa.table({
+            "s_suppkey": pa.array(m["s_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "s_name": pa.array(m["s_name"].astype(str).tolist(),
+                               pa.string())})
+
     supp = _read(sf_dir, "supplier",
                  ["s_suppkey", "s_name", "s_nationkey"]) \
-        .map_batches(
-            lambda df: pa.Table.from_pandas(
-                df.loc[df["s_nationkey"].astype(int).isin(nks),
-                       ["s_suppkey", "s_name"]],
-                preserve_index=False),
-            batch_format="pandas")
+        .map_batches(supp_filter, batch_format="pandas")
 
     out = broadcast_join(
         winners, supp, on="s_suppkey", how="inner",
         left_cols=["s_suppkey", "p_partkey", "ucost_c"]).to_pandas()
-    return rd.from_arrow(pa.table({
+    from ..util import table_or_dataset
+    return table_or_dataset(pa.table({
         "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)
                               if len(out) else [], pa.int64()),
         "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)
                               if len(out) else [], pa.int64()),
-        "s_name": pa.array(out["s_name"].astype(str) if len(out) else [],
-                           pa.string()),
+        "s_name": pa.array(out["s_name"].astype(str).tolist()
+                           if len(out) else [], pa.string()),
         "ucost_c": pa.array(out["ucost_c"].to_numpy(np.int64)
                             if len(out) else [], pa.int64())}))

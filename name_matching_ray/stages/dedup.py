@@ -1701,3 +1701,89 @@ def doc_novelty(docs_ds, *, n: int = 3, n_buckets: int = 256,
     return ex.groupby("bucket").map_groups(novel_part,
                                            batch_format="pandas") \
         .groupby("_db").map_groups(per_doc, batch_format="pandas")
+
+
+def source_dup_matrix(docs_ds, *, n: int = 3, tau100: int = 10,
+                      max_df: int = 100, text_col: str = "text",
+                      id_col: str = "doc_id", source_col: str = "source",
+                      n_buckets: int = 128):
+    """Cross-source duplication matrix — which crawls/feeds duplicate
+    each other: for every unordered source pair, the number of NEAR-
+    duplicate doc pairs (the shared :func:`ngram_jaccard_pairs` law,
+    n/tau/max_df defaulting to the graded tau-10 near-dup edge) with
+    one side in each source; the diagonal counts within-source pairs.
+    The operational input to de-prioritizing a feed that re-ships
+    another one.  Sources read through ``coalesce(source, '')`` (the
+    pandas-groupby-drops-NaN trap).  Output ``(src_a, src_b,
+    n_dup_pairs)`` with ``src_a <= src_b``.
+
+    Scale shape: the near-dup pair stream attaches its two source
+    labels via TWO bucketed id joins (ids-only shuffles — the lean
+    minhash attach pattern); each join bucket collapses straight to
+    (src_a, src_b) count partials, so the final Sum shuffle and the
+    driver both see at most |sources|² matrix rows, never pairs.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from .joins import bucket_hash_join
+
+    empty = pa.table({"src_a": pa.array([], pa.string()),
+                      "src_b": pa.array([], pa.string()),
+                      "n_dup_pairs": pa.array([], pa.int64())})
+
+    pairs = ngram_jaccard_pairs(docs_ds, n=n, tau100=tau100,
+                                max_df=max_df, text_col=text_col,
+                                id_col=id_col) \
+        .map_batches(lambda t: t.select(["left_id", "right_id"]),
+                     batch_format="pyarrow")
+
+    def src_tbl(batch: pa.Table, key: str) -> pa.Table:
+        s = pc.fill_null(pc.cast(batch.column(source_col), pa.string()),
+                         "")
+        return pa.table({key: batch.column(id_col),
+                         f"_s_{key}": s})
+
+    left_src = docs_ds.map_batches(
+        lambda b: src_tbl(b, "left_id"), batch_format="pyarrow")
+    right_src = docs_ds.map_batches(
+        lambda b: src_tbl(b, "right_id"), batch_format="pyarrow")
+
+    j1 = bucket_hash_join(
+        pairs, left_src, on="left_id", how="inner", n_buckets=n_buckets,
+        left_types={"left_id": pa.int64(), "right_id": pa.int64()},
+        right_types={"left_id": pa.int64(), "_s_left_id": pa.string()})
+    j2 = bucket_hash_join(
+        j1, right_src, on="right_id", how="inner", n_buckets=n_buckets,
+        left_types={"left_id": pa.int64(), "right_id": pa.int64(),
+                    "_s_left_id": pa.string()},
+        right_types={"right_id": pa.int64(), "_s_right_id": pa.string()})
+
+    def matrix_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty
+        sa = df["_s_left_id"].to_numpy()
+        sb = df["_s_right_id"].to_numpy()
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        g = pd.DataFrame({"src_a": lo, "src_b": hi}) \
+            .groupby(["src_a", "src_b"], as_index=False).size()
+        return pa.table({
+            "src_a": pa.array(g["src_a"], pa.string()),
+            "src_b": pa.array(g["src_b"], pa.string()),
+            "n_dup_pairs": pa.array(g["size"].to_numpy(np.int64),
+                                    pa.int64())})
+
+    from ..util import table_or_dataset
+
+    parts = j2.map_batches(matrix_part, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    if not len(parts):
+        return table_or_dataset(empty)
+    agg = parts.groupby(["src_a", "src_b"], as_index=False)[
+        "n_dup_pairs"].sum()
+    return table_or_dataset(pa.table({
+        "src_a": pa.array(agg["src_a"], pa.string()),
+        "src_b": pa.array(agg["src_b"], pa.string()),
+        "n_dup_pairs": pa.array(agg["n_dup_pairs"].to_numpy(np.int64),
+                                pa.int64())}))

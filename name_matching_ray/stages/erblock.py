@@ -2118,9 +2118,11 @@ def greedy_one_to_one(cust_ds, *, rounds: int = 3, gap: int = 5,
                       "right_id": pa.array([], pa.int64()),
                       "score": pa.array([], pa.int64())})
 
+    from ..util import table_or_dataset
+
     fields_ds, weights = _fs_weight_pass(cust_ds)
     if weights is None:
-        return rd.from_arrow(empty)
+        return table_or_dataset(empty)
     w_seg, w_ten, w_bal = weights
     tag = _fs_tag_fn(gap=gap, chunk=chunk)
 
@@ -2219,7 +2221,7 @@ def greedy_one_to_one(cust_ds, *, rounds: int = 3, gap: int = 5,
         pairs = pairs.repartition(out_blocks).materialize()
 
     if not matched_rounds:
-        return rd.from_arrow(empty)
+        return table_or_dataset(empty)
 
     outs = []
     for rnd, m in matched_rounds:

@@ -167,6 +167,16 @@ def broadcast_join(left, right, *, on: str, how: str = "inner",
         raise ValueError(
             f"broadcast side exceeds max_rows={max_rows}; use "
             f"bucket_hash_join for a big right side")
+    if on not in rdf.columns:
+        # this Ray build's to_pandas() on a 0-row dataset drops the
+        # schema entirely — rebuild a typed empty frame so the probe
+        # merge still sees the key and payload columns
+        rschema = right.schema()
+        rtypes = dict(zip(rschema.names, rschema.types)) \
+            if rschema is not None else {}
+        cols = [on] + rcols
+        rdf = pa.table({c: pa.nulls(0, rtypes.get(c, pa.int64()))
+                        for c in cols}).to_pandas()
     bc = ray.put(rdf)
 
     class Probe:

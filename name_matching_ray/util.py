@@ -78,3 +78,18 @@ def default_pool(lo: int = 1, floor: int = 8) -> tuple[int, int]:
     except Exception:
         pass
     return (lo, floor)
+
+
+def table_or_dataset(tbl):
+    """Wrap a driver-side final result table as a Dataset — EXCEPT 0-row
+    tables, which return the ``pyarrow.Table`` itself: this Ray build's
+    ``Dataset.to_pandas()`` on a 0-row dataset drops the schema entirely
+    (a bare ``pd.DataFrame()`` with no columns), which breaks
+    empty-vs-empty oracle compares (the driver checks COLUMN names even
+    on zero rows).  The registry contract allows Dataset | DataFrame |
+    pyarrow.Table, so callers see a uniform ``.to_pandas()`` surface."""
+    if tbl.num_rows == 0:
+        return tbl
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)

@@ -5114,7 +5114,8 @@ def test_important_parts_global_threshold(ray_session, tmp_path):
         "l_extendedprice": pa.array([3.0, 1.0, 999.0], pa.float64()),
     }), tmp_path / "lineitem.parquet", row_group_size=1)
 
-    got = important_parts(str(tmp_path), frac_den=4).to_pandas()
+    got = important_parts(str(tmp_path), nation="NATION_1",
+                          frac_den=4).to_pandas()
     assert got.to_dict("list") == {"p_partkey": [1], "value_c": [300]}
 
     got = important_parts(str(tmp_path), nation="NATION_3",
@@ -5171,7 +5172,7 @@ def test_excess_shippers_majority_tie_and_filters(ray_session, tmp_path):
         "l_shipdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
     }), tmp_path / "lineitem.parquet", row_group_size=3)
 
-    got = excess_shippers(str(tmp_path)).to_pandas()
+    got = excess_shippers(str(tmp_path), nation="NATION_1").to_pandas()
     assert got.to_dict("list") == {
         "s_suppkey": [1], "s_name": ["S1"], "n_parts": [1]}
 
@@ -5351,7 +5352,7 @@ def test_min_cost_supplier_ties_and_region(ray_session, tmp_path):
     }), tmp_path / "supplier.parquet")
     pq.write_table(pa.table({
         "p_partkey": pa.array([1, 2], pa.int64()),
-        "p_size": pa.array([5, 9], pa.int64()),
+        "p_size": pa.array([5, 99], pa.int64()),
         "p_type": pa.array(["ECONOMY", "ECONOMY"], pa.string()),
     }), tmp_path / "part.parquet")
     # part 1: s1 lines 10.0/2qty=500c then 6.0/2qty=300c (min 300);
@@ -5370,3 +5371,46 @@ def test_min_cost_supplier_ties_and_region(ray_session, tmp_path):
     assert got.to_dict("list") == {
         "p_partkey": [1, 1], "s_suppkey": [1, 2],
         "s_name": ["S1", "S2"], "ucost_c": [300, 300]}
+
+
+def test_source_dup_matrix_unordered_and_null_source(ray_session):
+    """source_dup_matrix: pair (a,b) lands in the UNORDERED
+    (least, greatest) source cell; a NULL source is the '' group, not
+    a dropped row; within-source pairs hit the diagonal; empty corpus
+    keeps the typed empty shape."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.dedup import source_dup_matrix
+
+    # near-dup law (n=3, tau 10, df>=2): identical 3-token texts pair.
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["a b c", "a b c", "a b c", "x y z"],
+        # sources: B, A, NULL -> pairs (1,2): (A,B); (1,3): ('',B);
+        # (2,3): ('',A); doc 4 pairs with nobody.
+        "source": pa.array(["B", "A", None, "B"], pa.string()),
+    }))
+    got = source_dup_matrix(docs).to_pandas() \
+        .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "src_a": ["", "", "A"], "src_b": ["A", "B", "B"],
+        "n_dup_pairs": [1, 1, 1]}
+
+    # same-source pair -> diagonal cell
+    docs2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["a b c", "a b c"],
+        "source": pa.array(["A", "A"], pa.string()),
+    }))
+    got = source_dup_matrix(docs2).to_pandas()
+    assert got.to_dict("list") == {
+        "src_a": ["A"], "src_b": ["A"], "n_dup_pairs": [1]}
+
+    e = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "source": pa.array([], pa.string())}))
+    out = source_dup_matrix(e).to_pandas()
+    assert list(out.columns) == ["src_a", "src_b", "n_dup_pairs"]
+    assert len(out) == 0
