@@ -1354,6 +1354,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pairs never reach the driver
         "source_dup_matrix": lambda sf: dedup.source_dup_matrix(
             _read_table(sf, "documents", ["doc_id", "text", "source"])),
+        # shingle df histogram — the block-skew forecast behind every
+        # max_df / salting-cap choice; buckets collapse to (df, count)
+        # partials, the vocabulary never ships
+        "shingle_df_hist": lambda sf: dedup.shingle_df_hist(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6443,5 +6448,20 @@ def _oracle_sql_base() -> dict[str, str]:
                          JOIN s sb ON sb.doc_id = p.right_id)
             SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
             FROM x GROUP BY 1, 2
+        """,
+        # shingle_df_hist: the ngram_jaccard shingle law; histogram of
+        # per-shingle document frequencies.
+        "shingle_df_hist": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                 FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                   FROM tok,
+                        UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY 1)
+            SELECT CAST(c AS BIGINT) AS df,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM df GROUP BY 1
         """,
     }

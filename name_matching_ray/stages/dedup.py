@@ -1787,3 +1787,47 @@ def source_dup_matrix(docs_ds, *, n: int = 3, tau100: int = 10,
         "src_b": pa.array(agg["src_b"], pa.string()),
         "n_dup_pairs": pa.array(agg["n_dup_pairs"].to_numpy(np.int64),
                                 pa.int64())}))
+
+
+def shingle_df_hist(docs_ds, *, n: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id", n_buckets: int = 256):
+    """Shingle document-frequency histogram — the skew audit behind
+    every blocking threshold in this engine: for each df value, how
+    many distinct shingles (= blocks) have exactly that many documents.
+    Reading this histogram is how ``max_df`` stop-shingle caps and
+    salting ``cap``s are chosen (the quadratic pair cost of a block is
+    C(df,2), so the tail of this histogram IS the shuffle-skew
+    forecast).  Same shingle law as :func:`ngram_jaccard_pairs`.
+    Output ``(df, n_shingles)``.
+
+    Scale shape: shingle groups co-locate by shingle hash; each bucket
+    collapses its exact dfs to a (df, count) histogram partial — the
+    Sum shuffle and the driver see ≤ |distinct df values| rows (≤ max
+    group size, a scalar bound), never the vocabulary.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ex = docs_ds.map_batches(
+        ExplodeShingles,
+        fn_constructor_kwargs={"n": n, "text_col": text_col,
+                               "id_col": id_col,
+                               "n_buckets": n_buckets},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+    def hist_part(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"df": pa.array([], pa.int64()),
+                             "n_shingles": pa.array([], pa.int64())})
+        vc = g["shingle"].value_counts()
+        h = vc.value_counts()
+        return pa.table({
+            "df": pa.array(h.index.to_numpy(np.int64), pa.int64()),
+            "n_shingles": pa.array(h.to_numpy(np.int64), pa.int64())})
+
+    return ex.groupby("bucket").map_groups(hist_part,
+                                           batch_format="pandas") \
+        .groupby("df").aggregate(Sum("n_shingles",
+                                     alias_name="n_shingles"))

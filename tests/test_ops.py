@@ -5414,3 +5414,26 @@ def test_source_dup_matrix_unordered_and_null_source(ray_session):
     out = source_dup_matrix(e).to_pandas()
     assert list(out.columns) == ["src_a", "src_b", "n_dup_pairs"]
     assert len(out) == 0
+
+
+def test_shingle_df_hist_counts_docs_not_occurrences(ray_session):
+    """shingle_df_hist: df counts DOCUMENTS (within-doc repeats are
+    distinct-collapsed), and the histogram counts SHINGLES per df
+    value; short docs contribute nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.dedup import shingle_df_hist
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # doc1: 'a b c' twice WITHIN the doc -> still df 1 from doc1;
+        # doc2 repeats it -> df('a b c')=2, df('b c a')=1 (doc1 only),
+        # df('c a b')=1, df('b c x')=1 (doc2); doc3 too short.
+        "text": ["a b c a b c", "a b c x", "p q"],
+    }))
+    # doc2 text is 'a b c x' (slice keeps it simple): shingles
+    # {'a b c', 'b c x'}; doc1 shingles {'a b c','b c a','c a b'}.
+    got = shingle_df_hist(docs).to_pandas().sort_values("df") \
+        .reset_index(drop=True)
+    assert got.to_dict("list") == {"df": [1, 2], "n_shingles": [3, 1]}
