@@ -1359,6 +1359,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partials, the vocabulary never ships
         "shingle_df_hist": lambda sf: dedup.shingle_df_hist(
             _read_docs(sf)),
+        # IDF-weighted Jaccard pairs — rare shingles outvote
+        # boilerplate; weights/df in one bucket pass, ids-only
+        # weight-attach joins, exact integer threshold
+        "weighted_jaccard_pairs": lambda sf: dedup.weighted_jaccard_pairs(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6463,5 +6468,37 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(c AS BIGINT) AS df,
                    CAST(COUNT(*) AS BIGINT) AS n_shingles
             FROM df GROUP BY 1
+        """,
+        # weighted_jaccard_pairs: idf weight length(bin(N//df)), doc
+        # weights over ALL shingles, pairing through df in [2,100]
+        # only, integer cross-multiplied tau-30 threshold.
+        "weighted_jaccard_pairs": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                 FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                   FROM tok,
+                        UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            dft AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            wt AS (SELECT s, c, length(bin(n // c)) AS w FROM dft, nd),
+            dw AS (SELECT sh.doc_id, SUM(wt.w) AS tw
+                   FROM sh JOIN wt USING (s) GROUP BY 1),
+            pr AS (SELECT a.doc_id AS la, b.doc_id AS rb,
+                          SUM(wt.w) AS iw
+                   FROM sh a JOIN sh b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   JOIN wt ON wt.s = a.s
+                   WHERE wt.c BETWEEN 2 AND 100
+                   GROUP BY 1, 2)
+            SELECT CAST(la AS BIGINT) AS left_id,
+                   CAST(rb AS BIGINT) AS right_id,
+                   CAST(iw AS BIGINT) AS inter_w,
+                   CAST(da.tw AS BIGINT) AS w_left,
+                   CAST(db.tw AS BIGINT) AS w_right
+            FROM pr JOIN dw da ON da.doc_id = la
+                    JOIN dw db ON db.doc_id = rb
+            WHERE iw * 100 >= 30 * (da.tw + db.tw - iw)
         """,
     }

@@ -1831,3 +1831,139 @@ def shingle_df_hist(docs_ds, *, n: int = 3, text_col: str = "text",
                                            batch_format="pandas") \
         .groupby("df").aggregate(Sum("n_shingles",
                                      alias_name="n_shingles"))
+
+
+def weighted_jaccard_pairs(docs_ds, *, n: int = 3, tau100: int = 30,
+                           max_df: int = 100, text_col: str = "text",
+                           id_col: str = "doc_id", n_buckets: int = 256):
+    """IDF-weighted Jaccard near-dup pairs — rare shingles count more:
+    each shingle carries the integer idf weight ``w(s) =
+    bit_length(N // df(s))`` (the unigram_bits law; N = corpus doc
+    count), a doc's weight is the sum over its distinct shingles, and a
+    pair qualifies when ``inter_w / (w_left + w_right - inter_w) >=
+    tau100/100`` — boilerplate overlap (high-df, weight→1) can no
+    longer vote a pair in the way unweighted Jaccard lets it.  As in
+    :func:`ngram_jaccard_pairs`, only shingles with df ∈ [2, ``max_df``]
+    PAIR documents (the stop-shingle skew guard — identical in the
+    SQL), while doc weights sum over ALL shingles.  Output
+    ``(left_id, right_id, inter_w, w_left, w_right)``.
+
+    Scale shape: one explode; shingle-hash buckets compute exact df,
+    emit per-doc WEIGHT partials and pre-combined pair partials from
+    the same group pass; doc weights finalize in one narrow Sum; the
+    two weight-attach joins are ids-only bucket joins (the lean
+    minhash pattern) and the threshold is an exact integer
+    cross-multiplication inside the final join buckets.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .joins import bucket_hash_join
+    from .textstats import _np_bitlen
+
+    n_docs = docs_ds.count()
+
+    ex = docs_ds.map_batches(
+        ExplodeShingles,
+        fn_constructor_kwargs={"n": n, "text_col": text_col,
+                               "id_col": id_col,
+                               "n_buckets": n_buckets},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    ).materialize()  # two consumers: weights + pair emit share it
+
+    def weight_part(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "_w": pa.array([], pa.int64())})
+        vc = g["shingle"].value_counts()
+        w = _np_bitlen(n_docs // g["shingle"].map(vc).to_numpy(np.int64))
+        agg = pd.DataFrame({"left_id": g[id_col].to_numpy(np.int64),
+                            "_w": w}) \
+            .groupby("left_id", as_index=False)["_w"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    dw = ex.groupby("bucket").map_groups(weight_part,
+                                         batch_format="pandas") \
+        .groupby("left_id").aggregate(Sum("_w", alias_name="w_left"))
+
+    def pair_part(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "inter_w": pa.array([], pa.int64()),
+                          "_pb": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        vc = g["shingle"].value_counts()
+        dfv = g["shingle"].map(vc)
+        g = g.assign(_w=_np_bitlen(n_docs
+                                   // dfv.to_numpy(np.int64)))
+        g = g[(dfv >= 2) & (dfv <= max_df)][[id_col, "shingle", "_w"]]
+        if g.empty:
+            return empty
+        m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        agg = m.groupby([f"{id_col}_a", f"{id_col}_b"],
+                        as_index=False)["_w_a"].sum()
+        a = agg[f"{id_col}_a"].to_numpy(np.int64)
+        b = agg[f"{id_col}_b"].to_numpy(np.int64)
+        return pa.table({
+            "left_id": pa.array(a, pa.int64()),
+            "right_id": pa.array(b, pa.int64()),
+            "inter_w": pa.array(agg["_w_a"].to_numpy(np.int64),
+                                pa.int64()),
+            "_pb": pa.array(pair_bucket(a, b, n_buckets), pa.int64())})
+
+    def pair_combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["left_id", "right_id"], as_index=False)[
+            "inter_w"].sum()
+        return pa.table({
+            "left_id": pa.array(agg["left_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "right_id": pa.array(agg["right_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            "inter_w": pa.array(agg["inter_w"].to_numpy(np.int64),
+                                pa.int64())})
+
+    pairs = ex.groupby("bucket").map_groups(pair_part,
+                                            batch_format="pandas") \
+        .groupby("_pb").map_groups(pair_combine, batch_format="pandas")
+
+    j1 = bucket_hash_join(
+        pairs, dw, on="left_id", how="inner", n_buckets=n_buckets,
+        left_types={"left_id": pa.int64(), "right_id": pa.int64(),
+                    "inter_w": pa.int64()},
+        right_types={"left_id": pa.int64(), "w_left": pa.int64()})
+
+    dw_r = dw.map_batches(
+        lambda t: pa.table({"right_id": t.column("left_id"),
+                            "w_right": t.column("w_left")}),
+        batch_format="pyarrow")
+
+    j2 = bucket_hash_join(
+        j1, dw_r, on="right_id", how="inner", n_buckets=n_buckets,
+        left_types={"left_id": pa.int64(), "right_id": pa.int64(),
+                    "inter_w": pa.int64(), "w_left": pa.int64()},
+        right_types={"right_id": pa.int64(), "w_right": pa.int64()})
+
+    def cut(df: pd.DataFrame) -> pa.Table:
+        iw = df["inter_w"].to_numpy(np.int64)
+        wa = df["w_left"].to_numpy(np.int64)
+        wb = df["w_right"].to_numpy(np.int64)
+        keep = iw * 100 >= tau100 * (wa + wb - iw)
+        k = df[keep]
+        return pa.table({
+            "left_id": pa.array(k["left_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "right_id": pa.array(k["right_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            "inter_w": pa.array(k["inter_w"].to_numpy(np.int64),
+                                pa.int64()),
+            "w_left": pa.array(k["w_left"].to_numpy(np.int64),
+                               pa.int64()),
+            "w_right": pa.array(k["w_right"].to_numpy(np.int64),
+                                pa.int64())})
+
+    return j2.map_batches(cut, batch_format="pandas", batch_size=None)

@@ -5437,3 +5437,33 @@ def test_shingle_df_hist_counts_docs_not_occurrences(ray_session):
     got = shingle_df_hist(docs).to_pandas().sort_values("df") \
         .reset_index(drop=True)
     assert got.to_dict("list") == {"df": [1, 2], "n_shingles": [3, 1]}
+
+
+def test_weighted_jaccard_pairs_idf_law(ray_session):
+    """weighted_jaccard_pairs: weights are bit_length(N // df) (shared
+    shingles weigh less), doc weight sums ALL shingles (df==1 included
+    in the denominator), threshold is the exact integer cross-multiply
+    at tau 30."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.dedup import weighted_jaccard_pairs
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [
+            "a b c x y z",   # {abc(w1), bcx(3), cxy(3), xyz(2)} W=9
+            "a b c p q r",   # {abc(1), bcp(3), cpq(3), pqr(3)} W=10
+            "a b c",         # {abc(1)} W=1
+            "x y z w",       # {xyz(2), yzw(3)} W=5
+            "a b c",         # {abc(1)} W=1
+        ],
+    }))
+    # N=5; df(abc)=4 -> w=bitlen(5//4)=1; df(xyz)=2 -> w=bitlen(2)=2;
+    # df-1 shingles w=bitlen(5)=3.  Only (3,5) passes tau 30:
+    # 1*100 >= 30*(1+1-1).  (1,4) shares xyz (iw=2) but
+    # 200 < 30*(9+5-2); the abc-only pairs all fail on W.
+    got = weighted_jaccard_pairs(docs).to_pandas()
+    assert got.to_dict("list") == {
+        "left_id": [3], "right_id": [5], "inter_w": [1],
+        "w_left": [1], "w_right": [1]}
