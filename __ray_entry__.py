@@ -503,6 +503,15 @@ def _cluster_split_merge(sf_dir: str):
                                        _read_docs(sf_dir))
 
 
+def _cluster_homogeneity(sf_dir: str):
+    """Homogeneity/completeness (V-measure pair) of the shared near-dup
+    closure vs the exact-dup fingerprint truth under the integer
+    bit-entropy law — the information-theoretic eval beside pairwise
+    F1, ARI, B³, purity and split/merge; same (cluster, fp) cells."""
+    return erblock.cluster_homogeneity(_near_dup_clusters(sf_dir),
+                                       _read_docs(sf_dir))
+
+
 def _cluster_purity(sf_dir: str):
     """Purity / inverse purity of the shared near-dup closure vs the
     exact-dup fingerprint truth — the majority-label eval beside
@@ -1364,6 +1373,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weight-attach joins, exact integer threshold
         "weighted_jaccard_pairs": lambda sf: dedup.weighted_jaccard_pairs(
             _read_docs(sf)),
+        # V-measure pair (homogeneity/completeness) in integer
+        # bit-entropy — two bucket passes over the shared cell table,
+        # margins never leave their bucket, scalars to the driver
+        "cluster_homogeneity": _cluster_homogeneity,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6500,5 +6513,77 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM pr JOIN dw da ON da.doc_id = la
                     JOIN dw db ON db.doc_id = rb
             WHERE iw * 100 >= 30 * (da.tw + db.tw - iw)
+        """,
+        # cluster_homogeneity: same closure + fingerprint recipe as
+        # cluster_split_merge; bit-entropy law c*(length(bin(n//c))-1).
+        "cluster_homogeneity": r"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r
+                    ON r.node = e.b),
+            cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                   FROM reach GROUP BY node),
+            fp AS (SELECT doc_id,
+                          md5(regexp_replace(lower(coalesce(text, '')),
+                                             '[^a-z0-9]', '', 'g')) AS f
+                   FROM documents),
+            cells AS (SELECT cc.cluster_id, fp.f, COUNT(*) AS c
+                      FROM cc JOIN fp ON fp.doc_id = cc.doc_id
+                      GROUP BY 1, 2),
+            nd AS (SELECT SUM(c) AS n FROM cells),
+            cl AS (SELECT cluster_id, SUM(c) AS nk FROM cells
+                   GROUP BY 1),
+            fm AS (SELECT f, SUM(c) AS nf FROM cells GROUP BY 1),
+            ct AS (SELECT SUM(c * (length(bin(cl.nk // c)) - 1)) AS v
+                   FROM cells JOIN cl USING (cluster_id)),
+            cp AS (SELECT SUM(c * (length(bin(fm.nf // c)) - 1)) AS v
+                   FROM cells JOIN fm USING (f)),
+            ht AS (SELECT SUM(nf * (length(bin(nd.n // nf)) - 1)) AS v
+                   FROM fm, nd),
+            hp AS (SELECT SUM(nk * (length(bin(nd.n // nk)) - 1)) AS v
+                   FROM cl, nd)
+            SELECT CAST(coalesce(nd.n, 0) AS BIGINT) AS n_docs,
+                   CAST(ht.v AS BIGINT) AS h_truth_bits,
+                   CAST(hp.v AS BIGINT) AS h_pred_bits,
+                   CAST(ct.v AS BIGINT) AS cond_truth_bits,
+                   CAST(cp.v AS BIGINT) AS cond_pred_bits,
+                   CAST(CASE WHEN ht.v IS NULL THEN NULL
+                             WHEN ht.v = 0 THEN 10000
+                             ELSE (ht.v - ct.v) * 10000 // ht.v
+                        END AS BIGINT) AS homogeneity_bp,
+                   CAST(CASE WHEN hp.v IS NULL THEN NULL
+                             WHEN hp.v = 0 THEN 10000
+                             ELSE (hp.v - cp.v) * 10000 // hp.v
+                        END AS BIGINT) AS completeness_bp
+            FROM nd, ct, cp, ht, hp
         """,
     }

@@ -150,7 +150,7 @@ BENCH_QUERIES = [
     "forecast_revenue", "important_parts", "excess_shippers",
     "cluster_split_merge", "block_filtering_pairs", "greedy_one_to_one",
     "doc_novelty", "min_cost_supplier", "source_dup_matrix",
-    "shingle_df_hist", "weighted_jaccard_pairs",
+    "shingle_df_hist", "weighted_jaccard_pairs", "cluster_homogeneity",
 ]
 
 

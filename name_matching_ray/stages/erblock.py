@@ -959,6 +959,98 @@ def cluster_split_merge(cc_ds, docs_ds, *, id_col: str = "doc_id",
         "n_merges_needed": pa.array([n_cells - n_fps], pa.int64())}))
 
 
+def cluster_homogeneity(cc_ds, docs_ds, *, id_col: str = "doc_id",
+                        cluster_col: str = "cluster_id",
+                        text_col: str = "text", n_buckets: int = 128,
+                        cc_types: dict | None = None):
+    """Homogeneity / completeness of an entity clustering against the
+    exact-dup fingerprint truth — the V-measure pair (Rosenberg &
+    Hirschberg 2007) under this engine's integer bit-entropy law
+    (char_entropy's floored self-information, ``Σ c·(bitlen(n//c)−1)``,
+    no float log): ``homogeneity_bp = (H(truth) − H(truth|pred))·10⁴ //
+    H(truth)`` (10000 when H(truth)=0 — a single-entity corpus is
+    vacuously homogeneous), ``completeness_bp`` symmetric.  One row:
+    ``(n_docs, h_truth_bits, h_pred_bits, cond_truth_bits,
+    cond_pred_bits, homogeneity_bp, completeness_bp)``.  Completes the
+    eval family: pairwise F1 / ARI count pairs, B³ averages records,
+    purity takes majorities — this one reads the information.
+
+    Scale shape: the shared ``_cluster_fp_cells`` table is materialized
+    once; TWO narrow bucket passes over the CELLS (by cluster hash, by
+    fp hash) each fold the margin sizes and the conditional-entropy
+    terms in the same in-bucket kernel — margins never leave their
+    bucket, and only scalar partials reach the driver.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from .textstats import _np_bitlen
+
+    cf = _cluster_fp_cells(cc_ds, docs_ds, id_col=id_col,
+                           cluster_col=cluster_col, text_col=text_col,
+                           n_buckets=n_buckets,
+                           cc_types=cc_types).materialize()
+
+    def nd_part(df: pd.DataFrame) -> pa.Table:
+        c = df["c"].to_numpy(np.int64) if len(df) else \
+            np.array([], np.int64)
+        return pa.table({"n": pa.array([int(c.sum())], pa.int64())})
+
+    ndp = cf.map_batches(nd_part, batch_format="pandas").to_pandas()
+    n_docs = int(ndp["n"].sum()) if len(ndp) else 0
+    if n_docs == 0:
+        return rd.from_arrow(pa.table({
+            "n_docs": pa.array([0], pa.int64()),
+            "h_truth_bits": pa.array([None], pa.int64()),
+            "h_pred_bits": pa.array([None], pa.int64()),
+            "cond_truth_bits": pa.array([None], pa.int64()),
+            "cond_pred_bits": pa.array([None], pa.int64()),
+            "homogeneity_bp": pa.array([None], pa.int64()),
+            "completeness_bp": pa.array([None], pa.int64())}))
+
+    def entropy_pass(margin_col: str):
+        """(Σ margin·(bitlen(N//margin)−1), Σ c·(bitlen(margin//c)−1))
+        folded inside hash(margin_col) buckets."""
+        def tag(df: pd.DataFrame) -> pa.Table:
+            df = df.assign(_eb=bucket_hash(df[margin_col], n_buckets))
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        def fold(g: pd.DataFrame) -> pa.Table:
+            if not len(g):
+                return pa.table({"h": pa.array([0], pa.int64()),
+                                 "cond": pa.array([0], pa.int64())})
+            c = g["c"].to_numpy(np.int64)
+            m = g.groupby(margin_col)["c"].transform("sum") \
+                .to_numpy(np.int64)
+            cond = int((c * (_np_bitlen(m // c) - 1)).sum())
+            mg = g.groupby(margin_col, as_index=False)["c"].sum()
+            mv = mg["c"].to_numpy(np.int64)
+            h = int((mv * (_np_bitlen(n_docs // mv) - 1)).sum())
+            return pa.table({"h": pa.array([h], pa.int64()),
+                             "cond": pa.array([cond], pa.int64())})
+
+        parts = cf.map_batches(tag, batch_format="pandas") \
+            .groupby("_eb").map_groups(fold, batch_format="pandas") \
+            .to_pandas()
+        return int(parts["h"].sum()), int(parts["cond"].sum())
+
+    h_pred, cond_truth = entropy_pass(cluster_col)
+    h_truth, cond_pred = entropy_pass("fingerprint")
+
+    hom = 10_000 if h_truth == 0 else \
+        (h_truth - cond_truth) * 10_000 // h_truth
+    com = 10_000 if h_pred == 0 else \
+        (h_pred - cond_pred) * 10_000 // h_pred
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "h_truth_bits": pa.array([h_truth], pa.int64()),
+        "h_pred_bits": pa.array([h_pred], pa.int64()),
+        "cond_truth_bits": pa.array([cond_truth], pa.int64()),
+        "cond_pred_bits": pa.array([cond_pred], pa.int64()),
+        "homogeneity_bp": pa.array([hom], pa.int64()),
+        "completeness_bp": pa.array([com], pa.int64())}))
+
+
 # ---------------------------------------------------------------------------
 # cluster survivorship (golden record over ER clusters)
 # ---------------------------------------------------------------------------

@@ -5467,3 +5467,50 @@ def test_weighted_jaccard_pairs_idf_law(ray_session):
     assert got.to_dict("list") == {
         "left_id": [3], "right_id": [5], "inter_w": [1],
         "w_left": [1], "w_right": [1]}
+
+
+def test_cluster_homogeneity_bit_entropy_law(ray_session):
+    """cluster_homogeneity: a perfect clustering scores (10000, 10000);
+    merging two entities into one cluster keeps completeness at 10000
+    but drops homogeneity; a single-entity corpus is vacuously
+    homogeneous (H(truth)=0 -> 10000)."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import cluster_homogeneity
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # fps: {1,2}, {3,4}
+        "text": ["a b", "a-b", "c d", "c:d"],
+    }))
+    perfect = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "cluster_id": pa.array([1, 1, 3, 3], pa.int64()),
+    }))
+    row = cluster_homogeneity(perfect, docs).to_pandas().iloc[0]
+    # H(truth): two groups of 2 over N=4 -> 2*2*(bitlen(2)-1) = 4
+    assert (row["h_truth_bits"], row["cond_truth_bits"]) == (4, 0)
+    assert (row["homogeneity_bp"], row["completeness_bp"]) \
+        == (10000, 10000)
+
+    merged = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "cluster_id": pa.array([1, 1, 1, 1], pa.int64()),
+    }))
+    row = cluster_homogeneity(merged, docs).to_pandas().iloc[0]
+    # one cluster of 4: H(pred)=0 -> completeness vacuous 10000;
+    # cond_truth = 2 cells of 2 in n_k=4: 2*2*(bitlen(4//2)-1)=4
+    # -> homogeneity (4-4)*1e4//4 = 0
+    assert (row["h_pred_bits"], row["cond_truth_bits"]) == (0, 4)
+    assert (row["homogeneity_bp"], row["completeness_bp"]) == (0, 10000)
+
+    # single entity: H(truth)=0 -> homogeneity vacuous
+    one = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["a b", "a b"]}))
+    cc1 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "cluster_id": pa.array([1, 2], pa.int64())}))
+    row = cluster_homogeneity(cc1, one).to_pandas().iloc[0]
+    assert (row["homogeneity_bp"], row["completeness_bp"]) == (10000, 0)
