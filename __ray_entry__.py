@@ -1377,6 +1377,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-entropy — two bucket passes over the shared cell table,
         # margins never leave their bucket, scalars to the driver
         "cluster_homogeneity": _cluster_homogeneity,
+        # cohort retention matrix — first-week cohorts, user-bucket
+        # kernels collapse to (cohort, offset) matrix partials, users
+        # never leave their bucket
+        "cohort_retention": lambda sf: analytics.cohort_retention(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6585,5 +6589,19 @@ def _oracle_sql_base() -> dict[str, str]:
                              ELSE (hp.v - cp.v) * 10000 // hp.v
                         END AS BIGINT) AS completeness_bp
             FROM nd, ct, cp, ht, hp
+        """,
+        # cohort_retention: user_retention's epoch-week law; cohort =
+        # per-user MIN week; offsets capped at 8.
+        "cohort_retention": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+                 FROM events),
+            f AS (SELECT user_id, MIN(week) AS cw FROM uw GROUP BY 1)
+            SELECT f.cw AS cohort_week,
+                   CAST(uw.week - f.cw AS BIGINT) AS "offset",
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM uw JOIN f USING (user_id)
+            WHERE uw.week - f.cw <= 8
+            GROUP BY 1, 2
         """,
     }

@@ -4239,3 +4239,64 @@ def min_cost_supplier(sf_dir: str, *, region: str = "EUROPE",
                            if len(out) else [], pa.string()),
         "ucost_c": pa.array(out["ucost_c"].to_numpy(np.int64)
                             if len(out) else [], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix
+# ---------------------------------------------------------------------------
+
+def cohort_retention(sf_dir: str, *, max_offset: int = 8,
+                     n_buckets: int = 64):
+    """Cohort retention matrix — the classic growth table: users are
+    cohorted by their FIRST active epoch week; for each (cohort week,
+    week offset ``k``) the number of cohort users active in
+    ``cohort + k`` (offset 0 = cohort size by construction).  Offsets
+    above ``max_offset`` are dropped (fixed matrix width).  Output
+    ``(cohort_week, offset, n_users)`` — same integer week law as
+    :func:`user_retention` (``epoch_us // (7·86400·10⁶)``).
+
+    Scale shape: per-batch distinct-(user, week) partials; user-hash
+    buckets hold ALL weeks of their users, so the per-user first-week
+    and the (cohort, offset) explode are exact in-bucket and collapse
+    to matrix partials before the one tiny Sum shuffle
+    (≤ |weeks|·max_offset keys).  Users never leave their bucket.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    us_per_week = np.int64(7 * 86_400_000_000)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        week = (df["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // us_per_week)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "week": week}).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                          "offset": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        uw = g[["user_id", "week"]].drop_duplicates()
+        first = uw.groupby("user_id")["week"].transform("min")
+        off = uw["week"].to_numpy(np.int64) - first.to_numpy(np.int64)
+        m = pd.DataFrame({"cohort_week": first.to_numpy(np.int64),
+                          "offset": off})
+        m = m[m["offset"] <= max_offset]
+        agg = m.groupby(["cohort_week", "offset"], as_index=False).size()
+        return pa.table({
+            "cohort_week": pa.array(agg["cohort_week"]
+                                    .to_numpy(np.int64), pa.int64()),
+            "offset": pa.array(agg["offset"].to_numpy(np.int64),
+                               pa.int64()),
+            "n_users": pa.array(agg["size"].to_numpy(np.int64),
+                                pa.int64())})
+
+    parts = _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
+                        ["user_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+    return parts.groupby(["cohort_week", "offset"]).aggregate(
+        Sum("n_users", alias_name="n_users"))

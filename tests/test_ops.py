@@ -5514,3 +5514,35 @@ def test_cluster_homogeneity_bit_entropy_law(ray_session):
         "cluster_id": pa.array([1, 2], pa.int64())}))
     row = cluster_homogeneity(cc1, one).to_pandas().iloc[0]
     assert (row["homogeneity_bp"], row["completeness_bp"]) == (10000, 0)
+
+
+def test_cohort_retention_first_week_and_cap(ray_session, tmp_path):
+    """cohort_retention: the cohort is the user's FIRST active week
+    (multiple events in a week count once), offsets cap at max_offset,
+    and offset 0 equals the cohort size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import cohort_retention
+
+    wk = 7 * 86_400_000_000
+    def ts(week, n=0):
+        return np.datetime64(int(week * wk + n), "us")
+    rows = [
+        (1, ts(100)), (1, ts(100, 5)),   # u1 week 100 twice -> once
+        (1, ts(101)), (1, ts(103)),      # offsets 1 and 3
+        (2, ts(100)), (2, ts(112)),      # offset 12 > cap -> dropped
+        (3, ts(101)),                    # second cohort
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }), tmp_path / "events.parquet", row_group_size=2)
+
+    got = cohort_retention(str(tmp_path), max_offset=8).to_pandas() \
+        .sort_values(["cohort_week", "offset"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "cohort_week": [100, 100, 100, 101],
+        "offset": [0, 1, 3, 0],
+        "n_users": [2, 1, 1, 1]}
