@@ -1381,6 +1381,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernels collapse to (cohort, offset) matrix partials, users
         # never leave their bucket
         "cohort_retention": lambda sf: analytics.cohort_retention(sf),
+        # near-superset dedup: drop docs tau-80 contained in a bigger
+        # partner — directional tests on the shared candidate stream,
+        # keep flags via distinct-key semi/anti joins
+        "containment_keep": lambda sf: erblock.containment_keep(
+            _read_docs(sf)),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6603,5 +6608,41 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM uw JOIN f USING (user_id)
             WHERE uw.week - f.cw <= 8
             GROUP BY 1, 2
+        """,
+        # containment_keep: ngram candidate law (tau 0); drop a side
+        # when inter covers tau-80 of it and the partner outranks it
+        # (more shingles; equal sizes -> lower id survives).
+        "containment_keep": r"""
+            WITH tok AS (SELECT doc_id,
+                    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                 FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                   FROM tok,
+                        UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY 1),
+            ok_sh AS (SELECT s FROM sh GROUP BY s
+                      HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (SELECT a.doc_id AS l, b.doc_id AS r,
+                            COUNT(*) AS inter
+                     FROM sh a JOIN sh b
+                       ON a.s = b.s AND a.doc_id < b.doc_id
+                     WHERE a.s IN (SELECT s FROM ok_sh)
+                     GROUP BY 1, 2),
+            drp AS (
+              SELECT c.l AS d FROM cand c
+              JOIN sizes sa ON sa.doc_id = c.l
+              JOIN sizes sb ON sb.doc_id = c.r
+              WHERE c.inter*100 >= 80*sa.n_sh AND sb.n_sh > sa.n_sh
+              UNION
+              SELECT c.r FROM cand c
+              JOIN sizes sa ON sa.doc_id = c.l
+              JOIN sizes sb ON sb.doc_id = c.r
+              WHERE c.inter*100 >= 80*sb.n_sh AND sa.n_sh >= sb.n_sh)
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id IN (SELECT d FROM drp)
+                        THEN 0 ELSE 1 END AS BIGINT) AS keep
+            FROM documents
         """,
     }

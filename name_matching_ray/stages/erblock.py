@@ -3762,6 +3762,72 @@ def progressive_pairs(docs_ds, *, k: int = 100, max_df: int = 100,
 # multi-measure set-similarity join
 # ---------------------------------------------------------------------------
 
+def containment_keep(docs_ds, *, n: int = 3, tau100: int = 80,
+                     max_df: int = 100, text_col: str = "text",
+                     id_col: str = "doc_id", n_buckets: int = 128):
+    """Near-superset dedup keep law — drop documents that are mostly
+    CONTAINED in a bigger one (quote farms, partial mirrors, excerpt
+    spam; the asymmetric case exact Jaccard under-scores): doc ``a`` is
+    dropped iff some candidate partner ``b`` covers it,
+    ``inter·100 ≥ tau100·n_a``, and ``b`` outranks it (more shingles,
+    ties → lower id survives).  Candidates, ``inter`` and the df guard
+    are EXACTLY :func:`~name_matching_ray.stages.dedup
+    .ngram_jaccard_pairs`' (``tau100=0``).  Output ``(doc_id, keep)``
+    over ALL docs — shingle-less docs trivially keep (the cross_dedup
+    output contract).
+
+    Scale shape: the candidate stream maps to dropped-id partials
+    (two directional tests per pair, vectorized); the keep flags come
+    from one bucketed SEMI + one ANTI join of the doc-id stream against
+    the dropped ids (both ship distinct keys only) — no driver state.
+    """
+    import pyarrow.compute as _pc
+
+    from .dedup import ngram_jaccard_pairs
+    from .joins import bucket_hash_join
+
+    cand = ngram_jaccard_pairs(docs_ds, n=n, tau100=0, max_df=max_df,
+                               text_col=text_col, id_col=id_col)
+
+    def dropped(t: pa.Table) -> pa.Table:
+        inter = t.column("inter").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nl = t.column("n_left").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nr = t.column("n_right").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        li = t.column("left_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ri = t.column("right_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # left_id < right_id by construction: on equal sizes the LOWER
+        # id survives, so a tie can only drop the right side
+        drop_l = (inter * 100 >= tau100 * nl) & (nr > nl)
+        drop_r = (inter * 100 >= tau100 * nr) & (nl >= nr)
+        ids = np.concatenate([li[drop_l], ri[drop_r]])
+        return pa.table({id_col: pa.array(np.unique(ids), pa.int64())})
+
+    drp = cand.map_batches(dropped, batch_format="pyarrow")
+    ids = docs_ds.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow")
+
+    kept = bucket_hash_join(
+        ids, drp, on=id_col, how="anti", n_buckets=n_buckets,
+        left_types={id_col: pa.int64()},
+        right_types={id_col: pa.int64()}) \
+        .map_batches(lambda t: t.append_column(
+            "keep", pa.array(np.ones(t.num_rows, np.int64), pa.int64())),
+            batch_format="pyarrow")
+    gone = bucket_hash_join(
+        ids, drp, on=id_col, how="semi", n_buckets=n_buckets,
+        left_types={id_col: pa.int64()},
+        right_types={id_col: pa.int64()}) \
+        .map_batches(lambda t: t.append_column(
+            "keep", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())),
+            batch_format="pyarrow")
+    return kept.union(gone)
+
+
 def setsim_measures(docs_ds, *, n: int = 3, tau_bp: int = 5000,
                     max_df: int = 100, text_col: str = "text",
                     id_col: str = "doc_id"):

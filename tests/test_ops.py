@@ -5546,3 +5546,30 @@ def test_cohort_retention_first_week_and_cap(ray_session, tmp_path):
         "cohort_week": [100, 100, 100, 101],
         "offset": [0, 1, 3, 0],
         "n_users": [2, 1, 1, 1]}
+
+
+def test_containment_keep_directional_law(ray_session):
+    """containment_keep: the SMALL side drops when tau-80 covered by a
+    strictly bigger partner; equal sizes drop the HIGHER id; partial
+    overlap below tau keeps both; shingle-less docs keep."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.erblock import containment_keep
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": [
+            "a b c d",          # 1: {abc,bcd} fully inside doc 2 -> drop
+            "a b c d e",        # 2: superset (3 shingles) -> keep
+            "x y z",            # 3: == doc 4 (1 shingle each): tie ->
+            "x y z",            # 4:   higher id drops
+            "p q r s",          # 5: shares nothing above df guard
+            "t u",              # 6: shingle-less -> keep
+        ],
+    }))
+    got = containment_keep(docs).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "keep": [0, 1, 1, 0, 1, 1]}
