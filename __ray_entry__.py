@@ -1386,6 +1386,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep flags via distinct-key semi/anti joins
         "containment_keep": lambda sf: erblock.containment_keep(
             _read_docs(sf)),
+        # per-customer exact median inter-order gap — one customer-hash
+        # shuffle, the whole per-key percentile kernel vectorized
+        # in-bucket (sort/diff/rank), no per-key groups
+        "order_gap_median": lambda sf: analytics.order_gap_median(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6644,5 +6648,27 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(CASE WHEN doc_id IN (SELECT d FROM drp)
                         THEN 0 ELSE 1 END AS BIGINT) AS keep
             FROM documents
+        """,
+        # order_gap_median: LAG day gaps per customer; median = the
+        # peers-inclusive rank*2 >= n law; same-day repeats give 0 gaps.
+        "order_gap_median": """
+            WITH o2 AS (SELECT o_custkey,
+                    CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                        AS d
+                 FROM orders),
+            g AS (SELECT o_custkey,
+                         d - LAG(d) OVER (PARTITION BY o_custkey
+                                          ORDER BY d) AS gap
+                  FROM o2),
+            r AS (SELECT o_custkey, gap,
+                         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY gap) AS rn,
+                         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+                  FROM g WHERE gap IS NOT NULL)
+            SELECT o_custkey AS c_custkey,
+                   CAST(MAX(n) + 1 AS BIGINT) AS n_orders,
+                   CAST(MIN(CASE WHEN rn*2 >= n THEN gap END)
+                        AS BIGINT) AS median_gap_days
+            FROM r GROUP BY 1
         """,
     }

@@ -151,7 +151,7 @@ BENCH_QUERIES = [
     "cluster_split_merge", "block_filtering_pairs", "greedy_one_to_one",
     "doc_novelty", "min_cost_supplier", "source_dup_matrix",
     "shingle_df_hist", "weighted_jaccard_pairs", "cluster_homogeneity",
-    "cohort_retention", "containment_keep",
+    "cohort_retention", "containment_keep", "order_gap_median",
 ]
 
 

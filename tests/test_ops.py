@@ -5573,3 +5573,35 @@ def test_containment_keep_directional_law(ray_session):
     assert got.to_dict("list") == {
         "doc_id": [1, 2, 3, 4, 5, 6],
         "keep": [0, 1, 1, 0, 1, 1]}
+
+
+def test_order_gap_median_peers_inclusive(ray_session, tmp_path):
+    """order_gap_median: even gap counts take the LOWER middle
+    (rank*2 >= n), same-day repeats are exact 0 gaps, single-order
+    customers emit nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import order_gap_median
+
+    day = lambda d: np.datetime64(f"1996-01-{d:02d}", "us")
+    rows = [
+        # cust 1: days 1,2,10 -> gaps [1, 8], median = lower mid 1
+        (1, day(1)), (1, day(2)), (1, day(10)),
+        # cust 2: days 5,5,6 -> gaps [0, 1], median 0
+        (2, day(5)), (2, day(5)), (2, day(6)),
+        # cust 3: one order -> no row
+        (3, day(7)),
+    ]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+    }), tmp_path / "orders.parquet", row_group_size=2)
+
+    got = order_gap_median(str(tmp_path)).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "c_custkey": [1, 2], "n_orders": [3, 3],
+        "median_gap_days": [1, 0]}
