@@ -1390,6 +1390,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffle, the whole per-key percentile kernel vectorized
         # in-bucket (sort/diff/rank), no per-key groups
         "order_gap_median": lambda sf: analytics.order_gap_median(sf),
+        # association rules for the top-k co-purchase pairs — supports
+        # ride the same order-bucket kernels (no extra fact shuffle),
+        # lift in Python ints / SQL HUGEINT
+        "basket_lift": lambda sf: analytics.basket_lift(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6670,5 +6674,36 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(MIN(CASE WHEN rn*2 >= n THEN gap END)
                         AS BIGINT) AS median_gap_days
             FROM r GROUP BY 1
+        """,
+        # basket_lift: basket_pairs' DISTINCT-per-order law; lift in
+        # HUGEINT (cnt*N*1e6 overflows int64 at warehouse scale).
+        "basket_lift": """
+            WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            pc2 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                           COUNT(*) AS cnt
+                    FROM dp a JOIN dp b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+                    GROUP BY 1, 2),
+            top AS (SELECT p1, p2, cnt,
+                           ROW_NUMBER() OVER (ORDER BY cnt DESC, p1, p2)
+                               AS rank
+                    FROM pc2 QUALIFY rank <= 20),
+            m AS (SELECT l_partkey, COUNT(*) AS c FROM dp GROUP BY 1),
+            n AS (SELECT COUNT(DISTINCT l_orderkey) AS nn FROM dp)
+            SELECT CAST(rank AS BIGINT) AS rank,
+                   CAST(p1 AS BIGINT) AS p1,
+                   CAST(p2 AS BIGINT) AS p2,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   CAST(ma.c AS BIGINT) AS n_a,
+                   CAST(mb.c AS BIGINT) AS n_b,
+                   CAST(cnt * 10000 // ma.c AS BIGINT) AS conf_ab_bp,
+                   CAST(cnt * 10000 // mb.c AS BIGINT) AS conf_ba_bp,
+                   CAST(CAST(cnt AS HUGEINT) * nn * 1000000
+                        // (CAST(ma.c AS HUGEINT) * mb.c)
+                        AS BIGINT) AS lift_ppm
+            FROM top JOIN m ma ON ma.l_partkey = top.p1
+                     JOIN m mb ON mb.l_partkey = top.p2, n
         """,
     }

@@ -4372,3 +4372,149 @@ def order_gap_median(sf_dir: str, *, n_buckets: int = 64):
     return _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
                        ["c_custkey"], n_buckets) \
         .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+
+
+def basket_lift(sf_dir: str, *, k: int = 20, n_buckets: int = 256):
+    """Association rules over the top-``k`` co-purchased part pairs:
+    support count, both part supports, directional confidences in
+    floor bp and the lift in floor ppm (``c_ab·N·10⁶ //
+    (c_a·c_b)`` — Python-int on the driver, HUGEINT in SQL: the
+    product overflows int64 at warehouse scale).  Pair/support laws
+    are exactly :func:`basket_pairs`' (DISTINCT per order, pairs
+    ranked ``cnt DESC, p1, p2``).  Output ``(rank, p1, p2, cnt, n_a,
+    n_b, conf_ab_bp, conf_ba_bp, lift_ppm)``.
+
+    Scale shape: basket_pairs' order-bucket pass gains two riders in
+    the SAME kernels — per-part support partials and the per-bucket
+    distinct-order count — so margins cost no extra shuffle over the
+    facts; the support table finalizes in one partkey-bounded Sum, and
+    only the ≤ 2k supports of the winning pairs reach the driver
+    (semi-probed with a broadcast of the top-k part set).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..util import pair_bucket
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "l_partkey": pa.array(g["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "_ob": pa.array(_bucket_hash(g["l_orderkey"], n_buckets),
+                            pa.int64())})
+
+    pair_empty = pa.table({"p1": pa.array([], pa.int64()),
+                           "p2": pa.array([], pa.int64()),
+                           "cnt": pa.array([], pa.int64()),
+                           "_pb": pa.array([], pa.int64())})
+
+    def order_pairs(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pair_empty
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        if not len(m):
+            return pair_empty
+        agg = m.groupby(["l_partkey_a", "l_partkey_b"],
+                        as_index=False).size()
+        p1 = agg["l_partkey_a"].to_numpy(np.int64)
+        p2 = agg["l_partkey_b"].to_numpy(np.int64)
+        return pa.table({
+            "p1": pa.array(p1, pa.int64()),
+            "p2": pa.array(p2, pa.int64()),
+            "cnt": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            "_pb": pa.array(pair_bucket(p1, p2, n_buckets), pa.int64())})
+
+    def support_part(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "n_ord": pa.array([], pa.int64())})
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        s = g.groupby("l_partkey", as_index=False).size()
+        return pa.table({
+            "l_partkey": pa.array(s["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "c": pa.array(s["size"].to_numpy(np.int64), pa.int64()),
+            # orders are co-located: in-bucket distinct IS exact, ride
+            # it on the first row only (0 elsewhere) for the Sum
+            "n_ord": pa.array(
+                np.where(np.arange(len(s)) == 0,
+                         g["l_orderkey"].nunique(), 0)
+                .astype(np.int64), pa.int64())})
+
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+
+    def combine_topk(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["p1", "p2"], as_index=False)["cnt"].sum()
+        top = agg.sort_values(["cnt", "p1", "p2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k)
+        return pa.table({
+            "p1": pa.array(top["p1"].to_numpy(np.int64), pa.int64()),
+            "p2": pa.array(top["p2"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(top["cnt"].to_numpy(np.int64), pa.int64())})
+
+    pairs = tagged.groupby("_ob") \
+        .map_groups(order_pairs, batch_format="pandas") \
+        .groupby("_pb").map_groups(combine_topk, batch_format="pandas") \
+        .to_pandas()
+    if len(pairs):
+        pairs = pairs.sort_values(["cnt", "p1", "p2"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort").head(k) \
+            .reset_index(drop=True)
+
+    sup = tagged.groupby("_ob") \
+        .map_groups(support_part, batch_format="pandas") \
+        .groupby("l_partkey").aggregate(Sum("c", alias_name="c"),
+                                        Sum("n_ord", alias_name="n_ord"))
+
+    import pyarrow.compute as pc
+
+    # the support table is consumed twice (winner probe + the total-
+    # order scalar) — it is partkey-bounded, materialize once
+    sup = sup.materialize()
+
+    # only the winners' supports reach the driver (<= 2k parts)
+    want = (set(pairs["p1"].tolist()) | set(pairs["p2"].tolist())) \
+        if len(pairs) else set()
+    want_arr = pa.array(sorted(want), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("l_partkey"), value_set=want_arr)
+        kept = t.filter(keep)
+        return pa.table({"l_partkey": kept.column("l_partkey"),
+                         "c": kept.column("c")})
+
+    supd = sup.map_batches(pick, batch_format="pyarrow").to_pandas()
+    marg = dict(zip(supd["l_partkey"].astype(int),
+                    supd["c"].astype(int))) if len(supd) else {}
+
+    tot = sup.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(t.column("n_ord")).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    n_orders = int(tot["n"].sum()) if len(tot) else 0
+
+    out = {kx: [] for kx in ["rank", "p1", "p2", "cnt", "n_a", "n_b",
+                             "conf_ab_bp", "conf_ba_bp", "lift_ppm"]}
+    for i in range(len(pairs)):
+        p1 = int(pairs["p1"].iloc[i]); p2 = int(pairs["p2"].iloc[i])
+        c = int(pairs["cnt"].iloc[i])
+        na, nb = marg[p1], marg[p2]
+        out["rank"].append(i + 1)
+        out["p1"].append(p1); out["p2"].append(p2); out["cnt"].append(c)
+        out["n_a"].append(na); out["n_b"].append(nb)
+        out["conf_ab_bp"].append(c * 10_000 // na)
+        out["conf_ba_bp"].append(c * 10_000 // nb)
+        out["lift_ppm"].append(c * n_orders * 1_000_000 // (na * nb))
+    from ..util import table_or_dataset
+    return table_or_dataset(pa.table(
+        {kx: pa.array(v, pa.int64()) for kx, v in out.items()}))

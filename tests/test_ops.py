@@ -5605,3 +5605,30 @@ def test_order_gap_median_peers_inclusive(ray_session, tmp_path):
     assert got.to_dict("list") == {
         "c_custkey": [1, 2], "n_orders": [3, 3],
         "median_gap_days": [1, 0]}
+
+
+def test_basket_lift_margins_and_laws(ray_session, tmp_path):
+    """basket_lift: supports count ORDERS (duplicate lines collapse),
+    confidences are directional bp floors, lift uses the global
+    distinct-order count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import basket_lift
+
+    # orders: o1 {A,B} (B twice -> once), o2 {A,B}, o3 {A}, o4 {C}
+    rows = [(1, 10), (1, 20), (1, 20), (2, 10), (2, 20), (3, 10),
+            (4, 30)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    }), tmp_path / "lineitem.parquet", row_group_size=2)
+
+    r = basket_lift(str(tmp_path))
+    got = r.to_pandas() if hasattr(r, "to_pandas") else r
+    # pair (10,20): cnt 2; n_10 = 3, n_20 = 2, N = 4 orders
+    assert got.to_dict("list") == {
+        "rank": [1], "p1": [10], "p2": [20], "cnt": [2],
+        "n_a": [3], "n_b": [2],
+        "conf_ab_bp": [2 * 10000 // 3], "conf_ba_bp": [10000],
+        "lift_ppm": [2 * 4 * 1_000_000 // (3 * 2)]}
