@@ -1394,6 +1394,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ride the same order-bucket kernels (no extra fact shuffle),
         # lift in Python ints / SQL HUGEINT
         "basket_lift": lambda sf: analytics.basket_lift(sf),
+        # exact join-key heavy hitters — the salting-decision audit;
+        # lossless per-bucket top-k partials, <= buckets*k to driver
+        "fact_key_skew": lambda sf: analytics.fact_key_skew(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6705,5 +6708,17 @@ def _oracle_sql_base() -> dict[str, str]:
                         AS BIGINT) AS lift_ppm
             FROM top JOIN m ma ON ma.l_partkey = top.p1
                      JOIN m mb ON mb.l_partkey = top.p2, n
+        """,
+        # fact_key_skew: exact top-k heaviest lineitem orderkeys,
+        # (n_rows DESC, key) rank.
+        "fact_key_skew": """
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC,
+                                           l_orderkey) AS BIGINT)
+                       AS rank,
+                   CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(n_rows AS BIGINT) AS n_rows
+            FROM (SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem
+                  GROUP BY 1)
+            QUALIFY rank <= 20
         """,
     }

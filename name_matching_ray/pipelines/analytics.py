@@ -4518,3 +4518,61 @@ def basket_lift(sf_dir: str, *, k: int = 20, n_buckets: int = 256):
     from ..util import table_or_dataset
     return table_or_dataset(pa.table(
         {kx: pa.array(v, pa.int64()) for kx, v in out.items()}))
+
+
+def fact_key_skew(sf_dir: str, *, k: int = 20, n_buckets: int = 256):
+    """Join-key skew audit — the measurement behind every salting
+    decision in this engine: the exact top-``k`` heaviest join keys of
+    the fact table (lineitem rows per ``l_orderkey``), ranked
+    ``(n_rows DESC, key ASC)``.  The heavy tail of this table is the
+    reduce-task straggler forecast (a key with m rows costs C(m,2) in
+    any self-join and m·|match| in any join).  Output ``(rank,
+    l_orderkey, n_rows)``.
+
+    Scale shape: per-batch (key, count) partials; key-hash buckets
+    finalize exact counts in-bucket, where per-bucket top-``k``
+    partials are provably lossless (all rows of a key share its
+    bucket); the driver merges ≤ n_buckets·k candidate rows.
+    """
+    import ray.data as rd
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("l_orderkey", as_index=False).size()
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "n_rows": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            "_kb": pa.array(_bucket_hash(g["l_orderkey"], n_buckets),
+                            pa.int64())})
+
+    def topk_bucket(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        c = g.groupby("l_orderkey", as_index=False)["n_rows"].sum()
+        top = c.sort_values(["n_rows", "l_orderkey"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+        return pa.table({
+            "l_orderkey": pa.array(top["l_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "n_rows": pa.array(top["n_rows"].to_numpy(np.int64),
+                               pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_kb").map_groups(topk_bucket, batch_format="pandas") \
+        .to_pandas()
+    if len(parts):
+        parts = parts.sort_values(["n_rows", "l_orderkey"],
+                                  ascending=[False, True],
+                                  kind="mergesort").head(k) \
+            .reset_index(drop=True)
+    from ..util import table_or_dataset
+    return table_or_dataset(pa.table({
+        "rank": pa.array(np.arange(1, len(parts) + 1), pa.int64()),
+        "l_orderkey": pa.array(parts["l_orderkey"].to_numpy(np.int64)
+                               if len(parts) else [], pa.int64()),
+        "n_rows": pa.array(parts["n_rows"].to_numpy(np.int64)
+                           if len(parts) else [], pa.int64())}))

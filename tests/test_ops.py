@@ -5632,3 +5632,23 @@ def test_basket_lift_margins_and_laws(ray_session, tmp_path):
         "n_a": [3], "n_b": [2],
         "conf_ab_bp": [2 * 10000 // 3], "conf_ba_bp": [10000],
         "lift_ppm": [2 * 4 * 1_000_000 // (3 * 2)]}
+
+
+def test_fact_key_skew_rank_law(ray_session, tmp_path):
+    """fact_key_skew: exact counts across row groups, rank ties break
+    on the LOWER key, k caps the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import fact_key_skew
+
+    keys = [7] * 5 + [3] * 3 + [9] * 3 + [1]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(keys, pa.int64()),
+    }), tmp_path / "lineitem.parquet", row_group_size=3)
+
+    r = fact_key_skew(str(tmp_path), k=3)
+    got = r.to_pandas() if hasattr(r, "to_pandas") else r
+    assert got.to_dict("list") == {
+        "rank": [1, 2, 3], "l_orderkey": [7, 3, 9],
+        "n_rows": [5, 3, 3]}
