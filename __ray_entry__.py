@@ -1397,6 +1397,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact join-key heavy hitters — the salting-decision audit;
         # lossless per-bucket top-k partials, <= buckets*k to driver
         "fact_key_skew": lambda sf: analytics.fact_key_skew(sf),
+        # k-anonymity audit over (lang, source, length-bin) quasi-ids —
+        # class sizes finalize in qid buckets, five scalars per bucket
+        "k_anonymity": lambda sf: textstats.k_anonymity(
+            _read_table(sf, "documents",
+                        ["doc_id", "lang", "source", "n_chars"])),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6720,5 +6725,23 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM (SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem
                   GROUP BY 1)
             QUALIFY rank <= 20
+        """,
+        # k_anonymity: quasi-id (lang, source, n_chars//256), NULLs
+        # read as '' groups, risk = class size < 5.
+        "k_anonymity": """
+            WITH q AS (SELECT coalesce(lang, '') AS lang,
+                              coalesce(source, '') AS src,
+                              n_chars // 256 AS bin
+                       FROM documents),
+            g AS (SELECT lang, src, bin, COUNT(*) AS c FROM q
+                  GROUP BY 1, 2, 3)
+            SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n_records,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(coalesce(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_risk_groups,
+                   CAST(coalesce(SUM(CASE WHEN c < 5 THEN c ELSE 0 END),
+                                 0) AS BIGINT) AS n_risk_records,
+                   CAST(coalesce(MAX(c), 0) AS BIGINT) AS max_group
+            FROM g
         """,
     }

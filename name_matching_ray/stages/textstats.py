@@ -2836,3 +2836,76 @@ def vocab_growth(docs_ds, *, n_slices: int = 16, n_buckets: int = 256,
         "n_docs": pa.array(docs_c),
         "n_tokens": pa.array(tokens_c),
         "n_vocab": pa.array(vocab_c)}))
+
+
+def k_anonymity(docs_ds, *, k: int = 5, bin_chars: int = 256,
+                n_buckets: int = 128):
+    """k-anonymity audit over the corpus metadata — the privacy
+    check a release pipeline runs before publishing: with
+    quasi-identifier ``(lang, source, n_chars // bin_chars)``, how many
+    records sit in equivalence classes smaller than ``k`` (re-
+    identifiable by metadata alone).  One row out: ``(n_records,
+    n_groups, n_risk_groups, n_risk_records, max_group)`` where risk
+    groups have ``count < k``.  NULL lang/source read as '' (a NULL
+    quasi-identifier still identifies — the pandas-dropna trap).
+
+    Scale shape: per-batch (qid, count) partials; qid-hash buckets
+    finalize exact class sizes and collapse to FIVE scalar partials per
+    bucket — the driver sees ≤ n_buckets rows, never a class table.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..util import bucket_hash
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = pc.fill_null(pc.cast(batch.column("lang"), pa.string()),
+                            "")
+        src = pc.fill_null(pc.cast(batch.column("source"), pa.string()),
+                           "")
+        nc = pc.cast(batch.column("n_chars"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": lang.to_pandas(),
+                           "source": src.to_pandas(),
+                           "bin": nc // bin_chars})
+        g = df.groupby(["lang", "source", "bin"], as_index=False).size()
+        g["_qb"] = bucket_hash(g, n_buckets,
+                               keys=["lang", "source", "bin"])
+        return pa.Table.from_pandas(g.rename(columns={"size": "c"}),
+                                    preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({x: pa.array([0], pa.int64())
+                             for x in ["n_records", "n_groups",
+                                       "n_risk_groups", "n_risk_records",
+                                       "max_group"]})
+        c = g.groupby(["lang", "source", "bin"])["c"].sum() \
+            .to_numpy(np.int64)
+        risk = c < k
+        return pa.table({
+            "n_records": pa.array([int(c.sum())], pa.int64()),
+            "n_groups": pa.array([len(c)], pa.int64()),
+            "n_risk_groups": pa.array([int(risk.sum())], pa.int64()),
+            "n_risk_records": pa.array([int(c[risk].sum())], pa.int64()),
+            "max_group": pa.array([int(c.max())], pa.int64())})
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_qb").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    if not len(parts):
+        return rd.from_arrow(pa.table({
+            "n_records": pa.array([0], pa.int64()),
+            "n_groups": pa.array([0], pa.int64()),
+            "n_risk_groups": pa.array([0], pa.int64()),
+            "n_risk_records": pa.array([0], pa.int64()),
+            "max_group": pa.array([0], pa.int64())}))
+    return rd.from_arrow(pa.table({
+        "n_records": pa.array([int(parts["n_records"].sum())], pa.int64()),
+        "n_groups": pa.array([int(parts["n_groups"].sum())], pa.int64()),
+        "n_risk_groups": pa.array([int(parts["n_risk_groups"].sum())],
+                                  pa.int64()),
+        "n_risk_records": pa.array([int(parts["n_risk_records"].sum())],
+                                   pa.int64()),
+        "max_group": pa.array([int(parts["max_group"].max())],
+                              pa.int64())}))

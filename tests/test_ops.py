@@ -5652,3 +5652,29 @@ def test_fact_key_skew_rank_law(ray_session, tmp_path):
     assert got.to_dict("list") == {
         "rank": [1, 2, 3], "l_orderkey": [7, 3, 9],
         "n_rows": [5, 3, 3]}
+
+
+def test_k_anonymity_null_qid_and_boundary(ray_session):
+    """k_anonymity: NULL lang/source form a real ('') class, the
+    length bin splits at exactly bin_chars, and a class of exactly k
+    is NOT at risk."""
+    import pyarrow as pa
+    import ray.data
+
+    from name_matching_ray.stages.textstats import k_anonymity
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1, 9)), pa.int64()),
+        "lang": pa.array(["en", "en", "en", "en", "en",
+                          None, None, "de"], pa.string()),
+        "source": pa.array(["s"] * 7 + ["s"], pa.string()),
+        # five at bin 0 (class of exactly k=5, NOT at risk); the two
+        # NULL-lang rows split bins 0/1 at the 256 boundary (two
+        # singleton risk classes); 'de' singleton risk class.
+        "n_chars": pa.array([10, 20, 30, 40, 255, 255, 256, 10],
+                            pa.int64()),
+    }))
+    got = k_anonymity(docs, k=5).to_pandas()
+    assert got.to_dict("list") == {
+        "n_records": [8], "n_groups": [4], "n_risk_groups": [3],
+        "n_risk_records": [3], "max_group": [5]}
