@@ -4800,8 +4800,8 @@ def _oracle_sql_base() -> dict[str, str]:
               AND c.c_custkey = o.o_custkey
               AND s.s_nationkey = ns.n_nationkey
               AND c.c_nationkey = nc.n_nationkey
-              AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-                OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+              AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+                OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3'))
               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY 1, 2, 3

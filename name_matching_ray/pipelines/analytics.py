@@ -3187,8 +3187,8 @@ def local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
                               if len(parts) else [], pa.int64())}))
 
 
-def nation_trade_volume(sf_dir: str, *, nation_a: str = "NATION_1",
-                        nation_b: str = "NATION_2",
+def nation_trade_volume(sf_dir: str, *, nation_a: str = "NATION_3",
+                        nation_b: str = "NATION_8",
                         start: str = "1996-01-01", end: str = "1998-01-01",
                         n_buckets: int = 64):
     """Bilateral shipping volume between two nations by year (TPC-H Q7
@@ -3283,7 +3283,8 @@ def nation_trade_volume(sf_dir: str, *, nation_a: str = "NATION_1",
     if len(parts):
         parts = parts.groupby(["s_nationkey", "c_nationkey", "l_year"],
                               as_index=False)["rev_c"].sum()
-    return rd.from_arrow(pa.table({
+    from ..util import table_or_dataset
+    return table_or_dataset(pa.table({
         "supp_nation": pa.array([nmap[int(k)] for k in
                                  parts["s_nationkey"]]
                                 if len(parts) else [], pa.string()),

@@ -4614,7 +4614,8 @@ def test_nation_trade_volume_directions_and_year(ray_session, tmp_path):
     from name_matching_ray.pipelines.analytics import nation_trade_volume
 
     _q5q7_fixture(tmp_path)
-    got = nation_trade_volume(str(tmp_path)).to_pandas() \
+    got = nation_trade_volume(str(tmp_path), nation_a="NATION_1",
+                              nation_b="NATION_2").to_pandas() \
         .sort_values(["supp_nation", "l_year"]).reset_index(drop=True)
     # supp n2 -> cust n1: order 1000 line supp200 ship 1996 (5000c).
     # supp n1 -> cust n1 (line supp100 order 1000): same nation, out.
