@@ -5177,7 +5177,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM a JOIN supplier ON sk = s_suppkey
                    JOIN nation ON s_nationkey = n_nationkey
             WHERE late = 1 AND n_supp >= 2 AND n_late = 1
-              AND n_name = 'NATION_7'
+              AND n_name = 'NATION_3'
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 100

@@ -3699,7 +3699,7 @@ def revenue_concentration(sf_dir: str, *, n_buckets: int = 64):
                              if len(parts) else [], pa.int64())}))
 
 
-def waiting_suppliers(sf_dir: str, *, nation: str = "NATION_7",
+def waiting_suppliers(sf_dir: str, *, nation: str = "NATION_3",
                       late_days: int = 60, k: int = 100):
     """Suppliers who were the SOLE late shipper in a finished
     multi-supplier order (TPC-H Q21 shape — the lineitem self-join
@@ -3808,7 +3808,8 @@ def waiting_suppliers(sf_dir: str, *, nation: str = "NATION_7",
     # driver sort is on a dimension-sized frame, never the facts.
     out = named.to_pandas()
     if out.empty:
-        return rd.from_arrow(pa.table({
+        from ..util import table_or_dataset
+        return table_or_dataset(pa.table({
             "s_name": pa.array([], pa.string()),
             "numwait": pa.array([], pa.int64())}))
     out = out.sort_values(["numwait", "s_name"],

@@ -4943,7 +4943,7 @@ def test_waiting_suppliers_exists_not_exists_laws(ray_session, tmp_path):
              ts("2000-06-01"), ts("2000-01-05")],  # 15
             pa.timestamp("us")),
     }), tmp_path / "lineitem.parquet")
-    got = waiting_suppliers(str(tmp_path)).to_pandas()
+    got = waiting_suppliers(str(tmp_path), nation="NATION_7").to_pandas()
     # S1 and S2 each wait once; tie breaks on s_name ascending
     assert list(got["s_name"]) == ["S1", "S2"]
     assert list(got["numwait"]) == [1, 1]
