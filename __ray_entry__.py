@@ -1402,6 +1402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": lambda sf: textstats.k_anonymity(
             _read_table(sf, "documents",
                         ["doc_id", "lang", "source", "n_chars"])),
+        # weekly new-vs-returning split — the cohort machinery's other
+        # classic reading; per-week partials out of the user buckets
+        "new_vs_returning": lambda sf: analytics.new_vs_returning(sf),
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6743,5 +6746,20 @@ def _oracle_sql_base() -> dict[str, str]:
                                  0) AS BIGINT) AS n_risk_records,
                    CAST(coalesce(MAX(c), 0) AS BIGINT) AS max_group
             FROM g
+        """,
+        # new_vs_returning: the cohort week law; new = week == per-user
+        # MIN week.
+        "new_vs_returning": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+                 FROM events),
+            f AS (SELECT user_id, MIN(week) AS fw FROM uw GROUP BY 1)
+            SELECT uw.week,
+                   CAST(SUM(CASE WHEN uw.week = f.fw THEN 1 ELSE 0 END)
+                        AS BIGINT) AS new_users,
+                   CAST(SUM(CASE WHEN uw.week <> f.fw THEN 1 ELSE 0 END)
+                        AS BIGINT) AS returning_users
+            FROM uw JOIN f USING (user_id)
+            GROUP BY 1
         """,
     }

@@ -4578,3 +4578,53 @@ def fact_key_skew(sf_dir: str, *, k: int = 20, n_buckets: int = 256):
                                if len(parts) else [], pa.int64()),
         "n_rows": pa.array(parts["n_rows"].to_numpy(np.int64)
                            if len(parts) else [], pa.int64())}))
+
+
+def new_vs_returning(sf_dir: str, *, n_buckets: int = 64):
+    """Weekly growth split — the other classic reading of the cohort
+    data: per epoch week, how many active users are NEW (this is their
+    first active week) vs RETURNING.  Output ``(week, new_users,
+    returning_users)``; same integer week law as
+    :func:`user_retention` / :func:`cohort_retention`.
+
+    Scale shape: identical to cohort_retention — distinct (user, week)
+    partials, user-hash buckets fold the per-user first week, and each
+    bucket collapses to per-week (new, returning) partials before one
+    tiny Sum shuffle over ≤ |weeks| keys.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    us_per_week = np.int64(7 * 86_400_000_000)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        week = (df["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64) // us_per_week)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "week": week}).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"week": pa.array([], pa.int64()),
+                          "new_users": pa.array([], pa.int64()),
+                          "returning_users": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        uw = g[["user_id", "week"]].drop_duplicates()
+        first = uw.groupby("user_id")["week"].transform("min") \
+            .to_numpy(np.int64)
+        wk = uw["week"].to_numpy(np.int64)
+        m = pd.DataFrame({"week": wk,
+                          "new_users": (wk == first).astype(np.int64),
+                          "returning_users": (wk != first)
+                          .astype(np.int64)})
+        agg = m.groupby("week", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return _bucket_tag(ds.map_batches(partial, batch_format="pandas"),
+                       ["user_id"], n_buckets) \
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas") \
+        .groupby("week").aggregate(
+            Sum("new_users", alias_name="new_users"),
+            Sum("returning_users", alias_name="returning_users"))

@@ -5679,3 +5679,29 @@ def test_k_anonymity_null_qid_and_boundary(ray_session):
     assert got.to_dict("list") == {
         "n_records": [8], "n_groups": [4], "n_risk_groups": [3],
         "n_risk_records": [3], "max_group": [5]}
+
+
+def test_new_vs_returning_first_week_law(ray_session, tmp_path):
+    """new_vs_returning: a user is NEW only in their first active week
+    (multiple events that week count once) and RETURNING in every
+    later active week; inactive weeks emit no row."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from name_matching_ray.pipelines.analytics import new_vs_returning
+
+    wk = 7 * 86_400_000_000
+    ts = lambda w, n=0: np.datetime64(int(w * wk + n), "us")
+    rows = [(1, ts(100)), (1, ts(100, 9)), (1, ts(102)),
+            (2, ts(100)), (3, ts(102))]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }), tmp_path / "events.parquet", row_group_size=2)
+
+    got = new_vs_returning(str(tmp_path)).to_pandas() \
+        .sort_values("week").reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "week": [100, 102], "new_users": [2, 1],
+        "returning_users": [0, 1]}
