@@ -448,6 +448,72 @@ def _dedup_keep_list(sf_dir: str):
     return _cc_keep(_near_dup_clusters(sf_dir))
 
 
+def _dedup_impact(sf_dir: str):
+    """What the near-dup dedup BUYS: one scalar row over the shared
+    closure keep-list — docs and raw \\S+ tokens kept vs dropped, with
+    floor-bp drop rates.  The dashboard number a curation run reports;
+    composes two already-oracled laws (closure min-id keep + the gopher
+    token count).
+
+    Scale shape: keep flags join per-doc token counts in id-hash
+    buckets (types threaded — the schema()-executes-AllToAll trap) and
+    every block collapses to ONE scalar partial row; the driver sums
+    scalars."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from name_matching_ray.stages.joins import bucket_hash_join
+
+    keep = _cc_keep(_near_dup_clusters(sf_dir))
+
+    def tokc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # RE2 \S+ run count (pyarrow == DuckDB's regex engine)
+        txt = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
+        n = pc.count_substring_regex(txt, r"\S+")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "nw": pc.cast(n, pa.int64())})
+
+    toks = _read_docs(sf_dir).map_batches(tokc, batch_format="pyarrow")
+
+    j = bucket_hash_join(
+        keep, toks, on="doc_id", n_buckets=128,
+        left_types={"doc_id": pa.int64(), "cluster_id": pa.int64(),
+                    "keep": pa.int64()},
+        right_types={"doc_id": pa.int64(), "nw": pa.int64()})
+
+    def scal(df: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        k = df["keep"].to_numpy("int64") if len(df) else \
+            np.zeros(0, "int64")
+        nw = df["nw"].to_numpy("int64") if len(df) else k
+        return pa.table({
+            "n_docs": pa.array([len(df)], pa.int64()),
+            "n_docs_kept": pa.array([int(k.sum())], pa.int64()),
+            "n_tokens": pa.array([int(nw.sum())], pa.int64()),
+            "n_tokens_kept": pa.array([int((k * nw).sum())],
+                                      pa.int64())})
+
+    p = j.map_batches(scal, batch_format="pandas",
+                      batch_size=None).to_pandas()
+    nd = int(p["n_docs"].sum()) if len(p) else 0
+    nk = int(p["n_docs_kept"].sum()) if len(p) else 0
+    nt = int(p["n_tokens"].sum()) if len(p) else 0
+    ntk = int(p["n_tokens_kept"].sum()) if len(p) else 0
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([nd], pa.int64()),
+        "n_docs_kept": pa.array([nk], pa.int64()),
+        "n_tokens": pa.array([nt], pa.int64()),
+        "n_tokens_kept": pa.array([ntk], pa.int64()),
+        "doc_drop_bp": pa.array(
+            [(nd - nk) * 10_000 // nd if nd else None], pa.int64()),
+        "token_drop_bp": pa.array(
+            [(nt - ntk) * 10_000 // nt if nt else None], pa.int64())}))
+
+
 def _split_by_cluster(sf_dir: str):
     """Leakage-safe train/val split over the near-dup clusters of
     _dedup_keep_list: split decided per CLUSTER (md5 rule), so near-dups
@@ -1405,6 +1471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weekly new-vs-returning split — the cohort machinery's other
         # classic reading; per-week partials out of the user buckets
         "new_vs_returning": lambda sf: analytics.new_vs_returning(sf),
+        # dedup impact report — docs/tokens kept vs dropped under the
+        # shared closure keep-list; one scalar partial per join block
+        "dedup_impact": _dedup_impact,
         # record linkage (non-SQL: regex normalizer + 50-rule cascade) —
         # deliberately LAST: these four have no SQL oracle (parity-tested
         # against the executable reference instead), so every oracled entry
@@ -6761,5 +6830,68 @@ def _oracle_sql_base() -> dict[str, str]:
                         AS BIGINT) AS returning_users
             FROM uw JOIN f USING (user_id)
             GROUP BY 1
+        """,
+        # dedup_impact: the dedup_keep_list closure + RE2 \S+ token
+        # counts; floor-bp drop rates, NULL on an empty corpus.
+        "dedup_impact": r"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            ok_sh AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 100),
+            cand AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       COUNT(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle IN (SELECT shingle FROM ok_sh)
+                GROUP BY a.doc_id, b.doc_id),
+            dup AS (
+                SELECT c.left_id, c.right_id FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.left_id
+                JOIN sizes sb ON sb.doc_id = c.right_id
+                WHERE c.inter*100 >= (sa.n_sh + sb.n_sh - c.inter)*10),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM dup
+                UNION ALL SELECT right_id, left_id FROM dup),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM edges e JOIN reach r
+                    ON r.node = e.b),
+            cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                   FROM reach GROUP BY node),
+            tw AS (SELECT doc_id,
+                          len(regexp_extract_all(coalesce(text, ''),
+                                                 '\S+')) AS nw
+                   FROM documents),
+            s AS (SELECT COUNT(*) AS nd,
+                         COALESCE(SUM(CASE WHEN cc.doc_id =
+                                      cc.cluster_id THEN 1 ELSE 0 END),
+                                  0) AS nk,
+                         COALESCE(SUM(tw.nw), 0) AS nt,
+                         COALESCE(SUM(CASE WHEN cc.doc_id =
+                                      cc.cluster_id THEN tw.nw
+                                      ELSE 0 END), 0) AS ntk
+                  FROM cc JOIN tw USING (doc_id))
+            SELECT CAST(nd AS BIGINT) AS n_docs,
+                   CAST(nk AS BIGINT) AS n_docs_kept,
+                   CAST(nt AS BIGINT) AS n_tokens,
+                   CAST(ntk AS BIGINT) AS n_tokens_kept,
+                   CAST(CASE WHEN nd = 0 THEN NULL
+                        ELSE (nd - nk) * 10000 // nd END AS BIGINT)
+                       AS doc_drop_bp,
+                   CAST(CASE WHEN nt = 0 THEN NULL
+                        ELSE (nt - ntk) * 10000 // nt END AS BIGINT)
+                       AS token_drop_bp
+            FROM s
         """,
     }

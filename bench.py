@@ -152,7 +152,7 @@ BENCH_QUERIES = [
     "doc_novelty", "min_cost_supplier", "source_dup_matrix",
     "shingle_df_hist", "weighted_jaccard_pairs", "cluster_homogeneity",
     "cohort_retention", "containment_keep", "order_gap_median",
-    "basket_lift", "fact_key_skew", "k_anonymity", "new_vs_returning",
+    "basket_lift", "fact_key_skew", "k_anonymity", "new_vs_returning", "dedup_impact",
 ]
 
 

@@ -5705,3 +5705,27 @@ def test_new_vs_returning_first_week_law(ray_session, tmp_path):
     assert got.to_dict("list") == {
         "week": [100, 102], "new_users": [2, 1],
         "returning_users": [0, 1]}
+
+
+def test_dedup_impact_scalars(ray_session, tmp_path):
+    """dedup_impact: the keeper is the cluster's MIN id, token counts
+    are raw \\S+ runs (NULL text = 0 tokens but the doc counts), and
+    the bp rates floor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as ent
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # docs 1,2 identical (3 tokens each) -> one cluster, keep 1;
+        # doc 3 unique (2 tokens); doc 4 NULL text (0 tokens, kept).
+        "text": pa.array(["a b c", "a b c", "x  y", None], pa.string()),
+    }), tmp_path / "documents.parquet")
+
+    got = ent._dedup_impact(str(tmp_path)).to_pandas()
+    assert got.to_dict("list") == {
+        "n_docs": [4], "n_docs_kept": [3],
+        "n_tokens": [8], "n_tokens_kept": [5],
+        "doc_drop_bp": [1 * 10000 // 4],
+        "token_drop_bp": [3 * 10000 // 8]}
